@@ -1,0 +1,110 @@
+"""Per-fingerprint / per-kind rollups (BASELINE.json north_star).
+
+The reference's only demonstrated aggregate is the fold-by-type count
+(/root/reference/examples/iterator.rs:14-31); Spark's groupBy gives the
+partial(map-side)+final hash aggregation for free. Everything here is
+JVM-side whole-stage-codegen — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def kind_census(entries: DataFrame) -> DataFrame:
+    """groupBy(entry_kind).count — the iterator.rs fold analog."""
+    return entries.groupBy("entry_kind").agg(F.count("*").alias("n"))
+
+
+def sql_type_census(entries: DataFrame) -> DataFrame:
+    """fold-by-sql-type with the reference's Unknown bucket semantics:
+    non-SQL entries count under NULL (examples/iterator.rs:20-27)."""
+    return entries.groupBy("sql_type").agg(F.count("*").alias("n"))
+
+
+def fingerprint_rollup(entries: DataFrame) -> DataFrame:
+    """Per-fingerprint count/sum(query_time) plus operational percentiles.
+
+    Shuffles once on fingerprint; map-side combine makes the shuffle
+    proportional to distinct fingerprints (small: fingerprints collapse
+    literals), not to rows. AQE coalesces the post-shuffle partitions.
+    """
+    return (
+        entries
+        .filter(F.col("entry_kind") == "SqlStatement")
+        .groupBy("fingerprint", "sql_type")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.sum("query_time").alias("sum_query_time"),
+            F.avg("query_time").alias("avg_query_time"),
+            F.max("query_time").alias("max_query_time"),
+            F.sum("lock_time").alias("sum_lock_time"),
+            F.sum("rows_examined").alias("sum_rows_examined"),
+            F.sum("rows_sent").alias("sum_rows_sent"),
+        )
+    )
+
+
+def admin_histogram(entries: DataFrame) -> DataFrame:
+    return (
+        entries
+        .filter(F.col("entry_kind") == "AdminCommand")
+        .groupBy("admin_command")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sink_rollup(entries: DataFrame) -> DataFrame:
+    """Per-sink rollup with grouping-sets totals:
+    ROLLUP(entry_kind, sql_type) -> per-kind-and-type, per-kind, grand."""
+    return (
+        entries
+        .rollup("entry_kind", "sql_type")
+        .agg(F.count("*").alias("n"), F.sum("query_time").alias("sum_query_time"))
+    )
+
+
+def top_k_slowest_per_fingerprint(entries: DataFrame, k: int = 3) -> DataFrame:
+    """Top-K slowest calls per fingerprint (window rank). Deterministic
+    tie-break on entry_id so reruns produce identical tables."""
+    w = (
+        Window.partitionBy("fingerprint")
+        .orderBy(F.desc("query_time"), F.asc("entry_id"))
+    )
+    return (
+        entries
+        .filter(F.col("entry_kind") == "SqlStatement")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def object_usage(entries: DataFrame) -> DataFrame:
+    """Explode referenced objects -> per-table usage rollup (the reference's
+    objects() accessor, src/types.rs:117-138, turned relational)."""
+    return (
+        entries
+        .filter(F.col("entry_kind") == "SqlStatement")
+        .select(
+            "fingerprint", "query_time",
+            F.explode_outer("objects").alias("obj"),
+        )
+        .select(
+            F.concat_ws(
+                ".", F.col("obj.schema_name"), F.col("obj.object_name")
+            ).alias("full_object_name"),
+            "query_time",
+        )
+        .groupBy("full_object_name")
+        .agg(F.count("*").alias("n_refs"), F.sum("query_time").alias("sum_query_time"))
+    )
+
+
+def hourly_rollup(entries: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows on warc_ts (streaming-compatible shape)."""
+    return (
+        entries
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "entry_kind")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "entry_kind", "n")
+    )

@@ -1,0 +1,67 @@
+"""Iceberg-or-Parquet table abstraction.
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg jars on
+the Spark classpath and no network to fetch them, so the same call sites
+write partitioned Parquet with an Iceberg-shaped API. On a real cluster set
+SLOWSPARK_TABLE_FORMAT=iceberg (plus the usual spark.sql.catalog.* configs)
+and the write path switches to DataFrameWriterV2 (writeTo / createOrReplace).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Catalog:
+    """warehouse_root/<table_name> tables."""
+
+    warehouse: str
+    fmt: str = field(
+        default_factory=lambda: os.environ.get("SLOWSPARK_TABLE_FORMAT", "parquet")
+    )
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> str:
+        if self.fmt == "iceberg":
+            writer = df.writeTo(name).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+            return name
+        path = self.path(name)
+        w = df.write.mode(mode).format(self.fmt)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+        return path
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return spark.read.format("iceberg").load(name)
+        return spark.read.format(self.fmt).load(self.path(name))
+
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        if self.fmt == "iceberg":
+            try:
+                spark.read.format("iceberg").load(name).schema
+                return True
+            except Exception:
+                return False
+        return os.path.isdir(self.path(name)) and any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for f in os.listdir(self.path(name))
+        )

@@ -1,0 +1,86 @@
+"""Checkpoint-resumable stage boundaries (BASELINE.json north_rule).
+
+Each pipeline stage (parsed, enriched, routed, aggregated) materializes as a
+table plus a manifest row {stage, input_signature, row_count, content_hash}.
+Resume = skip stages whose manifest matches the current input signature.
+Content hashes are order-insensitive (sum of per-row xxhash64) and every
+upstream value is deterministic (hash-derived ids, no rand()), so a resumed
+run is bit-identical to a fresh one — the Spark analog of the reference's
+restartability guarantee (same 310 entries at any read-buffer size,
+/root/reference/src/codec.rs:586-599).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from slowspark.catalog import Catalog
+
+
+def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
+    """Order-insensitive content hash: bit_xor(xxhash64(row)) over selected
+    columns (xor never overflows under ANSI mode; rows are unique by
+    entry_id so xor-cancellation of duplicates is not a concern). One extra
+    aggregate job; cheap relative to the write."""
+    cols = cols or [c for c in df.columns]
+    h = df.select(
+        F.xxhash64(*[F.col(c).cast("string") for c in cols]).alias("h")
+    ).agg(F.expr("bit_xor(h)").alias("s")).collect()[0]["s"]
+    return int(h or 0)
+
+
+def _manifest_path(cat: Catalog, stage: str) -> str:
+    return os.path.join(cat.warehouse, "_manifests", f"{stage}.json")
+
+
+def load_manifest(cat: Catalog, stage: str) -> dict | None:
+    p = _manifest_path(cat, stage)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def save_manifest(cat: Catalog, stage: str, manifest: dict) -> None:
+    p = _manifest_path(cat, stage)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, p)  # atomic: a torn manifest never looks valid
+
+
+def run_stage(
+    spark: SparkSession,
+    cat: Catalog,
+    stage: str,
+    input_signature: str,
+    build: Callable[[], DataFrame],
+    partition_by: list[str] | None = None,
+    hash_cols: list[str] | None = None,
+) -> DataFrame:
+    """Materialize `build()` as table `stage` unless a manifest with the
+    same input signature already covers it (resume path)."""
+    m = load_manifest(cat, stage)
+    if (
+        m is not None
+        and m.get("input_signature") == input_signature
+        and cat.exists(spark, stage)
+    ):
+        return cat.read(spark, stage)
+    df = build()
+    cat.write(df, stage, partition_by=partition_by)
+    out = cat.read(spark, stage)
+    manifest = {
+        "stage": stage,
+        "input_signature": input_signature,
+        "row_count": out.count(),
+        "content_hash": content_hash(out, hash_cols),
+        "partition_by": partition_by or [],
+    }
+    save_manifest(cat, stage, manifest)
+    return out

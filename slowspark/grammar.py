@@ -305,7 +305,15 @@ def mask_fingerprint(sql: str) -> str:
         parts.append("?" if kind in _MASKED_KINDS else text)
     while parts and parts[-1] == ";":
         parts.pop()
-    return " ".join(parts)
+    out: list[str] = []
+    for p in parts:
+        if out and (p in (".", ",", ")", ";") or out[-1] in (".", "(")):
+            out.append(p)
+        else:
+            if out:
+                out.append(" ")
+            out.append(p)
+    return "".join(out)
 
 
 def canonical_sql(sql: str) -> str:

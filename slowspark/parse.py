@@ -1,0 +1,107 @@
+"""The vectorized parse stage: pages -> entries via Arrow-batched mapInPandas.
+
+This is the Spark re-expression of the reference's streaming decoder
+(EntryCodec, /root/reference/src/codec.rs:255-352). The reference's framing
+problem — an entry split across read buffers, solved with Partial streams +
+checkpoint/rewind (src/codec.rs:284-311) — disappears here: a page is a
+self-contained record (no entry spans pages), so the parse is embarrassingly
+parallel over rows. Memory is bounded by the Arrow batch size
+(spark.sql.execution.arrow.maxRecordsPerBatch), the analog of the
+reference's tunable read buffer (src/lib.rs:23).
+
+Scale notes (100 TB / 10^12 pages):
+  - the only Python stage in the pipeline; everything downstream is
+    JVM-side DataFrame ops under whole-stage codegen
+  - regexes compile at slowspark.grammar import time = once per Python
+    worker process ("once per partition", BASELINE.json north_star)
+  - no shuffle: mapInPandas is a narrow transformation; input splits come
+    straight from the Parquet/Iceberg scan (spark.sql.files.maxPartitionBytes
+    controls split size; pages are ~KB so default 128 MiB splits are fine)
+  - column pruning: only url/text/lang/warc_ts are read from the scan —
+    html (the big binary column) is never touched unless asked for
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from slowspark import grammar
+from slowspark.schema import ENTRY_SCHEMA
+
+_OUT_COLS = [f.name for f in ENTRY_SCHEMA.fields if f.name != "entry_id"]
+
+
+def _entries_for_batch(pdf: pd.DataFrame, context_mapper) -> pd.DataFrame:
+    rows: list[dict] = []
+    has_lang = "lang" in pdf.columns
+    has_ts = "warc_ts" in pdf.columns
+    urls = pdf["url"].tolist()
+    texts = pdf["text"].tolist()
+    langs = pdf["lang"].tolist() if has_lang else [None] * len(urls)
+    tss = pdf["warc_ts"].tolist() if has_ts else [None] * len(urls)
+    for url, text, lang, warc_ts in zip(urls, texts, langs, tss):
+        if text is None:
+            continue
+        for e in grammar.parse_entries(text, context_mapper):
+            us = e.pop("log_time_us")
+            e["log_time"] = (
+                pd.Timestamp(us, unit="us") if us is not None else pd.NaT
+            )
+            e["url"] = url
+            e["lang"] = lang
+            e["warc_ts"] = warc_ts
+            rows.append(e)
+    out = pd.DataFrame(rows, columns=_OUT_COLS)
+    # nullable integer dtypes so error rows (None stats) survive the Arrow
+    # conversion to LongType instead of degrading to float64+NaN
+    for col, dt in (
+        ("entry_index", "Int32"),
+        ("thread_id", "Int64"),
+        ("rows_sent", "Int64"),
+        ("rows_examined", "Int64"),
+        ("set_timestamp", "Int64"),
+    ):
+        out[col] = out[col].astype(dt)
+    return out
+
+
+def parse_pages(
+    pages: DataFrame,
+    context_mapper=grammar.default_comment_context,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> DataFrame[ENTRY_SCHEMA].
+
+    The UDTF-shaped stage: one page row in, N entry rows out. Equivalent of
+    iterating EntryCodec over the page text (src/codec.rs:137-252), plus our
+    never-panic policy: malformed entries become ParseError rows
+    (entry_kind='ParseError') instead of killing the job the way the
+    reference's panics would (src/codec.rs:313-327).
+    """
+    in_cols = [c for c in ("url", "text", "lang", "warc_ts") if c in pages.columns]
+    mapper = context_mapper
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _entries_for_batch(pdf, mapper)
+
+    schema_no_id = ",".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in ENTRY_SCHEMA.fields
+        if f.name != "entry_id"
+    )
+    out = pages.select(*in_cols).mapInPandas(fn, schema=schema_no_id)
+    # deterministic entry id: hash of natural keys, never rand()/uuid()
+    # (reruns and checkpoint resumes must produce identical tables)
+    return out.withColumn("entry_id", F.xxhash64("url", "entry_index"))
+
+
+def split_errors(entries: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, parse_errors) — the decode_eof analog (src/codec.rs:334-351):
+    non-whitespace residue / malformed entries are routed, not fatal."""
+    good = entries.filter(F.col("entry_kind") != "ParseError")
+    bad = entries.filter(F.col("entry_kind") == "ParseError")
+    return good, bad

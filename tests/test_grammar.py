@@ -266,7 +266,7 @@ def test_fingerprint_masks_all_literal_classes():
     fp = mask_fingerprint(
         "SELECT 1, 1.5, .5, 'a', \"b\", N'c', X'1F', 0xAB, x'00' FROM t"
     )
-    assert fp == "SELECT ? , ? , ? , ? , ? , ? , ? , ? , ? FROM t"
+    assert fp == "SELECT ?, ?, ?, ?, ?, ?, ?, ?, ? FROM t"
 
 
 # --- statement resolution (src/codec.rs:183-238) ----------------------------

@@ -1,0 +1,255 @@
+"""Spark pipeline tests: parse stage, enrichment, routing, rollups, skew,
+checkpoint resume, and the restartability analog (identical output under
+different partitionings — reference src/codec.rs:586-599 proves the same
+with a 4-byte read buffer)."""
+
+import hashlib
+import os
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from slowspark import aggregate as agg
+from slowspark.catalog import Catalog
+from slowspark.enrich import enrich
+from slowspark.gen import (
+    expected_kind_counts,
+    gen_pages,
+    host_dc_dim,
+    lang_locale_dim,
+    render_page,
+)
+from slowspark.grammar import parse_entries
+from slowspark.metrics import page_lineage, partition_metrics
+from slowspark.parse import parse_pages, split_errors
+from slowspark.route import route
+from slowspark.skew import salted_groupby_agg, salted_repartition
+
+N_PAGES = 120
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return gen_pages(spark, N_PAGES, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def entries(spark, pages):
+    return parse_pages(pages).cache()
+
+
+def test_kind_census_matches_analytic_golden(entries):
+    got = {r["entry_kind"]: r["n"] for r in agg.kind_census(entries).collect()}
+    assert got == expected_kind_counts(N_PAGES)
+
+
+def test_no_parse_errors_on_generated_pages(entries):
+    good, bad = split_errors(entries)
+    assert bad.count() == 0
+
+
+def test_identical_output_under_different_partitionings(spark, entries):
+    """Restartability analog: same parsed table at 1 vs 8 input partitions
+    and different shuffle widths (order-insensitive content hash)."""
+
+    def table_hash(df):
+        return (
+            df.select(
+                F.xxhash64(
+                    "entry_id", "entry_kind",
+                    F.coalesce("fingerprint", F.lit("")),
+                    F.coalesce(F.col("statement_raw").cast("string"), F.lit("")),
+                ).alias("h")
+            )
+            .agg(F.expr("bit_xor(h)").alias("s"))
+            .collect()[0]["s"]
+        )
+
+    base = table_hash(entries)
+    p1 = parse_pages(gen_pages(spark, N_PAGES, partitions=1))
+    p8 = parse_pages(gen_pages(spark, N_PAGES, partitions=8).repartition(8))
+    assert table_hash(p1) == base
+    assert table_hash(p8) == base
+
+
+def test_byte_identity_vs_pure_python_oracle(pages, entries):
+    """Per-row invariant (BASELINE.json input_hint): the Spark pipeline's
+    statement_raw per (url, entry_index) is byte-identical to the pure-Python
+    grammar applied directly to the page text."""
+    page_rows = {r["url"]: r["text"] for r in pages.collect()}
+    expected = {}
+    for url, text in page_rows.items():
+        for e in parse_entries(text):
+            raw = e["statement_raw"]
+            expected[(url, e["entry_index"])] = hashlib.sha256(raw).hexdigest() if raw else None
+    got_rows = entries.select("url", "entry_index", "statement_raw").collect()
+    assert len(got_rows) == len(expected)
+    for r in got_rows:
+        want = expected[(r["url"], r["entry_index"])]
+        got = hashlib.sha256(bytes(r["statement_raw"])).hexdigest() if r["statement_raw"] is not None else None
+        assert got == want, (r["url"], r["entry_index"])
+
+
+def test_enrich_plan_is_broadcast(spark, entries):
+    enriched = enrich(entries, host_dc_dim(spark), lang_locale_dim(spark))
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # left joins never drop rows
+    assert enriched.count() == entries.count()
+    # known lookups resolve
+    dc = enriched.filter(F.col("host") == "localhost").select("datacenter").first()
+    assert dc["datacenter"] is not None
+
+
+def test_routed_row_equality(entries):
+    """Union of the per-kind sinks == the parsed table (row-disjoint and
+    row-complete; north_star routed-row equality)."""
+    sinks = route(entries)
+    total = sum(df.count() for df in sinks.values())
+    assert total == entries.count()
+    ids_union = None
+    for df in sinks.values():
+        sel = df.select("entry_id")
+        ids_union = sel if ids_union is None else ids_union.unionAll(sel)
+    assert ids_union.distinct().count() == entries.select("entry_id").distinct().count()
+
+
+def test_fingerprint_rollup_collapses_literals(entries):
+    roll = agg.fingerprint_rollup(entries)
+    rows = roll.collect()
+    n_calls = sum(r["n_calls"] for r in rows)
+    assert n_calls == entries.filter(F.col("entry_kind") == "SqlStatement").count()
+    # literals vary per entry but fingerprints collapse: far fewer groups
+    assert 0 < len(rows) < n_calls
+    assert all("?" in r["fingerprint"] or r["fingerprint"] for r in rows)
+
+
+def test_salted_agg_equals_plain_agg(entries):
+    plain = {
+        (r["entry_kind"],): (r["n"], round(r["s"] or 0.0, 9))
+        for r in entries.groupBy("entry_kind")
+        .agg(F.count("*").alias("n"), F.sum("query_time").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["entry_kind"],): (r["n"], round(r["s"] or 0.0, 9))
+        for r in salted_groupby_agg(
+            entries, ["entry_kind"],
+            {"n": ("count", "*"), "s": ("sum", "query_time")},
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_repartition_spreads_hot_keys(spark, entries):
+    df = salted_repartition(entries, "url", 8, buckets=16)
+    sizes = [
+        r["n"]
+        for r in df.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(sizes) > 1
+    assert df.count() == entries.count()
+
+
+def test_sink_rollup_and_windows(entries):
+    roll = agg.sink_rollup(entries).collect()
+    grand = [r for r in roll if r["entry_kind"] is None and r["sql_type"] is None]
+    assert grand[0]["n"] == entries.count()
+    topk = agg.top_k_slowest_per_fingerprint(entries, k=2)
+    assert topk.groupBy("fingerprint").count().agg(F.max("count")).collect()[0][0] <= 2
+    hourly = agg.hourly_rollup(entries)
+    assert hourly.agg(F.sum("n")).collect()[0][0] == entries.count()
+
+
+def test_object_usage(entries):
+    usage = agg.object_usage(entries)
+    names = {r["full_object_name"] for r in usage.collect()}
+    assert "products" in names and "orders" in names
+
+
+def test_metrics_tables(entries):
+    pm = partition_metrics(entries)
+    assert pm.agg(F.sum("entries_out")).collect()[0][0] == entries.count()
+    pl = page_lineage(entries)
+    assert pl.count() == N_PAGES
+    assert pl.filter(F.col("has_errors")).count() == 0
+
+
+# --- fixture-verbatim variants (FIXTURES.md §A) -----------------------------
+
+ASSETS = "/root/reference/assets"
+BIG = os.path.join(ASSETS, "slow-test-queries.log")
+
+needs_fixtures = pytest.mark.skipif(
+    not os.path.exists(BIG), reason="reference assets not available"
+)
+
+
+@needs_fixtures
+def test_fixture_whole_file_and_per_entry_pages_agree(spark):
+    """Embed the reference log as (1) one page per whole file and (2) one
+    page per entry; both must yield identical parsed kind/statement tables
+    (310 total, src/codec.rs:583)."""
+    with open(BIG, encoding="utf-8", errors="replace") as f:
+        text = f.read()
+
+    whole = spark.createDataFrame(
+        [("file://whole", text, "en")], "url string, text string, lang string"
+    )
+    parsed_whole = parse_pages(whole)
+    counts_whole = Counter(
+        r["entry_kind"] for r in parsed_whole.select("entry_kind").collect()
+    )
+    assert sum(counts_whole.values()) == 310
+    assert counts_whole["AdminCommand"] == 13
+
+    # one page per entry: split on the '# Time: ' anchor; put the 3-line
+    # preamble on the first page
+    import re
+
+    chunks = re.split(r"(?m)^(?=# Time: )", text)
+    pages = [
+        (f"file://entry/{i}", c, "en") for i, c in enumerate(chunks) if c.strip()
+    ]
+    per_entry = spark.createDataFrame(pages, "url string, text string, lang string")
+    parsed_pe = parse_pages(per_entry)
+    counts_pe = Counter(
+        r["entry_kind"] for r in parsed_pe.select("entry_kind").collect()
+    )
+    assert counts_pe == counts_whole
+
+    # statement_raw multisets agree between the two variants
+    def raw_multiset(df):
+        return Counter(
+            bytes(r["statement_raw"])
+            for r in df.select("statement_raw").collect()
+            if r["statement_raw"] is not None
+        )
+
+    assert raw_multiset(parsed_whole) == raw_multiset(parsed_pe)
+
+
+# --- checkpoint resume (SURVEY.md §7 M5) ------------------------------------
+
+def test_checkpoint_resume(spark, tmp_path, pages):
+    from slowspark.job import run_pipeline
+
+    wh = str(tmp_path / "wh")
+    t1 = run_pipeline(spark, pages, wh, "sig-a")
+    census1 = {r["entry_kind"]: r["n"] for r in t1["kind_census"].collect()}
+    assert census1 == expected_kind_counts(N_PAGES)
+
+    # resume: manifests match -> stages are read back, not rebuilt; results
+    # identical
+    t2 = run_pipeline(spark, pages, wh, "sig-a")
+    census2 = {r["entry_kind"]: r["n"] for r in t2["kind_census"].collect()}
+    assert census2 == census1
+
+    # changed input signature -> rebuild (still identical results because
+    # generation is deterministic)
+    t3 = run_pipeline(spark, pages, wh, "sig-b")
+    census3 = {r["entry_kind"]: r["n"] for r in t3["kind_census"].collect()}
+    assert census3 == census1
