@@ -1,38 +1,412 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse -> enrich -> route -> aggregate
+pipeline on pages rendered deterministically at sf0.001 scale.
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2 + training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one (the rest get rows-only checks:
+the parse grammar, MinHash/SimHash signatures, LSH ANN — they have no ANSI
+SQL equivalent and are pinned instead by tests/ against the reference
+fixtures).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: generate pages at sf0.001 scale (n_pages derived from the
+    documents table), run the full pipeline, return the per-kind census
+    joined with per-kind query-time totals."""
+    from slowspark.aggregate import sink_rollup
+    from slowspark.enrich import enrich
+    from slowspark.gen import gen_pages, host_dc_dim, lang_locale_dim
+    from slowspark.parse import parse_pages
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_pages = max(50, _read(spark, sf_dir, "documents").count())
+    pages = gen_pages(spark, int(n_pages))
+    entries = parse_pages(pages)
+    enriched = enrich(entries, host_dc_dim(spark), lang_locale_dim(spark))
+    return sink_rollup(enriched).orderBy("entry_kind", "sql_type")
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries (DuckDB-equivalent SQL in oracle_sql())
+# ---------------------------------------------------------------------------
+
+def _fingerprint_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed count/sum rollup — the groupBy(fingerprint) stand-in on a fixed
+    table (reference fold-by-type aggregate, examples/iterator.rs:14-31)."""
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def _broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim enrichment (SURVEY §2.2 joins): customer x nation x
+    region; both dims broadcast — zero fact shuffle."""
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+    )
+
+
+def _rollup_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup (per-sink rollups, SURVEY §2.2)."""
+    return (
+        _read(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+        )
+    )
+
+
+def _topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-K per group (top-K slowest per fingerprint analog)."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rnk")
+    )
+
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped multi-aggregate (partial+final hash agg)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _regex_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized regex extraction (the header-line parse family, SURVEY §2.1
+    #2-#8) expressed on the fixed documents table."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_extract(F.col("text"), r"^([A-Za-z]+)", 1).alias("first_word"),
+            F.length("text").alias("text_len"),
+        )
+    )
+
+
+def _objects_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array distinct/sort (objects extraction analog, SURVEY §2.1 #18)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            )
+        ).alias("n_distinct_tokens"),
+    )
+
+
+def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup clusters: hash-groupBy (training-data op)."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (training-data op): whitespace tokens per doc."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("ws_tokens"),
+    )
+
+
+def _quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features aggregated per lang (training-data op)."""
+    d = _read(spark, sf_dir, "documents")
+    punct_ratio = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(punct_ratio), 4).alias("avg_punct_ratio"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        )
+    )
+
+
+def _hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window rollup (streaming window analog on the batch table)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 embedding (similarity
+    search baseline; JVM-side zip_with/aggregate dot product)."""
+    from slowspark.similarity import with_cosine
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return (
+        with_cosine(emb, "embedding", query)
+        .select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no ANSI-SQL oracle: parse grammar / signatures / LSH)
+# ---------------------------------------------------------------------------
+
+def _n_pages_for(spark: SparkSession, sf_dir: str) -> int:
+    return max(50, _read(spark, sf_dir, "documents").count())
+
+
+def _kind_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entry-kind census (M1 query): scan -> mapInPandas
+    parse -> groupBy count. Pinned against analytic goldens in tests/."""
+    from slowspark.aggregate import kind_census
+    from slowspark.gen import gen_pages
+    from slowspark.parse import parse_pages
+
+    pages = gen_pages(spark, _n_pages_for(spark, sf_dir))
+    return kind_census(parse_pages(pages)).orderBy("entry_kind")
+
+
+def _fingerprint_rollup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fingerprint count/sum(query_time) on parsed pages (the north-star
+    rollup; fingerprints collapse literal-differing statements)."""
+    from slowspark.aggregate import fingerprint_rollup
+    from slowspark.gen import gen_pages
+    from slowspark.parse import parse_pages
+
+    pages = gen_pages(spark, _n_pages_for(spark, sf_dir))
+    return fingerprint_rollup(parse_pages(pages)).select(
+        "fingerprint", "sql_type", "n_calls",
+        F.round("sum_query_time", 4).alias("sum_query_time"),
+    )
+
+
+def _admin_histogram_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slowspark.aggregate import admin_histogram
+    from slowspark.gen import gen_pages
+    from slowspark.parse import parse_pages
+
+    pages = gen_pages(spark, _n_pages_for(spark, sf_dir))
+    return admin_histogram(parse_pages(pages)).orderBy("admin_command")
+
+
+def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup dedup on documents (signature UDF + band-bucket
+    join; no SQL equivalent)."""
+    from slowspark.textops import minhash_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    return minhash_dedup(d).select("doc_id").orderBy("doc_id")
+
+
+def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slowspark.textops import simhash_candidates, simhash_signatures
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash_candidates(simhash_signatures(d)).orderBy("id_a", "id_b")
+
+
+def _language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slowspark.textops import language_id
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        language_id(d)
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def _lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from slowspark.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return lsh_topk(emb, query, k=10).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # oracle-checked
+        "fingerprint_agg": _fingerprint_agg,
+        "broadcast_enrich": _broadcast_enrich,
+        "rollup_sinks": _rollup_sinks,
+        "topk_window": _topk_window,
+        "pricing_summary": _pricing_summary,
+        "regex_extract_stats": _regex_extract_stats,
+        "objects_arrays": _objects_arrays,
+        "exact_dedup": _exact_dedup,
+        "token_count": _token_count,
+        "quality_stats": _quality_stats,
+        "hourly_events": _hourly_events,
+        "ann_topk": _ann_topk,
+        # rows-only (non-SQL-expressible: parse grammar / signatures / LSH)
+        "kind_census": _kind_census,
+        "fingerprint_rollup": _fingerprint_rollup_pipeline,
+        "admin_histogram": _admin_histogram_pipeline,
+        "minhash_dedup": _minhash_dedup,
+        "simhash_candidates": _simhash_candidates,
+        "language_id": _language_id,
+        "lsh_ann_topk": _lsh_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "fingerprint_agg": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "broadcast_enrich": """
+            SELECT r.r_name AS region_name, n.n_name AS nation_name,
+                   count(*) AS n_customers,
+                   round(sum(c.c_acctbal), 4) AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        """,
+        "rollup_sinks": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 4) AS sum_total
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "topk_window": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM (
+                SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                       row_number() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                       ) AS rnk
+                FROM lineitem
+            ) WHERE rnk <= 3
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "regex_extract_stats": """
+            SELECT doc_id,
+                   coalesce(regexp_extract(text, '^([A-Za-z]+)', 1), '') AS first_word,
+                   length(text) AS text_len
+            FROM documents
+        """,
+        "objects_arrays": """
+            SELECT doc_id,
+                   CAST(length(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+                        AS INTEGER) AS n_distinct_tokens
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS ws_tokens
+            FROM documents
+        """,
+        "quality_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   round(avg(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                             / greatest(length(text), 1)), 4) AS avg_punct_ratio,
+                   round(avg(CAST(length(text) AS DOUBLE)), 4) AS avg_len
+            FROM documents GROUP BY lang
+        """,
+        "hourly_events": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   count(*) AS n
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "ann_topk": """
+            SELECT vec_id,
+                   round(CAST(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)
+                   ) AS DOUBLE), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+    }

@@ -60,7 +60,13 @@ def sink_rollup(entries: DataFrame) -> DataFrame:
     return (
         entries
         .rollup("entry_kind", "sql_type")
-        .agg(F.count("*").alias("n"), F.sum("query_time").alias("sum_query_time"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("query_time").alias("sum_query_time"),
+            # disambiguates subtotal rows from genuine NULL groups (admin /
+            # invalid entries have sql_type NULL as a value)
+            F.grouping_id().alias("grouping_level"),
+        )
     )
 
 

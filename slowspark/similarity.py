@@ -131,19 +131,33 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 12,
     seed: int = 42,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: restrict the exact cosine scan to the query's LSH bucket.
-    Recall/latency trade-off is n_planes; at scale the bucket column is a
-    partition/cluster key so the scan prunes to one bucket's files."""
+    """ANN top-k: restrict the exact cosine scan to the query's LSH bucket
+    plus multi-probe neighbors within `probe_hamming` bit flips (standard
+    multi-probe LSH: near vectors most likely land one sign-flip away).
+    Recall/latency trade-off is (n_planes, probe_hamming); at scale the
+    bucket column is a partition/cluster key so the scan prunes to the
+    probed buckets' files."""
     dim = len(query)
     planes = _hyperplanes(dim, n_planes, seed)
     qbucket = 0
     for i, p in enumerate(planes):
         if float(np.dot(p, query)) > 0:
             qbucket |= 1 << i
+    probes = {qbucket}
+    if probe_hamming >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    if probe_hamming >= 2:
+        probes |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
     bucketed = with_lsh_bucket(corpus, vec_col, n_planes, dim, seed)
     return brute_force_topk(
-        bucketed.filter(F.col("lsh_bucket") == qbucket), vec_col, query, k, id_col
+        bucketed.filter(F.col("lsh_bucket").isin(list(probes))),
+        vec_col, query, k, id_col,
     )
 
 

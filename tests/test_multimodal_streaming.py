@@ -1,0 +1,88 @@
+"""Multimodal plumbing (stubbed decode, real Spark plumbing) and the
+Structured Streaming mode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from slowspark import multimodal
+from slowspark.gen import expected_kind_counts, gen_pages
+from slowspark.streaming import (
+    parse_stream,
+    read_page_stream,
+    start_fanout_sink,
+    windowed_kind_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return multimodal.gen_media(spark, 50).cache()
+
+
+def test_decode_images_schema_and_determinism(media):
+    meta = multimodal.decode_images(media, feature_dim=8)
+    rows1 = {r["media_id"]: (r["width"], r["sha256"], tuple(r["feature"]))
+             for r in meta.collect()}
+    rows2 = {r["media_id"]: (r["width"], r["sha256"], tuple(r["feature"]))
+             for r in multimodal.decode_images(media, feature_dim=8).collect()}
+    assert rows1 == rows2
+    assert len(rows1) == media.filter(F.col("kind") == "image").count()
+    assert all(len(v[2]) == 8 for v in rows1.values())
+
+
+def test_real_decode_is_marked_not_implemented(media):
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_images(media, real_decode=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_sample_frames_udtf_shape(media):
+    frames = multimodal.sample_frames(media, every_n=10, max_frames=5)
+    per_video = frames.groupBy("media_id").count().collect()
+    assert len(per_video) == media.filter(F.col("kind") == "video").count()
+    assert all(1 <= r["count"] <= 5 for r in per_video)
+
+
+def test_streaming_pipeline(spark, tmp_path):
+    """File-source stream -> parse -> foreachBatch fan-out; counts equal the
+    batch pipeline's analytic goldens."""
+    n_pages = 40
+    src = str(tmp_path / "pages")
+    gen_pages(spark, n_pages, partitions=2).write.parquet(src)
+
+    stream = read_page_stream(spark, src, max_files=2)
+    entries = parse_stream(stream)
+    out = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_fanout_sink(entries, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {}
+    for sink, kind in {
+        "sql_statements": "SqlStatement",
+        "admin_commands": "AdminCommand",
+        "invalid_statements": "InvalidStatement",
+    }.items():
+        try:
+            got[kind] = spark.read.parquet(f"{out}/{sink}").count()
+        except Exception:
+            got[kind] = 0
+    assert got == expected_kind_counts(n_pages)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    n_pages = 20
+    src = str(tmp_path / "pages2")
+    gen_pages(spark, n_pages, partitions=1).write.parquet(src)
+    stream = read_page_stream(spark, src)
+    win = windowed_kind_counts(parse_stream(stream), window="1 hour")
+    q = (
+        win.writeStream.outputMode("complete")
+        .format("memory").queryName("win_counts")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql("SELECT sum(n) AS s FROM win_counts").first()["s"]
+    assert total == sum(expected_kind_counts(n_pages).values())

@@ -1,0 +1,102 @@
+"""ANN / similarity-search tests over the driver-generated embeddings table."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from slowspark import similarity
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+
+
+def test_brute_force_topk_self_is_best(emb, query_vec):
+    rows = similarity.brute_force_topk(emb, "embedding", query_vec, k=5).collect()
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == emb.orderBy("vec_id").first()["vec_id"]
+    assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+    assert all(rows[i]["cosine"] >= rows[i + 1]["cosine"] for i in range(4))
+
+
+def test_cosine_matches_numpy(emb, query_vec):
+    got = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.with_cosine(emb.limit(50), "embedding", query_vec)
+        .select("vec_id", "cosine").collect()
+    }
+    q = np.array(query_vec)
+    for r in emb.limit(50).collect():
+        v = np.array(r["embedding"], dtype=float)
+        want = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert got[r["vec_id"]] == pytest.approx(want, abs=1e-6)
+
+
+def test_topk_per_query_broadcast_plan(spark, emb):
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = similarity.topk_per_query(emb, queries, k=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    rows = res.collect()
+    assert len(rows) == 12
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        best = sorted(rs, key=lambda r: r["rank"])[0]
+        assert best["vec_id"] == qid  # self is rank 1
+        assert best["cosine"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_lsh_topk_recall(spark, emb, query_vec):
+    """The raw embeddings table is near-random (best non-self cosine ~0.29),
+    where LSH recall is meaningless by construction. Inject genuine near
+    neighbors (small perturbations of the query) — LSH must find them."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    q = np.array(query_vec)
+    neighbors = [
+        (10_000 + i, (q + 0.05 * rng.standard_normal(len(q))).astype("float32").tolist(), -1)
+        for i in range(5)
+    ]
+    corpus = emb.unionByName(
+        spark.createDataFrame(neighbors, emb.schema)
+    )
+    ann = [r["vec_id"] for r in
+           similarity.lsh_topk(corpus, query_vec, k=10, n_planes=8).collect()]
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(corpus, "embedding", query_vec, k=10).collect()]
+    # exact top-10 = self + the 5 injected neighbors + 4 others
+    assert set(n[0] for n in neighbors) <= set(exact)
+    # LSH finds the self-match and most injected near neighbors
+    assert exact[0] in ann
+    assert len(set(n[0] for n in neighbors) & set(ann)) >= 4
+
+
+def test_lsh_bucket_deterministic(emb):
+    b1 = {r["vec_id"]: r["lsh_bucket"] for r in
+          similarity.with_lsh_bucket(emb.limit(30)).select("vec_id", "lsh_bucket").collect()}
+    b2 = {r["vec_id"]: r["lsh_bucket"] for r in
+          similarity.with_lsh_bucket(emb.limit(30)).select("vec_id", "lsh_bucket").collect()}
+    assert b1 == b2
+
+
+def test_ivf_assign_partitions_corpus(emb):
+    cells = similarity.ivf_assign(emb.limit(200), n_centroids=8)
+    rows = cells.groupBy("ivf_cell").count().collect()
+    assert sum(r["count"] for r in rows) == 200
+    assert all(r["ivf_cell"] >= 0 for r in rows)
+    assert len(rows) >= 2

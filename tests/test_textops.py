@@ -1,0 +1,133 @@
+"""Training-data operator tests over the driver-generated documents table
+(sf0.001) plus synthetic edge cases."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from slowspark import textops
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return df.cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes(spark, docs):
+    """documents + exact copies + near copies (one word appended)."""
+    base = docs.limit(20)
+    exact = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    near = base.withColumn("doc_id", F.col("doc_id") + 2_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzz"))
+    )
+    return docs.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup(docs, docs_with_dupes):
+    n_docs = docs.count()
+    deduped = textops.exact_dedup(docs_with_dupes)
+    # exact copies removed; near copies (different bytes) survive
+    assert deduped.count() == n_docs + 20
+    # keeper is the lowest id
+    assert deduped.filter(F.col("doc_id") >= 1_000_000).filter(
+        F.col("doc_id") < 2_000_000
+    ).count() == 0
+
+
+def test_duplicate_clusters(docs_with_dupes):
+    clusters = textops.duplicate_clusters(docs_with_dupes)
+    assert clusters.filter(F.col("n_dupes") == 2).count() == 20
+
+
+def test_minhash_dedup_removes_near_dupes(docs, docs_with_dupes):
+    deduped = textops.minhash_dedup(
+        docs_with_dupes, jaccard_threshold=0.6, n_perm=64, bands=16
+    )
+    n = deduped.count()
+    # baseline: the raw documents table has intrinsic near-dups of its own;
+    # after injecting 20 exact + 20 near copies the result must collapse to
+    # the same survivor set as self-deduping the raw table
+    n_self = textops.minhash_dedup(
+        docs, jaccard_threshold=0.6, n_perm=64, bands=16
+    ).count()
+    assert n == n_self
+    # and all injected copies lose to their lower-id originals
+    assert deduped.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    s1 = textops.minhash_signatures(docs.limit(10)).collect()
+    s2 = textops.minhash_signatures(docs.limit(10)).collect()
+    assert {r["doc_id"]: r["signature"] for r in s1} == {
+        r["doc_id"]: r["signature"] for r in s2
+    }
+
+
+def test_simhash_near_dupes_have_small_hamming(spark, docs_with_dupes):
+    sigs = textops.simhash_signatures(docs_with_dupes)
+    cands = textops.simhash_candidates(sigs, max_hamming=3)
+    rows = cands.collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    hamming = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    # exact copies -> identical simhash -> hamming 0, must all be found
+    exact_pairs = {p for p in pairs if p[0] < 1_000_000 and p[1] == p[0] + 1_000_000}
+    assert len(exact_pairs) == 20
+    assert all(hamming[p] == 0 for p in exact_pairs)
+
+
+def test_ngram_jaccard_pairs(spark, docs_with_dupes):
+    pairs = spark.createDataFrame(
+        [(i, i + 2_000_000) for r in docs_with_dupes.filter(
+            F.col("doc_id") < 20_000
+        ).limit(0).collect() for i in [r["doc_id"]]] or
+        [(r["doc_id"], r["doc_id"] + 2_000_000) for r in
+         docs_with_dupes.filter(F.col("doc_id") < 1_000_000).limit(5).collect()],
+        "id_a long, id_b long",
+    )
+    jac = textops.ngram_jaccard_pairs(pairs, docs_with_dupes)
+    rows = jac.collect()
+    assert len(rows) == 5
+    assert all(r["jaccard"] > 0.5 for r in rows)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in that house for it was warm"),
+            (2, "der Hund und die Katze sind nicht mit den anderen ein Haus"),
+            (3, "le chat et le chien sont dans les maisons de la ville"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textops.language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_quality_score_ranges(docs):
+    q = textops.quality_score(docs)
+    rows = q.select("quality", "punct_ratio", "upper_ratio").collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["punct_ratio"] <= 1.0 for r in rows)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "hello world foo")], "doc_id long, text string")
+    r = textops.token_count(df).first()
+    assert r["ws_tokens"] == 3
+    assert r["est_bpe_tokens"] >= 3
+
+
+def test_doc_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "something else")],
+        "doc_id long, text string",
+    )
+    rows = textops.doc_fingerprint(df).collect()
+    fp = {r["doc_id"]: r["doc_fp"] for r in rows}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
