@@ -102,6 +102,8 @@ ISO_RE = re.compile(
     _A,
 )
 
+_SQLSCAN_RE = re.compile(r"[\\'\"`;]")
+
 # Resync anchor used after a mid-entry parse error: the only state transition
 # that can begin an entry is a line starting '# Time: ' (src/codec.rs:148-155).
 _RESYNC_RE = re.compile(r"\n(?=# Time: )", _A)
@@ -156,7 +158,6 @@ def scan_sql_statement(text: str, pos: int) -> Optional[int]:
     Fast path: if the prefix up to the next ';' contains no quote or escape
     character, the scan is a plain ``str.find``.
     """
-    n = len(text)
     j = text.find(";", pos)
     if j == -1:
         return None
@@ -166,23 +167,32 @@ def scan_sql_statement(text: str, pos: int) -> Optional[int]:
         and "\\" not in span
     ):
         return j + 1
+    # slow path: jump between interesting chars (quotes, backslash, ';')
+    # with a compiled regex instead of scanning per char — same semantics
+    # as the reference loop (src/parser.rs:138-164): the escape flag covers
+    # exactly the character immediately after an unescaped backslash, and
+    # it protects quote chars only (an escaped ';' still terminates,
+    # mirroring the reference's check order).
     quotes: list[str] = []
-    escaped = False
-    i = pos
-    while i < n:
+    esc_at = -1  # position whose char is escape-protected
+    for m in _SQLSCAN_RE.finditer(text, pos):
+        i = m.start()
         c = text[i]
-        if not escaped and (c == "'" or c == '"' or c == "`"):
+        escaped = i == esc_at
+        if c == "\\":
+            if not escaped:
+                esc_at = i + 1
+            continue
+        if c == ";":
+            if not quotes:
+                return i + 1
+            continue
+        # quote char
+        if not escaped:
             if quotes and quotes[-1] == c:
                 quotes.pop()
             else:
                 quotes.append(c)
-        if not escaped and c == "\\":
-            escaped = True
-        else:
-            escaped = False
-        if not quotes and c == ";":
-            return i + 1
-        i += 1
     return None
 
 
@@ -266,18 +276,14 @@ def tokenize_sql(sql: str) -> list[tuple[str, str]]:
     """Tokenize into (kind, text) pairs. Raises ValueError on an unterminated
     string/comment (parity with a sqlparser tokenizer error -> the entry
     becomes InvalidStatement)."""
-    out: list[tuple[str, str]] = []
-    pos = 0
-    n = len(sql)
-    for m in TOKEN_RE.finditer(sql):
-        if m.start() != pos:  # pragma: no cover - TOKEN_RE is total
-            raise ValueError(f"tokenizer gap at {pos}")
-        pos = m.end()
-        out.append((m.lastgroup, m.group()))
-    if pos != n:
-        raise ValueError(f"unterminated token at {pos}")
-    # unterminated block comment / string sanity: TOKEN_RE's punct fallback
-    # consumes lone quotes; detect dangling open string by cheap scan
+    # TOKEN_RE is total (the punct catch-all matches any char), so finditer
+    # covers the whole string with no gaps
+    out = [(m.lastgroup, m.group()) for m in TOKEN_RE.finditer(sql)]
+    for kind, text in out:
+        # a lone quote escaping to punct means an unterminated string —
+        # sqlparser's tokenizer errors there too (-> InvalidStatement)
+        if kind == "punct" and (text == "'" or text == '"' or text == "`"):
+            raise ValueError("unterminated string literal")
     return out
 
 
@@ -298,6 +304,10 @@ def mask_fingerprint(sql: str) -> str:
         tokens = tokenize_sql(sql)
     except ValueError:
         return re.sub(r"\s+", " ", sql).strip().rstrip(";").strip()
+    return _fingerprint_from_tokens(tokens)
+
+
+def _fingerprint_from_tokens(tokens: list[tuple[str, str]]) -> str:
     parts: list[str] = []
     for kind, text in tokens:
         if kind in ("ws", "comment"):
@@ -326,6 +336,10 @@ def canonical_sql(sql: str) -> str:
         tokens = tokenize_sql(sql)
     except ValueError:
         return re.sub(r"\s+", " ", sql).strip().rstrip(";").strip()
+    return _canonical_from_tokens(sql, tokens)
+
+
+def _canonical_from_tokens(sql: str, tokens: list[tuple[str, str]]) -> str:
     parts: list[str] = []
     prev_ws = False
     for kind, text in tokens:
@@ -600,7 +614,7 @@ def resolve_statement(raw_sql: str) -> dict[str, Any]:
             "statement": raw_sql,
             "sql_type": None,
             "objects": None,
-            "fingerprint": mask_fingerprint(raw_sql),
+            "fingerprint": re.sub(r"\s+", " ", raw_sql).strip().rstrip(";").strip(),
         }
     meaningful = _meaningful(tokens)
     # sql_lines guarantees exactly one unquoted ';' (the terminator), so a
@@ -616,14 +630,14 @@ def resolve_statement(raw_sql: str) -> dict[str, Any]:
             "statement": raw_sql,
             "sql_type": None,
             "objects": None,
-            "fingerprint": mask_fingerprint(raw_sql),
+            "fingerprint": _fingerprint_from_tokens(tokens),
         }
     return {
         "entry_kind": "SqlStatement",
-        "statement": canonical_sql(raw_sql),
+        "statement": _canonical_from_tokens(raw_sql, tokens),
         "sql_type": sql_type,
         "objects": extract_objects(tokens),
-        "fingerprint": mask_fingerprint(raw_sql),
+        "fingerprint": _fingerprint_from_tokens(tokens),
     }
 
 

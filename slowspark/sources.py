@@ -1,0 +1,42 @@
+"""Input sources.
+
+The reference's primary entry point is a raw slow-log FILE streamed through
+tokio's FramedRead (/root/reference/src/lib.rs:14-36). The Spark equivalents:
+
+  - read_pages: the Common-Crawl pages table (Iceberg/Parquet) — the
+    north-rule primary input.
+  - read_slow_logs: raw .log files via the binaryFile source, one row per
+    file -> parse_entries over the whole file text. A slow-log file is a
+    self-contained record stream, so whole-file decode matches the
+    reference byte-for-byte; files are the unit of parallelism (a directory
+    of daily/host-sharded logs fans out across executors). For single
+    multi-TB log files a production build would pre-split on '# Time: '
+    anchors at block boundaries; not needed for the fixture-scale files
+    this mode exists to ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from slowspark.schema import PAGES_SCHEMA
+
+
+def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    return spark.read.schema(PAGES_SCHEMA).format(fmt).load(path)
+
+
+def read_slow_logs(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Raw slow-log files -> pages-shaped DataFrame (url = file path,
+    text = whole file decoded lossily, the String::from_utf8_lossy analog
+    at /root/reference/src/types.rs:31)."""
+    raw = spark.read.format("binaryFile").load(path_glob)
+    return raw.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.decode(F.col("content"), "UTF-8").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )

@@ -338,24 +338,30 @@ _STOPWORDS = {
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-overlap language heuristic — pure built-ins: tokens once,
-    per-language array_intersect score, argmax via array sort on
-    (score, lang) structs. No Python, no UDF."""
-    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"[^\p{L}]+"))
+    """Stopword-overlap language heuristic — pure built-ins: tokens computed
+    ONCE into a temp column (not re-split per language), per-language
+    array_intersect score, argmax via array_max over (score, lang) structs
+    (struct ordering is field-order, so ties break on the larger lang tag —
+    deterministic). No Python, no UDF."""
+    tokens_col = "__li_toks"
+    df2 = df.withColumn(
+        tokens_col,
+        F.array_distinct(F.split(F.lower(F.col(text_col)), r"[^\p{L}]+")),
+    )
     scores = F.array(*[
         F.struct(
-            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias("score"),
+            F.size(
+                F.array_intersect(F.col(tokens_col), F.array(*[F.lit(w) for w in ws]))
+            ).alias("score"),
             F.lit(lang).alias("lang"),
         )
         for lang, ws in _STOPWORDS.items()
     ])
-    best = F.element_at(F.array_sort(scores, lambda a, b: (
-        F.when(a["score"] > b["score"], -1)
-        .when(a["score"] < b["score"], 1)
-        .otherwise(F.when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1).otherwise(0))
-    )), 1)
-    return df.withColumn("lang_pred", F.when(best["score"] > 0, best["lang"])).withColumn(
-        "lang_score", best["score"]
+    best = F.array_max(scores)
+    return (
+        df2.withColumn("lang_pred", F.when(best["score"] > 0, best["lang"]))
+        .withColumn("lang_score", best["score"])
+        .drop(tokens_col)
     )
 
 

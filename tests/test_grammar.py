@@ -487,3 +487,26 @@ SET timestamp=1517798803;
 
 def test_default_comment_context_all_absent_is_none():
     assert default_comment_context({"unrelated": "x"}) is None
+
+
+def test_escaped_semicolon_still_terminates_outside_quotes():
+    # reference check order (src/parser.rs:161-163): the ';' terminator test
+    # ignores the escape flag — an escaped ';' outside quotes terminates
+    s = r"SELECT a \; b;"
+    end = scan_sql_statement(s, 0)
+    assert s[:end] == r"SELECT a \;"
+
+
+def test_double_backslash_does_not_escape_quote():
+    # '\\\\' = two backslashes: the second is escaped, so a following quote
+    # is NOT escaped and opens a string
+    s = "SELECT '\\\\' ; x;"
+    end = scan_sql_statement(s, 0)
+    assert s[:end] == "SELECT '\\\\' ;"
+
+
+def test_backslash_escapes_quote():
+    # '\\'' inside a string: escaped quote does not close it
+    s = "SELECT 'a\\'b; c';"
+    end = scan_sql_statement(s, 0)
+    assert s[:end] == s

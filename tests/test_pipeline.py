@@ -253,3 +253,34 @@ def test_checkpoint_resume(spark, tmp_path, pages):
     t3 = run_pipeline(spark, pages, wh, "sig-b")
     census3 = {r["entry_kind"]: r["n"] for r in t3["kind_census"].collect()}
     assert census3 == census1
+
+
+@needs_fixtures
+def test_raw_log_file_source(spark):
+    """read_slow_logs ingests the reference's own fixture files and yields
+    the golden totals (310 + 22 = 332 entries across the two logs)."""
+    from slowspark.sources import read_slow_logs
+
+    pages = read_slow_logs(spark, f"{ASSETS}/*.log")
+    assert pages.count() == 2
+    parsed = parse_pages(pages)
+    assert parsed.count() == 332
+    by_file = {
+        r["url"].rsplit("/", 1)[-1]: r["n"]
+        for r in parsed.groupBy("url").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_file["slow-test-queries.log"] == 310
+    assert by_file["slow-test-queries-small.log"] == 22
+
+
+def test_parse_scan_prunes_html_column(spark, pages, tmp_path):
+    """Column pruning: the parse plan must read only url/text/lang/warc_ts
+    from the pages scan — never the big html binary column."""
+    path = str(tmp_path / "pages_pruning")
+    pages.write.parquet(path)
+    on_disk = spark.read.parquet(path)
+    plan = parse_pages(on_disk)._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "html" not in read_schema[0]
+    assert "text:string" in read_schema[0]
