@@ -280,7 +280,9 @@ def test_parse_scan_prunes_html_column(spark, pages, tmp_path):
     pages.write.parquet(path)
     on_disk = spark.read.parquet(path)
     plan = parse_pages(on_disk)._jdf.queryExecution().executedPlan().toString()
-    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
-    assert read_schema, plan
-    assert "html" not in read_schema[0]
-    assert "text:string" in read_schema[0]
+    import re
+
+    m = re.search(r"ReadSchema: (struct<[^>]*>)", plan)
+    assert m, plan
+    assert "html" not in m.group(1)
+    assert "text:string" in m.group(1)
