@@ -34,9 +34,20 @@ from slowspark.schema import ENTRY_SCHEMA
 
 _OUT_COLS = [f.name for f in ENTRY_SCHEMA.fields if f.name != "entry_id"]
 
+_INT_DTYPES = (
+    # nullable integer dtypes so error rows (None stats) survive the Arrow
+    # conversion to LongType instead of degrading to float64+NaN
+    ("entry_index", "Int32"),
+    ("thread_id", "Int64"),
+    ("rows_sent", "Int64"),
+    ("rows_examined", "Int64"),
+    ("set_timestamp", "Int64"),
+)
 
-def _entries_for_batch(pdf: pd.DataFrame, context_mapper) -> pd.DataFrame:
+
+def _entries_for_batch(pdf: pd.DataFrame, context_mapper, out_cols) -> pd.DataFrame:
     rows: list[dict] = []
+    want_time = "log_time" in out_cols
     has_lang = "lang" in pdf.columns
     has_ts = "warc_ts" in pdf.columns
     urls = pdf["url"].tolist()
@@ -48,30 +59,25 @@ def _entries_for_batch(pdf: pd.DataFrame, context_mapper) -> pd.DataFrame:
             continue
         for e in grammar.parse_entries(text, context_mapper):
             us = e.pop("log_time_us")
-            e["log_time"] = (
-                pd.Timestamp(us, unit="us") if us is not None else pd.NaT
-            )
+            if want_time:
+                e["log_time"] = (
+                    pd.Timestamp(us, unit="us") if us is not None else pd.NaT
+                )
             e["url"] = url
             e["lang"] = lang
             e["warc_ts"] = warc_ts
             rows.append(e)
-    out = pd.DataFrame(rows, columns=_OUT_COLS)
-    # nullable integer dtypes so error rows (None stats) survive the Arrow
-    # conversion to LongType instead of degrading to float64+NaN
-    for col, dt in (
-        ("entry_index", "Int32"),
-        ("thread_id", "Int64"),
-        ("rows_sent", "Int64"),
-        ("rows_examined", "Int64"),
-        ("set_timestamp", "Int64"),
-    ):
-        out[col] = out[col].astype(dt)
+    out = pd.DataFrame(rows, columns=out_cols)
+    for col, dt in _INT_DTYPES:
+        if col in out_cols:
+            out[col] = out[col].astype(dt)
     return out
 
 
 def parse_pages(
     pages: DataFrame,
     context_mapper=grammar.default_comment_context,
+    columns: Optional[list[str]] = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> DataFrame[ENTRY_SCHEMA].
 
@@ -80,18 +86,29 @@ def parse_pages(
     never-panic policy: malformed entries become ParseError rows
     (entry_kind='ParseError') instead of killing the job the way the
     reference's panics would (src/codec.rs:313-327).
+
+    ``columns``: manual column pruning THROUGH the Python boundary. Catalyst
+    prunes the scan below this stage but cannot prune what the UDF emits, so
+    a census that needs 5 columns would otherwise pay Arrow+JVM conversion
+    for all 27 (the nested objects/map/struct columns and the three
+    statement strings dominate that cost). Pass the columns the downstream
+    plan needs; url/entry_index are always included (entry_id determinism).
     """
     in_cols = [c for c in ("url", "text", "lang", "warc_ts") if c in pages.columns]
     mapper = context_mapper
+    if columns is None:
+        out_cols = _OUT_COLS
+    else:
+        need = set(columns) | {"url", "entry_index"}
+        out_cols = [c for c in _OUT_COLS if c in need]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _entries_for_batch(pdf, mapper)
+            yield _entries_for_batch(pdf, mapper, out_cols)
 
+    by_name = {f.name: f for f in ENTRY_SCHEMA.fields}
     schema_no_id = ",".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in ENTRY_SCHEMA.fields
-        if f.name != "entry_id"
+        f"`{c}` {by_name[c].dataType.simpleString()}" for c in out_cols
     )
     out = pages.select(*in_cols).mapInPandas(fn, schema=schema_no_id)
     # deterministic entry id: hash of natural keys, never rand()/uuid()

@@ -286,3 +286,16 @@ def test_parse_scan_prunes_html_column(spark, pages, tmp_path):
     assert m, plan
     assert "html" not in m.group(1)
     assert "text:string" in m.group(1)
+
+
+def test_parse_pages_column_pruning_matches_full(spark, pages):
+    """Narrow (columns=...) parse output equals the full parse projected to
+    the same columns — manual pushdown through the Python boundary must not
+    change values."""
+    cols = ["url", "entry_index", "entry_kind", "fingerprint", "query_time", "entry_id"]
+    full = parse_pages(pages).select(*cols)
+    narrow = parse_pages(pages, columns=["entry_kind", "fingerprint", "query_time"])
+    assert sorted(narrow.columns) == sorted(cols)
+    a = {tuple(r) for r in full.collect()}
+    b = {tuple(r) for r in narrow.select(*cols).collect()}
+    assert a == b
