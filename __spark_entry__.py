@@ -183,6 +183,21 @@ def _quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.2): users seen in the most common event
+    type but not in the second most common (EXCEPT via left_anti)."""
+    ev = _read(spark, sf_dir, "events")
+    thresh = 0.6 * ev.agg(F.max("value")).collect()[0][0]
+    e = ev.filter(F.col("value") > thresh)
+    types = [
+        r["event_type"]
+        for r in e.groupBy("event_type").count().orderBy(F.desc("count"), "event_type").take(2)
+    ]
+    a = e.filter(F.col("event_type") == types[0]).select("user_id").distinct()
+    b = e.filter(F.col("event_type") == types[1]).select("user_id").distinct()
+    return a.join(b, "user_id", "left_anti").orderBy("user_id")
+
+
 def _hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-window rollup (streaming window analog on the batch table)."""
     e = _read(spark, sf_dir, "events")
@@ -302,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _exact_dedup,
         "token_count": _token_count,
         "quality_stats": _quality_stats,
+        "set_ops": _set_ops,
         "hourly_events": _hourly_events,
         "ann_topk": _ann_topk,
         # rows-only (non-SQL-expressible: parse grammar / signatures / LSH)
@@ -392,6 +408,24 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(length(text), 1)), 4) AS avg_punct_ratio,
                    round(avg(CAST(length(text) AS DOUBLE)), 4) AS avg_len
             FROM documents GROUP BY lang
+        """,
+        "set_ops": """
+            WITH hv AS (
+                SELECT * FROM events
+                WHERE value > (SELECT 0.6 * max(value) FROM events)
+            ), ranked AS (
+                SELECT event_type, count(*) AS n FROM hv
+                GROUP BY event_type ORDER BY n DESC, event_type LIMIT 2
+            ), top1 AS (
+                SELECT event_type FROM ranked ORDER BY n DESC, event_type LIMIT 1
+            ), top2 AS (
+                SELECT event_type FROM ranked ORDER BY n ASC, event_type DESC LIMIT 1
+            )
+            SELECT DISTINCT user_id FROM hv
+            WHERE event_type = (SELECT event_type FROM top1)
+            EXCEPT
+            SELECT DISTINCT user_id FROM hv
+            WHERE event_type = (SELECT event_type FROM top2)
         """,
         "hourly_events": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
