@@ -158,8 +158,13 @@ def main_single(
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     # fresh session per phase: a long-lived local JVM degrades (codegen
-    # class accumulation + GC) and this host shows heavy steal time
-    spark = _fresh_session(cpus)
+    # class accumulation + GC) and this host shows heavy steal time.
+    # Parallelism is capped at 8 task threads: measured on this host
+    # (BENCH.md), a single local-mode JVM above ~8 active threads hits
+    # bursty vCPU steal that inflates stage-barrier tails 3-8x — local[8]
+    # is the fastest stable configuration (local[32] is consistently
+    # SLOWER). On a real cluster the cap is per-executor, not per-job.
+    spark = _fresh_session(min(cpus, 8))
     try:
         pipe = run_pipeline_bench(spark, sf_dir, shard, n_pages, inner_reps)
     finally:
@@ -168,7 +173,11 @@ def main_single(
     if pipeline_only:
         queries: dict[str, float] = {}
     else:
-        spark = _fresh_session(cpus)
+        # the query sweep runs over the small fixed tables (documents is 5k
+        # rows at sf0.1) — right-size parallelism to the data: beyond 8
+        # threads there is nothing to parallelize and this host's thread
+        # wall (see BENCH.md) only adds tail latency
+        spark = _fresh_session(min(cpus, 8))
         try:
             queries = run_query_bench(spark, sf_dir)
         finally:
