@@ -194,3 +194,58 @@ def ivf_assign(
         *[f"__c{ci}" for ci, _ in centroids]
     )
     return out
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus (no
+    all-pairs cross join — the shuffle is keyed on the bucket), verify exact
+    cosine within buckets, keep pairs above the threshold. Vectors within a
+    bucket share all sign bits, so true near-dups (cosine -> 1) co-bucket
+    with high probability; recall can be raised with multiple plane seeds."""
+    b = with_lsh_bucket(corpus, vec_col, n_planes, None, seed).select(
+        F.col(id_col), F.col(vec_col), F.col("lsh_bucket"),
+        _norm(vec_col).alias("__n"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r,
+        on=[
+            F.col("l.lsh_bucket") == F.col("r.lsh_bucket"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ],
+    )
+    cos = F.expr(
+        f"aggregate(zip_with(l.{vec_col}, r.{vec_col}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), 0D, (a, v) -> a + v)"
+    ) / F.greatest(F.col("l.__n") * F.col("r.__n"), F.lit(1e-12))
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )
+
+
+def embedding_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Drop the higher-id member of every near-dup pair (min-id keeper,
+    same policy as textops.minhash_dedup)."""
+    losers = (
+        embedding_near_dup_pairs(corpus, vec_col, id_col, cosine_threshold)
+        .select(F.greatest("id_a", "id_b").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(losers, on=id_col, how="left_anti")

@@ -100,3 +100,30 @@ def test_ivf_assign_partitions_corpus(emb):
     assert sum(r["count"] for r in rows) == 200
     assert all(r["ivf_cell"] >= 0 for r in rows)
     assert len(rows) >= 2
+
+
+def test_embedding_near_dup_dedup(spark, emb):
+    """Inject near-identical copies of 5 vectors; embedding_dedup must drop
+    the copies and keep every original."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = emb.limit(5).collect()
+    copies = [
+        (
+            100_000 + r["vec_id"],
+            (np.array(r["embedding"]) + 0.001 * rng.standard_normal(len(r["embedding"])))
+            .astype("float32").tolist(),
+            -1,
+        )
+        for r in base
+    ]
+    corpus = emb.unionByName(spark.createDataFrame(copies, emb.schema))
+    pairs = similarity.embedding_near_dup_pairs(corpus, cosine_threshold=0.99)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for r in base:
+        assert (r["vec_id"], 100_000 + r["vec_id"]) in found
+    deduped = similarity.embedding_dedup(corpus, cosine_threshold=0.99)
+    kept = {r["vec_id"] for r in deduped.select("vec_id").collect()}
+    assert all(r["vec_id"] in kept for r in base)
+    assert all(100_000 + r["vec_id"] not in kept for r in base)
