@@ -2,16 +2,23 @@
 
 Baseline: brute-force cosine top-k with pure built-ins (zip_with dot
 product — JVM-side, codegen'd). Scale path: LSH random-hyperplane bucketing
-(sign bits -> bucket key -> candidates only within bucket) and an IVF-style
-coarse quantizer (deterministic hashed-seed centroids + assignment via the
-same dot-product expression). 100 TB shape: queries are broadcast; the
-corpus is never shuffled for brute force; LSH/IVF turn all-pairs into a
-bucket-keyed shuffle.
+(sign bits -> bucket key -> candidates only within bucket) and an IVF
+coarse quantizer (hash-seeded centroids + a few Lloyd iterations of
+spherical k-means) with a probe-n-cells query path. 100 TB shape: queries
+are broadcast; the corpus is never shuffled for brute force; LSH/IVF turn
+all-pairs into a bucket-keyed shuffle.
+
+Projection stages (LSH sign bits, IVF cell argmax) are Arrow-batched pandas
+UDFs over a worker-cached numpy matrix — NOT literal arrays in the Catalyst
+plan. At production dims (768-4096) a literal-array encoding would put
+n_planes x dim constants into the plan (codegen/plan-size blowup); the UDF
+keeps the plan O(1) and the math one BLAS matmul per Arrow batch.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -92,9 +99,53 @@ def topk_per_query(
     )
 
 
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH — vectorized projection
+# ---------------------------------------------------------------------------
+
+# Worker-side cache: hyperplane matrices are deterministic in
+# (dim, n_planes, seed) so each Python worker process materializes each
+# matrix exactly once, regardless of how many Arrow batches it sees.
+_PLANE_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim))
+    key = (dim, n_planes, seed)
+    got = _PLANE_CACHE.get(key)
+    if got is None:
+        rng = np.random.RandomState(seed)
+        got = _PLANE_CACHE[key] = rng.standard_normal((n_planes, dim))
+    return got
+
+
+def _stack_vectors(vecs: pd.Series, dim_hint: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """(matrix, valid_mask) from an Arrow array column. Null / empty rows
+    become zero vectors with valid=False (callers map them to bucket/cell 0
+    deterministically rather than erroring mid-job)."""
+    arrs = list(vecs)
+    dim = dim_hint
+    if dim is None:
+        for a in arrs:
+            if a is not None and len(a) > 0:
+                dim = len(a)
+                break
+    if dim is None:
+        dim = 1
+    m = np.zeros((len(arrs), dim), dtype=np.float64)
+    valid = np.zeros(len(arrs), dtype=bool)
+    for i, a in enumerate(arrs):
+        if a is not None and len(a) == dim:
+            m[i, :] = np.asarray(a, dtype=np.float64)
+            valid[i] = True
+    return m, valid
+
+
+def _bucket_of(matrix: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket per row: one matmul per Arrow batch (BLAS), then a
+    bit-pack. Matches the driver-side query bucket (np.dot(p, q) > 0)."""
+    signs = matrix @ planes.T > 0  # (n, n_planes)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return (signs.astype(np.int64) * weights).sum(axis=1)
 
 
 def with_lsh_bucket(
@@ -102,25 +153,23 @@ def with_lsh_bucket(
     seed: int = 42, out: str = "lsh_bucket",
 ) -> DataFrame:
     """Random-hyperplane LSH (Charikar 2002): sign bit per hyperplane ->
-    integer bucket. Hyperplanes are literal arrays (deterministic seed),
-    evaluated JVM-side — no Python, no shuffle."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plit = F.array(*[F.lit(float(x)) for x in p])
-        sign = (
-            F.expr(
-                f"aggregate(zip_with({vec_col}, __p{i}, (x, y) -> cast(x as double) * y), "
-                f"0D, (acc, v) -> acc + v)"
-            )
-            > 0
-        ).cast("long")
-        df = df.withColumn(f"__p{i}", plit)
-        bucket = bucket + sign * F.lit(1 << i)
-    out_df = df.withColumn(out, bucket)
-    return out_df.drop(*[f"__p{i}" for i in range(n_planes)])
+    integer bucket, computed in an Arrow-batched pandas UDF with a
+    worker-cached hyperplane matrix. Narrow (no shuffle), plan size O(1) in
+    dim, one matmul per batch. dim is inferred from the data per batch when
+    not given — no driver job, and an empty corpus simply yields no rows."""
+    n_p, sd, d_hint = n_planes, seed, dim
+
+    @F.pandas_udf("long")
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m, valid = _stack_vectors(vecs, d_hint)
+        planes = _hyperplanes(m.shape[1], n_p, sd)
+        buckets = _bucket_of(m, planes)
+        buckets[~valid] = 0
+        return pd.Series(buckets)
+
+    return df.withColumn(out, bucket_udf(F.col(vec_col)))
 
 
 def lsh_topk(
@@ -141,10 +190,7 @@ def lsh_topk(
     probed buckets' files."""
     dim = len(query)
     planes = _hyperplanes(dim, n_planes, seed)
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(p, query)) > 0:
-            qbucket |= 1 << i
+    qbucket = int(_bucket_of(np.asarray(query, dtype=np.float64)[None, :], planes)[0])
     probes = {qbucket}
     if probe_hamming >= 1:
         probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
@@ -161,40 +207,154 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer — Lloyd-iterated spherical k-means + probe path
+# ---------------------------------------------------------------------------
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _assign_with(corpus: DataFrame, centroids: np.ndarray, vec_col: str,
+                 out: str = "ivf_cell") -> DataFrame:
+    """Cell assignment: argmax cosine against the (small) centroid matrix,
+    one matmul per Arrow batch. Centroids travel in the UDF closure
+    (k x dim floats — a few KB; at large k x dim switch to
+    sc.broadcast, same shape)."""
+    cmat = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf("int")
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m, valid = _stack_vectors(vecs, cmat.shape[1])
+        cells = np.argmax(m @ cmat.T, axis=1).astype(np.int32)
+        cells[~valid] = 0
+        return pd.Series(cells)
+
+    return corpus.withColumn(out, assign_udf(F.col(vec_col)))
+
+
+def ivf_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    seed: int = 42,
+    lloyd_iters: int = 2,
+) -> np.ndarray:
+    """Deterministic IVF training: seed centroids = hash-sampled corpus rows
+    (ids whose xxhash64 lands lowest — stable, no rand()), then `lloyd_iters`
+    rounds of spherical k-means. Each round is ONE narrow pass: per-partition
+    partial (cell -> sum_vec, count) via mapInPandas, combined on the driver
+    (n_centroids x n_partitions tiny rows) — no per-dimension explode
+    shuffle. Returns the centroid matrix (n_centroids x dim, L2-normalized).
+    """
+    sample = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("ivf_train: empty corpus")
+    cmat = _normalize_rows(
+        np.asarray([[float(x) for x in r[vec_col]] for r in sample], dtype=np.float64)
+    )
+    k, dim = cmat.shape
+
+    for _ in range(max(0, lloyd_iters)):
+        cur = cmat  # rebind for closure
+
+        def partial(batches, cur=cur, k=k, dim=dim):
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m, valid = _stack_vectors(pdf[vec_col], dim)
+                m = m[valid]
+                if len(m) == 0:
+                    continue
+                cells = np.argmax(m @ cur.T, axis=1)
+                np.add.at(sums, cells, m)
+                np.add.at(counts, cells, 1)
+            yield pd.DataFrame({
+                "cell": np.arange(k, dtype=np.int32),
+                "vsum": [row.tolist() for row in sums],
+                "cnt": counts,
+            })
+
+        parts = (
+            corpus.select(vec_col)
+            .mapInPandas(partial, schema="cell int, vsum array<double>, cnt long")
+            .collect()
+        )
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            counts[r["cell"]] += r["cnt"]
+        new = cmat.copy()  # empty cells keep their old centroid
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        cmat = _normalize_rows(new)
+    return cmat
+
+
 def ivf_assign(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_centroids: int = 16,
     seed: int = 42,
+    lloyd_iters: int = 2,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF coarse quantizer, deterministic: centroids = hash-sampled corpus
-    rows (ids where xxhash64(id) lands in the smallest n buckets), one
-    assignment pass (argmin distance via the same codegen'd dot product).
-    A production build would Lloyd-iterate; one pass is the partition-key
-    generator here."""
-    sample = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
-        .orderBy("__h")
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(sample)]
-    best_id = F.lit(-1)
-    best_score = F.lit(float("-inf"))
-    df = corpus
-    for ci, cvec in centroids:
-        clit = F.array(*[F.lit(x) for x in cvec])
-        df = df.withColumn(f"__c{ci}", clit)
-        score = _dot(vec_col, f"__c{ci}")
-        best_id = F.when(score > best_score, F.lit(ci)).otherwise(best_id)
-        best_score = F.greatest(best_score, score)
-    out = df.withColumn("ivf_cell", best_id).drop(
-        *[f"__c{ci}" for ci, _ in centroids]
-    )
-    return out
+    """Corpus + `ivf_cell` column. Trains (hash-seed + Lloyd) unless given
+    pre-trained `centroids`. The cell column is the partition/cluster key at
+    scale — write the corpus partitioned by it and a probe-p query scans
+    only p cells' files."""
+    if centroids is None:
+        centroids = ivf_train(corpus, vec_col, id_col, n_centroids, seed, lloyd_iters)
+    return _assign_with(corpus, centroids, vec_col)
 
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    probe_cells: int = 4,
+    seed: int = 42,
+    lloyd_iters: int = 2,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN top-k (the probe path lsh_topk has): rank centroids against
+    the query driver-side (k x dim matmul — trivial), scan only the best
+    `probe_cells` cells, exact cosine within them."""
+    if centroids is None:
+        centroids = ivf_train(corpus, vec_col, id_col, n_centroids, seed, lloyd_iters)
+    cmat = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    order = np.argsort(-(cmat @ (q / qn)))
+    probe = [int(c) for c in order[: max(1, probe_cells)]]
+    assigned = _assign_with(corpus, cmat, vec_col)
+    return brute_force_topk(
+        assigned.filter(F.col("ivf_cell").isin(probe)), vec_col, query, k, id_col
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup dedup — LSH-bucketed pairs + exact cosine verify
+# ---------------------------------------------------------------------------
 
 def embedding_near_dup_pairs(
     corpus: DataFrame,
@@ -203,13 +363,16 @@ def embedding_near_dup_pairs(
     cosine_threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus (no
     all-pairs cross join — the shuffle is keyed on the bucket), verify exact
     cosine within buckets, keep pairs above the threshold. Vectors within a
     bucket share all sign bits, so true near-dups (cosine -> 1) co-bucket
-    with high probability; recall can be raised with multiple plane seeds."""
-    b = with_lsh_bucket(corpus, vec_col, n_planes, None, seed).select(
+    with high probability; recall can be raised with multiple plane seeds.
+    `dim` is optional — the bucket UDF infers it from the data (an empty
+    corpus yields an empty pair set, never a driver error)."""
+    b = with_lsh_bucket(corpus, vec_col, n_planes, dim, seed).select(
         F.col(id_col), F.col(vec_col), F.col("lsh_bucket"),
         _norm(vec_col).alias("__n"),
     )
@@ -240,11 +403,12 @@ def embedding_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cosine_threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Drop the higher-id member of every near-dup pair (min-id keeper,
     same policy as textops.minhash_dedup)."""
     losers = (
-        embedding_near_dup_pairs(corpus, vec_col, id_col, cosine_threshold)
+        embedding_near_dup_pairs(corpus, vec_col, id_col, cosine_threshold, dim=dim)
         .select(F.greatest("id_a", "id_b").alias(id_col))
         .distinct()
     )

@@ -127,3 +127,60 @@ def test_embedding_near_dup_dedup(spark, emb):
     kept = {r["vec_id"] for r in deduped.select("vec_id").collect()}
     assert all(r["vec_id"] in kept for r in base)
     assert all(100_000 + r["vec_id"] not in kept for r in base)
+
+
+def test_lsh_bucket_high_dim_matches_numpy_oracle(spark):
+    """dim 1024 / 16 planes: the pandas-UDF bucketing must (a) not inflate
+    the Catalyst plan with literal hyperplane arrays and (b) agree with a
+    direct numpy computation of the sign-bit bucket."""
+    dim, n_planes, seed = 1024, 16, 42
+    rng = np.random.RandomState(3)
+    vecs = [(i, rng.standard_normal(dim).astype("float32").tolist(), 0) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    out = similarity.with_lsh_bucket(df, n_planes=n_planes, seed=seed)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # plan is O(1) in dim: no 1024-element literal arrays
+    assert len(plan) < 20_000
+    got = {r["vec_id"]: r["lsh_bucket"] for r in out.collect()}
+    planes = similarity._hyperplanes(dim, n_planes, seed)
+    for vid, emb, _ in vecs:
+        m = np.asarray(emb, dtype=np.float64)[None, :]
+        want = int(similarity._bucket_of(m, planes)[0])
+        assert got[vid] == want
+
+
+def test_lsh_bucket_empty_and_null_safe(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert similarity.with_lsh_bucket(empty).count() == 0
+    assert similarity.embedding_near_dup_pairs(empty).count() == 0
+    withnull = spark.createDataFrame(
+        [(1, None, 0), (2, [1.0, 2.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    rows = similarity.with_lsh_bucket(withnull, n_planes=4).collect()
+    assert {r["vec_id"]: r["lsh_bucket"] is not None for r in rows} == {1: True, 2: True}
+
+
+def test_ivf_topk_recall(spark, emb, query_vec):
+    """IVF probe path: with injected near neighbors, probe-4-of-16 cells must
+    recover >= 0.8 of the exact top-10."""
+    rng = np.random.RandomState(13)
+    q = np.array(query_vec)
+    neighbors = [
+        (20_000 + i, (q + 0.05 * rng.standard_normal(len(q))).astype("float32").tolist(), -1)
+        for i in range(5)
+    ]
+    corpus = emb.unionByName(spark.createDataFrame(neighbors, emb.schema)).cache()
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(corpus, "embedding", query_vec, k=10).collect()]
+    ann = [r["vec_id"] for r in
+           similarity.ivf_topk(corpus, query_vec, k=10, n_centroids=16,
+                               probe_cells=4, lloyd_iters=2).collect()]
+    assert len(set(exact) & set(ann)) >= 8
+    corpus.unpersist()
+
+
+def test_ivf_train_deterministic_and_normalized(emb):
+    c1 = similarity.ivf_train(emb, n_centroids=8, lloyd_iters=2)
+    c2 = similarity.ivf_train(emb, n_centroids=8, lloyd_iters=2)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
