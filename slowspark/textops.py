@@ -18,6 +18,8 @@ counting, and document fingerprinting. All shaped for scale:
 
 from __future__ import annotations
 
+from itertools import combinations
+
 import numpy as np
 import pandas as pd
 
@@ -53,13 +55,20 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# p = 2^31 - 1 (Mersenne prime). Keeping a, b, and shingle hashes below p
+# means every intermediate (a * x + b <= (p-1)^2 + p < 2^62) fits in uint64
+# with NO silent wraparound, so h(x) = (a*x + b) mod p is a genuine
+# universal hash family over Z_p — the round-1 2^61-1 variant overflowed
+# uint64 before the reduction, which stayed deterministic but voided the
+# universality math.
+_MERSENNE = (1 << 31) - 1
 _N_PERM_DEFAULT = 64
 
 
 def _perm_params(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) for the universal hash family
-    h_i(x) = (a_i * x + b_i) mod p. Seeded generator — never wall-clock."""
+    h_i(x) = (a_i * x + b_i) mod p, with a, b < p = 2^31-1 so products fit
+    in uint64 exactly. Seeded generator — never wall-clock."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.uint64)
     b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.uint64)
@@ -67,18 +76,19 @@ def _perm_params(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Char k-gram hashes as uint64 (FNV-1a rolling over python hash of the
-    slice is unstable across processes; use a stable blake-free method:
-    numpy view over utf-8 bytes + polynomial rolling hash)."""
+    """Char k-gram hashes in [0, p) as uint64 (FNV-1a rolling over python
+    hash of the slice is unstable across processes; use a stable method:
+    numpy view over utf-8 bytes + polynomial rolling hash). Horner step
+    h*257 + byte <= (p-1)*257 + 255 < 2^40 — exact in uint64 before the
+    mod, so the documented modular math holds."""
     data = text.encode("utf-8", "ignore")
     n = len(data)
     if n < k:
         data = data + b" " * (k - n)
         n = len(data)
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    # polynomial rolling hash base 257 mod 2^61-1, vectorized via cumulative
-    # products is overflow-prone; use the standard trick: precompute prefix
-    # hashes with Horner in a loop over k (k is small, n is large)
+    # polynomial rolling hash base 257 mod p; Horner in a loop over k
+    # (k is small, n is large)
     h = np.zeros(n - k + 1, dtype=np.uint64)
     for j in range(k):
         h = (h * np.uint64(257) + arr[j : n - k + 1 + j]) % np.uint64(_MERSENNE)
@@ -164,6 +174,53 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Single-link connected components over an undirected pair set
+    (id_a, id_b): returns (id, label) where label = the component's minimum
+    id, computed by min-label propagation iterated to a FIXPOINT (not one
+    pass — duplicate *chains* a~b, b~c where a never pairs with c directly
+    need the label to travel).
+
+    Scale shape: each iteration is one shuffle keyed on id over the edge
+    set; convergence needs <= diameter iterations and near-dup components
+    are shallow (dupes of one origin), so 2-3 rounds dominate in practice.
+    localCheckpoint() truncates the lineage each round so the plan does not
+    grow with iterations; the loop's only driver action is the tiny
+    changed-count convergence check."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # candidate label for each node: min over neighbors' current labels
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -174,9 +231,10 @@ def minhash_dedup(
     shingle_k: int = 5,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> signature-
-    estimated Jaccard filter -> keep lowest id per connected component
-    (single-link via min-id propagation, one iteration: sufficient for the
-    dominant duplicate-pair topology; chains converge via iterating)."""
+    estimated Jaccard filter -> keep the lowest id per connected component
+    (single-link, min-label propagation iterated to a fixpoint via
+    connected_min_labels — so the survivor set is topology-independent:
+    exactly one keeper per component, always the component min)."""
     rows_per_band = n_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).cache()
     cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
@@ -193,10 +251,10 @@ def minhash_dedup(
         )
         .filter(F.col("est_jaccard") >= jaccard_threshold)
     )
-    # min-id per component (1 iteration of min propagation)
-    losers = (
-        est.select(F.greatest("id_a", "id_b").alias(id_col))
-        .distinct()
+    # every component member except the component-min id loses
+    labels = connected_min_labels(est.select("id_a", "id_b"))
+    losers = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
 
@@ -254,28 +312,94 @@ def simhash_signatures(
     )
 
 
-def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Chunk-split candidate generation: 4 chunks of 16 bits; any pair within
-    hamming distance 3 shares at least one exact chunk (pigeonhole). Shuffle
-    keyed on (chunk_id, chunk_value); exact hamming verified with built-in
-    bit_count."""
-    chunks = sigs.select(
-        id_col, "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), i -> named_struct("
-                "'chunk_id', i, "
-                "'chunk_val', cast(shiftright(simhash, i * 16) & 65535 as int)))"
-            )
-        ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
-    l, r = chunks.alias("l"), chunks.alias("r")
+def _manku_tables(n_blocks: int, agree: int) -> list[tuple[int, list[tuple[int, int]]]]:
+    """Block-combination tables for the Manku et al. (WWW'07 "Detecting
+    Near-Duplicates for Web Crawling") construction: split 64 bits into
+    `n_blocks` near-equal blocks; any pair within hamming distance
+    (n_blocks - agree) agrees on at least `agree` whole blocks (pigeonhole),
+    so C(n_blocks, agree) tables — each keyed on a different choice of
+    `agree` blocks — give 100% recall. Returns
+    [(table_id, [(bit_offset, bit_len), ...]), ...]."""
+    base, extra = divmod(64, n_blocks)
+    lens = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offs = [sum(lens[:i]) for i in range(n_blocks)]
+    return [
+        (tid, [(offs[b], lens[b]) for b in combo])
+        for tid, combo in enumerate(combinations(range(n_blocks), agree))
+    ]
+
+
+def _manku_key_expr(blocks: list[tuple[int, int]]) -> str:
+    """SQL expression concatenating the chosen blocks' bits into one bigint
+    key (shiftrightunsigned — simhash is stored signed)."""
+    total = sum(ln for _, ln in blocks)
+    parts, used = [], 0
+    for off, ln in blocks:
+        used += ln
+        mask = (1 << ln) - 1
+        shift = 1 << (total - used)
+        parts.append(
+            f"(shiftrightunsigned(simhash, {off}) & cast({mask} as bigint)) "
+            f"* cast({shift} as bigint)"
+        )
+    return " + ".join(parts)
+
+
+def simhash_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Multi-table candidate generation (Manku et al., WWW'07): split the
+    64-bit simhash into n_blocks (default max_hamming + 3) blocks; any pair
+    within `max_hamming` agrees on >= n_blocks - max_hamming whole blocks,
+    so C(n_blocks, agree) tables keyed on that block subset give exact
+    recall — for hamming<=3 that is 20 tables keyed on ~32 bits each.
+
+    Scale shape vs the naive 4x16-bit chunk split: chunk keys had only
+    2^16 values, so at 10^12 docs every chunk bucket held ~15M docs and the
+    in-bucket self-join went quadratic. Here keys span ~2^32 values — the
+    expected bucket is ~n/2^32 (hundreds at 10^12 docs) at the cost of 20
+    explode rows per doc instead of 4. Exact hamming is then verified with
+    built-in bit_count, so the pair OUTPUT is identical to the old
+    construction (both are recall-exact for <= max_hamming).
+
+    `max_bucket_size`: optional safety cap — buckets larger than this are
+    dropped from candidate generation. This TRUNCATES recall: a mass of
+    near-identical simhashes overflows its bucket in every table, and its
+    pairs are then simply not emitted (route such blobs to exact_dedup
+    first — identical text means identical simhash). Use
+    simhash_bucket_histogram to SEE the distribution before capping: a
+    silent cap is how candidates disappear unnoticed."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 3
+    agree = n_blocks - max_hamming
+    if agree < 1:
+        raise ValueError("n_blocks must exceed max_hamming")
+    tables = _manku_tables(n_blocks, agree)
+    structs = ", ".join(
+        f"named_struct('tbl', {tid}, 'tkey', cast({_manku_key_expr(blocks)} as bigint))"
+        for tid, blocks in tables
+    )
+    keyed = sigs.select(
+        id_col, "simhash", F.explode(F.expr(f"array({structs})")).alias("t")
+    ).select(id_col, "simhash", "t.tbl", "t.tkey")
+    if max_bucket_size is not None:
+        sizes = (
+            keyed.groupBy("tbl", "tkey")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+        )
+        keyed = keyed.join(sizes.select("tbl", "tkey"), ["tbl", "tkey"], "left_semi")
+    l, r = keyed.alias("l"), keyed.alias("r")
     return (
         l.join(
             r,
             on=[
-                F.col("l.chunk_id") == F.col("r.chunk_id"),
-                F.col("l.chunk_val") == F.col("r.chunk_val"),
+                F.col("l.tbl") == F.col("r.tbl"),
+                F.col("l.tkey") == F.col("r.tkey"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
         )
@@ -286,6 +410,31 @@ def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_bucket_histogram(
+    sigs: DataFrame, max_hamming: int = 3, n_blocks: int | None = None
+) -> DataFrame:
+    """Bucket-size histogram per table: (tbl, bucket_size, n_buckets).
+    The visibility companion to simhash_candidates(max_bucket_size=...) —
+    truncation should be a decision made looking at this, never silent."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 3
+    agree = n_blocks - max_hamming
+    tables = _manku_tables(n_blocks, agree)
+    structs = ", ".join(
+        f"named_struct('tbl', {tid}, 'tkey', cast({_manku_key_expr(blocks)} as bigint))"
+        for tid, blocks in tables
+    )
+    keyed = sigs.select(
+        F.explode(F.expr(f"array({structs})")).alias("t")
+    ).select("t.tbl", "t.tkey")
+    return (
+        keyed.groupBy("tbl", "tkey")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("tbl", "bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
     )
 
 
@@ -337,17 +486,58 @@ _STOPWORDS = {
 }
 
 
+# Non-Latin scripts: classified by character-script ratio (a CC-scale
+# pipeline sees ja/zh/ru/ar/ko long before stopword lists help — script
+# ranges are the standard first-stage discriminator). \p{Script=...} regex
+# counts are pure built-ins, no UDF. Order matters for CJK: Japanese is
+# Han + kana, so kana presence wins over Han.
+_SCRIPT_LANGS: list[tuple[str, str]] = [
+    ("ja", r"[\p{Script=Hiragana}\p{Script=Katakana}]"),
+    ("ko", r"\p{Script=Hangul}"),
+    ("zh", r"\p{Script=Han}"),
+    ("ru", r"\p{Script=Cyrillic}"),
+    ("ar", r"\p{Script=Arabic}"),
+    ("el", r"\p{Script=Greek}"),
+]
+
+_SCRIPT_MIN_RATIO = 0.15  # of non-space chars; CJK text is near-pure script
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-overlap language heuristic — pure built-ins: tokens computed
-    ONCE into a temp column (not re-split per language), per-language
-    array_intersect score, argmax via array_max over (score, lang) structs
-    (struct ordering is field-order, so ties break on the larger lang tag —
-    deterministic). No Python, no UDF."""
+    """Two-stage language heuristic — pure built-ins, no Python, no UDF.
+
+    Stage 1 (script ratio): count \\p{Script=...} hits per non-Latin script
+    over non-space chars; the first script (in _SCRIPT_LANGS priority
+    order — kana before Han so ja beats zh on mixed text) above
+    _SCRIPT_MIN_RATIO decides. Stage 2 (Latin languages): stopword-overlap —
+    tokens computed ONCE into a temp column (not re-split per language),
+    per-language array_intersect score, argmax via array_max over
+    (score, lang) structs (struct ordering is field-order, so ties break on
+    the larger lang tag — deterministic)."""
     tokens_col = "__li_toks"
-    df2 = df.withColumn(
-        tokens_col,
-        F.array_distinct(F.split(F.lower(F.col(text_col)), r"[^\p{L}]+")),
+    nchars_col = "__li_n"
+    df2 = (
+        df.withColumn(
+            nchars_col,
+            F.greatest(
+                F.length(F.regexp_replace(F.col(text_col), r"\s+", "")), F.lit(1)
+            ),
+        )
+        .withColumn(
+            tokens_col,
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"[^\p{L}]+")),
+        )
     )
+    script_pred = F.lit(None).cast("string")
+    script_score = F.lit(None).cast("double")
+    # build the when-chain in reverse so the FIRST match in priority wins
+    for lang, pat in reversed(_SCRIPT_LANGS):
+        ratio = (
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            / F.col(nchars_col)
+        )
+        script_pred = F.when(ratio >= _SCRIPT_MIN_RATIO, F.lit(lang)).otherwise(script_pred)
+        script_score = F.when(ratio >= _SCRIPT_MIN_RATIO, ratio).otherwise(script_score)
     scores = F.array(*[
         F.struct(
             F.size(
@@ -359,9 +549,15 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     ])
     best = F.array_max(scores)
     return (
-        df2.withColumn("lang_pred", F.when(best["score"] > 0, best["lang"]))
-        .withColumn("lang_score", best["score"])
-        .drop(tokens_col)
+        df2.withColumn(
+            "lang_pred",
+            F.coalesce(script_pred, F.when(best["score"] > 0, best["lang"])),
+        )
+        .withColumn(
+            "lang_score",
+            F.coalesce(script_score, best["score"].cast("double")),
+        )
+        .drop(tokens_col, nchars_col)
     )
 
 

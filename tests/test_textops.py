@@ -131,3 +131,98 @@ def test_doc_fingerprint_normalizes_whitespace(spark):
     fp = {r["doc_id"]: r["doc_fp"] for r in rows}
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]
+
+
+def test_simhash_candidates_match_bruteforce_oracle(spark, docs_with_dupes):
+    """Manku multi-table construction is recall-EXACT for hamming <= 3:
+    the candidate set must equal the all-pairs hamming oracle."""
+    sigs = textops.simhash_signatures(docs_with_dupes.limit(0).unionByName(
+        docs_with_dupes
+    ).filter(F.col("doc_id") % 7 == 0)).cache()
+    rows = sigs.collect()
+    want = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            lo, hi = sorted((a["doc_id"], b["doc_id"]))
+            if bin((a["simhash"] ^ b["simhash"]) & ((1 << 64) - 1)).count("1") <= 3:
+                want.add((lo, hi))
+    got = {(r["id_a"], r["id_b"]) for r in textops.simhash_candidates(sigs).collect()}
+    assert got == want
+    sigs.unpersist()
+
+
+def test_simhash_bucket_cap_drops_hot_bucket(spark):
+    """A synthetic hot bucket (identical simhashes) must be droppable with
+    max_bucket_size, and the histogram must make the hot bucket visible."""
+    hot = [(i, 12345) for i in range(50)]          # one 50-doc bucket
+    cold = [(100 + i, 1 << (i + 10)) for i in range(5)]
+    sigs = spark.createDataFrame(hot + cold, "doc_id long, simhash long")
+    uncapped = textops.simhash_candidates(sigs)
+    assert uncapped.filter("hamming = 0").count() == 50 * 49 // 2
+    capped = textops.simhash_candidates(sigs, max_bucket_size=10)
+    assert capped.filter("hamming = 0").count() == 0
+    hist = textops.simhash_bucket_histogram(sigs).filter("bucket_size >= 50")
+    # the hot bucket shows up in every one of the C(6,3)=20 tables (in a few
+    # tables cold docs share the all-zero high blocks, growing it past 50)
+    assert hist.count() == 20
+
+
+def test_connected_min_labels_chain_topology(spark):
+    """Chain a~c, b~c (a,b never paired directly): fixpoint must keep ONE
+    min label per component — a single-pass min-propagation would leave
+    both 1 and 2 as survivors."""
+    pairs = spark.createDataFrame([(2, 3), (1, 3)], "id_a long, id_b long")
+    labels = {r["id"]: r["label"] for r in textops.connected_min_labels(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1}
+    # longer chain, adversarial id order: 5~4, 4~3, 3~2, 2~1
+    chain = spark.createDataFrame(
+        [(4, 5), (3, 4), (2, 3), (1, 2)], "id_a long, id_b long"
+    )
+    labels = {r["id"]: r["label"] for r in textops.connected_min_labels(chain).collect()}
+    assert set(labels.values()) == {1}
+    # two components stay separate
+    two = spark.createDataFrame([(1, 2), (10, 11)], "id_a long, id_b long")
+    labels = {r["id"]: r["label"] for r in textops.connected_min_labels(two).collect()}
+    assert labels == {1: 1, 2: 1, 10: 10, 11: 10}
+
+
+def test_minhash_dedup_chain_single_survivor(spark):
+    """3-doc duplicate chain built by successive appends: exactly the
+    min-id doc survives, regardless of which pairs LSH surfaces."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    b = base + "extra tail words here " * 3
+    c = b + "another distinct suffix block " * 3
+    docs = spark.createDataFrame(
+        [(7, base), (3, b), (12, c), (100, "completely unrelated text about spark jobs " * 10)],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in textops.minhash_dedup(docs, jaccard_threshold=0.55).select("doc_id").collect()
+    }
+    assert kept == {3, 100}
+
+
+def test_language_id_scripts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "これは日本語のテキストです。漢字も含まれています。"),
+            (2, "这是一段中文文本，包含很多汉字内容，用于测试。"),
+            (3, "Это русский текст для проверки определения языка."),
+            (4, "هذا نص عربي لاختبار تحديد اللغة في النظام."),
+            (5, "한국어 텍스트 입니다 언어 감지 테스트"),
+            (6, "the cat and the dog sat in that house for it was warm"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textops.language_id(df).collect()}
+    assert got == {1: "ja", 2: "zh", 3: "ru", 4: "ar", 5: "ko", 6: "en"}
+
+
+def test_simhash_sf001_regression_golden(spark):
+    """Round-1 pair count on the fixed sf0.01 documents table, pinned so the
+    Manku rewrite (and any future bucketing change) provably preserves the
+    candidate output."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n = textops.simhash_candidates(textops.simhash_signatures(d)).count()
+    assert n == 2507
