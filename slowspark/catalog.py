@@ -61,7 +61,10 @@ class Catalog:
                 return True
             except Exception:
                 return False
-        return os.path.isdir(self.path(name)) and any(
-            f.endswith(".parquet") or f == "_SUCCESS"
-            for f in os.listdir(self.path(name))
+        # _SUCCESS is REQUIRED: a directory with part files but no marker is
+        # a crashed partial overwrite and must not satisfy a resume check
+        # (round-1 ADVICE finding). Spark writes the marker last, after all
+        # tasks commit.
+        return os.path.isdir(self.path(name)) and os.path.isfile(
+            os.path.join(self.path(name), "_SUCCESS")
         )

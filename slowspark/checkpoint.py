@@ -22,15 +22,20 @@ from slowspark.catalog import Catalog
 
 
 def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
-    """Order-insensitive content hash: bit_xor(xxhash64(row)) over selected
-    columns (xor never overflows under ANSI mode; rows are unique by
-    entry_id so xor-cancellation of duplicates is not a concern). One extra
+    """Order-insensitive content hash: SUM of per-row xxhash64 (mod 2^64)
+    over selected columns. Sum — not xor — because xor cancels duplicate
+    rows pairwise (two identical rows hash like zero rows), which would
+    silently pass a corrupted aggregate output that happened to duplicate a
+    row; sum counts multiplicity. The sum runs in decimal(38,0) so ANSI
+    mode can't overflow, reduced mod 2^64 on the driver. One extra
     aggregate job; cheap relative to the write."""
     cols = cols or [c for c in df.columns]
-    h = df.select(
-        F.xxhash64(*[F.col(c).cast("string") for c in cols]).alias("h")
-    ).agg(F.expr("bit_xor(h)").alias("s")).collect()[0]["s"]
-    return int(h or 0)
+    s = df.select(
+        F.xxhash64(*[F.col(c).cast("string") for c in cols])
+        .cast("decimal(38,0)")
+        .alias("h")
+    ).agg(F.sum("h").alias("s")).collect()[0]["s"]
+    return int(s or 0) % (1 << 64)
 
 
 def _manifest_path(cat: Catalog, stage: str) -> str:

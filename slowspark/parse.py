@@ -78,6 +78,7 @@ def parse_pages(
     pages: DataFrame,
     context_mapper=grammar.default_comment_context,
     columns: Optional[list[str]] = None,
+    masking: str = "none",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> DataFrame[ENTRY_SCHEMA].
 
@@ -93,13 +94,25 @@ def parse_pages(
     for all 27 (the nested objects/map/struct columns and the three
     statement strings dominate that cost). Pass the columns the downstream
     plan needs; url/entry_index are always included (entry_id determinism).
+
+    ``masking``: the reference's EntryMasking config
+    (/root/reference/src/lib.rs:93-105) as a pipeline parameter.
+    ``"none"`` (reference default) leaves literal values in ``statement``;
+    ``"placeholder"`` renders SqlStatement rows' ``statement`` with every
+    literal masked to '?' (the ``fingerprint`` rendering — mask_tokens,
+    src/parser.rs:559-581). Either way ``fingerprint`` stays available as
+    its own column; the switch is a JVM-side projection, not a re-parse.
     """
+    if masking not in ("none", "placeholder"):
+        raise ValueError(f"masking must be 'none' or 'placeholder', got {masking!r}")
     in_cols = [c for c in ("url", "text", "lang", "warc_ts") if c in pages.columns]
     mapper = context_mapper
     if columns is None:
         out_cols = _OUT_COLS
     else:
         need = set(columns) | {"url", "entry_index"}
+        if masking == "placeholder" and "statement" in need:
+            need |= {"fingerprint", "entry_kind"}
         out_cols = [c for c in _OUT_COLS if c in need]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,6 +124,13 @@ def parse_pages(
         f"`{c}` {by_name[c].dataType.simpleString()}" for c in out_cols
     )
     out = pages.select(*in_cols).mapInPandas(fn, schema=schema_no_id)
+    if masking == "placeholder" and "statement" in out_cols:
+        out = out.withColumn(
+            "statement",
+            F.when(
+                F.col("entry_kind") == "SqlStatement", F.col("fingerprint")
+            ).otherwise(F.col("statement")),
+        )
     # deterministic entry id: hash of natural keys, never rand()/uuid()
     # (reruns and checkpoint resumes must produce identical tables)
     return out.withColumn("entry_id", F.xxhash64("url", "entry_index"))

@@ -43,18 +43,30 @@ def write_sinks(
     """Fan-out writes. The sql sink is partitioned by sql_type (query-time
     partition pruning for per-type rollups); dt-partitioning (by
     date(log_time)) is what a production Iceberg table would add.
-    """
+
+    The input is persisted for the duration of the four writes: each sink is
+    a filter over the SAME materialized rows, so the upstream plan (the
+    expensive Python parse stage, when called on an unmaterialized
+    parse_pages output) executes once, not once per sink. Inputs that are
+    already cached/materialized are left alone."""
     paths: dict[str, str] = {}
-    sinks = route(entries)
-    for name, df in sinks.items():
-        path = f"{base_path}/{name}"
-        writer = df.write.mode(mode).format(fmt)
-        if name == "sql_statements":
-            writer = (
-                df.withColumn("dt", F.to_date("log_time"))
-                .write.mode(mode).format(fmt)
-                .partitionBy("sql_type", "dt")
-            )
-        writer.save(path)
-        paths[name] = path
+    already_cached = entries.storageLevel.useMemory or entries.storageLevel.useDisk
+    if not already_cached:
+        entries = entries.persist()
+    try:
+        sinks = route(entries)
+        for name, df in sinks.items():
+            path = f"{base_path}/{name}"
+            writer = df.write.mode(mode).format(fmt)
+            if name == "sql_statements":
+                writer = (
+                    df.withColumn("dt", F.to_date("log_time"))
+                    .write.mode(mode).format(fmt)
+                    .partitionBy("sql_type", "dt")
+                )
+            writer.save(path)
+            paths[name] = path
+    finally:
+        if not already_cached:
+            entries.unpersist()
     return paths

@@ -26,6 +26,17 @@ OBJECT_TYPE = T.StructType([
     T.StructField("object_name", T.StringType(), False),
 ])
 
+# File-preamble metadata the reference parses into HeaderLines
+# (/root/reference/src/parser.rs:95-129): mysqld version string (trailing
+# '.' kept, per the parses_header golden src/parser.rs:904-925), TCP port,
+# unix socket path. Carried per-entry (the most recent preamble seen above
+# the entry in its page); NULL when the page has no preamble.
+LOG_META_TYPE = T.StructType([
+    T.StructField("version", T.StringType(), True),
+    T.StructField("tcp_port", T.LongType(), True),
+    T.StructField("socket", T.StringType(), True),
+])
+
 CONTEXT_TYPE = T.StructType([
     T.StructField("request_id", T.StringType(), True),
     T.StructField("caller", T.StringType(), True),
@@ -63,6 +74,7 @@ ENTRY_SCHEMA = T.StructType([
     T.StructField("comment_kv", T.MapType(T.StringType(), T.StringType()), True),
     T.StructField("context", CONTEXT_TYPE, True),
     T.StructField("fingerprint", T.StringType(), True),
+    T.StructField("log_meta", LOG_META_TYPE, True),
     T.StructField("parse_error", T.StringType(), True),
 ])
 

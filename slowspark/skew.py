@@ -23,17 +23,45 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def det_salt(col: str | Column, buckets: int) -> Column:
-    """Deterministic salt in [0, buckets): hash of the row's natural key."""
+    """Deterministic salt in [0, buckets): hash of the given column(s).
+    NOTE: to spread a HOT key, the salt must be derived from something that
+    varies WITHIN the key (other row columns) — a salt that is a pure
+    function of the key itself is a constant per key value and spreads
+    nothing (round-1 ADVICE finding)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.pmod(F.xxhash64(c), F.lit(buckets)).cast("int")
 
 
-def salted_repartition(df: DataFrame, key: str, partitions: int, buckets: int = 64) -> DataFrame:
-    """Repartition on hash(key) ⊕ salt so a single hot key value spreads
-    over `buckets` partitions instead of one."""
+def salted_repartition(
+    df: DataFrame,
+    key: str,
+    partitions: int,
+    buckets: int = 64,
+    salt_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Repartition on hash(key) + salt so a single hot key value spreads
+    over up to `buckets` partitions instead of one.
+
+    The salt is xxhash64 over `salt_cols` (default: every column except the
+    key) — row-varying within a key, yet still deterministic in row CONTENT
+    (no rand()/monotonically_increasing_id()), so reruns and checkpoint
+    resumes place identical rows identically. Rows that are full duplicates
+    co-locate (they hash alike), which is harmless: the downstream stage is
+    narrow and content-identical rows are interchangeable."""
+    if salt_cols is None:
+        # hash expressions reject MAP types (map equality is order-free, so
+        # Spark prohibits hashing them) — skip any column containing one
+        salt_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name != key and "MapType" not in repr(f.dataType)
+        ]
+    if not salt_cols:
+        salt_cols = [key]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(buckets))
     return df.repartition(
         partitions,
-        F.pmod(F.xxhash64(F.col(key)) + det_salt(key, buckets), F.lit(partitions)),
+        F.pmod(F.xxhash64(F.col(key)) + salt, F.lit(partitions)),
     )
 
 

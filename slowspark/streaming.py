@@ -47,9 +47,16 @@ def windowed_kind_counts(entries_stream: DataFrame, window: str = "1 hour",
 
 def start_fanout_sink(entries_stream: DataFrame, base_path: str, checkpoint: str):
     """foreachBatch multi-sink fan-out: each micro-batch is routed by
-    entry_kind into the same per-kind tables the batch pipeline writes —
-    exactly-once per sink via the streaming checkpoint + idempotent
-    (deterministic entry_id) appends."""
+    entry_kind into the same per-kind tables the batch pipeline writes.
+
+    Exactly-once per sink: each epoch writes to its OWN directory
+    (`<sink>/epoch=<id>`) with mode('overwrite'). foreachBatch alone is
+    at-least-once — after a mid-batch failure the streaming checkpoint
+    replays the epoch with the SAME epoch_id, and a blind append would
+    duplicate rows; the epoch-keyed overwrite makes the replay rewrite the
+    identical directory instead (idempotent, since parse output is
+    deterministic). Readers see `epoch` as a discovered partition column on
+    `spark.read.parquet(base_path/<sink>)`."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
@@ -57,8 +64,8 @@ def start_fanout_sink(entries_stream: DataFrame, base_path: str, checkpoint: str
             for kind, sink in SINK_NAMES.items():
                 (
                     batch_df.filter(F.col("entry_kind") == kind)
-                    .write.mode("append")
-                    .parquet(f"{base_path}/{sink}")
+                    .write.mode("overwrite")
+                    .parquet(f"{base_path}/{sink}/epoch={epoch_id}")
                 )
         finally:
             batch_df.unpersist()

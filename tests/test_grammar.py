@@ -510,3 +510,42 @@ def test_backslash_escapes_quote():
     s = "SELECT 'a\\'b; c';"
     end = scan_sql_statement(s, 0)
     assert s[:end] == s
+
+
+def test_log_meta_surfaces_on_entries():
+    """The header captures must be KEPT, not discarded: every entry below a
+    preamble carries log_meta{version, tcp_port, socket} mirroring the
+    reference's HeaderLines (src/parser.rs:95-129, golden :904-925)."""
+    text = (
+        "/home/karl/mysql/my-5.7/bin/mysqld, Version: 5.7.20-log (MySQL Community Server (GPL)). started with:\n"
+        "Tcp port: 12345  Unix socket: /tmp/12345/mysql_sandbox12345.sock\n"
+        "Time                 Id Command    Argument\n"
+        + SELECT_ENTRY
+        + "garbage that is not an entry\n"
+        + SELECT_ENTRY
+    )
+    entries = parse_entries(text)
+    assert [e["entry_kind"] for e in entries] == [
+        "SqlStatement", "ParseError", "SqlStatement"
+    ]
+    want = {
+        "version": "5.7.20-log (MySQL Community Server (GPL)).",
+        "tcp_port": 12345,
+        "socket": "/tmp/12345/mysql_sandbox12345.sock",
+    }
+    # all three rows (including the ParseError lane) carry the preamble
+    assert all(e["log_meta"] == want for e in entries)
+    # no preamble -> NULL, never a fabricated struct
+    assert all(e["log_meta"] is None for e in parse_entries(SELECT_ENTRY))
+
+
+def test_log_meta_optional_port_and_socket():
+    # reference: tcp_port and socket are opt(...) (src/parser.rs:116-119)
+    text = (
+        "/usr/sbin/mysqld, Version: 8.0.1 started with:\n"
+        "Tcp port:  Unix socket: \n"
+        "Time                 Id Command    Argument\n"
+        + SELECT_ENTRY
+    )
+    (e,) = parse_entries(text)
+    assert e["log_meta"] == {"version": "8.0.1", "tcp_port": None, "socket": None}

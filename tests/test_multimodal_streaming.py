@@ -86,3 +86,38 @@ def test_streaming_windowed_counts(spark, tmp_path):
     q.awaitTermination(120)
     total = spark.sql("SELECT sum(n) AS s FROM win_counts").first()["s"]
     assert total == sum(expected_kind_counts(n_pages).values())
+
+
+def test_streaming_fanout_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once evidence: replaying the WHOLE stream into the same sink
+    directory (fresh checkpoint = every epoch replays, the worst case) must
+    not change per-sink counts — epoch-keyed overwrites make replays rewrite
+    the same directories; the pre-fix blind append would double them."""
+    n_pages = 20
+    src = str(tmp_path / "pages_rep")
+    gen_pages(spark, n_pages, partitions=1).write.parquet(src)
+    out = str(tmp_path / "sinks_rep")
+
+    def run(ckpt):
+        q = start_fanout_sink(
+            parse_stream(read_page_stream(spark, src, max_files=2)), out, ckpt
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt_a"))
+    first = {
+        s: spark.read.parquet(f"{out}/{s}").count()
+        for s in ("sql_statements", "admin_commands", "invalid_statements")
+    }
+    want = expected_kind_counts(n_pages)
+    assert first == {
+        "sql_statements": want["SqlStatement"],
+        "admin_commands": want["AdminCommand"],
+        "invalid_statements": want["InvalidStatement"],
+    }
+    run(str(tmp_path / "ckpt_b"))  # full replay
+    second = {
+        s: spark.read.parquet(f"{out}/{s}").count()
+        for s in ("sql_statements", "admin_commands", "invalid_statements")
+    }
+    assert second == first

@@ -299,3 +299,114 @@ def test_parse_pages_column_pruning_matches_full(spark, pages):
     a = {tuple(r) for r in full.collect()}
     b = {tuple(r) for r in narrow.select(*cols).collect()}
     assert a == b
+
+
+def test_log_meta_column_in_spark(spark, entries):
+    """gen_pages gives every 50th page the 3-line preamble; entries from
+    those pages must carry the log_meta struct, all others NULL."""
+    with_meta = entries.filter(F.col("log_meta").isNotNull())
+    r = with_meta.select("log_meta.*").first()
+    assert r["version"] == "8.0.32-log (Source distribution)."
+    assert r["tcp_port"] == 3306
+    assert r["socket"] == "/var/run/mysqld/mysqld.sock"
+    # pages 0, 50, 100 of 120 -> entries_per_page(0,50,100) = 1+doc_id%5
+    from slowspark.gen import entries_per_page
+
+    want = sum(entries_per_page(d) for d in (0, 50, 100))
+    assert with_meta.count() == want
+
+
+def test_masking_placeholder_switch(spark, pages):
+    """EntryMasking parity (/root/reference/src/lib.rs:93-105): masking
+    'placeholder' renders SqlStatement rows' statement as the fingerprint;
+    'none' (default) reproduces today's output byte-for-byte."""
+    none_df = parse_pages(pages, masking="none")
+    default_df = parse_pages(pages)
+    masked_df = parse_pages(pages, masking="placeholder")
+    a = {r["entry_id"]: r["statement"] for r in none_df.select("entry_id", "statement").collect()}
+    b = {r["entry_id"]: r["statement"] for r in default_df.select("entry_id", "statement").collect()}
+    assert a == b
+    rows = masked_df.select("entry_id", "entry_kind", "statement", "fingerprint").collect()
+    for r in rows:
+        if r["entry_kind"] == "SqlStatement":
+            assert r["statement"] == r["fingerprint"]
+    # non-SQL lanes unmasked
+    assert {r["entry_id"]: r["statement"] for r in rows if r["entry_kind"] != "SqlStatement"} \
+        == {k: v for k, v in a.items() if k in {r["entry_id"] for r in rows if r["entry_kind"] != "SqlStatement"}}
+    with pytest.raises(ValueError):
+        parse_pages(pages, masking="bogus")
+
+
+def test_write_sinks_parses_once(spark, tmp_path):
+    """write_sinks must materialize its input once: an accumulator inside an
+    upstream mapInPandas stage counts how many times each page is processed
+    across the four sink writes."""
+    from slowspark.route import write_sinks
+
+    n_pages = 30
+    acc = spark.sparkContext.accumulator(0)
+    raw = gen_pages(spark, n_pages, partitions=2)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = raw.mapInPandas(counting, schema=raw.schema)
+    entries = parse_pages(counted)
+    paths = write_sinks(entries, str(tmp_path / "sinks"))
+    assert set(paths) == {
+        "sql_statements", "admin_commands", "invalid_statements", "parse_errors"
+    }
+    # one materialization (persist) = each page processed exactly once;
+    # the pre-fix behavior re-ran the parse per sink (4x)
+    assert acc.value == n_pages
+    total = sum(
+        spark.read.parquet(p).count()
+        for n, p in paths.items()
+        if os.path.isfile(os.path.join(p, "_SUCCESS")) and n != "parse_errors"
+    )
+    assert total == sum(expected_kind_counts(n_pages).values())
+
+
+def test_salted_repartition_spreads_genuinely_hot_key(spark):
+    """One key repeated 4000x with distinct payloads must land on multiple
+    partitions (the round-1 salt was a pure function of the key - a no-op)."""
+    hot = spark.range(4000).select(
+        F.lit("https://hot.example.com/").alias("url"), F.col("id").alias("payload")
+    )
+    df = salted_repartition(hot, "url", 8, buckets=16)
+    parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert parts > 1
+    # deterministic in row content: identical rerun -> identical placement
+    a = {r["payload"]: r["p"] for r in
+         df.select("payload", F.spark_partition_id().alias("p")).collect()}
+    b = {r["payload"]: r["p"] for r in
+         salted_repartition(hot, "url", 8, buckets=16)
+         .select("payload", F.spark_partition_id().alias("p")).collect()}
+    assert a == b
+
+
+def test_content_hash_counts_duplicate_rows(spark):
+    """sum-based content hash must distinguish a table from the same table
+    with a row duplicated (xor would cancel the pair)."""
+    from slowspark.checkpoint import content_hash
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    dup = base.unionAll(spark.createDataFrame([(1, "a")], "id long, v string"))
+    h_base = content_hash(base)
+    h_dup = content_hash(dup)
+    assert h_base != h_dup
+    # order-insensitive: reversed row order hashes identically
+    rev = spark.createDataFrame([(2, "b"), (1, "a")], "id long, v string")
+    assert content_hash(rev) == h_base
+
+
+def test_catalog_exists_requires_success_marker(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    df = spark.createDataFrame([(1,)], "id long")
+    cat.write(df, "t1")
+    assert cat.exists(spark, "t1")
+    # simulate a crashed partial overwrite: part files present, no marker
+    os.remove(os.path.join(cat.path("t1"), "_SUCCESS"))
+    assert not cat.exists(spark, "t1")
