@@ -185,16 +185,27 @@ def _quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (SURVEY §2.2): users seen in the most common event
-    type but not in the second most common (EXCEPT via left_anti)."""
+    type but not in the second most common (EXCEPT via left_anti).
+    ONE lazy plan: the scalar threshold rides in as a broadcast crossJoin
+    and the top-2 types as broadcast semi-join sides — no driver actions,
+    so nothing here serializes the job at scale."""
+    from pyspark.sql import Window
+
     ev = _read(spark, sf_dir, "events")
-    thresh = 0.6 * ev.agg(F.max("value")).collect()[0][0]
-    e = ev.filter(F.col("value") > thresh)
-    types = [
-        r["event_type"]
-        for r in e.groupBy("event_type").count().orderBy(F.desc("count"), "event_type").take(2)
-    ]
-    a = e.filter(F.col("event_type") == types[0]).select("user_id").distinct()
-    b = e.filter(F.col("event_type") == types[1]).select("user_id").distinct()
+    thresh = ev.agg((F.max("value") * 0.6).alias("__t"))
+    e = ev.join(F.broadcast(thresh)).filter(F.col("value") > F.col("__t"))
+    ranked = (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(Window.orderBy(F.desc("__n"), F.asc("event_type"))),
+        )
+    )
+    top1 = ranked.filter(F.col("__rk") == 1).select("event_type")
+    top2 = ranked.filter(F.col("__rk") == 2).select("event_type")
+    a = e.join(F.broadcast(top1), "event_type").select("user_id").distinct()
+    b = e.join(F.broadcast(top2), "event_type").select("user_id").distinct()
     return a.join(b, "user_id", "left_anti").orderBy("user_id")
 
 
@@ -253,11 +264,12 @@ def _entries_parquet(spark: SparkSession, sf_dir: str) -> str:
     path = f"{_ORACLE_ENTRIES_BASE}/{base}/entries"
     if path not in _ENTRIES_WRITTEN:
         cols = ["entry_kind", "sql_type", "fingerprint", "query_time",
-                "admin_command", "log_meta"]
+                "admin_command", "log_meta", "objects"]
         entries = parse_pages(
             gen_pages(spark, _n_pages_for(spark, sf_dir)), columns=cols
         )
-        entries.select(*cols).write.mode("overwrite").parquet(path)
+        # entry_id is the deterministic xxhash64(url, entry_index) lineage id
+        entries.select("entry_id", *cols).write.mode("overwrite").parquet(path)
         _ENTRIES_WRITTEN.add(path)
     return path
 
@@ -293,6 +305,44 @@ def _admin_histogram_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _object_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table usage rollup over the extracted `objects` arrays (SURVEY
+    §2.1 #18/#19 full_object_name) — hash-checks the objects extraction
+    itself through the parse, via explode + concat_ws."""
+    e = spark.read.parquet(_entries_parquet(spark, sf_dir))
+    return (
+        e.filter(F.col("entry_kind") == "SqlStatement")
+        .select("query_time", F.explode("objects").alias("obj"))
+        .select(
+            F.concat_ws(".", F.col("obj.schema_name"), F.col("obj.object_name"))
+            .alias("full_object_name"),
+            "query_time",
+        )
+        .groupBy("full_object_name")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.round(F.sum("query_time"), 4).alias("sum_query_time"),
+        )
+    )
+
+
+def _topk_slowest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 slowest calls per fingerprint (window rank over the parsed
+    entries; deterministic entry_id tie-break)."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(_entries_parquet(spark, sf_dir))
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("query_time"), F.asc("entry_id")
+    )
+    return (
+        e.filter(F.col("entry_kind") == "SqlStatement")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("fingerprint", "entry_id", "query_time", "rnk")
+    )
+
+
 def _log_meta_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-metadata census (SURVEY §2.1 #1): entries grouped by the mysqld
     version captured from the file preamble — NULL for pages without one."""
@@ -318,6 +368,15 @@ def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _read(spark, sf_dir, "documents")
     return minhash_dedup(d).select("doc_id").orderBy("doc_id")
+
+
+def _jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-verified near-dup dedup: LSH candidates -> exact word-n-gram
+    Jaccard verify -> component-min survivors."""
+    from slowspark.textops import jaccard_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    return jaccard_dedup(d).select("doc_id").orderBy("doc_id")
 
 
 def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,8 +443,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rollup": _fingerprint_rollup_pipeline,
         "admin_histogram": _admin_histogram_pipeline,
         "log_meta_census": _log_meta_census,
+        "object_usage": _object_usage,
+        "topk_slowest": _topk_slowest,
         # rows-only (non-SQL-expressible: signatures / LSH / IVF)
         "minhash_dedup": _minhash_dedup,
+        "jaccard_dedup": _jaccard_dedup,
         "simhash_candidates": _simhash_candidates,
         "language_id": _language_id,
         "lsh_ann_topk": _lsh_ann_topk,
@@ -533,5 +595,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/entries/*.parquet')
             GROUP BY log_meta.version, log_meta.tcp_port
+        """,
+        "object_usage": f"""
+            SELECT concat_ws('.', obj.schema_name, obj.object_name) AS full_object_name,
+                   count(*) AS n_refs,
+                   round(sum(query_time), 4) AS sum_query_time
+            FROM (
+                SELECT unnest(objects) AS obj, query_time
+                FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/entries/*.parquet')
+                WHERE entry_kind = 'SqlStatement'
+            )
+            GROUP BY 1
+        """,
+        "topk_slowest": f"""
+            SELECT fingerprint, entry_id, query_time, CAST(rnk AS INTEGER) AS rnk
+            FROM (
+                SELECT fingerprint, entry_id, query_time,
+                       row_number() OVER (
+                           PARTITION BY fingerprint
+                           ORDER BY query_time DESC, entry_id
+                       ) AS rnk
+                FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/entries/*.parquet')
+                WHERE entry_kind = 'SqlStatement'
+            ) WHERE rnk <= 3
         """,
     }

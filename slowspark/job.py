@@ -35,14 +35,19 @@ def run_pipeline(
     pages: DataFrame,
     warehouse: str,
     input_signature: str,
+    masking: str = "none",
 ) -> dict[str, DataFrame]:
-    """Full pipeline. Returns the materialized stage DataFrames."""
+    """Full pipeline. Returns the materialized stage DataFrames.
+    ``masking`` is the reference's EntryMasking config (parse_pages docs)."""
     cat = Catalog(warehouse)
     out: dict[str, DataFrame] = {}
+    # masking changes the parsed content, so it is part of EVERY stage's
+    # input signature (a masking switch must invalidate downstream resumes)
+    input_signature = f"{input_signature}|masking={masking}"
 
     parsed = run_stage(
         spark, cat, "parsed", input_signature,
-        lambda: parse_pages(pages),
+        lambda: parse_pages(pages, masking=masking),
         hash_cols=["entry_id", "entry_kind", "fingerprint", "statement_raw"],
     )
     out["parsed"] = parsed
@@ -90,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-pages", type=int, help="generate N pages instead")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--master", default=None)
+    p.add_argument("--masking", default="none", choices=["none", "placeholder"],
+                   help="EntryMasking parity: statement rendering for SQL rows")
     args = p.parse_args(argv)
 
     spark = get_spark("slowspark-job", master=args.master)
@@ -102,7 +109,7 @@ def main(argv: list[str] | None = None) -> int:
             sig = f"path:{args.pages}"
         else:
             p.error("one of --pages / --n-pages required")
-        tables = run_pipeline(spark, pages, args.warehouse, sig)
+        tables = run_pipeline(spark, pages, args.warehouse, sig, args.masking)
         census = {
             r["entry_kind"]: r["n"] for r in tables["kind_census"].collect()
         }

@@ -38,4 +38,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SLOWSPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # straggler mitigation for noisy hosts/clusters; opt-in via env so the
+    # scaling bench can turn it on for high-parallelism levels (BENCH.md)
+    if os.environ.get("SLOWSPARK_SPECULATION", "").lower() in ("1", "true"):
+        builder = (
+            builder.config("spark.speculation", "true")
+            .config("spark.speculation.multiplier", "2")
+            .config("spark.speculation.quantile", "0.9")
+        )
     return builder.getOrCreate()

@@ -445,7 +445,6 @@ def simhash_bucket_histogram(
 def ngram_set(text_col: str, n: int = 3):
     """Word n-gram set as a column expression (built-ins only):
     tokens -> sliding n-grams -> distinct."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     return F.array_distinct(
         F.expr(
             f"transform(sequence(0, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n}, 0)), "
@@ -469,6 +468,34 @@ def ngram_jaccard_pairs(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id
         )
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    ngram_n: int = 3,
+    n_perm: int = _N_PERM_DEFAULT,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact-verified near-dup dedup: MinHash-LSH generates candidates (the
+    only all-corpus stage), EXACT word-n-gram Jaccard verifies each pair
+    (join fan-in = |candidates|, never |docs|^2), survivors = component-min
+    ids. Use when the signature-estimated Jaccard of minhash_dedup is too
+    noisy for the threshold in play (estimation error ~1/sqrt(n_perm))."""
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, n_perm // bands)
+    verified = (
+        ngram_jaccard_pairs(cands, df, id_col, ngram_n)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    labels = connected_min_labels(verified.select("id_a", "id_b"))
+    losers = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------

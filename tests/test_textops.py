@@ -226,3 +226,13 @@ def test_simhash_sf001_regression_golden(spark):
     d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     n = textops.simhash_candidates(textops.simhash_signatures(d)).count()
     assert n == 2507
+
+
+def test_jaccard_dedup_exact_verify(docs, docs_with_dupes):
+    """Exact-verified dedup: injected exact + near copies must lose to their
+    lower-id originals; result equals self-deduping the raw table plus the
+    chain rule (component-min survivors)."""
+    deduped = textops.jaccard_dedup(docs_with_dupes, jaccard_threshold=0.5)
+    assert deduped.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    n_self = textops.jaccard_dedup(docs, jaccard_threshold=0.5).count()
+    assert deduped.count() == n_self
