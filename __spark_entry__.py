@@ -209,6 +209,21 @@ def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "user_id", "left_anti").orderBy("user_id")
 
 
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (slowspark.aggregate.
+    session_windows — lag-flag + running-sum numbering + one groupBy;
+    the batch analog of the applyInPandasWithState streaming operator)."""
+    from slowspark.aggregate import session_windows
+
+    e = _read(spark, sf_dir, "events")
+    return session_windows(
+        e, ["user_id"], "ts", gap_minutes=30, agg_col="value"
+    ).select(
+        "user_id", "session_seq", "session_start", "session_end", "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def _hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-window rollup (streaming window analog on the batch table)."""
     e = _read(spark, sf_dir, "events")
@@ -436,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _token_count,
         "quality_stats": _quality_stats,
         "set_ops": _set_ops,
+        "sessionize": _sessionize,
         "hourly_events": _hourly_events,
         "ann_topk": _ann_topk,
         # parse-path, hash-checked via the materialized entries parquet
@@ -550,6 +566,28 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id FROM hv
             WHERE event_type = (SELECT event_type FROM top2)
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id, ts, value,
+                       CAST(sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM numbered GROUP BY user_id, session_seq
         """,
         "hourly_events": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -106,6 +106,44 @@ def object_usage(entries: DataFrame) -> DataFrame:
     )
 
 
+def session_windows(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_minutes: float = 60,
+    agg_col: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows (batch): consecutive events of a key belong
+    to one session while the gap between neighbors stays <= gap_minutes.
+
+    Classic two-window construction: lag() flags session starts, a running
+    sum of flags numbers the sessions, then one groupBy aggregates each.
+    Shuffles ONCE on the key (both windows and the final groupBy share the
+    partitioning); boundaries are tie-robust (equal timestamps always land
+    in the same session), so the output is deterministic under any
+    partitioning. The streaming analog with identical semantics is
+    slowspark.streaming.sessionize_stream (applyInPandasWithState)."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    prev = F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
+    is_new = prev.isNull() | (F.unix_timestamp(F.col(ts_col)) - prev > gap_s)
+    numbered = (
+        df.withColumn("__new", is_new.cast("long"))
+        .withColumn(
+            "session_seq",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ]
+    if agg_col is not None:
+        aggs.append(F.sum(agg_col).alias(f"sum_{agg_col}"))
+    return numbered.groupBy(*key_cols, "session_seq").agg(*aggs)
+
+
 def hourly_rollup(entries: DataFrame) -> DataFrame:
     """Tumbling 1-hour windows on warc_ts (streaming-compatible shape)."""
     return (

@@ -45,6 +45,93 @@ def windowed_kind_counts(entries_stream: DataFrame, window: str = "1 hour",
     )
 
 
+def sessionize_stream(
+    entries_stream: DataFrame,
+    key_cols: tuple[str, ...] = ("user",),
+    ts_col: str = "warc_ts",
+    gap_minutes: float = 60,
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    cross-batch gap-based session windows per key, the streaming analog of
+    slowspark.aggregate.session_windows (same semantics on closed sessions).
+
+    State per key = the one open session (start_us, last_us, n, sum_qt).
+    Each micro-batch merges its rows in event-time order into that session,
+    EMITS every session closed by a gap, keeps the still-open tail in state
+    and arms an event-time timeout at last_seen + gap: when the watermark
+    passes it (i.e. no row can extend the session anymore), the timed-out
+    state flushes as a final session. Late rows beyond the watermark are
+    dropped by Spark before they reach the function — exactly the
+    late-data contract the batch analog's determinism needs.
+
+    Scale shape: state is O(1) per key (4 scalars), the shuffle is the
+    groupBy key partitioning, and emission is incremental — this never
+    buffers a key's history the way a naive collect-and-sessionize would."""
+    out_fields = ", ".join(f"{k} string" for k in key_cols)
+    out_schema = (
+        f"{out_fields}, session_start timestamp, session_end timestamp, "
+        f"n_events long, sum_query_time double"
+    )
+    state_schema = "start_us long, last_us long, n long, sum_qt double"
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        def emit(start_us, last_us, n, sqt):
+            return pd.DataFrame({
+                **{k: [key[i]] for i, k in enumerate(key_cols)},
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "sum_query_time": [sqt],
+            })
+
+        if state.hasTimedOut:
+            # watermark passed last_seen + gap: the open session is final
+            start_us, last_us, n, sqt = state.get
+            state.remove()
+            yield emit(start_us, last_us, n, sqt)
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        # normalize to ns first — Arrow may hand back datetime64[us] or [ns]
+        ts_us = (
+            pd.to_datetime(rows[ts_col]).astype("datetime64[ns]").astype("int64")
+            // 1000
+        ).tolist()
+        qts = rows["query_time"].fillna(0.0).tolist() if "query_time" in rows else [0.0] * len(ts_us)
+
+        if state.exists:
+            start_us, last_us, n, sqt = state.get
+        else:
+            # empty open session anchored at the first row; the loop's
+            # n > 0 guard means it can't close before absorbing that row
+            start_us, last_us, n, sqt = ts_us[0], ts_us[0], 0, 0.0
+        for t, q in zip(ts_us, qts):
+            if n > 0 and t - last_us > gap_us:
+                yield emit(start_us, last_us, n, sqt)
+                start_us, n, sqt = t, 0, 0.0
+            last_us = max(last_us, t)
+            n += 1
+            sqt += float(q)
+        state.update((start_us, last_us, n, sqt))
+        # close the open session once no on-time row can extend it
+        state.setTimeoutTimestamp(last_us // 1000 + int(gap_minutes * 60 * 1000))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        entries_stream.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def start_fanout_sink(entries_stream: DataFrame, base_path: str, checkpoint: str):
     """foreachBatch multi-sink fan-out: each micro-batch is routed by
     entry_kind into the same per-kind tables the batch pipeline writes.

@@ -121,3 +121,60 @@ def test_streaming_fanout_replay_is_idempotent(spark, tmp_path):
         for s in ("sql_statements", "admin_commands", "invalid_statements")
     }
     assert second == first
+
+
+def test_sessionize_stream_matches_batch_analog(spark, tmp_path):
+    """applyInPandasWithState sessionization: every CLOSED streamed session
+    must exactly equal a batch session_windows session; the only missing
+    ones are the final open tail per user (the stream ends before their
+    event-time timeout can fire)."""
+    from slowspark.aggregate import session_windows
+    from slowspark.parse import parse_pages
+    from slowspark.streaming import sessionize_stream
+
+    import time
+    from datetime import timedelta
+
+    from slowspark.gen import BASE_TS
+
+    n_pages = 40
+    src = str(tmp_path / "pages_sess")
+    # FileStreamSource forms batches oldest-mtime-first: write the pages in
+    # four event-time-ordered chunks so micro-batch order follows event time
+    # (a single bulk write gives all files one mtime and the batch order —
+    # hence which rows are late vs the watermark — becomes nondeterministic)
+    all_pages = gen_pages(spark, n_pages, partitions=2)
+    for i in range(4):
+        lo = (BASE_TS + timedelta(seconds=i * 10)).replace(tzinfo=None)
+        hi = (BASE_TS + timedelta(seconds=(i + 1) * 10)).replace(tzinfo=None)
+        (
+            all_pages.filter((F.col("warc_ts") >= lo) & (F.col("warc_ts") < hi))
+            .coalesce(1).write.mode("append").parquet(src)
+        )
+        time.sleep(0.05)
+    stream = parse_stream(read_page_stream(spark, src, max_files=1))
+    sess = sessionize_stream(stream, ("user",), "warc_ts", gap_minutes=1 / 60.0)
+    q = (
+        sess.writeStream.format("memory").queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    key = lambda r: (r["user"], r["session_start"], r["session_end"], r["n_events"])
+    got = {key(r) for r in spark.sql(
+        "select user, session_start, session_end, n_events from sess_out"
+    ).collect()}
+    batch = session_windows(
+        parse_pages(spark.read.parquet(src)), ["user"], "warc_ts", 1 / 60.0
+    )
+    want = {key(r) for r in batch.collect()}
+    assert got <= want
+    missing = want - got
+    n_users = batch.select("user").distinct().count()
+    assert len(missing) <= n_users
+    # each missing session is its user's LAST session (the open tail)
+    last_end = {}
+    for u, s, e, n in want:
+        if u not in last_end or e > last_end[u]:
+            last_end[u] = e
+    assert all(e == last_end[u] for u, s, e, n in missing)
