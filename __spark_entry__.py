@@ -209,6 +209,34 @@ def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "user_id", "left_anti").orderBy("user_id")
 
 
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (textops.repetition_stats):
+    dup-line ratio + most-frequent-bigram fraction per document."""
+    from slowspark.textops import repetition_stats
+
+    d = _read(spark, sf_dir, "documents")
+    return repetition_stats(d).select(
+        "doc_id",
+        F.round("dup_line_ratio", 4).alias("dup_line_ratio"),
+        F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
+    )
+
+
+def _latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (operational latency
+    rollup shape; percentile() is the exact continuous quantile, matching
+    DuckDB quantile_cont)."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows per user (slowspark.aggregate.
     session_windows — lag-flag + running-sum numbering + one groupBy;
@@ -452,6 +480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": _quality_stats,
         "set_ops": _set_ops,
         "sessionize": _sessionize,
+        "repetition_stats": _repetition_stats,
+        "latency_percentiles": _latency_percentiles,
         "hourly_events": _hourly_events,
         "ann_topk": _ann_topk,
         # parse-path, hash-checked via the materialized entries parquet
@@ -566,6 +596,43 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id FROM hv
             WHERE event_type = (SELECT event_type FROM top2)
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ), base AS (
+                SELECT doc_id,
+                       CASE WHEN length(lines) > 0
+                            THEN 1.0 - CAST(length(list_distinct(lines)) AS DOUBLE)
+                                 / length(lines)
+                            ELSE 0.0 END AS dup_line_ratio
+                FROM toks
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, length(ws)),
+                              i -> concat_ws(' ', ws[i], ws[i + 1]))) AS gram
+                FROM toks WHERE length(ws) >= 2
+            ), per_gram AS (
+                SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY doc_id, gram
+            ), top AS (
+                SELECT doc_id, max(n) AS top_n, sum(n) AS total_n
+                FROM per_gram GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   round(b.dup_line_ratio, 4) AS dup_line_ratio,
+                   round(coalesce(CAST(t.top_n AS DOUBLE) / t.total_n, 0.0), 4)
+                       AS top_bigram_frac
+            FROM base b LEFT JOIN top t USING (doc_id)
+        """,
+        "latency_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type
         """,
         "sessionize": """
             WITH flagged AS (

@@ -112,7 +112,9 @@ def run_pipeline_bench(
     # tasks than cores; the deterministic salted repartition both fixes that
     # and is the hot-domain defense a 100 TB run uses anyway.
     cores = spark.sparkContext.defaultParallelism
-    pages = salted_repartition(pages, "url", cores * 4)
+    # salt on warc_ts (unique per page): row-varying and cheap — the default
+    # all-columns salt would hash the big html binary for nothing
+    pages = salted_repartition(pages, "url", cores * 4, salt_cols=["warc_ts"])
 
     elapsed, census, n_fp = _timed_pipeline(spark, pages, inner_reps)
     n_entries = sum(census.values())

@@ -236,3 +236,26 @@ def test_jaccard_dedup_exact_verify(docs, docs_with_dupes):
     assert deduped.filter(F.col("doc_id") >= 1_000_000).count() == 0
     n_self = textops.jaccard_dedup(docs, jaccard_threshold=0.5).count()
     assert deduped.count() == n_self
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),            # 1 dup line of 3; bigrams: 'a b' x2 of 4
+            (2, "unique line one\nunique line two"),
+            (3, "solo"),                     # < 2 tokens -> 0.0 / 0.0
+            (4, "x x x x x x"),              # one bigram repeated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (round(r["dup_line_ratio"], 4), round(r["top_bigram_frac"], 4))
+        for r in textops.repetition_stats(df).collect()
+    }
+    # lines: 'a b' x2 of 3 -> dup ratio 1/3. Tokens [a,b,a,b,c,d] -> bigrams
+    # 'a b','b a','a b','b c','c d' (they CROSS lines: \s+ eats newlines),
+    # top 'a b' x2 of 5 -> 0.4
+    assert got[1] == (round(1 - 2 / 3, 4), 0.4)
+    assert got[2][0] == 0.0
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 1.0)  # 'x x' is every bigram
