@@ -1,0 +1,125 @@
+"""Physical-plan audits: pin the plan properties the 100 TB design relies
+on (predicate pushdown to the scan, column pruning, partial+final
+aggregation, no shuffle before the parse stage, window/groupBy partitioning
+reuse), so a plan regression fails CI instead of surfacing as a silent
+10x at scale."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    import __spark_entry__ as contract
+
+    df = contract.queries()["pricing_summary"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_regex_extract_stats_prunes_scan_columns(spark):
+    import __spark_entry__ as contract
+
+    df = contract.queries()["regex_extract_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    # the documents table has 5 columns; the scan must read only 2
+    read = plan[plan.index("ReadSchema:"):].splitlines()[0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read and "n_chars" not in read
+
+
+def test_duplicate_clusters_is_partial_plus_final_agg(spark):
+    from slowspark.textops import duplicate_clusters
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(duplicate_clusters(docs))
+    # map-side combine: two HashAggregates around exactly one shuffle
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_parse_census_has_no_shuffle_before_python_stage(spark):
+    """The parse is narrow: the ONLY Exchange in scan -> parse -> census is
+    the tiny post-parse aggregation shuffle."""
+    from slowspark.aggregate import kind_census
+    from slowspark.gen import gen_pages
+    from slowspark.parse import parse_pages
+
+    df = kind_census(
+        parse_pages(gen_pages(spark, 50, partitions=4), columns=["entry_kind"])
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    # physical plans print root-first, so the one Exchange (the census agg)
+    # must appear ABOVE the MapInPandas parse operator — i.e. nothing
+    # shuffles between the scan and the Python stage
+    assert plan.index("Exchange") < plan.index("MapInPandas")
+
+
+def test_session_windows_single_shuffle(spark):
+    """lag-flag window, running-sum window and the final groupBy all reuse
+    ONE hash partitioning on the key."""
+    from slowspark.aggregate import session_windows
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(session_windows(ev, ["user_id"], "ts", 30))
+    assert plan.count("Exchange") == 1
+
+
+def test_fingerprint_rollup_single_shuffle_after_parse(spark):
+    from slowspark.aggregate import fingerprint_rollup
+    from slowspark.gen import gen_pages
+    from slowspark.parse import parse_pages
+
+    entries = parse_pages(
+        gen_pages(spark, 50, partitions=4),
+        columns=["entry_kind", "fingerprint", "sql_type", "query_time",
+                 "lock_time", "rows_sent", "rows_examined"],
+    )
+    plan = _plan(fingerprint_rollup(entries))
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_exact_dedup_semi_join_reuses_aggregation_partitioning(spark):
+    """exact_dedup: groupBy(text_hash) then a left_semi back to the corpus —
+    the whole plan needs at most 3 exchanges (agg + two join sides) and no
+    cartesian anywhere."""
+    from slowspark.textops import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert "Cartesian" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_lsh_near_dup_join_is_bucket_keyed_not_cartesian(spark):
+    from slowspark.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedding_near_dup_pairs(emb, dim=64))
+    assert "Cartesian" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_manku_simhash_join_is_key_equijoin(spark):
+    from slowspark import textops
+
+    sigs = spark.createDataFrame(
+        [(i, i * 7919) for i in range(50)], "doc_id long, simhash long"
+    )
+    plan = _plan(textops.simhash_candidates(sigs))
+    assert "Cartesian" not in plan
+    # the join keys are (tbl, tkey) — an equi-join, hash or sort-merge
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
