@@ -127,6 +127,95 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> D
     )
 
 
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("duration_s", T.FloatType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("mel_means", T.ArrayType(T.FloatType()), True),
+])
+
+
+def extract_audio_features(
+    media: DataFrame, n_mel: int = 16, real_decode: bool = False
+) -> DataFrame:
+    """binary audio payload -> typed metadata + mel-band mean features.
+    STUB decode (deterministic fake from byte hash — wire torchaudio/
+    soundfile here in production); the Spark plumbing (Arrow batching,
+    kind filter, metadata-only shuffle) is real, mirroring decode_images."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if real_decode:
+                    raise NotImplementedError(
+                        "real audio decode requires soundfile/torchaudio — "
+                        "not in this container; wire sf.read(io.BytesIO) here"
+                    )
+                h = hashlib.blake2b(b, digest_size=8).digest()
+                sr = (8000, 16000, 22050, 44100)[h[0] % 4]
+                duration = 0.5 + (int.from_bytes(h[1:3], "big") % 6000) / 100.0
+                seed = int.from_bytes(h[4:8], "big")
+                rng = np.random.RandomState(seed)
+                mel = rng.standard_normal(n_mel).astype(np.float32)
+                rows.append({
+                    "media_id": int(mid),
+                    "sample_rate": sr,
+                    "duration_s": float(duration),
+                    "n_channels": 1 + h[3] % 2,
+                    "mel_means": mel.tolist(),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        fn, schema=AUDIO_META_SCHEMA
+    )
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("chunk_index", T.IntegerType(), False),
+    T.StructField("chunk_start_s", T.FloatType(), False),
+    T.StructField("chunk_sha256", T.StringType(), True),
+])
+
+
+def chunk_audio(
+    media: DataFrame, window_s: float = 30.0, max_chunks: int = 8
+) -> DataFrame:
+    """Fixed-window audio chunking (UDTF-shaped: 1 audio row -> N chunk
+    rows) — the ASR-pipeline pre-step. Chunk COUNT comes from the (stubbed)
+    duration; chunk ids are content-derived so reruns are identical."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                h = hashlib.blake2b(b, digest_size=8).digest()
+                duration = 0.5 + (int.from_bytes(h[1:3], "big") % 6000) / 100.0
+                n_chunks = min(max_chunks, 1 + int(duration // window_s))
+                for i in range(n_chunks):
+                    ch = hashlib.sha256(b + i.to_bytes(4, "big")).hexdigest()
+                    rows.append({
+                        "media_id": int(mid),
+                        "chunk_index": i,
+                        "chunk_start_s": float(i * window_s),
+                        "chunk_sha256": ch,
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_CHUNK_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        fn, schema=AUDIO_CHUNK_SCHEMA
+    )
+
+
 def gen_media(spark, n: int) -> DataFrame:
     """Deterministic fake media table for tests."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -178,3 +178,32 @@ def test_sessionize_stream_matches_batch_analog(spark, tmp_path):
         if u not in last_end or e > last_end[u]:
             last_end[u] = e
     assert all(e == last_end[u] for u, s, e, n in missing)
+
+
+def test_audio_features_and_chunks(spark, media):
+    from slowspark import multimodal
+
+    feats = multimodal.extract_audio_features(media, n_mel=16)
+    rows = feats.collect()
+    n_audio = media.filter(F.col("kind") == "audio").count()
+    assert len(rows) == n_audio
+    assert all(len(r["mel_means"]) == 16 for r in rows)
+    assert all(r["sample_rate"] in (8000, 16000, 22050, 44100) for r in rows)
+    assert all(0.5 <= r["duration_s"] <= 61.0 for r in rows)
+    # deterministic across reruns
+    again = {r["media_id"]: r["mel_means"] for r in feats.collect()}
+    assert {r["media_id"]: r["mel_means"] for r in rows} == again
+
+    chunks = multimodal.chunk_audio(media, window_s=10.0, max_chunks=4)
+    crows = chunks.collect()
+    per = {}
+    for r in crows:
+        per.setdefault(r["media_id"], []).append(r)
+    assert set(per) == {r["media_id"] for r in rows}
+    dur = {r["media_id"]: r["duration_s"] for r in rows}
+    for mid, cs in per.items():
+        want = min(4, 1 + int(dur[mid] // 10.0))
+        assert len(cs) == want
+        assert sorted(c["chunk_index"] for c in cs) == list(range(want))
+    with pytest.raises(Exception):
+        multimodal.extract_audio_features(media, real_decode=True).collect()
