@@ -426,7 +426,11 @@ def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from slowspark.textops import simhash_candidates, simhash_signatures
 
     d = _read(spark, sf_dir, "documents")
-    return simhash_candidates(simhash_signatures(d)).orderBy("id_a", "id_b")
+    # eager materialization: the multi-table self-join scans sigs twice in
+    # one stage (see textops.minhash_dedup note on redundant UDF subtrees)
+    return simhash_candidates(simhash_signatures(d).localCheckpoint()).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _language_id(spark: SparkSession, sf_dir: str) -> DataFrame:

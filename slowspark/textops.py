@@ -236,7 +236,12 @@ def minhash_dedup(
     connected_min_labels — so the survivor set is topology-independent:
     exactly one keeper per component, always the component min)."""
     rows_per_band = n_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).cache()
+    # localCheckpoint (eager), not cache(): the band self-join scans the
+    # signature table twice IN THE SAME STAGE, and a lazily-filled cache
+    # lets both sides race to compute the expensive UDF subtree redundantly
+    # (measured 2-3x signature cost run-to-run). Checkpointing materializes
+    # it exactly once.
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).localCheckpoint()
     cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -527,7 +532,7 @@ def jaccard_dedup(
       4. survivors = component-min ids (fixpoint single-link).
     Use over minhash_dedup when the estimated Jaccard alone is too noisy
     to decide the threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).cache()
+    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).localCheckpoint()
     cands = minhash_lsh_candidates(sigs, id_col, bands, n_perm // bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
