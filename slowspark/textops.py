@@ -136,14 +136,21 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banding: split each signature into `bands` bands of `rows_per_band`,
     hash each band, group by (band_id, band_hash) -> candidate pairs.
 
     Scale shape: explode to bands (x bands rows), ONE shuffle on the band
-    bucket, pairs emitted per-bucket via a self-join on the bucket key
-    (bucket sizes are small by construction; a hot bucket means
-    near-identical docs which ARE the answer)."""
+    bucket, pairs emitted per-bucket via a self-join on the bucket key.
+    Bucket sizes are small for ordinary text, but a VIRAL page duplicated
+    k times puts k docs in the same bucket in EVERY band -> k^2/2 pairs.
+    The sanctioned order of operations is exact_dedup FIRST (identical
+    bytes collapse to one representative, which is exactly what a viral
+    blob is), then near-dup here; `max_bucket_size` is the belt-and-braces
+    cap for buckets that are still pathological after that — capped buckets
+    are dropped from candidate generation (truncates recall for that blob
+    only; same semantics as simhash_candidates' cap)."""
     b = signatures.select(
         F.col(id_col),
         F.explode(
@@ -155,6 +162,17 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+    if max_bucket_size is not None:
+        sizes = (
+            b.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+        )
+        b = b.join(
+            sizes.select("band_id", "band_hash"),
+            ["band_id", "band_hash"],
+            "left_semi",
+        )
     left = b.alias("l")
     right = b.alias("r")
     return (

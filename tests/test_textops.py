@@ -259,3 +259,19 @@ def test_repetition_stats(spark):
     assert got[2][0] == 0.0
     assert got[3] == (0.0, 0.0)
     assert got[4] == (0.0, 1.0)  # 'x x' is every bigram
+
+
+def test_minhash_bucket_cap_drops_viral_blob(spark):
+    """50 byte-identical docs share every band bucket (k^2/2 pairs);
+    max_bucket_size drops them while distinct docs still pair normally."""
+    viral = [(i, "the same viral page content repeated verbatim " * 20) for i in range(50)]
+    normal = [(100, "some unique text about apples and oranges " * 10),
+              (101, "some unique text about apples and oranges " * 10)]
+    df = spark.createDataFrame(viral + normal, "doc_id long, text string")
+    sigs = textops.minhash_signatures(df).localCheckpoint()
+    uncapped = textops.minhash_lsh_candidates(sigs)
+    assert uncapped.count() >= 50 * 49 // 2
+    capped = textops.minhash_lsh_candidates(sigs, max_bucket_size=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs)
