@@ -28,6 +28,31 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     return spark.read.schema(PAGES_SCHEMA).format(fmt).load(path)
 
 
+def compact_pages(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction: rewrite a pages directory into
+    ceil(total_bytes / target_file_mb) files. Crawl outputs arrive as
+    millions of tiny objects; scanning them costs a task per file and
+    overwhelms the driver's listing — the standard fix is a periodic
+    size-aware rewrite (Iceberg's rewrite_data_files; this is the Parquet
+    equivalent). Input size comes from the Hadoop FileSystem API (works for
+    HDFS/S3A paths too, not just local), the rewrite is one round-robin
+    repartition. Returns the output file count."""
+    df = spark.read.schema(PAGES_SCHEMA).parquet(src_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-int(total) // (target_file_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 def read_slow_logs(spark: SparkSession, path_glob: str) -> DataFrame:
     """Raw slow-log files -> pages-shaped DataFrame (url = file path,
     text = whole file decoded lossily, the String::from_utf8_lossy analog

@@ -410,3 +410,21 @@ def test_catalog_exists_requires_success_marker(spark, tmp_path):
     # simulate a crashed partial overwrite: part files present, no marker
     os.remove(os.path.join(cat.path("t1"), "_SUCCESS"))
     assert not cat.exists(spark, "t1")
+
+
+def test_compact_pages_rewrites_small_files(spark, tmp_path):
+    """60 tiny files -> one compacted file; row set identical."""
+    from slowspark.sources import compact_pages
+
+    src = str(tmp_path / "tiny")
+    dst = str(tmp_path / "compact")
+    gen_pages(spark, 60, partitions=60).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 60
+    n_out = compact_pages(spark, src, dst, target_file_mb=256)
+    assert n_out == 1
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst == 1
+    a = {r["url"] for r in spark.read.parquet(src).select("url").collect()}
+    b = {r["url"] for r in spark.read.parquet(dst).select("url").collect()}
+    assert a == b
