@@ -404,33 +404,102 @@ def _log_meta_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _pairs_parquet(spark: SparkSession, sf_dir: str, name: str, build) -> str:
+    """Materialize a deterministic (id_a, id_b) pair table once per process;
+    DuckDB then recomputes the component-min survivor set from the SAME
+    pairs via a recursive CTE — hash-checking the single-link dedup
+    semantics end-to-end."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_ORACLE_ENTRIES_BASE}/{base}/{name}"
+    if path not in _ENTRIES_WRITTEN:
+        build().write.mode("overwrite").parquet(path)
+        _ENTRIES_WRITTEN.add(path)
+    return path
+
+
+def _component_dedup_oracle(pairs_dir: str) -> str:
+    """Recursive-CTE single-link component-min dedup over a materialized
+    pair parquet: survivors = docs that are their component's minimum id
+    (isolated docs survive trivially)."""
+    return f"""
+        WITH RECURSIVE nodes AS (
+            SELECT id_a AS id FROM read_parquet('{pairs_dir}/*.parquet')
+            UNION SELECT id_b FROM read_parquet('{pairs_dir}/*.parquet')
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM read_parquet('{pairs_dir}/*.parquet')
+            UNION SELECT id_b, id_a FROM read_parquet('{pairs_dir}/*.parquet')
+        ), reach(id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.s, r.label FROM edges e JOIN reach r ON r.id = e.d
+        )
+        SELECT doc_id FROM documents
+        LEFT JOIN (SELECT id, min(label) AS m FROM reach GROUP BY id) c
+          ON documents.doc_id = c.id
+        WHERE c.id IS NULL OR c.m = documents.doc_id
+        ORDER BY doc_id
+    """
+
+
 def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup dedup on documents (signature UDF + band-bucket
-    join; no SQL equivalent)."""
-    from slowspark.textops import minhash_dedup
+    """MinHash+LSH near-dup dedup on documents. The verified pair set is
+    materialized so DuckDB can recompute the component-min survivors from
+    the same pairs (recursive CTE) — the fixpoint dedup semantics are
+    inside the hash check; the signature/banding stage stays pinned by the
+    pytest differential tests (no SQL equivalent of the UDF)."""
+    from slowspark.textops import dedup_by_pairs, minhash_verified_pairs
 
     d = _read(spark, sf_dir, "documents")
-    return minhash_dedup(d).select("doc_id").orderBy("doc_id")
+    path = _pairs_parquet(
+        spark, sf_dir, "minhash_pairs", lambda: minhash_verified_pairs(d)
+    )
+    pairs = spark.read.parquet(path)
+    return dedup_by_pairs(d, pairs).select("doc_id").orderBy("doc_id")
 
 
 def _jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-verified near-dup dedup: LSH candidates -> exact word-n-gram
-    Jaccard verify -> component-min survivors."""
-    from slowspark.textops import jaccard_dedup
+    """Exact-verified near-dup dedup: LSH candidates -> est prefilter ->
+    exact word-n-gram Jaccard -> component-min survivors; pair set
+    materialized for the recursive-CTE oracle like _minhash_dedup."""
+    from slowspark.textops import dedup_by_pairs, jaccard_verified_pairs
 
     d = _read(spark, sf_dir, "documents")
-    return jaccard_dedup(d).select("doc_id").orderBy("doc_id")
+    path = _pairs_parquet(
+        spark, sf_dir, "jaccard_pairs", lambda: jaccard_verified_pairs(d)
+    )
+    pairs = spark.read.parquet(path)
+    return dedup_by_pairs(d, pairs).select("doc_id").orderBy("doc_id")
+
+
+def _simhash_sigs_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the (deterministic) simhash signature table once per
+    process, like _entries_parquet — DuckDB then verifies candidate
+    generation against the exact all-pairs hamming oracle."""
+    import os
+
+    from slowspark.textops import simhash_signatures
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_ORACLE_ENTRIES_BASE}/{base}/simhash_sigs"
+    if path not in _ENTRIES_WRITTEN:
+        d = _read(spark, sf_dir, "documents")
+        simhash_signatures(d).write.mode("overwrite").parquet(path)
+        _ENTRIES_WRITTEN.add(path)
+    return path
 
 
 def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from slowspark.textops import simhash_candidates, simhash_signatures
+    """Manku multi-table candidate generation is recall-EXACT for
+    hamming <= max_hamming, so its output must equal the brute-force
+    all-pairs hamming set — which IS the DuckDB oracle (computed from the
+    same materialized signatures): the bucketing construction itself is
+    inside the hash check."""
+    from slowspark.textops import simhash_candidates
 
-    d = _read(spark, sf_dir, "documents")
-    # eager materialization: the multi-table self-join scans sigs twice in
-    # one stage (see textops.minhash_dedup note on redundant UDF subtrees)
-    return simhash_candidates(simhash_signatures(d).localCheckpoint()).orderBy(
-        "id_a", "id_b"
-    )
+    sigs = spark.read.parquet(_simhash_sigs_parquet(spark, sf_dir))
+    return simhash_candidates(sigs)
 
 
 def _language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,6 +512,45 @@ def _language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("lang_pred")
     )
+
+
+def _language_id_oracle() -> str:
+    """DuckDB replica of the STOPWORD stage of textops.language_id,
+    generated from the same _STOPWORDS table (no drift): per-lang
+    list_intersect score, argmax with the same (score, lang) tie-break
+    Spark's array_max-over-structs gives (larger lang tag wins ties),
+    NULL when every score is 0. The script-ratio stage is semantically
+    ahead of this one but never fires on the all-ASCII documents table the
+    driver checks at sf0.01; it is pinned by tests/test_textops.py::
+    test_language_id_scripts instead."""
+    from slowspark.textops import _STOPWORDS
+
+    selects = []
+    for lang, words in _STOPWORDS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"length(list_intersect(tk, [{lit}])) AS score FROM toks"
+        )
+    union = "\n                UNION ALL ".join(selects)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(lower(text), '[^\\p{{L}}]+')) AS tk
+            FROM documents
+        ), scores AS (
+            {union}
+        ), best AS (
+            SELECT doc_id, lang, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, lang DESC
+                   ) AS rk
+            FROM scores
+        )
+        SELECT CASE WHEN score > 0 THEN lang END AS lang_pred,
+               count(*) AS n
+        FROM best WHERE rk = 1 GROUP BY 1 ORDER BY 1
+    """
 
 
 def _lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,6 +823,21 @@ def oracle_sql() -> dict[str, str]:
                 WHERE entry_kind = 'SqlStatement'
             )
             GROUP BY 1
+        """,
+        "language_id": _language_id_oracle(),
+        "minhash_dedup": _component_dedup_oracle(
+            f"{_ORACLE_ENTRIES_BASE}/sf0.01/minhash_pairs"
+        ),
+        "jaccard_dedup": _component_dedup_oracle(
+            f"{_ORACLE_ENTRIES_BASE}/sf0.01/jaccard_pairs"
+        ),
+        "simhash_candidates": f"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/simhash_sigs/*.parquet') a
+            JOIN read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/simhash_sigs/*.parquet') b
+              ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "topk_slowest": f"""
             SELECT fingerprint, entry_id, query_time, CAST(rnk AS INTEGER) AS rnk

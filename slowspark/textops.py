@@ -239,7 +239,18 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels
 
 
-def minhash_dedup(
+def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep the component-min id per single-link component of the verified
+    pair set; every other member is dropped (fixpoint labels — survivor set
+    is topology-independent)."""
+    labels = connected_min_labels(pairs.select("id_a", "id_b"))
+    losers = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def minhash_verified_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -248,11 +259,8 @@ def minhash_dedup(
     jaccard_threshold: float = 0.7,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Full near-dup pipeline: signatures -> LSH candidates -> signature-
-    estimated Jaccard filter -> keep the lowest id per connected component
-    (single-link, min-label propagation iterated to a fixpoint via
-    connected_min_labels — so the survivor set is topology-independent:
-    exactly one keeper per component, always the component min)."""
+    """(id_a, id_b) pairs whose signature-ESTIMATED Jaccard clears the
+    threshold: signatures -> LSH banding candidates -> zip_with estimate."""
     rows_per_band = n_perm // bands
     # localCheckpoint (eager), not cache(): the band self-join scans the
     # signature table twice IN THE SAME STAGE, and a lazily-filled cache
@@ -263,7 +271,7 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    est = (
+    return (
         cands.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "est_jaccard",
@@ -273,13 +281,28 @@ def minhash_dedup(
             ),
         )
         .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b")
     )
-    # every component member except the component-min id loses
-    labels = connected_min_labels(est.select("id_a", "id_b"))
-    losers = labels.filter(F.col("label") != F.col("id")).select(
-        F.col("id").alias(id_col)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = _N_PERM_DEFAULT,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> signature-
+    estimated Jaccard filter (minhash_verified_pairs) -> keep the lowest id
+    per connected component (dedup_by_pairs: single-link, min-label
+    propagation iterated to a fixpoint — exactly one keeper per component,
+    always the component min)."""
+    pairs = minhash_verified_pairs(
+        df, text_col, id_col, n_perm, bands, jaccard_threshold, shingle_k
     )
-    return df.join(losers, on=id_col, how="left_anti")
+    return dedup_by_pairs(df, pairs, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -523,7 +546,7 @@ def ngram_jaccard_pairs(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id
     )
 
 
-def jaccard_dedup(
+def jaccard_verified_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -534,7 +557,7 @@ def jaccard_dedup(
     shingle_k: int = 5,
     est_margin: float = 0.25,
 ) -> DataFrame:
-    """Exact-verified near-dup dedup, estimate-then-verify:
+    """Exact-verified near-dup pairs, estimate-then-verify:
 
       1. MinHash-LSH generates candidates (the only all-corpus stage);
       2. the signature-ESTIMATED Jaccard prefilters them at
@@ -546,10 +569,10 @@ def jaccard_dedup(
          magnitude on corpora where LSH banding over-generates (measured
          286k -> 542 pairs on the sf0.1 documents table);
       3. EXACT word-n-gram Jaccard verifies the survivors (join fan-in =
-         |prefiltered|, never |docs|^2);
-      4. survivors = component-min ids (fixpoint single-link).
-    Use over minhash_dedup when the estimated Jaccard alone is too noisy
-    to decide the threshold."""
+         |prefiltered|, never |docs|^2).
+    jaccard_dedup composes this with dedup_by_pairs (component-min
+    survivors). Use over minhash_dedup when the estimated Jaccard alone is
+    too noisy to decide the threshold."""
     sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).localCheckpoint()
     cands = minhash_lsh_candidates(sigs, id_col, bands, n_perm // bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
@@ -570,11 +593,26 @@ def jaccard_dedup(
         ngram_jaccard_pairs(prefiltered, df, id_col, ngram_n)
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    labels = connected_min_labels(verified.select("id_a", "id_b"))
-    losers = labels.filter(F.col("label") != F.col("id")).select(
-        F.col("id").alias(id_col)
+    return verified.select("id_a", "id_b")
+
+
+def jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    ngram_n: int = 3,
+    n_perm: int = _N_PERM_DEFAULT,
+    bands: int = 16,
+    shingle_k: int = 5,
+    est_margin: float = 0.25,
+) -> DataFrame:
+    """jaccard_verified_pairs + dedup_by_pairs (component-min survivors)."""
+    pairs = jaccard_verified_pairs(
+        df, text_col, id_col, jaccard_threshold, ngram_n, n_perm, bands,
+        shingle_k, est_margin,
     )
-    return df.join(losers, on=id_col, how="left_anti")
+    return dedup_by_pairs(df, pairs, id_col)
 
 
 # ---------------------------------------------------------------------------
