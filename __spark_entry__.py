@@ -554,12 +554,16 @@ def _language_id_oracle() -> str:
 
 
 def _lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN. Plane count sized to the corpus: buckets ~
+    2^n_planes should be ~n/expected_bucket_size, or nearly every probe is
+    empty and top-k starves (the round-1 default 12 planes = 4096 buckets
+    for a 500-vector table returned 2 of k=10)."""
     from slowspark.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     query = [float(x) for x in qrow["embedding"]]
-    return lsh_topk(emb, query, k=10).select(
+    return lsh_topk(emb, query, k=10, n_planes=6, probe_hamming=2).select(
         "vec_id", F.round("cosine", 4).alias("cosine")
     )
 
