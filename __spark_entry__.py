@@ -4,10 +4,13 @@
 pipeline on pages rendered deterministically at sf0.001 scale.
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + training-data ops); ``oracle_sql()`` gives the DuckDB
-equivalent for every SQL-expressible one (the rest get rows-only checks:
-the parse grammar, MinHash/SimHash signatures, LSH ANN — they have no ANSI
-SQL equivalent and are pinned instead by tests/ against the reference
-fixtures).
+equivalent — 26 of 28 are value-hash-checked, including the Python parse
+stage (via a materialized entries parquet both engines read), SimHash
+candidate generation (all-pairs hamming oracle over materialized
+signatures) and the dedup survivors (recursive-CTE components over
+materialized pair sets). Only the LSH/IVF ANN queries are rows-only: their
+bucketing depends on worker-side hyperplane/centroid matrices with no SQL
+equivalent; they are pinned by recall tests in tests/test_similarity.py.
 """
 
 from __future__ import annotations
