@@ -309,7 +309,7 @@ def _entries_parquet(spark: SparkSession, sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     path = f"{_ORACLE_ENTRIES_BASE}/{base}/entries"
     if path not in _ENTRIES_WRITTEN:
-        cols = ["entry_kind", "sql_type", "fingerprint", "query_time",
+        cols = ["url", "entry_kind", "sql_type", "fingerprint", "query_time",
                 "admin_command", "log_meta", "objects"]
         entries = parse_pages(
             gen_pages(spark, _n_pages_for(spark, sf_dir)), columns=cols
@@ -386,6 +386,30 @@ def _topk_slowest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("fingerprint", "entry_id", "query_time", "rnk")
+    )
+
+
+def _domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rollup over the Zipf-skewed urls THROUGH the two-phase
+    salted aggregation (skew.salted_groupby_agg): the salt is internal, so
+    the result must hash-match a plain GROUP BY — which is exactly what the
+    DuckDB oracle runs. This puts the skew operator's correctness
+    (partial-on-(key,salt) then merge-on-key) inside the value check."""
+    from slowspark.skew import salted_groupby_agg
+
+    e = spark.read.parquet(_entries_parquet(spark, sf_dir))
+    with_domain = e.withColumn(
+        "domain", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    )
+    out = salted_groupby_agg(
+        with_domain,
+        keys=["domain"],
+        aggs={"n_entries": ("count", "*"), "sum_qt": ("sum", "query_time")},
+        salt_col="url",
+        buckets=16,
+    )
+    return out.select(
+        "domain", "n_entries", F.round("sum_qt", 4).alias("sum_query_time")
     )
 
 
@@ -608,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rollup": _fingerprint_rollup_pipeline,
         "admin_histogram": _admin_histogram_pipeline,
         "log_meta_census": _log_meta_census,
+        "domain_rollup": _domain_rollup,
         "object_usage": _object_usage,
         "topk_slowest": _topk_slowest,
         # rows-only (non-SQL-expressible: signatures / LSH / IVF)
@@ -819,6 +844,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/entries/*.parquet')
             GROUP BY log_meta.version, log_meta.tcp_port
+        """,
+        "domain_rollup": f"""
+            SELECT coalesce(regexp_extract(url, '^https?://([^/]+)/', 1), '') AS domain,
+                   count(*) AS n_entries,
+                   round(sum(query_time), 4) AS sum_query_time
+            FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/entries/*.parquet')
+            GROUP BY 1
         """,
         "object_usage": f"""
             SELECT concat_ws('.', obj.schema_name, obj.object_name) AS full_object_name,
