@@ -49,6 +49,40 @@ class Catalog:
         w.save(path)
         return path
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_by: list[str],
+        n_buckets: int = 16,
+        sort_by: list[str] | None = None,
+    ) -> str:
+        """Bucketed managed table: both sides of a repeated large-large join
+        written with the SAME (bucket_by, n_buckets) join shuffle-free —
+        Spark matches the bucketing metadata and plans a SortMergeJoin with
+        NO Exchange on either side (pinned by tests/test_plans.py). This is
+        the pre-pay-the-shuffle-once pattern for the fact tables a 100 TB
+        pipeline joins repeatedly (entries x per-url quality scores, etc.);
+        the Iceberg equivalent is partitionedBy(bucket(n, col))."""
+        if self.fmt == "iceberg":
+            from pyspark.sql import functions as F
+
+            writer = df.writeTo(name).using("iceberg").partitionedBy(
+                F.bucket(n_buckets, bucket_by[0])
+            )
+            writer.createOrReplace()
+            return name
+        w = (
+            df.write.mode("overwrite")
+            .format(self.fmt)
+            .option("path", self.path(name))
+            .bucketBy(n_buckets, *bucket_by)
+        )
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.saveAsTable(name)
+        return name
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if self.fmt == "iceberg":
             return spark.read.format("iceberg").load(name)

@@ -123,3 +123,28 @@ def test_manku_simhash_join_is_key_equijoin(spark):
     assert "Cartesian" not in plan
     # the join keys are (tbl, tkey) — an equi-join, hash or sort-merge
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key: the SortMergeJoin
+    must read the bucketing metadata and plan with ZERO Exchange — the
+    pre-pay-the-shuffle-once pattern for repeatedly-joined fact tables."""
+    from slowspark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path))
+    a = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 2000).selectExpr("id AS k", "id * 3 AS vb")
+    cat.write_bucketed(a, "bt_a", ["k"], n_buckets=4, sort_by=["k"])
+    cat.write_bucketed(b, "bt_b", ["k"], n_buckets=4, sort_by=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
