@@ -428,3 +428,14 @@ def test_compact_pages_rewrites_small_files(spark, tmp_path):
     a = {r["url"] for r in spark.read.parquet(src).select("url").collect()}
     b = {r["url"] for r in spark.read.parquet(dst).select("url").collect()}
     assert a == b
+
+
+def test_catalog_writes_zstd_by_default(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    assert cat.codec == "zstd"
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id long, v string")
+    cat.write(df, "tz")
+    files = [f for f in os.listdir(cat.path("tz")) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f for f in files)
+    back = cat.read(spark, "tz")
+    assert back.count() == 100
