@@ -352,6 +352,67 @@ def ivf_topk(
     )
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    seed: int = 42,
+    lloyd_iters: int = 2,
+) -> np.ndarray:
+    """Persist an IVF index: the corpus written PARTITIONED BY ivf_cell
+    (one directory per cell) plus the centroid matrix as JSON. This is the
+    at-scale ANN shape: a probe-p query's `ivf_cell IN (...)` filter becomes
+    a PARTITION FILTER, so the scan never opens the other cells' files —
+    IO per query is p/n_centroids of the corpus, not a full scan.
+    Returns the trained centroids."""
+    import json
+    import os
+
+    centroids = ivf_train(corpus, vec_col, id_col, n_centroids, seed, lloyd_iters)
+    assigned = _assign_with(corpus, centroids, vec_col)
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(os.path.join(index_path, "cells"))
+    )
+    meta = {"centroids": centroids.tolist(), "vec_col": vec_col, "id_col": id_col}
+    tmp = os.path.join(index_path, "centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_path, "centroids.json"))
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    probe_cells: int = 4,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index: rank centroids driver-side,
+    scan ONLY the probed cells' partitions (partition pruning — assert it
+    with .explain(): PartitionFilters carries the ivf_cell IN list), exact
+    cosine within."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "centroids.json")) as f:
+        meta = json.load(f)
+    cmat = _normalize_rows(np.asarray(meta["centroids"], dtype=np.float64))
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    order = np.argsort(-(cmat @ (q / qn)))
+    probe = [int(c) for c in order[: max(1, probe_cells)]]
+    cells = spark.read.parquet(os.path.join(index_path, "cells"))
+    return brute_force_topk(
+        cells.filter(F.col("ivf_cell").isin(probe)),
+        meta["vec_col"], query, k, meta["id_col"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup dedup — LSH-bucketed pairs + exact cosine verify
 # ---------------------------------------------------------------------------

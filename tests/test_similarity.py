@@ -184,3 +184,28 @@ def test_ivf_train_deterministic_and_normalized(emb):
     c2 = similarity.ivf_train(emb, n_centroids=8, lloyd_iters=2)
     assert np.allclose(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_indexed_topk_partition_prunes(spark, emb, query_vec, tmp_path):
+    """Persisted IVF index: the probe query must (a) partition-prune the
+    scan to the probed cells (PartitionFilters in the physical plan, and
+    only those cells' files read) and (b) return the same rows as the
+    in-memory ivf_topk with the same centroids."""
+    idx = str(tmp_path / "ivf_index")
+    centroids = similarity.ivf_build_index(emb, idx, n_centroids=8, lloyd_iters=1)
+    res = similarity.ivf_topk_indexed(spark, idx, query_vec, k=5, probe_cells=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the probe filter must land in PartitionFilters (directory-level
+    # pruning), NOT in PushedFilters/data filters — i.e. the scan never
+    # opens the other cells' files. (inputFiles() reports the pre-pruning
+    # relation, so the plan string is the authoritative evidence.)
+    pf = plan[plan.index("PartitionFilters:"):].splitlines()[0]
+    assert "ivf_cell" in pf and " IN " in pf
+    want = {
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in similarity.ivf_topk(
+            emb, query_vec, k=5, probe_cells=2, centroids=centroids
+        ).collect()
+    }
+    got = {(r["vec_id"], round(r["cosine"], 6)) for r in res.collect()}
+    assert got == want
