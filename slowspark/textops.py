@@ -25,6 +25,28 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a DataFrame and truncate its lineage.
+
+    With a reliable checkpoint dir configured (spark.sparkContext.
+    setCheckpointDir — what a production cluster job should do), uses
+    .checkpoint(): blocks live in fault-tolerant storage and survive
+    executor loss. Otherwise falls back to .localCheckpoint(), which is
+    exactly right for local mode but NOT fault-tolerant on a cluster
+    (executor churn loses blocks AND the truncated lineage prevents
+    recompute). Used before self-joins on UDF-produced tables (a lazy
+    cache lets both join sides race to recompute the UDF subtree) and
+    inside iterative loops (plan growth)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup — built-ins only
 # ---------------------------------------------------------------------------
@@ -202,21 +224,22 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     Scale shape: each iteration is one shuffle keyed on id over the edge
     set; convergence needs <= diameter iterations and near-dup components
     are shallow (dupes of one origin), so 2-3 rounds dominate in practice.
-    localCheckpoint() truncates the lineage each round so the plan does not
-    grow with iterations; the loop's only driver action is the tiny
-    changed-count convergence check."""
+    _materialize() truncates the lineage each round so the plan does not
+    grow with iterations (reliable checkpoint when a checkpoint dir is
+    configured, localCheckpoint otherwise); the loop's only driver action
+    is the tiny changed-count convergence check."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
+    edges = _materialize(edges)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
+    labels = _materialize(labels)
     for _ in range(max_iters):
         # candidate label for each node: min over neighbors' current labels
         nbr_min = (
@@ -231,7 +254,8 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
-        ).localCheckpoint()
+        )
+        new_labels = _materialize(new_labels)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
@@ -262,12 +286,12 @@ def minhash_verified_pairs(
     """(id_a, id_b) pairs whose signature-ESTIMATED Jaccard clears the
     threshold: signatures -> LSH banding candidates -> zip_with estimate."""
     rows_per_band = n_perm // bands
-    # localCheckpoint (eager), not cache(): the band self-join scans the
-    # signature table twice IN THE SAME STAGE, and a lazily-filled cache
-    # lets both sides race to compute the expensive UDF subtree redundantly
-    # (measured 2-3x signature cost run-to-run). Checkpointing materializes
-    # it exactly once.
-    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).localCheckpoint()
+    # _materialize (eager checkpoint), not cache(): the band self-join
+    # scans the signature table twice IN THE SAME STAGE, and a lazily-
+    # filled cache lets both sides race to compute the expensive UDF
+    # subtree redundantly (measured 2-3x signature cost run-to-run).
+    # Checkpointing materializes it exactly once.
+    sigs = _materialize(minhash_signatures(df, text_col, id_col, n_perm, shingle_k))
     cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -573,7 +597,7 @@ def jaccard_verified_pairs(
     jaccard_dedup composes this with dedup_by_pairs (component-min
     survivors). Use over minhash_dedup when the estimated Jaccard alone is
     too noisy to decide the threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, n_perm, shingle_k).localCheckpoint()
+    sigs = _materialize(minhash_signatures(df, text_col, id_col, n_perm, shingle_k))
     cands = minhash_lsh_candidates(sigs, id_col, bands, n_perm // bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))

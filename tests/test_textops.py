@@ -275,3 +275,15 @@ def test_minhash_bucket_cap_drops_viral_blob(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (100, 101) in pairs
     assert all(a >= 100 for a, _ in pairs)
+
+
+def test_minhash_dedup_with_reliable_checkpoint_dir(spark, docs):
+    """With a checkpoint dir configured, _materialize takes the reliable
+    .checkpoint() path; the survivor set must be identical. The dir cannot
+    be unset on a live context, so use a session-stable /tmp location (NOT
+    a pytest tmp_path, which gets reaped while the session may still
+    checkpoint into it from later tests)."""
+    before = {r["doc_id"] for r in textops.minhash_dedup(docs).select("doc_id").collect()}
+    spark.sparkContext.setCheckpointDir("/tmp/slowspark_test_ckpt")
+    after = {r["doc_id"] for r in textops.minhash_dedup(docs).select("doc_id").collect()}
+    assert after == before
