@@ -130,10 +130,16 @@ def run_pipeline_bench(
 
 
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
-    """Time each driver-contract query (collect() forces full execution)."""
+    """Time each driver-contract query (collect() forces full execution).
+    The shared oracle artifacts (entries/signature/pair parquets) are
+    materialized ONCE up front and reported as their own timing entry, so
+    per-query numbers measure the query, not whichever one ran first."""
     import __spark_entry__ as contract
 
     timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    contract._ensure_oracle_artifacts(spark, sf_dir)
+    timings["oracle_artifacts_materialize"] = round(time.perf_counter() - t0, 3)
     for name, fn in contract.queries().items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
