@@ -124,9 +124,17 @@ def session_windows(
     partitioning. The streaming analog with identical semantics is
     slowspark.streaming.sessionize_stream (applyInPandasWithState)."""
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    gap_s = gap_minutes * 60
-    prev = F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
-    is_new = prev.isNull() | (F.unix_timestamp(F.col(ts_col)) - prev > gap_s)
+    gap_s = float(gap_minutes) * 60
+    # cast("double") keeps sub-second precision — unix_timestamp() truncates
+    # to whole seconds, which would disagree with both the streaming analog
+    # (microsecond arithmetic) and DuckDB's fractional epoch() on events
+    # whose gap falls inside (gap_s, gap_s + 1). The intermediate
+    # cast("timestamp") lifts TIMESTAMP_NTZ columns (NTZ -> DOUBLE is not a
+    # legal direct cast; session tz is pinned to UTC) and is a no-op for
+    # regular timestamps.
+    ts_d = F.col(ts_col).cast("timestamp").cast("double")
+    prev = F.lag(ts_d).over(w)
+    is_new = prev.isNull() | (ts_d - prev > gap_s)
     numbered = (
         df.withColumn("__new", is_new.cast("long"))
         .withColumn(

@@ -75,6 +75,16 @@ class Catalog:
         if self.fmt == "iceberg":
             from pyspark.sql import functions as F
 
+            # Iceberg's bucket transform is single-column and writeTo has
+            # no sortBy — refuse loudly rather than silently writing a
+            # table with weaker co-location than the caller asked for
+            if len(bucket_by) != 1 or sort_by:
+                raise ValueError(
+                    "iceberg write_bucketed supports exactly one bucket "
+                    "column and no sort_by (bucket transform is "
+                    "single-column; use table write-order properties for "
+                    "sorting)"
+                )
             writer = df.writeTo(name).using("iceberg").partitionedBy(
                 F.bucket(n_buckets, bucket_by[0])
             )

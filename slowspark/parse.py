@@ -107,12 +107,17 @@ def parse_pages(
         raise ValueError(f"masking must be 'none' or 'placeholder', got {masking!r}")
     in_cols = [c for c in ("url", "text", "lang", "warc_ts") if c in pages.columns]
     mapper = context_mapper
+    forced_cols: set[str] = set()
     if columns is None:
         out_cols = _OUT_COLS
     else:
         need = set(columns) | {"url", "entry_index"}
         if masking == "placeholder" and "statement" in need:
-            need |= {"fingerprint", "entry_kind"}
+            # helper columns for the masking projection; dropped afterwards
+            # unless the caller asked for them (the projection contract must
+            # not depend on the masking flag)
+            forced_cols = {"fingerprint", "entry_kind"} - need
+            need |= forced_cols
         out_cols = [c for c in _OUT_COLS if c in need]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,6 +136,8 @@ def parse_pages(
                 F.col("entry_kind") == "SqlStatement", F.col("fingerprint")
             ).otherwise(F.col("statement")),
         )
+        if forced_cols:
+            out = out.drop(*sorted(forced_cols))
     # deterministic entry id: hash of natural keys, never rand()/uuid()
     # (reruns and checkpoint resumes must produce identical tables)
     return out.withColumn("entry_id", F.xxhash64("url", "entry_index"))

@@ -17,6 +17,8 @@ tokio's FramedRead (/root/reference/src/lib.rs:14-36). The Spark equivalents:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from slowspark.schema import PAGES_SCHEMA
@@ -42,6 +44,14 @@ def compact_pages(
     equivalent). Input size comes from the Hadoop FileSystem API (works for
     HDFS/S3A paths too, not just local), the rewrite is one round-robin
     repartition. Returns the output file count."""
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        # mode('overwrite') deletes dst BEFORE the lazy read of src runs —
+        # an in-place call would destroy its own input
+        raise ValueError(
+            "compact_pages: dst_path must differ from src_path "
+            "(overwrite deletes the destination before the source is read); "
+            "write to a temp dir and swap"
+        )
     df = spark.read.schema(PAGES_SCHEMA).parquet(src_path)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -65,6 +65,17 @@ def sessionize_stream(
     dropped by Spark before they reach the function — exactly the
     late-data contract the batch analog's determinism needs.
 
+    Late-but-within-watermark rows (older than the open session) are
+    handled by INTERVAL semantics, not a forward-only merge: rows within
+    `gap` of the open session extend it BACKWARD (session_start moves
+    earlier); strictly earlier rows form their own session(s), emitted
+    before the open one, and the trailing early session merges with the
+    open session when their gap allows. A row landing INSIDE an
+    already-emitted session's span cannot be recovered (that session left
+    the operator when the gap closed it) — keep the watermark at least as
+    large as the expected disorder, which is the same contract Spark's own
+    session_window aggregation has.
+
     Scale shape: state is O(1) per key (4 scalars), the shuffle is the
     groupBy key partitioning, and emission is incremental — this never
     buffers a key's history the way a naive collect-and-sessionize would."""
@@ -104,15 +115,45 @@ def sessionize_stream(
         qts = rows["query_time"].fillna(0.0).tolist() if "query_time" in rows else [0.0] * len(ts_us)
 
         if state.exists:
-            start_us, last_us, n, sqt = state.get
+            o_start, o_last, o_n, o_sqt = state.get
+            # rows within `gap` of the open session (t >= o_start - gap)
+            # extend it — possibly BACKWARD; strictly earlier rows are
+            # sessionized on their own first
+            early = [(t, q) for t, q in zip(ts_us, qts) if t < o_start - gap_us]
+            late = [(t, q) for t, q in zip(ts_us, qts) if t >= o_start - gap_us]
         else:
-            # empty open session anchored at the first row; the loop's
-            # n > 0 guard means it can't close before absorbing that row
-            start_us, last_us, n, sqt = ts_us[0], ts_us[0], 0, 0.0
-        for t, q in zip(ts_us, qts):
+            o_start, o_last, o_n, o_sqt = None, None, 0, 0.0
+            early, late = [], list(zip(ts_us, qts))
+
+        # sessionize the strictly-earlier rows; the trailing open one may
+        # merge into the state session if their gap allows
+        cur = None  # (start, last, n, sqt)
+        for t, q in early:
+            if cur is not None and t - cur[1] > gap_us:
+                yield emit(*cur)
+                cur = None
+            if cur is None:
+                cur = (t, t, 1, float(q))
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + float(q))
+        if cur is not None:
+            if o_start is not None and o_start - cur[1] <= gap_us:
+                o_start, o_last = cur[0], max(o_last, cur[1])
+                o_n, o_sqt = o_n + cur[2], o_sqt + cur[3]
+            else:
+                yield emit(*cur)
+
+        # fold the remaining rows into the open session (forward merges;
+        # t may sit inside the span — that only tightens internal gaps)
+        if o_start is None and late:
+            t0, q0 = late[0]
+            o_start, o_last, o_n, o_sqt = t0, t0, 0, 0.0
+        start_us, last_us, n, sqt = o_start, o_last, o_n, o_sqt
+        for t, q in late:
             if n > 0 and t - last_us > gap_us:
                 yield emit(start_us, last_us, n, sqt)
                 start_us, n, sqt = t, 0, 0.0
+            start_us = min(start_us, t)
             last_us = max(last_us, t)
             n += 1
             sqt += float(q)

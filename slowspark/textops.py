@@ -260,6 +260,15 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # silent non-convergence would hand back multiple survivors per
+        # component (and diverge from any exact oracle) with no signal —
+        # a component whose diameter exceeds max_iters must be loud
+        raise RuntimeError(
+            f"connected_min_labels: no fixpoint after {max_iters} "
+            f"iterations ({n_changed} labels still changing) — a component "
+            f"diameter exceeds max_iters; raise max_iters"
+        )
     return labels
 
 
@@ -700,8 +709,15 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     script_score = F.lit(None).cast("double")
     # build the when-chain in reverse so the FIRST match in priority wins
     for lang, pat in reversed(_SCRIPT_LANGS):
+        # count matching chars as length delta after deleting them —
+        # regexp_extract_all would allocate a one-string-per-character
+        # array (6 scripts x |doc| allocations on the hot path) just to
+        # take its size; the counts are identical (single-char patterns)
         ratio = (
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            (
+                F.length(F.col(text_col))
+                - F.length(F.regexp_replace(F.col(text_col), pat, ""))
+            ).cast("double")
             / F.col(nchars_col)
         )
         script_pred = F.when(ratio >= _SCRIPT_MIN_RATIO, F.lit(lang)).otherwise(script_pred)

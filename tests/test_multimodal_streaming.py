@@ -207,3 +207,50 @@ def test_audio_features_and_chunks(spark, media):
         assert sorted(c["chunk_index"] for c in cs) == list(range(want))
     with pytest.raises(Exception):
         multimodal.extract_audio_features(media, real_decode=True).collect()
+
+
+def test_sessionize_stream_out_of_order_within_watermark(spark, tmp_path):
+    """Late-but-within-watermark rows must extend the open session BACKWARD
+    (session_start moves earlier) and strictly-earlier rows must form their
+    own emitted session — not be forward-merged into the open one."""
+    from datetime import datetime, timedelta
+
+    from slowspark.streaming import sessionize_stream
+
+    base = datetime(2021, 6, 1)
+
+    def chunk(rows, i):
+        import time
+
+        spark.createDataFrame(
+            [("u", base + timedelta(seconds=s), 0.0) for s in rows],
+            "user string, warc_ts timestamp, query_time double",
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "ooo"))
+        time.sleep(0.05)
+
+    chunk([0, 9], 0)
+    # 8.5 is older than the open session's start (9) but within gap;
+    # 3 is strictly earlier (its own session); 20 closes the extended one
+    chunk([8.5, 3, 20], 1)
+    stream = (
+        spark.readStream.schema("user string, warc_ts timestamp, query_time double")
+        .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "ooo"))
+    )
+    sess = sessionize_stream(stream, ("user",), "warc_ts",
+                             gap_minutes=1 / 60.0, watermark="30 seconds")
+    q = (
+        sess.writeStream.format("memory").queryName("ooo_out")
+        .option("checkpointLocation", str(tmp_path / "ooo_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(
+            "select session_start, session_end, n_events from ooo_out"
+        ).collect()
+    }
+    t = lambda s: base + timedelta(seconds=s)
+    # closed sessions: [0,0], [3,3] (early standalone), [8.5,9] (backward-
+    # extended by the late 8.5 row); [20,20] stays open (no flush at stop)
+    assert got == {(t(0), t(0), 1), (t(3), t(3), 1), (t(8.5), t(9), 2)}
