@@ -439,3 +439,29 @@ def test_catalog_writes_zstd_by_default(spark, tmp_path):
     assert files and all(".zstd." in f for f in files)
     back = cat.read(spark, "tz")
     assert back.count() == 100
+
+
+def test_compact_pages_refuses_in_place(spark, tmp_path):
+    from slowspark.sources import compact_pages
+
+    src = str(tmp_path / "inplace")
+    gen_pages(spark, 10, partitions=1).write.parquet(src)
+    with pytest.raises(ValueError, match="dst_path must differ"):
+        compact_pages(spark, src, src)
+    # input untouched
+    assert spark.read.parquet(src).count() == 10
+
+
+def test_write_bucketed_iceberg_rejects_unsupported_combos(spark, tmp_path):
+    cat = Catalog(str(tmp_path), fmt="iceberg")
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="exactly one bucket"):
+        cat.write_bucketed(df, "t", bucket_by=["a", "b"])
+    with pytest.raises(ValueError, match="exactly one bucket"):
+        cat.write_bucketed(df, "t", bucket_by=["a"], sort_by=["b"])
+
+
+def test_masking_does_not_change_projection_schema(spark, pages):
+    a = parse_pages(pages, columns=["statement"], masking="none")
+    b = parse_pages(pages, columns=["statement"], masking="placeholder")
+    assert a.columns == b.columns

@@ -287,3 +287,11 @@ def test_minhash_dedup_with_reliable_checkpoint_dir(spark, docs):
     spark.sparkContext.setCheckpointDir("/tmp/slowspark_test_ckpt")
     after = {r["doc_id"] for r in textops.minhash_dedup(docs).select("doc_id").collect()}
     assert after == before
+
+
+def test_connected_min_labels_raises_on_nonconvergence(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(Exception, match="no fixpoint"):
+        textops.connected_min_labels(chain, max_iters=2).collect()
