@@ -105,6 +105,13 @@ class Catalog:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if self.fmt == "iceberg":
             return spark.read.format("iceberg").load(name)
+        # Metastore-registered tables (write_bucketed's saveAsTable) MUST be
+        # read via spark.table: a path load silently drops the bucketing
+        # metadata, and the very Exchange-free join the bucketed write
+        # prepaid for comes back. Path load is only the fallback for plain
+        # path-written tables.
+        if spark.catalog.tableExists(name):
+            return spark.table(name)
         return spark.read.format(self.fmt).load(self.path(name))
 
     def exists(self, spark: SparkSession, name: str) -> bool:

@@ -255,7 +255,11 @@ def ivf_train(
     sample = (
         corpus.select(id_col, vec_col)
         .filter(F.col(vec_col).isNotNull())
-        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
+        # seed participates in the sampling hash — callers varying seed get
+        # genuinely different quantizers (it was silently ignored before)
+        .withColumn(
+            "__h", F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed)))
+        )
         .orderBy("__h")
         .limit(n_centroids)
         .collect()
@@ -425,6 +429,8 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
+    log_drops: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus (no
     all-pairs cross join — the shuffle is keyed on the bucket), verify exact
@@ -432,11 +438,35 @@ def embedding_near_dup_pairs(
     bucket share all sign bits, so true near-dups (cosine -> 1) co-bucket
     with high probability; recall can be raised with multiple plane seeds.
     `dim` is optional — the bucket UDF infers it from the data (an empty
-    corpus yields an empty pair set, never a driver error)."""
-    b = with_lsh_bucket(corpus, vec_col, n_planes, dim, seed).select(
-        F.col(id_col), F.col(vec_col), F.col("lsh_bucket"),
-        _norm(vec_col).alias("__n"),
+    corpus yields an empty pair set, never a driver error).
+
+    Scale hardening (same pattern as textops.minhash_verified_pairs):
+      - null / empty (and, when `dim` is given, wrong-dimension) vectors
+        are filtered OUT before bucketing — they cannot be near-dups of
+        anything, and mapping them all to bucket 0 would make that bucket's
+        self-join quadratic in the null count on a corpus with a
+        malformed-embedding tail;
+      - the bucketed table is eagerly materialized before the self-join —
+        both join sides of a lazy plan race to recompute the bucket-UDF
+        subtree (measured 2-3x cost on the MinHash sibling);
+      - `max_bucket_size` drops pathological buckets from pair generation
+        with the dropped bucket/row counts logged (no silent caps)."""
+    from slowspark.util import capped_by_bucket, materialize
+
+    valid = corpus.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    if dim is not None:
+        valid = valid.filter(F.size(vec_col) == dim)
+    b = materialize(
+        with_lsh_bucket(valid, vec_col, n_planes, dim, seed).select(
+            F.col(id_col), F.col(vec_col), F.col("lsh_bucket"),
+            _norm(vec_col).alias("__n"),
+        )
     )
+    if max_bucket_size is not None:
+        b = capped_by_bucket(
+            b, ["lsh_bucket"], max_bucket_size,
+            "embedding_near_dup_pairs", log_drops,
+        )
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
         r,
@@ -465,11 +495,16 @@ def embedding_dedup(
     id_col: str = "vec_id",
     cosine_threshold: float = 0.95,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Drop the higher-id member of every near-dup pair (min-id keeper,
-    same policy as textops.minhash_dedup)."""
+    same policy as textops.minhash_dedup). ``max_bucket_size`` caps
+    pathological LSH buckets (dropped counts are logged, never silent)."""
     losers = (
-        embedding_near_dup_pairs(corpus, vec_col, id_col, cosine_threshold, dim=dim)
+        embedding_near_dup_pairs(
+            corpus, vec_col, id_col, cosine_threshold, dim=dim,
+            max_bucket_size=max_bucket_size,
+        )
         .select(F.greatest("id_a", "id_b").alias(id_col))
         .distinct()
     )

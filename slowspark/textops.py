@@ -25,26 +25,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-def _materialize(df: DataFrame) -> DataFrame:
-    """Eagerly materialize a DataFrame and truncate its lineage.
-
-    With a reliable checkpoint dir configured (spark.sparkContext.
-    setCheckpointDir — what a production cluster job should do), uses
-    .checkpoint(): blocks live in fault-tolerant storage and survive
-    executor loss. Otherwise falls back to .localCheckpoint(), which is
-    exactly right for local mode but NOT fault-tolerant on a cluster
-    (executor churn loses blocks AND the truncated lineage prevents
-    recompute). Used before self-joins on UDF-produced tables (a lazy
-    cache lets both join sides race to recompute the UDF subtree) and
-    inside iterative loops (plan growth)."""
-    sc = df.sparkSession.sparkContext
-    try:
-        has_dir = sc.getCheckpointDir() is not None
-    except Exception:
-        has_dir = False
-    if has_dir:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+from slowspark.util import capped_by_bucket, materialize as _materialize
 
 
 # ---------------------------------------------------------------------------
@@ -159,6 +140,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    log_drops: bool = True,
 ) -> DataFrame:
     """Banding: split each signature into `bands` bands of `rows_per_band`,
     hash each band, group by (band_id, band_hash) -> candidate pairs.
@@ -185,15 +167,9 @@ def minhash_lsh_candidates(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
     if max_bucket_size is not None:
-        sizes = (
-            b.groupBy("band_id", "band_hash")
-            .agg(F.count("*").alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size)
-        )
-        b = b.join(
-            sizes.select("band_id", "band_hash"),
-            ["band_id", "band_hash"],
-            "left_semi",
+        b = capped_by_bucket(
+            b, ["band_id", "band_hash"], max_bucket_size,
+            "minhash_lsh_candidates", log_drops,
         )
     left = b.alias("l")
     right = b.alias("r")
@@ -228,6 +204,8 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     grow with iterations (reliable checkpoint when a checkpoint dir is
     configured, localCheckpoint otherwise); the loop's only driver action
     is the tiny changed-count convergence check."""
+    if max_iters < 1:
+        raise ValueError(f"connected_min_labels: max_iters must be >= 1, got {max_iters}")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -291,9 +269,16 @@ def minhash_verified_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     shingle_k: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) pairs whose signature-ESTIMATED Jaccard clears the
-    threshold: signatures -> LSH banding candidates -> zip_with estimate."""
+    threshold: signatures -> LSH banding candidates -> zip_with estimate.
+
+    ``max_bucket_size`` is forwarded to the banding stage: buckets larger
+    than it are dropped from candidate generation (recall truncated for
+    those buckets only), with the dropped bucket/row counts logged — the
+    belt-and-braces defense when a viral template family survives
+    exact_dedup."""
     rows_per_band = n_perm // bands
     # _materialize (eager checkpoint), not cache(): the band self-join
     # scans the signature table twice IN THE SAME STAGE, and a lazily-
@@ -301,7 +286,7 @@ def minhash_verified_pairs(
     # subtree redundantly (measured 2-3x signature cost run-to-run).
     # Checkpointing materializes it exactly once.
     sigs = _materialize(minhash_signatures(df, text_col, id_col, n_perm, shingle_k))
-    cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band, max_bucket_size)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     return (
@@ -326,14 +311,17 @@ def minhash_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     shingle_k: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> signature-
     estimated Jaccard filter (minhash_verified_pairs) -> keep the lowest id
     per connected component (dedup_by_pairs: single-link, min-label
     propagation iterated to a fixpoint — exactly one keeper per component,
-    always the component min)."""
+    always the component min). ``max_bucket_size`` caps pathological LSH
+    buckets (dropped counts are logged, never silent)."""
     pairs = minhash_verified_pairs(
-        df, text_col, id_col, n_perm, bands, jaccard_threshold, shingle_k
+        df, text_col, id_col, n_perm, bands, jaccard_threshold, shingle_k,
+        max_bucket_size,
     )
     return dedup_by_pairs(df, pairs, id_col)
 
@@ -430,6 +418,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     n_blocks: int | None = None,
     max_bucket_size: int | None = None,
+    log_drops: bool = True,
 ) -> DataFrame:
     """Multi-table candidate generation (Manku et al., WWW'07): split the
     64-bit simhash into n_blocks (default max_hamming + 3) blocks; any pair
@@ -466,12 +455,10 @@ def simhash_candidates(
         id_col, "simhash", F.explode(F.expr(f"array({structs})")).alias("t")
     ).select(id_col, "simhash", "t.tbl", "t.tkey")
     if max_bucket_size is not None:
-        sizes = (
-            keyed.groupBy("tbl", "tkey")
-            .agg(F.count("*").alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size)
+        keyed = capped_by_bucket(
+            keyed, ["tbl", "tkey"], max_bucket_size,
+            "simhash_candidates", log_drops,
         )
-        keyed = keyed.join(sizes.select("tbl", "tkey"), ["tbl", "tkey"], "left_semi")
     l, r = keyed.alias("l"), keyed.alias("r")
     return (
         l.join(
@@ -589,6 +576,7 @@ def jaccard_verified_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     est_margin: float = 0.25,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Exact-verified near-dup pairs, estimate-then-verify:
 
@@ -605,9 +593,10 @@ def jaccard_verified_pairs(
          |prefiltered|, never |docs|^2).
     jaccard_dedup composes this with dedup_by_pairs (component-min
     survivors). Use over minhash_dedup when the estimated Jaccard alone is
-    too noisy to decide the threshold."""
+    too noisy to decide the threshold. ``max_bucket_size`` caps pathological
+    LSH buckets (dropped counts are logged, never silent)."""
     sigs = _materialize(minhash_signatures(df, text_col, id_col, n_perm, shingle_k))
-    cands = minhash_lsh_candidates(sigs, id_col, bands, n_perm // bands)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, n_perm // bands, max_bucket_size)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     prefiltered = (
@@ -639,11 +628,14 @@ def jaccard_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     est_margin: float = 0.25,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """jaccard_verified_pairs + dedup_by_pairs (component-min survivors)."""
+    """jaccard_verified_pairs + dedup_by_pairs (component-min survivors).
+    ``max_bucket_size`` caps pathological LSH buckets (dropped counts are
+    logged, never silent)."""
     pairs = jaccard_verified_pairs(
         df, text_col, id_col, jaccard_threshold, ngram_n, n_perm, bands,
-        shingle_k, est_margin,
+        shingle_k, est_margin, max_bucket_size,
     )
     return dedup_by_pairs(df, pairs, id_col)
 

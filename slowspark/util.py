@@ -1,0 +1,77 @@
+"""Shared plan-shape utilities: eager materialization and bucket capping.
+
+These exist because two patterns recur across the dedup/similarity family:
+
+  - self-joins on UDF-produced tables must materialize the UDF output
+    first (a lazy cache lets both join sides race to recompute the UDF
+    subtree — measured 2-3x signature cost run-to-run);
+  - bucket-keyed candidate joins need a safety cap against pathological
+    (viral-template) buckets, and that cap must never be silent.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, functions as F
+
+logger = logging.getLogger("slowspark")
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a DataFrame and truncate its lineage.
+
+    With a reliable checkpoint dir configured (spark.sparkContext.
+    setCheckpointDir — what a production cluster job should do), uses
+    .checkpoint(): blocks live in fault-tolerant storage and survive
+    executor loss. Otherwise falls back to .localCheckpoint(), which is
+    exactly right for local mode but NOT fault-tolerant on a cluster
+    (executor churn loses blocks AND the truncated lineage prevents
+    recompute). Used before self-joins on UDF-produced tables and inside
+    iterative loops (plan growth)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
+def capped_by_bucket(
+    df: DataFrame,
+    keys: list[str],
+    max_bucket_size: int,
+    label: str,
+    log_drops: bool = True,
+) -> DataFrame:
+    """Drop every bucket (group over `keys`) larger than `max_bucket_size`
+    via a left-semi join on the surviving keys.
+
+    No-silent-caps rule: by default the dropped-bucket count and row count
+    are computed eagerly (one tiny aggregate job over the bucket-size
+    table — the caller explicitly opted into capping, and a cap that
+    truncates recall without a trace is how candidates disappear unnoticed)
+    and emitted through the `slowspark` logger at WARNING. Pass
+    log_drops=False to keep the plan fully lazy (e.g. inside plan-shape
+    tests)."""
+    sizes = df.groupBy(*keys).agg(F.count("*").alias("__bn"))
+    if log_drops:
+        stats = (
+            sizes.filter(F.col("__bn") > max_bucket_size)
+            .agg(
+                F.count("*").alias("nb"),
+                F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
+            )
+            .first()
+        )
+        if stats["nb"]:
+            logger.warning(
+                "%s: max_bucket_size=%d dropped %d bucket(s) / %d row(s) "
+                "from candidate generation (recall truncated for those "
+                "buckets; run the bucket histogram to inspect)",
+                label, max_bucket_size, stats["nb"], stats["nr"],
+            )
+    kept = sizes.filter(F.col("__bn") <= max_bucket_size).select(*keys)
+    return df.join(kept, keys, "left_semi")

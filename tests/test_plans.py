@@ -139,7 +139,11 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        # read through Catalog.read, not spark.table directly: the reader
+        # must resolve metastore-registered names via the catalog (a path
+        # load silently drops the bucketing metadata and re-introduces the
+        # Exchange this feature exists to avoid)
+        joined = cat.read(spark, "bt_a").join(cat.read(spark, "bt_b"), "k")
         plan = _plan(joined)
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan

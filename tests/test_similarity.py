@@ -186,6 +186,75 @@ def test_ivf_train_deterministic_and_normalized(emb):
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
 
 
+def test_ivf_train_seed_changes_quantizer(emb):
+    """seed must participate in centroid sampling — two seeds give two
+    different quantizers (it was silently ignored before)."""
+    c1 = similarity.ivf_train(emb, n_centroids=8, lloyd_iters=0, seed=42)
+    c2 = similarity.ivf_train(emb, n_centroids=8, lloyd_iters=0, seed=43)
+    assert not np.allclose(c1, c2)
+
+
+def test_embedding_pairs_null_tail_no_bucket0_blowup(spark, emb):
+    """A corpus with a large null/empty/misdimensioned-embedding tail must
+    not pile invalid rows into LSH bucket 0: invalid rows are filtered out
+    before bucketing, so the pair set contains only valid near-dups."""
+    base = emb.limit(3).collect()
+    copies = [
+        (
+            100_000 + r["vec_id"],
+            (np.asarray(r["embedding"]) * 1.0001).astype("float32").tolist(),
+            -1,
+        )
+        for r in base
+    ]
+    junk = [(200_000 + i, None, -1) for i in range(80)]
+    junk += [(300_000 + i, [], -1) for i in range(40)]
+    corpus = emb.unionByName(
+        spark.createDataFrame(copies + junk, emb.schema)
+    )
+    pairs = similarity.embedding_near_dup_pairs(corpus, cosine_threshold=0.99)
+    rows = pairs.collect()
+    ids = {i for r in rows for i in (r["id_a"], r["id_b"])}
+    assert not any(i >= 200_000 for i in ids)  # no junk row in any pair
+    for r in base:
+        assert (r["vec_id"], 100_000 + r["vec_id"]) in {
+            (p["id_a"], p["id_b"]) for p in rows
+        }
+
+
+def test_embedding_pairs_bucket_udf_materialized_once(spark, emb):
+    """The bucketed table must be eagerly materialized before the self-join:
+    the pair plan must contain NO pandas-UDF node (both join sides of a lazy
+    plan would race to recompute the bucket-UDF subtree)."""
+    pairs = similarity.embedding_near_dup_pairs(emb, cosine_threshold=0.99)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_embedding_pairs_bucket_cap_logged(spark, caplog):
+    """max_bucket_size drops an oversized bucket from pair generation and
+    logs the drop (no silent caps)."""
+    import logging
+
+    # 60 identical vectors -> one bucket of 60; 2 near-identical others
+    same = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(60)]
+    other = [(100, [-4.0, 3.0, -2.0, 1.0], 0), (101, [-4.0, 3.0, -2.0, 1.0001], 0)]
+    df = spark.createDataFrame(
+        same + other, "vec_id long, embedding array<float>, label int"
+    )
+    with caplog.at_level(logging.WARNING, logger="slowspark"):
+        pairs = similarity.embedding_near_dup_pairs(
+            df, cosine_threshold=0.99, max_bucket_size=10
+        )
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}
+    assert any("embedding_near_dup_pairs" in r.message and "dropped" in r.message
+               for r in caplog.records)
+    deduped = similarity.embedding_dedup(df, cosine_threshold=0.99, max_bucket_size=10)
+    kept = {r["vec_id"] for r in deduped.select("vec_id").collect()}
+    assert kept == set(range(60)) | {100}
+
+
 def test_ivf_indexed_topk_partition_prunes(spark, emb, query_vec, tmp_path):
     """Persisted IVF index: the probe query must (a) partition-prune the
     scan to the probed cells (PartitionFilters in the physical plan, and

@@ -295,3 +295,47 @@ def test_connected_min_labels_raises_on_nonconvergence(spark):
     )
     with pytest.raises(Exception, match="no fixpoint"):
         textops.connected_min_labels(chain, max_iters=2).collect()
+
+
+def test_connected_min_labels_rejects_nonpositive_max_iters(spark):
+    """max_iters <= 0 must fail loudly up front (the old for-else path
+    raised a confusing NameError instead)."""
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="max_iters"):
+        textops.connected_min_labels(pairs, max_iters=0)
+
+
+def test_bucket_cap_reachable_from_public_dedup_apis(spark, caplog):
+    """max_bucket_size must thread end-to-end through the four public dedup
+    entry points, and capped drops must be LOGGED (no silent caps).
+    50 byte-identical viral docs overflow every band bucket; with the cap
+    their pairs vanish (so all 50 survive dedup), while the distinct
+    near-dup pair still collapses."""
+    import logging
+
+    viral = [(i, "the same viral page content repeated verbatim " * 20)
+             for i in range(50)]
+    normal = [(100, "some unique text about apples and oranges " * 10),
+              (101, "some unique text about apples and oranges " * 10)]
+    df = spark.createDataFrame(viral + normal, "doc_id long, text string")
+
+    with caplog.at_level(logging.WARNING, logger="slowspark"):
+        capped_pairs = textops.minhash_verified_pairs(df, max_bucket_size=10)
+        got = {(r["id_a"], r["id_b"]) for r in capped_pairs.collect()}
+    assert got == {(100, 101)}
+    assert any("max_bucket_size=10 dropped" in r.message for r in caplog.records)
+
+    kept = {r["doc_id"] for r in
+            textops.minhash_dedup(df, max_bucket_size=10).select("doc_id").collect()}
+    assert kept == set(range(50)) | {100}
+    # without the cap the viral blob collapses to its min id
+    kept_uncapped = {r["doc_id"] for r in
+                     textops.minhash_dedup(df).select("doc_id").collect()}
+    assert kept_uncapped == {0, 100}
+
+    kept_j = {r["doc_id"] for r in
+              textops.jaccard_dedup(df, max_bucket_size=10).select("doc_id").collect()}
+    assert kept_j == set(range(50)) | {100}
+    pairs_j = {(r["id_a"], r["id_b"]) for r in
+               textops.jaccard_verified_pairs(df, max_bucket_size=10).collect()}
+    assert pairs_j == {(100, 101)}
