@@ -54,112 +54,113 @@ def sessionize_stream(
 ) -> DataFrame:
     """Custom STATEFUL streaming operator via applyInPandasWithState:
     cross-batch gap-based session windows per key, the streaming analog of
-    slowspark.aggregate.session_windows (same semantics on closed sessions).
+    slowspark.aggregate.session_windows.
 
-    State per key = the one open session (start_us, last_us, n, sum_qt).
-    Each micro-batch merges its rows in event-time order into that session,
-    EMITS every session closed by a gap, keeps the still-open tail in state
-    and arms an event-time timeout at last_seen + gap: when the watermark
-    passes it (i.e. no row can extend the session anymore), the timed-out
-    state flushes as a final session. Late rows beyond the watermark are
-    dropped by Spark before they reach the function — exactly the
-    late-data contract the batch analog's determinism needs.
+    FINALITY CONTRACT (append mode): a session is emitted only once the
+    event-time watermark passes ``session_end + gap`` — i.e. once Spark
+    guarantees no surviving row can extend or backward-merge into it.
+    Sessions closed by an in-batch gap are NOT emitted immediately (a
+    later micro-batch could still deliver a within-watermark row that
+    belongs to them when the watermark delay exceeds the gap); they stay
+    buffered in state until finalized. This matches Spark's own
+    session_window aggregation in append mode and makes the emitted set a
+    pure function of the input, independent of micro-batch boundaries.
 
-    Late-but-within-watermark rows (older than the open session) are
-    handled by INTERVAL semantics, not a forward-only merge: rows within
-    `gap` of the open session extend it BACKWARD (session_start moves
-    earlier); strictly earlier rows form their own session(s), emitted
-    before the open one, and the trailing early session merges with the
-    open session when their gap allows. A row landing INSIDE an
-    already-emitted session's span cannot be recovered (that session left
-    the operator when the gap closed it) — keep the watermark at least as
-    large as the expected disorder, which is the same contract Spark's own
-    session_window aggregation has.
+    State per key = the list of not-yet-final sessions (each 4 scalars:
+    start_us, last_us, n, sum_qt), JSON-encoded. Each micro-batch merges
+    its rows into that list with interval semantics — a row within `gap`
+    of a buffered session extends it (backward or forward), a row bridging
+    two sessions merges them, anything else opens a new session — then
+    flushes every session the current watermark has finalized and arms an
+    event-time timeout at the earliest remaining ``session_end + gap`` so
+    finalization happens even if the key sees no more data. Rows beyond
+    the watermark are dropped by Spark before they reach the function.
 
-    Scale shape: state is O(1) per key (4 scalars), the shuffle is the
-    groupBy key partitioning, and emission is incremental — this never
-    buffers a key's history the way a naive collect-and-sessionize would."""
+    Scale shape: state is O(unfinalized sessions) per key — bounded by
+    ``watermark delay / gap`` sessions, a handful in practice (it cannot
+    grow with history: anything older than the watermark flushes) — the
+    shuffle is the groupBy key partitioning, and emission is incremental."""
     out_fields = ", ".join(f"{k} string" for k in key_cols)
     out_schema = (
         f"{out_fields}, session_start timestamp, session_end timestamp, "
         f"n_events long, sum_query_time double"
     )
-    state_schema = "start_us long, last_us long, n long, sum_qt double"
+    state_schema = "sessions string"
     gap_us = int(gap_minutes * 60 * 1_000_000)
 
     def fn(key, pdfs, state):
+        import json
+
         import pandas as pd
 
-        def emit(start_us, last_us, n, sqt):
+        def emit_df(sessions):
+            sessions = sorted(sessions)
             return pd.DataFrame({
-                **{k: [key[i]] for i, k in enumerate(key_cols)},
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "session_end": [pd.Timestamp(last_us, unit="us")],
-                "n_events": [n],
-                "sum_query_time": [sqt],
+                **{k: [key[i]] * len(sessions) for i, k in enumerate(key_cols)},
+                "session_start": [pd.Timestamp(s[0], unit="us") for s in sessions],
+                "session_end": [pd.Timestamp(s[1], unit="us") for s in sessions],
+                "n_events": [int(s[2]) for s in sessions],
+                "sum_query_time": [float(s[3]) for s in sessions],
             })
 
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        def split_final(sessions):
+            final = [s for s in sessions if s[1] + gap_us <= wm_us]
+            keep = [s for s in sessions if s[1] + gap_us > wm_us]
+            return final, keep
+
+        def park(keep):
+            """Store the unfinalized sessions and arm the timeout at the
+            earliest possible finalization instant (must be > watermark)."""
+            state.update((json.dumps(keep),))
+            timeout_ms = min(s[1] + gap_us for s in keep) // 1000
+            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+
         if state.hasTimedOut:
-            # watermark passed last_seen + gap: the open session is final
-            start_us, last_us, n, sqt = state.get
-            state.remove()
-            yield emit(start_us, last_us, n, sqt)
+            final, keep = split_final(json.loads(state.get[0]))
+            if keep:
+                park(keep)
+            else:
+                state.remove()
+            if final:
+                yield emit_df(final)
             return
 
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        rows = pd.concat(list(pdfs), ignore_index=True)
         # normalize to ns first — Arrow may hand back datetime64[us] or [ns]
         ts_us = (
             pd.to_datetime(rows[ts_col]).astype("datetime64[ns]").astype("int64")
             // 1000
         ).tolist()
-        qts = rows["query_time"].fillna(0.0).tolist() if "query_time" in rows else [0.0] * len(ts_us)
-
-        if state.exists:
-            o_start, o_last, o_n, o_sqt = state.get
-            # rows within `gap` of the open session (t >= o_start - gap)
-            # extend it — possibly BACKWARD; strictly earlier rows are
-            # sessionized on their own first
-            early = [(t, q) for t, q in zip(ts_us, qts) if t < o_start - gap_us]
-            late = [(t, q) for t, q in zip(ts_us, qts) if t >= o_start - gap_us]
-        else:
-            o_start, o_last, o_n, o_sqt = None, None, 0, 0.0
-            early, late = [], list(zip(ts_us, qts))
-
-        # sessionize the strictly-earlier rows; the trailing open one may
-        # merge into the state session if their gap allows
-        cur = None  # (start, last, n, sqt)
-        for t, q in early:
-            if cur is not None and t - cur[1] > gap_us:
-                yield emit(*cur)
-                cur = None
-            if cur is None:
-                cur = (t, t, 1, float(q))
+        qts = (
+            rows["query_time"].fillna(0.0).tolist()
+            if "query_time" in rows
+            else [0.0] * len(ts_us)
+        )
+        sessions = json.loads(state.get[0]) if state.exists else []
+        # interval merge: buffered sessions are already gap-dense, so the
+        # session partition of (buffered points + new points) equals the
+        # gap-merge of the sorted intervals — new rows can extend a session
+        # backward/forward or bridge two sessions into one
+        intervals = sessions + [[t, t, 1, float(q)] for t, q in zip(ts_us, qts)]
+        intervals.sort(key=lambda s: (s[0], s[1]))
+        merged: list[list] = []
+        for iv in intervals:
+            if merged and iv[0] - merged[-1][1] <= gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], iv[1])
+                m[2] += iv[2]
+                m[3] += iv[3]
             else:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + float(q))
-        if cur is not None:
-            if o_start is not None and o_start - cur[1] <= gap_us:
-                o_start, o_last = cur[0], max(o_last, cur[1])
-                o_n, o_sqt = o_n + cur[2], o_sqt + cur[3]
-            else:
-                yield emit(*cur)
-
-        # fold the remaining rows into the open session (forward merges;
-        # t may sit inside the span — that only tightens internal gaps)
-        if o_start is None and late:
-            t0, q0 = late[0]
-            o_start, o_last, o_n, o_sqt = t0, t0, 0, 0.0
-        start_us, last_us, n, sqt = o_start, o_last, o_n, o_sqt
-        for t, q in late:
-            if n > 0 and t - last_us > gap_us:
-                yield emit(start_us, last_us, n, sqt)
-                start_us, n, sqt = t, 0, 0.0
-            start_us = min(start_us, t)
-            last_us = max(last_us, t)
-            n += 1
-            sqt += float(q)
-        state.update((start_us, last_us, n, sqt))
-        # close the open session once no on-time row can extend it
-        state.setTimeoutTimestamp(last_us // 1000 + int(gap_minutes * 60 * 1000))
+                merged.append(list(iv))
+        final, keep = split_final(merged)
+        if keep:
+            park(keep)
+        elif state.exists:
+            state.remove()
+        if final:
+            yield emit_df(final)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -124,10 +124,13 @@ def test_streaming_fanout_replay_is_idempotent(spark, tmp_path):
 
 
 def test_sessionize_stream_matches_batch_analog(spark, tmp_path):
-    """applyInPandasWithState sessionization: every CLOSED streamed session
-    must exactly equal a batch session_windows session; the only missing
-    ones are the final open tail per user (the stream ends before their
-    event-time timeout can fire)."""
+    """applyInPandasWithState sessionization under the FINALITY contract:
+    every emitted session must exactly equal a batch session_windows
+    session, a session may only be emitted once the watermark passed its
+    end + gap, and every session comfortably finalized by the last data
+    batch's watermark MUST have been emitted (the only missing ones are
+    the un-finalizable tail — their end + gap exceeds the final
+    watermark, so the stream ends before they can flush)."""
     from slowspark.aggregate import session_windows
     from slowspark.parse import parse_pages
     from slowspark.streaming import sessionize_stream
@@ -169,15 +172,27 @@ def test_sessionize_stream_matches_batch_analog(spark, tmp_path):
     )
     want = {key(r) for r in batch.collect()}
     assert got <= want
-    missing = want - got
-    n_users = batch.select("user").distinct().count()
-    assert len(missing) <= n_users
-    # each missing session is its user's LAST session (the open tail)
-    last_end = {}
-    for u, s, e, n in want:
-        if u not in last_end or e > last_end[u]:
-            last_end[u] = e
-    assert all(e == last_end[u] for u, s, e, n in missing)
+
+    # watermark bookkeeping: delay is sessionize_stream's default 1s, gap
+    # is 1s. The watermark available during the LAST data batch derives
+    # from the first three chunks' max event time; whether a trailing
+    # no-data batch advances it to the global max is a Spark scheduling
+    # detail, so assert against both bounds:
+    gap = timedelta(seconds=1)
+    delay = timedelta(seconds=1)
+    slack = timedelta(milliseconds=2)
+    pages = spark.read.parquet(src)
+    chunk3_hi = (BASE_TS + timedelta(seconds=30)).replace(tzinfo=None)
+    wm_lo = (
+        pages.filter(F.col("warc_ts") < chunk3_hi).agg(F.max("warc_ts")).first()[0]
+        - delay
+    )
+    wm_hi = pages.agg(F.max("warc_ts")).first()[0] - delay
+    # completeness: everything comfortably finalized by wm_lo was emitted
+    assert {x for x in want if x[2] + gap + slack <= wm_lo} <= got
+    # finality: nothing was emitted before the max possible watermark
+    # passed its end + gap
+    assert all(e + gap <= wm_hi + slack for _, s, e, n in got)
 
 
 def test_audio_features_and_chunks(spark, media):
@@ -210,16 +225,18 @@ def test_audio_features_and_chunks(spark, media):
 
 
 def test_sessionize_stream_out_of_order_within_watermark(spark, tmp_path):
-    """Late-but-within-watermark rows must extend the open session BACKWARD
-    (session_start moves earlier) and strictly-earlier rows must form their
-    own emitted session — not be forward-merged into the open one."""
+    """Late-but-within-watermark rows must extend a buffered session
+    BACKWARD (session_start moves earlier) and strictly-earlier rows must
+    form their own session — and NOTHING may be emitted until the watermark
+    passes its end + gap (the finality contract: a watermark delay larger
+    than the gap must not produce split/overlapping sessions)."""
     from datetime import datetime, timedelta
 
     from slowspark.streaming import sessionize_stream
 
     base = datetime(2021, 6, 1)
 
-    def chunk(rows, i):
+    def chunk(rows):
         import time
 
         spark.createDataFrame(
@@ -228,10 +245,19 @@ def test_sessionize_stream_out_of_order_within_watermark(spark, tmp_path):
         ).coalesce(1).write.mode("append").parquet(str(tmp_path / "ooo"))
         time.sleep(0.05)
 
-    chunk([0, 9], 0)
-    # 8.5 is older than the open session's start (9) but within gap;
-    # 3 is strictly earlier (its own session); 20 closes the extended one
-    chunk([8.5, 3, 20], 1)
+    chunk([0, 9])
+    # 8.5 is older than the buffered [9,9] session's start but within gap
+    # (backward extension); 3 is strictly earlier (its own session); 20
+    # gap-closes the extended session. Watermark delay (30s) >> gap (1s):
+    # the OLD eager emission would have emitted [9,9] before 8.5 arrived,
+    # yielding split sessions — the finality contract forbids that.
+    chunk([8.5, 3, 20])
+    # watermark movers: during the [140] batch the watermark is 120-30=90s,
+    # finalizing everything through [20,20]; even if a trailing no-data
+    # batch advances it to 140-30=110s, [120,120] (end+gap=121s) and
+    # [140,140] stay buffered — the expected set is the same either way
+    chunk([120])
+    chunk([140])
     stream = (
         spark.readStream.schema("user string, warc_ts timestamp, query_time double")
         .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "ooo"))
@@ -251,6 +277,5 @@ def test_sessionize_stream_out_of_order_within_watermark(spark, tmp_path):
         ).collect()
     }
     t = lambda s: base + timedelta(seconds=s)
-    # closed sessions: [0,0], [3,3] (early standalone), [8.5,9] (backward-
-    # extended by the late 8.5 row); [20,20] stays open (no flush at stop)
-    assert got == {(t(0), t(0), 1), (t(3), t(3), 1), (t(8.5), t(9), 2)}
+    assert got == {(t(0), t(0), 1), (t(3), t(3), 1), (t(8.5), t(9), 2),
+                   (t(20), t(20), 1)}
