@@ -330,19 +330,48 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
+# Worker-side token-hash memo for simhash_signatures: web text is Zipfian,
+# so across the documents of one worker's batches the same tokens recur
+# constantly — hashing each unique token ONCE per worker (not once per
+# document) removes the dominant cost of the signature stage. Bounded so a
+# pathological vocabulary can't grow worker memory without limit.
+_SIMHASH_TOKEN_CACHE: dict[str, int] = {}
+_SIMHASH_TOKEN_CACHE_MAX = 1_000_000
+
+
+def _simhash_token_hashes(tokens: set[str]) -> np.ndarray:
+    """64-bit blake2b per unique token, memoized per worker process. The
+    hash function is unchanged (signatures stay byte-identical to the
+    uncached implementation — pinned by the sf0.01 regression golden)."""
+    from hashlib import blake2b
+
+    cache = _SIMHASH_TOKEN_CACHE
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(
+                blake2b(t.encode("utf-8", "ignore"), digest_size=8).digest(), "big"
+            )
+            if len(cache) < _SIMHASH_TOKEN_CACHE_MAX:
+                cache[t] = h
+        out[i] = h
+    return out
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash (Charikar 2002) over whitespace tokens; numpy-
-    vectorized pandas UDF. Near-dups differ in few bits -> hamming-ball
-    lookup by table-splitting on 4x16-bit chunks."""
+    vectorized pandas UDF with a per-worker unique-token hash memo. Near-
+    dups differ in few bits -> multi-table lookup (simhash_candidates)."""
     out_schema = T.StructType([
         T.StructField("__id", T.LongType(), False),
         T.StructField("simhash", T.LongType(), False),
     ])
 
     def fn(batches):
-        bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        bit_weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
@@ -350,25 +379,10 @@ def simhash_signatures(
                 if not toks:
                     out.append(0)
                     continue
-                hs = np.array(
-                    [
-                        np.uint64(
-                            int.from_bytes(
-                                __import__("hashlib").blake2b(
-                                    t.encode("utf-8", "ignore"), digest_size=8
-                                ).digest(),
-                                "big",
-                            )
-                        )
-                        for t in set(toks)
-                    ],
-                    dtype=np.uint64,
-                )
-                bits = ((hs[:, None] & bit_cols[None, :]) != 0).astype(np.int64)
-                v = bits.sum(axis=0) * 2 - len(hs)
-                sig = np.uint64(0)
-                for i in np.nonzero(v > 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(i)
+                hs = _simhash_token_hashes(set(toks))
+                bits = ((hs[:, None] & bit_weights[None, :]) != 0)
+                v = bits.sum(axis=0, dtype=np.int64) * 2 - len(hs)
+                sig = np.uint64(np.sum(bit_weights[v > 0], dtype=np.uint64))
                 out.append(int(np.int64(sig)))
             yield pd.DataFrame({"__id": pdf[id_col].astype("int64"), "simhash": out})
 
@@ -678,42 +692,44 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Stage 1 (script ratio): count \\p{Script=...} hits per non-Latin script
     over non-space chars; the first script (in _SCRIPT_LANGS priority
     order — kana before Han so ja beats zh on mixed text) above
-    _SCRIPT_MIN_RATIO decides. Stage 2 (Latin languages): stopword-overlap —
-    tokens computed ONCE into a temp column (not re-split per language),
-    per-language array_intersect score, argmax via array_max over
-    (score, lang) structs (struct ordering is field-order, so ties break on
-    the larger lang tag — deterministic)."""
+    _SCRIPT_MIN_RATIO decides. The whole stage is gated per row on ONE
+    cheap non-ASCII rlike: every non-Latin script char is non-ASCII, so a
+    pure-ASCII document (the common case in a filtered CC corpus) skips
+    all six counting scans — conditional branches short-circuit at
+    runtime. Stage 2 (Latin languages): stopword-overlap — tokens computed
+    ONCE into a temp column (not re-split per language), per-language
+    array_intersect score, argmax via array_max over (score, lang) structs
+    (struct ordering is field-order, so ties break on the larger lang
+    tag — deterministic)."""
     tokens_col = "__li_toks"
-    nchars_col = "__li_n"
+    nonascii_col = "__li_na"
     df2 = (
-        df.withColumn(
-            nchars_col,
-            F.greatest(
-                F.length(F.regexp_replace(F.col(text_col), r"\s+", "")), F.lit(1)
-            ),
-        )
+        df.withColumn(nonascii_col, F.col(text_col).rlike(r"[^\x00-\x7F]"))
         .withColumn(
             tokens_col,
             F.array_distinct(F.split(F.lower(F.col(text_col)), r"[^\p{L}]+")),
         )
     )
+    # non-space char count, referenced only inside the non-ASCII-gated
+    # ratios (subexpression elimination computes it once per gated row;
+    # ASCII rows never pay the scan)
+    nchars = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"\S")).cast("double"), F.lit(1.0)
+    )
     script_pred = F.lit(None).cast("string")
     script_score = F.lit(None).cast("double")
     # build the when-chain in reverse so the FIRST match in priority wins
     for lang, pat in reversed(_SCRIPT_LANGS):
-        # count matching chars as length delta after deleting them —
-        # regexp_extract_all would allocate a one-string-per-character
-        # array (6 scripts x |doc| allocations on the hot path) just to
-        # take its size; the counts are identical (single-char patterns)
-        ratio = (
-            (
-                F.length(F.col(text_col))
-                - F.length(F.regexp_replace(F.col(text_col), pat, ""))
-            ).cast("double")
-            / F.col(nchars_col)
-        )
-        script_pred = F.when(ratio >= _SCRIPT_MIN_RATIO, F.lit(lang)).otherwise(script_pred)
-        script_score = F.when(ratio >= _SCRIPT_MIN_RATIO, ratio).otherwise(script_score)
+        # regexp_count: one counting scan per script, no allocation — the
+        # previous length-delta-after-regexp_replace rewrote the full text
+        # per script just to count chars; counts are identical (single-char
+        # patterns). The non-ASCII gate skips the scan entirely for ASCII
+        # docs (subexpression elimination shares the count between the
+        # pred and score branches).
+        ratio = F.regexp_count(F.col(text_col), F.lit(pat)).cast("double") / nchars
+        hit = F.col(nonascii_col) & (ratio >= _SCRIPT_MIN_RATIO)
+        script_pred = F.when(hit, F.lit(lang)).otherwise(script_pred)
+        script_score = F.when(hit, ratio).otherwise(script_score)
     scores = F.array(*[
         F.struct(
             F.size(
@@ -733,7 +749,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             "lang_score",
             F.coalesce(script_score, best["score"].cast("double")),
         )
-        .drop(tokens_col, nchars_col)
+        .drop(tokens_col, nonascii_col)
     )
 
 
