@@ -261,31 +261,23 @@ def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def minhash_verified_pairs(
-    df: DataFrame,
-    text_col: str = "text",
+def minhash_estimated_pairs(
+    sigs: DataFrame,
     id_col: str = "doc_id",
-    n_perm: int = _N_PERM_DEFAULT,
     bands: int = 16,
-    jaccard_threshold: float = 0.7,
-    shingle_k: int = 5,
+    rows_per_band: int | None = None,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b) pairs whose signature-ESTIMATED Jaccard clears the
-    threshold: signatures -> LSH banding candidates -> zip_with estimate.
-
-    ``max_bucket_size`` is forwarded to the banding stage: buckets larger
-    than it are dropped from candidate generation (recall truncated for
-    those buckets only), with the dropped bucket/row counts logged — the
-    belt-and-braces defense when a viral template family survives
-    exact_dedup."""
-    rows_per_band = n_perm // bands
-    # _materialize (eager checkpoint), not cache(): the band self-join
-    # scans the signature table twice IN THE SAME STAGE, and a lazily-
-    # filled cache lets both sides race to compute the expensive UDF
-    # subtree redundantly (measured 2-3x signature cost run-to-run).
-    # Checkpointing materializes it exactly once.
-    sigs = _materialize(minhash_signatures(df, text_col, id_col, n_perm, shingle_k))
+    """(id_a, id_b, est_jaccard) over a signature table: LSH banding
+    candidates joined back to both signatures, estimated Jaccard =
+    matching-minhash fraction. The shared trunk of minhash_verified_pairs
+    (threshold filter) and jaccard_verified_pairs (margin prefilter +
+    exact verify) — callers holding a materialized signature table compute
+    the banding shuffle ONCE for both. `sigs` should be materialized
+    (slowspark.util.materialize) — the band self-join scans it twice in
+    the same stage."""
+    if rows_per_band is None:
+        rows_per_band = 4
     cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band, max_bucket_size)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -298,6 +290,40 @@ def minhash_verified_pairs(
                 "/ cast(size(sig_a) as double)"
             ),
         )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = _N_PERM_DEFAULT,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b) pairs whose signature-ESTIMATED Jaccard clears the
+    threshold: signatures -> LSH banding candidates -> zip_with estimate.
+
+    ``max_bucket_size`` is forwarded to the banding stage: buckets larger
+    than it are dropped from candidate generation (recall truncated for
+    those buckets only), with the dropped bucket/row counts logged — the
+    belt-and-braces defense when a viral template family survives
+    exact_dedup. ``sigs``: optional pre-materialized signature table
+    (must match n_perm/shingle_k) so repeated pair computations share one
+    signature pass."""
+    if sigs is None:
+        # _materialize (eager checkpoint), not cache(): the band self-join
+        # scans the signature table twice IN THE SAME STAGE, and a lazily-
+        # filled cache lets both sides race to compute the expensive UDF
+        # subtree redundantly (measured 2-3x signature cost run-to-run).
+        # Checkpointing materializes it exactly once.
+        sigs = _materialize(minhash_signatures(df, text_col, id_col, n_perm, shingle_k))
+    return (
+        minhash_estimated_pairs(sigs, id_col, bands, n_perm // bands, max_bucket_size)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b")
     )
@@ -591,6 +617,7 @@ def jaccard_verified_pairs(
     shingle_k: int = 5,
     est_margin: float = 0.25,
     max_bucket_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-verified near-dup pairs, estimate-then-verify:
 
@@ -608,20 +635,13 @@ def jaccard_verified_pairs(
     jaccard_dedup composes this with dedup_by_pairs (component-min
     survivors). Use over minhash_dedup when the estimated Jaccard alone is
     too noisy to decide the threshold. ``max_bucket_size`` caps pathological
-    LSH buckets (dropped counts are logged, never silent)."""
-    sigs = _materialize(minhash_signatures(df, text_col, id_col, n_perm, shingle_k))
-    cands = minhash_lsh_candidates(sigs, id_col, bands, n_perm // bands, max_bucket_size)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    LSH buckets (dropped counts are logged, never silent). ``sigs``:
+    optional pre-materialized signature table (must match n_perm/shingle_k)
+    so repeated pair computations share one signature pass."""
+    if sigs is None:
+        sigs = _materialize(minhash_signatures(df, text_col, id_col, n_perm, shingle_k))
     prefiltered = (
-        cands.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.expr(
-                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) "
-                "/ cast(size(sig_a) as double)"
-            ),
-        )
+        minhash_estimated_pairs(sigs, id_col, bands, n_perm // bands, max_bucket_size)
         .filter(F.col("est_jaccard") >= jaccard_threshold - est_margin)
         .select("id_a", "id_b")
     )

@@ -255,6 +255,19 @@ def test_embedding_pairs_bucket_cap_logged(spark, caplog):
     assert kept == set(range(60)) | {100}
 
 
+def test_ann_driver_queries_probe_paths(spark):
+    """The driver-contract LSH/IVF ANN queries (materialized bucket/cell
+    parquet + probe filter + exact cosine) must return a full top-10 with
+    the self-match first — at any sf dir, not just the oracle-checked one."""
+    import __spark_entry__ as contract
+
+    for name in ("lsh_ann_topk", "ivf_ann_topk"):
+        rows = contract.queries()[name](spark, SF_DIR).collect()
+        assert len(rows) == 10, name
+        assert rows[0]["vec_id"] == 0, name
+        assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-3), name
+
+
 def test_ivf_indexed_topk_partition_prunes(spark, emb, query_vec, tmp_path):
     """Persisted IVF index: the probe query must (a) partition-prune the
     scan to the probed cells (PartitionFilters in the physical plan, and
