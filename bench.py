@@ -60,11 +60,11 @@ def _ensure_pages(spark, n_pages: int) -> None:
 
 
 def _timed_pipeline(spark, pages_df, reps: int = 2) -> tuple[float, dict, int]:
-    """parse -> broadcast enrich -> kind census -> fingerprint rollup, run
+    """parse -> broadcast enrich -> fused census+fingerprint rollup, run
     `reps` times in one warm JVM, best kept (the first run pays Python-worker
     startup + codegen; later runs expose the host's bursty steal — min
     approximates unstolen capacity). Returns (best_seconds, census, n_fp)."""
-    from slowspark.aggregate import fingerprint_rollup, kind_census
+    from slowspark.aggregate import census_fingerprint_rollup
     from slowspark.enrich import enrich
     from slowspark.gen import host_dc_dim, lang_locale_dim
     from slowspark.parse import parse_pages
@@ -79,14 +79,23 @@ def _timed_pipeline(spark, pages_df, reps: int = 2) -> tuple[float, dict, int]:
     ]
 
     def once():
+        # ONE action: the fused groupBy(entry_kind, sql_type, fingerprint)
+        # aggregate yields both outputs from a compact table (~100s of
+        # rows) — no persist of the entries table, no second job (the
+        # persist-then-two-actions shape measured 12% slower at sf0.1 and
+        # would mean caching a TB-scale intermediate at 100 TB)
         t0 = time.perf_counter()
         entries = parse_pages(pages_df, columns=needed)
-        enriched = enrich(entries, host_dc_dim(spark), lang_locale_dim(spark)).persist()
-        census = {r["entry_kind"]: r["n"] for r in kind_census(enriched).collect()}
-        n_fp = fingerprint_rollup(enriched).count()
+        enriched = enrich(entries, host_dc_dim(spark), lang_locale_dim(spark))
+        rows = census_fingerprint_rollup(enriched).collect()
+        census: dict[str, int] = {}
+        fps = set()
+        for r in rows:
+            census[r["entry_kind"]] = census.get(r["entry_kind"], 0) + r["n"]
+            if r["entry_kind"] == "SqlStatement":
+                fps.add((r["fingerprint"], r["sql_type"]))
         dt = time.perf_counter() - t0
-        enriched.unpersist()
-        return dt, census, n_fp
+        return dt, census, len(fps)
 
     return min((once() for _ in range(reps)), key=lambda r: r[0])
 

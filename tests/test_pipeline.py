@@ -49,6 +49,28 @@ def test_no_parse_errors_on_generated_pages(entries):
     assert bad.count() == 0
 
 
+def test_census_fingerprint_rollup_fusion_consistent(entries):
+    """The fused single-pass aggregate must derive the exact kind census
+    and the exact fingerprint-rollup group count that the two standalone
+    operators produce (the bench's one-action pipeline relies on this)."""
+    rows = agg.census_fingerprint_rollup(entries).collect()
+    census: dict[str, int] = {}
+    fps = set()
+    for r in rows:
+        census[r["entry_kind"]] = census.get(r["entry_kind"], 0) + r["n"]
+        if r["entry_kind"] == "SqlStatement":
+            fps.add((r["fingerprint"], r["sql_type"]))
+    assert census == {r["entry_kind"]: r["n"] for r in agg.kind_census(entries).collect()}
+    assert len(fps) == agg.fingerprint_rollup(entries).count()
+    # and sums agree with the per-fingerprint rollup totals
+    want_sum = (
+        agg.fingerprint_rollup(entries)
+        .agg(F.sum("sum_query_time").alias("s")).first()["s"]
+    )
+    got_sum = sum(r["sum_query_time"] for r in rows if r["entry_kind"] == "SqlStatement")
+    assert got_sum == pytest.approx(want_sum, rel=1e-9)
+
+
 def test_identical_output_under_different_partitionings(spark, entries):
     """Restartability analog: same parsed table at 1 vs 8 input partitions
     and different shuffle widths (order-insensitive content hash)."""
