@@ -138,6 +138,82 @@ def run_pipeline_bench(
     }
 
 
+def run_dedup_skew_bench(spark, sf_dir: str) -> dict:
+    """Skew-realism evidence for the dedup bucket cap: inject a 1% viral
+    template family (near-identical, NOT byte-identical — so exact_dedup
+    cannot collapse it and the family lands in the same LSH band buckets
+    in every band) into the documents table, then run jaccard_verified_pairs
+    with and without max_bucket_size. Records pair counts and wall time for
+    both: the uncapped run pays the k^2/2 viral pairs, the capped run drops
+    the oversized buckets (logged) while ordinary near-dup pairs survive."""
+    from pyspark.sql import functions as F
+
+    from slowspark.textops import jaccard_verified_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+    n_viral = max(20, n_docs // 100)
+    template = (
+        "breaking viral story spreads across mirror sites tonight with "
+        "identical boilerplate paragraphs about the same trending event "
+        "copied verbatim by aggregator pages everywhere " * 4
+    )
+    viral = spark.range(n_viral).select(
+        (F.lit(10_000_000) + F.col("id")).alias("doc_id"),
+        F.concat(F.lit(template), F.lit("mirror token "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(viral)
+
+    out: dict = {"n_docs": n_docs, "n_viral": n_viral}
+    for label, cap in (("uncapped", None), ("capped_10", 10)):
+        t0 = time.perf_counter()
+        pairs = jaccard_verified_pairs(corpus, max_bucket_size=cap)
+        n_pairs = pairs.count()
+        n_viral_pairs = pairs.filter("id_a >= 10000000").count()
+        out[label] = {
+            "seconds": round(time.perf_counter() - t0, 3),
+            "pairs": n_pairs,
+            "viral_pairs": n_viral_pairs,
+        }
+        spark.catalog.clearCache()
+    return out
+
+
+_DEDUP_SKEW_HEADER = "## Dedup skew realism (viral-template cap evidence)"
+
+
+def _update_bench_md_dedup_section(skew: dict) -> None:
+    """Replace-or-append the dedup-skew section in BENCH.md (the scaling
+    mode owns the rest of the file)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    body = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            body = f.read()
+        if _DEDUP_SKEW_HEADER in body:
+            body = body[: body.index(_DEDUP_SKEW_HEADER)].rstrip() + "\n"
+    un, cap = skew["uncapped"], skew["capped_10"]
+    with open(path, "w") as f:
+        f.write(
+            body.rstrip() + "\n\n" + _DEDUP_SKEW_HEADER + "\n\n"
+            f"documents table + {skew['n_viral']} injected near-identical viral\n"
+            "docs (1% of corpus; near-dup, not byte-dup, so exact_dedup cannot\n"
+            "pre-collapse them — the belt-and-braces case the cap exists for).\n"
+            "jaccard_verified_pairs, same code path as jaccard_dedup:\n\n"
+            "| run | wall (s) | pairs | viral pairs |\n|---|---|---|---|\n"
+            f"| uncapped | {un['seconds']} | {un['pairs']} | {un['viral_pairs']} |\n"
+            f"| max_bucket_size=10 | {cap['seconds']} | {cap['pairs']} | {cap['viral_pairs']} |\n\n"
+            "The cap drops the viral family's oversized band buckets from\n"
+            "candidate generation (dropped bucket/row counts are LOGGED by\n"
+            "slowspark.util.capped_by_bucket — never silent) while ordinary\n"
+            "near-dup pairs survive; at 10^12 docs the uncapped k^2/2 bucket\n"
+            "join is the difference between a bounded shuffle and a runaway\n"
+            "stage, and the sanctioned order (exact_dedup first) plus this cap\n"
+            "bounds the worst case.\n"
+        )
+
+
 def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     """Time each driver-contract query (collect() forces full execution).
     The shared oracle artifacts (entries/signature/pair parquets) are
@@ -191,6 +267,7 @@ def main_single(
 
     if pipeline_only:
         queries: dict[str, float] = {}
+        skew = None
     else:
         # the query sweep runs over the small fixed tables (documents is 5k
         # rows at sf0.1) — right-size parallelism to the data: beyond 8
@@ -199,11 +276,14 @@ def main_single(
         spark = _fresh_session(min(cpus, 8))
         try:
             queries = run_query_bench(spark, sf_dir)
+            skew = run_dedup_skew_bench(spark, sf_dir)
         finally:
             spark.stop()
+        _update_bench_md_dedup_section(skew)
     queries["pipeline_parse_route_agg"] = round(pipe["seconds"], 3)
     total = round(sum(queries.values()), 3)
     return {
+        "dedup_skew": skew,
         "metric": "parse->route->aggregate throughput (pages/sec) + headline query latencies",
         "value": total,
         "unit": "sec",
