@@ -350,6 +350,42 @@ def _hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): eval set =
+    every 50th document (deterministic), report = per-doc count of distinct
+    word 5-grams shared with it (textops.contamination_report — broadcast
+    eval hashes, no corpus shuffle)."""
+    from slowspark.textops import contamination_report
+
+    d = _read(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    return contamination_report(d, ev, n=5).select("doc_id", "n_hits")
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (textops.scrub_pii): deterministic synthetic PII is
+    appended per doc (the corpus itself is clean word soup), then masked;
+    the hash check covers the counts AND the full scrubbed text (md5)."""
+    from slowspark.textops import scrub_pii
+
+    d = _read(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(injected).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against the vec_id=0 embedding (similarity
     search baseline; JVM-side zip_with/aggregate dot product)."""
@@ -726,6 +762,54 @@ def _ivf_index_parquet(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _pii_scrub_oracle() -> str:
+    """DuckDB replica generated from the same PII_PATTERNS table (no
+    drift): per-type regexp_extract_all counts + the same chained global
+    regexp_replace, md5 over the scrubbed text."""
+    from slowspark.textops import PII_PATTERNS
+
+    counts = []
+    scrub = "t"
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            f"CAST(length(regexp_extract_all(t, '{pat}')) AS INTEGER) AS n_{name}"
+        )
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    count_sql = ",\n                   ".join(counts)
+    return f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@example.com from 10.0.'
+                        || (doc_id % 256) || '.7 call 555-010-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               {count_sql},
+               md5({scrub}) AS scrub_md5
+        FROM injected
+    """
+
+
+_CONTAMINATION_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(CASE WHEN length(tk) >= 5 THEN
+            list_distinct(list_transform(range(1, length(tk) - 3),
+                i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])))
+            ELSE [array_to_string(tk, ' ')] END) AS gram
+        FROM toks
+    ), ev AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+    )
+    SELECT g.doc_id, count(*) AS n_hits
+    FROM grams g JOIN ev USING (gram)
+    GROUP BY g.doc_id
+"""
+
+
 def _lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN over the materialized bucket parquet: the probe
     set {query bucket + up to probe_hamming sign flips} is exactly the
@@ -795,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _repetition_stats,
         "latency_percentiles": _latency_percentiles,
         "hourly_events": _hourly_events,
+        "contamination": _contamination,
+        "pii_scrub": _pii_scrub,
         "ann_topk": _ann_topk,
         # parse-path, hash-checked via the materialized entries parquet
         "kind_census": _kind_census,
@@ -974,6 +1060,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
+        "contamination": _CONTAMINATION_ORACLE,
+        "pii_scrub": _pii_scrub_oracle(),
         "ann_topk": """
             SELECT vec_id,
                    round(CAST(list_cosine_similarity(

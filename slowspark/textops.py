@@ -860,6 +860,100 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("ws_tokens", ws_tokens).withColumn("est_bpe_tokens", word_pieces)
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — n-gram overlap against an eval set
+# ---------------------------------------------------------------------------
+
+def eval_ngram_hashes(
+    eval_df: DataFrame, text_col: str = "text", n: int = 13
+) -> DataFrame:
+    """Distinct xxhash64 over the eval/benchmark set's word n-grams — the
+    small side of decontamination (benchmarks are MBs; hashing keeps the
+    broadcast a single long per gram instead of the gram text)."""
+    return (
+        with_ngram_set(eval_df, text_col, "grams", n)
+        .select(F.explode("grams").alias("gram"))
+        .select(F.xxhash64("gram").alias("gram_hash"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """(id, n_hits) for every corpus document sharing at least one word
+    n-gram with the eval set — the GPT-3-style train/test overlap check
+    (Brown et al. 2020, app. C: 13-gram decontamination).
+
+    Scale shape: the eval gram-hash set is BROADCAST (benchmarks are tiny
+    next to the corpus), the corpus explodes its grams map-side and joins
+    without a corpus shuffle; only HIT rows (rare) reach the per-doc count,
+    so the one shuffle is proportional to contamination, not corpus size."""
+    ev = eval_ngram_hashes(eval_df, text_col, n)
+    grams = (
+        with_ngram_set(corpus, text_col, "grams", n)
+        .select(F.col(id_col), F.explode("grams").alias("gram"))
+        .select(id_col, F.xxhash64("gram").alias("gram_hash"))
+    )
+    return (
+        grams.join(F.broadcast(ev), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Drop corpus documents with more than ``max_hits`` eval-set n-gram
+    overlaps (default: any overlap). left_anti against the (small) hit
+    report — the corpus fact table is never shuffled."""
+    hits = contamination_report(corpus, eval_df, text_col, id_col, n).filter(
+        F.col("n_hits") > max_hits
+    )
+    return corpus.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regex masking, pure JVM
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2-family engines (DuckDB)
+# interpret identically (no lookaround/backrefs), so the scrub is
+# oracle-checkable and portable.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Mask emails / IPv4s / NANP-style phone numbers with typed
+    placeholders and count each per document. All JVM built-ins (chained
+    regexp_replace + regexp_count under whole-stage codegen) — narrow, no
+    shuffle, no Python; the standard pre-training scrub pass. Counts are
+    computed on the ORIGINAL text (each pattern's count is independent of
+    the other replacements; replacement order is email -> ip -> phone)."""
+    scrubbed = F.col(text_col)
+    cols = {}
+    for name, pat, token in PII_PATTERNS:
+        cols[f"n_{name}"] = F.regexp_count(F.col(text_col), F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.withColumns({**cols, out_col: scrubbed})
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable content fingerprint: xxhash64 of the whitespace-normalized
     lowercased text (the document-level analog of the SQL fingerprint)."""

@@ -297,6 +297,57 @@ def test_connected_min_labels_raises_on_nonconvergence(spark):
         textops.connected_min_labels(chain, max_iters=2).collect()
 
 
+def test_decontaminate_drops_overlapping_docs(spark):
+    """Docs sharing an n-gram with the eval set are dropped; clean docs
+    survive; the report counts DISTINCT shared grams per doc; the eval join
+    side is broadcast (no corpus shuffle for the probe)."""
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then the quick brown fox jumps over the lazy dog tonight and more"),
+            (2, "completely unrelated text about spark shuffle partitions and joins"),
+            (3, "quick brown fox jumps over unrelated tail words here now"),  # 13-gram? no; 5-gram yes
+        ],
+        "doc_id long, text string",
+    )
+    report = {r["doc_id"]: r["n_hits"]
+              for r in textops.contamination_report(corpus, eval_df, n=5).collect()}
+    assert 1 in report and 3 in report and 2 not in report
+    # doc 1 contains the full eval text -> all its sliding 5-grams hit
+    assert report[1] >= 6
+    plan = textops.contamination_report(corpus, eval_df, n=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    kept = {r["doc_id"] for r in
+            textops.decontaminate(corpus, eval_df, n=5).select("doc_id").collect()}
+    assert kept == {2}
+    # max_hits loosens the gate
+    kept2 = {r["doc_id"] for r in
+             textops.decontaminate(corpus, eval_df, n=5, max_hits=5).select("doc_id").collect()}
+    assert kept2 == {2, 3}
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice@corp.example.org or bob.smith+x@mail.co, "
+                "server 192.168.1.254 and 10.0.0.1, call 415-555-0100 now"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.scrub_pii(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (2, 2, 1)
+    s = rows[1]["text_scrubbed"]
+    assert "<EMAIL>" in s and "<IP>" in s and "<PHONE>" in s
+    assert "alice@" not in s and "192.168" not in s and "555-0100" not in s
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"], rows[2]["n_phone"]) == (0, 0, 0)
+    assert rows[2]["text_scrubbed"] == "no pii here at all"
+
+
 def test_connected_min_labels_rejects_nonpositive_max_iters(spark):
     """max_iters <= 0 must fail loudly up front (the old for-else path
     raised a confusing NameError instead)."""
