@@ -791,19 +791,17 @@ def repetition_stats(
         n_lines > 0,
         F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
     ).otherwise(F.lit(0.0))
-    # tokens hoisted into a column (see with_ngram_set: an inlined split in
-    # the lambda re-tokenizes per element, O(len^2)); the size<2 guard is
-    # explicit because Spark's sequence(1, 0) yields a DESCENDING [1, 0]
-    # (not an empty array) and element_at(_, 0) then throws
-    bigrams = F.expr(
-        "CASE WHEN size(__rs_toks) >= 2 THEN "
-        "transform(sequence(1, size(__rs_toks) - 1), "
-        "i -> concat_ws(' ', element_at(__rs_toks, i), element_at(__rs_toks, i + 1))) "
-        "ELSE array() END"
-    )
-    grams = (
-        df.withColumn("__rs_toks", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-        .select(F.col(id_col), F.explode(bigrams).alias("gram"))
+    # bigrams via exploded_ngrams (position explode): exploding a
+    # transform()-built gram array lets InferFiltersFromGenerate +
+    # predicate pushdown inline the lambda into a Filter that re-splits the
+    # text per element — O(len^2) per doc (see exploded_ngrams). Docs with
+    # < 2 tokens are filtered out BEFORE the gram stage (exploded_ngrams
+    # would give them a single all-tokens gram; the documented contract is
+    # 0.0, which the left join's coalesce restores).
+    grams = exploded_ngrams(
+        df.withColumn("__rs_n", F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")))
+        .filter(F.col("__rs_n") >= 2),
+        text_col, id_col, n=2,
     )
     per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("n"))
     top = per_gram.groupBy(id_col).agg(
@@ -864,6 +862,42 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 # Benchmark decontamination — n-gram overlap against an eval set
 # ---------------------------------------------------------------------------
 
+def exploded_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+    n: int = 3,
+    out: str = "gram",
+) -> DataFrame:
+    """(id, gram) rows — one row per word-n-gram OCCURRENCE.
+
+    Explode-the-POSITIONS shape, deliberately not explode(with_ngram_set):
+    exploding a transform()-built gram array looks equivalent, but Spark's
+    InferFiltersFromGenerate + predicate pushdown inline the whole lambda
+    into a Filter where the tokens alias is re-split PER LAMBDA ELEMENT —
+    O(len^2) per document (measured ~15x on the contamination query at
+    sf0.1). Exploding the position sequence keeps the tokens array a plain
+    column reference through the Generate; each output row then does one
+    O(n) slice. Documents with fewer than n tokens yield one gram of all
+    their tokens (position -1 sentinel), matching with_ngram_set."""
+    toks = "__ng_toks"
+    pos_arr = (
+        f"CASE WHEN size({toks}) >= {n} THEN sequence(0, size({toks}) - {n}) "
+        f"ELSE array(-1) END"
+    )
+    gram = (
+        f"CASE WHEN __ng_pos >= 0 THEN "
+        f"concat_ws(' ', slice({toks}, __ng_pos + 1, {n})) "
+        f"ELSE concat_ws(' ', {toks}) END"
+    )
+    ids = [F.col(id_col)] if id_col is not None else []
+    return (
+        df.withColumn(toks, F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .select(*ids, F.col(toks), F.explode(F.expr(pos_arr)).alias("__ng_pos"))
+        .select(*ids, F.expr(gram).alias(out))
+    )
+
+
 def eval_ngram_hashes(
     eval_df: DataFrame, text_col: str = "text", n: int = 13
 ) -> DataFrame:
@@ -871,8 +905,7 @@ def eval_ngram_hashes(
     small side of decontamination (benchmarks are MBs; hashing keeps the
     broadcast a single long per gram instead of the gram text)."""
     return (
-        with_ngram_set(eval_df, text_col, "grams", n)
-        .select(F.explode("grams").alias("gram"))
+        exploded_ngrams(eval_df, text_col, None, n)
         .select(F.xxhash64("gram").alias("gram_hash"))
         .distinct()
     )
@@ -892,17 +925,17 @@ def contamination_report(
     Scale shape: the eval gram-hash set is BROADCAST (benchmarks are tiny
     next to the corpus), the corpus explodes its grams map-side and joins
     without a corpus shuffle; only HIT rows (rare) reach the per-doc count,
-    so the one shuffle is proportional to contamination, not corpus size."""
+    so the one shuffle is proportional to contamination, not corpus size.
+    n_hits counts DISTINCT shared grams (countDistinct is partial-agg'd in
+    the same shuffle; occurrences of one gram don't inflate the count)."""
     ev = eval_ngram_hashes(eval_df, text_col, n)
-    grams = (
-        with_ngram_set(corpus, text_col, "grams", n)
-        .select(F.col(id_col), F.explode("grams").alias("gram"))
-        .select(id_col, F.xxhash64("gram").alias("gram_hash"))
+    grams = exploded_ngrams(corpus, text_col, id_col, n).select(
+        id_col, F.xxhash64("gram").alias("gram_hash")
     )
     return (
         grams.join(F.broadcast(ev), "gram_hash")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.countDistinct("gram_hash").alias("n_hits"))
     )
 
 
