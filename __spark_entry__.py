@@ -570,17 +570,19 @@ def _pairs_parquet(spark: SparkSession, sf_dir: str, name: str, build) -> str:
     return path
 
 
-def _component_dedup_oracle(pairs_dir: str) -> str:
-    """Recursive-CTE single-link component-min dedup over a materialized
-    pair parquet: survivors = docs that are their component's minimum id
-    (isolated docs survive trivially)."""
+def _component_dedup_oracle(pairs_sql: str) -> str:
+    """Recursive-CTE single-link component-min dedup over a pair relation
+    (any SELECT producing id_a, id_b): survivors = docs that are their
+    component's minimum id (isolated docs survive trivially)."""
     return f"""
-        WITH RECURSIVE nodes AS (
-            SELECT id_a AS id FROM read_parquet('{pairs_dir}/*.parquet')
-            UNION SELECT id_b FROM read_parquet('{pairs_dir}/*.parquet')
+        WITH RECURSIVE pairs AS (
+            {pairs_sql}
+        ), nodes AS (
+            SELECT id_a AS id FROM pairs
+            UNION SELECT id_b FROM pairs
         ), edges AS (
-            SELECT id_a AS s, id_b AS d FROM read_parquet('{pairs_dir}/*.parquet')
-            UNION SELECT id_b, id_a FROM read_parquet('{pairs_dir}/*.parquet')
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
         ), reach(id, label) AS (
             SELECT id, id FROM nodes
             UNION
@@ -592,6 +594,10 @@ def _component_dedup_oracle(pairs_dir: str) -> str:
         WHERE c.id IS NULL OR c.m = documents.doc_id
         ORDER BY doc_id
     """
+
+
+def _pairs_parquet_sql(pairs_dir: str) -> str:
+    return f"SELECT id_a, id_b FROM read_parquet('{pairs_dir}/*.parquet')"
 
 
 def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,6 +645,39 @@ def _simhash_sigs_parquet(spark: SparkSession, sf_dir: str) -> str:
         simhash_signatures(d).write.mode("overwrite").parquet(path)
         _ENTRIES_WRITTEN.add(path)
     return path
+
+
+def _simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash end-to-end dedup: candidates from the materialized signature
+    parquet -> component-min survivors. The oracle recomputes the survivor
+    set in SQL from the SAME signatures (recursive-CTE components over the
+    all-pairs hamming edge set) — bucketing construction AND fixpoint dedup
+    are both inside the hash check."""
+    from slowspark.textops import dedup_by_pairs, simhash_candidates
+
+    d = _read(spark, sf_dir, "documents")
+    sigs = spark.read.parquet(_simhash_sigs_parquet(spark, sf_dir))
+    pairs = simhash_candidates(sigs).select("id_a", "id_b")
+    return dedup_by_pairs(d, pairs).select("doc_id").orderBy("doc_id")
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the LIBRARY operator
+    (similarity.embedding_near_dup_pairs — null filter, materialized
+    bucket table, in-bucket exact cosine). Plane count/seed match the
+    materialized lsh_buckets artifact, so the oracle can recompute the
+    same pairs in SQL: in-bucket self-join + list_cosine_similarity over
+    the SAME parquet."""
+    from slowspark.similarity import embedding_near_dup_pairs
+
+    _lsh_buckets_parquet(spark, sf_dir)  # the oracle reads it
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dup_pairs(
+            emb, cosine_threshold=0.2, n_planes=_LSH_N_PLANES
+        )
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
 
 
 def _simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _minhash_dedup,
         "jaccard_dedup": _jaccard_dedup,
         "simhash_candidates": _simhash_candidates,
+        "simhash_dedup": _simhash_dedup,
+        "embedding_near_dup": _embedding_near_dup,
         "language_id": _language_id,
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
@@ -1122,11 +1163,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "language_id": _language_id_oracle(),
         "minhash_dedup": _component_dedup_oracle(
-            f"{_ORACLE_ENTRIES_BASE}/sf0.01/minhash_pairs"
+            _pairs_parquet_sql(f"{_ORACLE_ENTRIES_BASE}/sf0.01/minhash_pairs")
         ),
         "jaccard_dedup": _component_dedup_oracle(
-            f"{_ORACLE_ENTRIES_BASE}/sf0.01/jaccard_pairs"
+            _pairs_parquet_sql(f"{_ORACLE_ENTRIES_BASE}/sf0.01/jaccard_pairs")
         ),
+        # simhash survivors: the edge set is recomputed IN SQL from the
+        # materialized signatures (all-pairs hamming), so the Manku
+        # bucketing AND the fixpoint dedup are both inside the check
+        "simhash_dedup": _component_dedup_oracle(f"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/simhash_sigs/*.parquet') a
+            JOIN read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/simhash_sigs/*.parquet') b
+              ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """),
+        "embedding_near_dup": f"""
+            WITH b AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, lsh_bucket
+                FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/lsh_buckets/*.parquet')
+            )
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   round(CAST(list_cosine_similarity(a.emb, c.emb) AS DOUBLE), 4)
+                       AS cosine
+            FROM b a JOIN b c
+              ON a.lsh_bucket = c.lsh_bucket AND a.vec_id < c.vec_id
+            WHERE list_cosine_similarity(a.emb, c.emb) >= 0.2
+        """,
         "simhash_candidates": f"""
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming

@@ -522,6 +522,27 @@ def simhash_candidates(
     )
 
 
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Full SimHash near-dup pipeline: signatures -> Manku multi-table
+    candidates (exact recall for hamming <= max_hamming) -> component-min
+    survivors (dedup_by_pairs fixpoint). The signature table is eagerly
+    materialized before the candidates' self-join (same UDF-race rationale
+    as minhash_verified_pairs); ``max_bucket_size`` caps pathological
+    buckets with logged drops."""
+    sigs = _materialize(simhash_signatures(df, text_col, id_col))
+    pairs = simhash_candidates(
+        sigs, id_col, max_hamming, n_blocks, max_bucket_size
+    ).select("id_a", "id_b")
+    return dedup_by_pairs(df, pairs, id_col)
+
+
 def simhash_bucket_histogram(
     sigs: DataFrame, max_hamming: int = 3, n_blocks: int | None = None
 ) -> DataFrame:

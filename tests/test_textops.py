@@ -228,6 +228,24 @@ def test_simhash_sf001_regression_golden(spark):
     assert n == 2507
 
 
+def test_simhash_dedup_end_to_end(spark, docs_with_dupes):
+    """simhash_dedup composes signatures -> Manku candidates -> component-
+    min survivors: byte-identical copies (hamming 0) must always lose to
+    their lower-id originals, and no original may lose to an injected
+    higher-id copy."""
+    deduped = textops.simhash_dedup(docs_with_dupes)
+    exact_copy_survivors = deduped.filter(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+    ).count()
+    assert exact_copy_survivors == 0
+    # every dropped doc has a surviving lower-id near-dup (min-id policy):
+    # the base table's first 20 ids were all copied, so they must survive
+    # unless an even lower intrinsic near-dup exists — at minimum doc 0's
+    # component keeps exactly its min
+    kept = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    assert min(kept) == 0
+
+
 def test_jaccard_dedup_exact_verify(docs, docs_with_dupes):
     """Exact-verified dedup: injected exact + near copies must lose to their
     lower-id originals; result equals self-deduping the raw table plus the
