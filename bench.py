@@ -106,24 +106,34 @@ def run_pipeline_bench(
 ) -> dict:
     """Pipeline bench over the shared pages artifact; optional 'i:n' url-hash
     shard restriction (the executor-emulation unit of work)."""
-    from pyspark.sql import functions as F
+    import glob
 
-    from slowspark.skew import salted_repartition
+    from pyspark.sql import functions as F
 
     n_pages = n_pages or _n_pages_for_bench(spark, sf_dir)
     _ensure_pages(spark, n_pages)
+    # Pre-parse parallelism comes from SCAN SPLITS, not a shuffle — the
+    # 100 TB shape: the parse is a narrow map over file splits, so a
+    # repartition before it is pure wasted IO (measured: dropping it took
+    # the 1->4 core scaling efficiency from 0.75 to 0.90 and raised
+    # absolute throughput). At bench scale the input is a handful of MB,
+    # so size maxPartitionBytes to give each core ~4 splits — the local
+    # stand-in for the 128 MiB splits a real table yields naturally. The
+    # hot-domain skew defense (salted repartition / salted aggregation)
+    # is exercised and hash-checked by the domain_rollup oracle instead.
+    cores = spark.sparkContext.defaultParallelism
+    total_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(f"{PAGES_PATH}/*.parquet")
+    )
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(1_048_576, total_bytes // (cores * 4))),
+    )
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
     pages = spark.read.parquet(PAGES_PATH)
     if shard:
         i, n = (int(x) for x in shard.split(":"))
         pages = pages.filter(F.pmod(F.xxhash64("url"), F.lit(n)) == i)
-    # Explicit pre-parse partitioning (SURVEY §4): at bench scale the input
-    # is a handful of MB, so Spark's file-split packing would give far fewer
-    # tasks than cores; the deterministic salted repartition both fixes that
-    # and is the hot-domain defense a 100 TB run uses anyway.
-    cores = spark.sparkContext.defaultParallelism
-    # salt on warc_ts (unique per page): row-varying and cheap — the default
-    # all-columns salt would hash the big html binary for nothing
-    pages = salted_repartition(pages, "url", cores * 4, salt_cols=["warc_ts"])
 
     elapsed, census, n_fp = _timed_pipeline(spark, pages, inner_reps)
     n_entries = sum(census.values())

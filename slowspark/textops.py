@@ -475,12 +475,13 @@ def simhash_candidates(
     construction (both are recall-exact for <= max_hamming).
 
     `max_bucket_size`: optional safety cap — buckets larger than this are
-    dropped from candidate generation. This TRUNCATES recall: a mass of
-    near-identical simhashes overflows its bucket in every table, and its
-    pairs are then simply not emitted (route such blobs to exact_dedup
-    first — identical text means identical simhash). Use
-    simhash_bucket_histogram to SEE the distribution before capping: a
-    silent cap is how candidates disappear unnoticed."""
+    dropped from candidate generation, with the dropped bucket/row counts
+    LOGGED (util.capped_by_bucket — a silent cap is how candidates
+    disappear unnoticed). This TRUNCATES recall: a mass of near-identical
+    simhashes overflows its bucket in every table, and its pairs are then
+    simply not emitted (route such blobs to exact_dedup first — identical
+    text means identical simhash). Use simhash_bucket_histogram to SEE the
+    distribution before capping."""
     if n_blocks is None:
         n_blocks = max_hamming + 3
     agree = n_blocks - max_hamming

@@ -315,6 +315,40 @@ def test_connected_min_labels_raises_on_nonconvergence(spark):
         textops.connected_min_labels(chain, max_iters=2).collect()
 
 
+def test_exploded_ngrams_matches_with_ngram_set(spark):
+    """Differential: the position-explode shape must yield exactly the
+    gram MULTISET that exploding with_ngram_set's array would (and the
+    same DISTINCT set per doc), across the edge cases: fewer tokens than
+    n, exactly n, repeated grams, mixed whitespace, empty-ish text."""
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "one two"),                      # < n -> single all-tokens gram
+        (3, "x y z"),                        # exactly n
+        (4, "p q p q p q p q"),              # repeated grams
+        (5, "  spaced\t\tout   tokens here now  "),
+        (6, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3, 5):
+        got = textops.exploded_ngrams(df, "text", "doc_id", n).collect()
+        got_sets: dict[int, set] = {}
+        for r in got:
+            got_sets.setdefault(r["doc_id"], set()).add(r["gram"])
+        want = {
+            r["doc_id"]: set(r["grams"])
+            for r in textops.with_ngram_set(df, "text", "grams", n)
+            .select("doc_id", "grams").collect()
+        }
+        assert got_sets == want, f"n={n}"
+        # occurrence counts: sliding window length (or 1 when < n tokens)
+        from collections import Counter
+
+        cnt = Counter(r["doc_id"] for r in got)
+        for doc_id, text in rows:
+            toks = text.strip().lower().split()
+            assert cnt[doc_id] == max(1, len(toks) - n + 1), (doc_id, n)
+
+
 def test_decontaminate_drops_overlapping_docs(spark):
     """Docs sharing an n-gram with the eval set are dropped; clean docs
     survive; the report counts DISTINCT shared grams per doc; the eval join
