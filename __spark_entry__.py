@@ -80,6 +80,7 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
         lambda: _simhash_sigs_parquet(spark, sf_dir),
         lambda: _lsh_buckets_parquet(spark, sf_dir),
         lambda: _ivf_index_parquet(spark, sf_dir),
+        lambda: _incremental_index_parquet(spark, sf_dir),
         lambda: _dedup_pairs_parquets(spark, sf_dir),
     )
     with ThreadPoolExecutor(len(groups)) as ex:
@@ -647,6 +648,45 @@ def _simhash_sigs_parquet(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _incremental_index_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the incremental-dedup fixtures once per process: a
+    persisted MinHash index over the EVEN doc_ids (textops.
+    build_minhash_index — sigs + band keys partitioned by band_id) and the
+    signature table of the ODD-id 'incoming batch'. Both signature tables
+    are parquet, so the oracle can recompute the banding construction
+    itself in SQL (band slice equality <=> band hash equality)."""
+    import os
+
+    from slowspark.textops import build_minhash_index, minhash_signatures
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"{_ORACLE_ENTRIES_BASE}/{base}/minhash_index"
+    if idx not in _ENTRIES_WRITTEN:
+        d = _read(spark, sf_dir, "documents")
+        build_minhash_index(d.filter(F.col("doc_id") % 2 == 0), idx)
+        minhash_signatures(d.filter(F.col("doc_id") % 2 == 1)).write.mode(
+            "overwrite"
+        ).parquet(f"{idx}/new_sigs")
+        _ENTRIES_WRITTEN.add(idx)
+    return idx
+
+
+def _incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch-vs-persisted-index) near-dup pairs: odd-id
+    docs probe the even-id MinHash index (textops.incremental_near_dup_
+    pairs). The oracle recomputes candidates from the two materialized
+    signature tables via band SLICE equality and the same estimated-Jaccard
+    threshold — banding, probe join, and estimate are all inside the
+    hash check."""
+    from slowspark.textops import incremental_near_dup_pairs
+
+    idx = _incremental_index_parquet(spark, sf_dir)
+    new = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return incremental_near_dup_pairs(new, idx).select(
+        "new_id", "corpus_id", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
 def _simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash end-to-end dedup: candidates from the materialized signature
     parquet -> component-min survivors. The oracle recomputes the survivor
@@ -935,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _simhash_candidates,
         "simhash_dedup": _simhash_dedup,
         "embedding_near_dup": _embedding_near_dup,
+        "incremental_near_dups": _incremental_near_dups,
         "language_id": _language_id,
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
@@ -1189,6 +1230,35 @@ def oracle_sql() -> dict[str, str]:
             FROM b a JOIN b c
               ON a.lsh_bucket = c.lsh_bucket AND a.vec_id < c.vec_id
             WHERE list_cosine_similarity(a.emb, c.emb) >= 0.2
+        """,
+        # incremental dedup: candidates re-derived in SQL via band SLICE
+        # equality (equivalent to the band-hash join modulo xxhash64
+        # collisions), estimate via element-wise signature agreement —
+        # the whole probe path is inside the check
+        "incremental_near_dups": f"""
+            WITH nb AS (
+                SELECT doc_id, i, signature[(i*4+1):(i*4+4)] AS band
+                FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/minhash_index/new_sigs/*.parquet'),
+                     (SELECT unnest(range(16)) AS i)
+            ), cb AS (
+                SELECT doc_id, i, signature[(i*4+1):(i*4+4)] AS band
+                FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/minhash_index/sigs/*.parquet'),
+                     (SELECT unnest(range(16)) AS i)
+            ), cand AS (
+                SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+                FROM nb JOIN cb ON nb.i = cb.i AND nb.band = cb.band
+            )
+            SELECT c.new_id, c.corpus_id,
+                   round(length(list_filter(range(1, 65),
+                         i -> ns.signature[i] = cs.signature[i])) / 64.0, 4)
+                       AS est_jaccard
+            FROM cand c
+            JOIN read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/minhash_index/new_sigs/*.parquet') ns
+              ON ns.doc_id = c.new_id
+            JOIN read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/minhash_index/sigs/*.parquet') cs
+              ON cs.doc_id = c.corpus_id
+            WHERE length(list_filter(range(1, 65),
+                  i -> ns.signature[i] = cs.signature[i])) / 64.0 >= 0.7
         """,
         "simhash_candidates": f"""
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -134,6 +134,31 @@ def minhash_signatures(
     )
 
 
+def band_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_hash) — one row per (doc, band): each band's
+    signature slice hashed to a long. The LSH banding key table; equal
+    band_hash within a band_id <=> equal signature slice (modulo xxhash64
+    collisions). Shared by in-corpus candidate generation
+    (minhash_lsh_candidates) and the persisted incremental index
+    (build_minhash_index)."""
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), i -> "
+                f"named_struct('band_id', i, 'band_hash', "
+                f"xxhash64(cast(i as string), "
+                f"cast(slice(signature, i * {rows_per_band} + 1, {rows_per_band}) as string))))"
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -155,17 +180,7 @@ def minhash_lsh_candidates(
     cap for buckets that are still pathological after that — capped buckets
     are dropped from candidate generation (truncates recall for that blob
     only; same semantics as simhash_candidates' cap)."""
-    b = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), i -> "
-                f"named_struct('band_id', i, 'band_hash', "
-                f"xxhash64(cast(i as string), "
-                f"cast(slice(signature, i * {rows_per_band} + 1, {rows_per_band}) as string))))"
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    b = band_keys(signatures, id_col, bands, rows_per_band)
     if max_bucket_size is not None:
         b = capped_by_bucket(
             b, ["band_id", "band_hash"], max_bucket_size,
@@ -350,6 +365,126 @@ def minhash_dedup(
         max_bucket_size,
     )
     return dedup_by_pairs(df, pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index — incremental (new-batch-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+def build_minhash_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = _N_PERM_DEFAULT,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> None:
+    """Persist a MinHash-LSH index for CONTINUOUS dedup: the signature
+    table plus the banded key table (partitioned by band_id — a probe
+    join's band_id equi-condition prunes to one directory per band).
+
+    The production ingest pattern: the corpus pays the signature UDF once
+    at index-build; every incremental batch signatures only ITS OWN
+    documents and probes the index with a band-keyed join — per-batch cost
+    is O(batch), never a corpus rescan. Growing the index after accepting
+    a batch is an append of the batch's sigs/band rows (mode='append' on
+    the same paths)."""
+    sigs = _materialize(minhash_signatures(df, text_col, id_col, n_perm, shingle_k))
+    sigs.write.mode("overwrite").parquet(f"{index_path}/sigs")
+    (
+        band_keys(sigs, id_col, bands, n_perm // bands)
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(f"{index_path}/bands")
+    )
+
+
+def incremental_near_dup_pairs(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = _N_PERM_DEFAULT,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id, est_jaccard) pairs between an incoming batch
+    and a persisted MinHash index (build_minhash_index) whose estimated
+    Jaccard clears the threshold. The batch side is signatured and banded
+    fresh; the index side is a parquet scan. The join is keyed on
+    (band_id, band_hash) — shuffle volume is O(batch bands + matching
+    index buckets), and `max_bucket_size` (logged drops) caps viral index
+    buckets the same way the in-corpus path does."""
+    spark = new_df.sparkSession
+    new_sigs = _materialize(
+        minhash_signatures(new_df, text_col, id_col, n_perm, shingle_k)
+    )
+    new_bands = band_keys(new_sigs, id_col, bands, n_perm // bands)
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    if max_bucket_size is not None:
+        idx_bands = capped_by_bucket(
+            idx_bands, ["band_id", "band_hash"], max_bucket_size,
+            "incremental_near_dup_pairs",
+        )
+    cands = (
+        new_bands.select(
+            F.col(id_col).alias("new_id"), "band_id", "band_hash"
+        )
+        .join(
+            idx_bands.select(
+                F.col(id_col).alias("corpus_id"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    idx_sigs = spark.read.parquet(f"{index_path}/sigs")
+    sa = new_sigs.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_a"))
+    sb = idx_sigs.select(F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b"))
+    return (
+        cands.join(sa, "new_id").join(sb, "corpus_id")
+        .withColumn(
+            "est_jaccard",
+            F.expr(
+                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) "
+                "/ cast(size(sig_a) as double)"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = _N_PERM_DEFAULT,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental-batch dedup with CORPUS PRIORITY: any new document that
+    is a near-dup of an indexed document is dropped (the corpus copy is
+    already in the training set — unlike min-id dedup, arrival order wins),
+    then the survivors are near-dup-deduped among themselves
+    (minhash_dedup min-id policy). Returns the accepted rows of new_df."""
+    vs_corpus = incremental_near_dup_pairs(
+        new_df, index_path, text_col, id_col, n_perm, bands,
+        jaccard_threshold, shingle_k, max_bucket_size,
+    )
+    losers = vs_corpus.select(F.col("new_id").alias(id_col)).distinct()
+    fresh = new_df.join(losers, on=id_col, how="left_anti")
+    return minhash_dedup(
+        fresh, text_col, id_col, n_perm, bands, jaccard_threshold,
+        shingle_k, max_bucket_size,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -228,6 +228,44 @@ def test_simhash_sf001_regression_golden(spark):
     assert n == 2507
 
 
+def test_incremental_dedup_against_persisted_index(spark, tmp_path):
+    """Continuous-ingest pattern: build a MinHash index over the corpus,
+    then dedup an incoming batch against it. Corpus priority: a new doc
+    near-dupping an indexed doc is dropped even though its id is LOWER;
+    clean new docs survive; in-batch dupes collapse to the batch min."""
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog every day " * 6),
+            (101, "completely different corpus text about database tables " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mh_index")
+    textops.build_minhash_index(corpus, idx)
+
+    new = spark.createDataFrame(
+        [
+            # near-dup of corpus 100 with LOWER id -> dropped (corpus wins)
+            (5, "the quick brown fox jumps over the lazy dog every day " * 6 + "tail"),
+            # clean
+            (6, "a brand new unique document about streaming watermarks " * 6),
+            # in-batch dupes -> min id 7 survives
+            (7, "batch internal duplicate text about shuffle partitions " * 6),
+            (8, "batch internal duplicate text about shuffle partitions " * 6 + "x"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = textops.incremental_near_dup_pairs(new, idx, jaccard_threshold=0.5)
+    got = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+    assert got == {(5, 100)}
+    accepted = {
+        r["doc_id"]
+        for r in textops.incremental_dedup(new, idx, jaccard_threshold=0.5)
+        .select("doc_id").collect()
+    }
+    assert accepted == {6, 7}
+
+
 def test_simhash_dedup_end_to_end(spark, docs_with_dupes):
     """simhash_dedup composes signatures -> Manku candidates -> component-
     min survivors: byte-identical copies (hamming 0) must always lose to
