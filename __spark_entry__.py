@@ -363,6 +363,35 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(d, ev, n=5).select("doc_id", "n_hits")
 
 
+def _html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (textops.html_to_text) on a deterministic
+    html wrapping of each document (tags + a script block + entities,
+    binary-encoded like the pages table's html column); the hash check
+    covers the full extracted string (md5) plus its length."""
+    from slowspark.textops import html_to_text
+
+    d = _read(spark, sf_dir, "documents")
+    wrapped = d.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><head><script>var x = 1 < 2;</script>"
+                      "<style>p { color: red; }</style></head><body><h1>T&amp;C "
+                      "&lt;draft&gt;</h1>\n<p>"),
+                F.col("text"),
+                F.lit("</p>\n<div>id "), F.col("doc_id").cast("string"),
+                F.lit(" &quot;end&quot;</div></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return html_to_text(wrapped).select(
+        "doc_id",
+        F.length("extracted_text").alias("n_extracted"),
+        F.md5("extracted_text").alias("extract_md5"),
+    )
+
+
 def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (textops.scrub_pii): deterministic synthetic PII is
     appended per doc (the corpus itself is clean word soup), then masked;
@@ -960,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_events": _hourly_events,
         "contamination": _contamination,
         "pii_scrub": _pii_scrub,
+        "html_extract": _html_extract,
         "ann_topk": _ann_topk,
         # parse-path, hash-checked via the materialized entries parquet
         "kind_census": _kind_census,
@@ -1144,6 +1174,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "contamination": _CONTAMINATION_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
+        "html_extract": """
+            WITH wrapped AS (
+                SELECT doc_id,
+                       '<html><head><script>var x = 1 < 2;</script>'
+                       || '<style>p { color: red; }</style></head><body><h1>T&amp;C '
+                       || '&lt;draft&gt;</h1>' || chr(10) || '<p>'
+                       || text
+                       || '</p>' || chr(10) || '<div>id ' || doc_id
+                       || ' &quot;end&quot;</div></body></html>' AS h
+                FROM documents
+            ), stripped AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                               regexp_replace(
+                                   regexp_replace(
+                                       regexp_replace(h,
+                                           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                                   '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
+                           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                           '\\s+', ' ', 'g')) AS t
+                FROM wrapped
+            )
+            SELECT doc_id,
+                   CAST(length(t) AS INTEGER) AS n_extracted,
+                   md5(t) AS extract_md5
+            FROM stripped
+        """,
         "ann_topk": """
             SELECT vec_id,
                    round(CAST(list_cosine_similarity(

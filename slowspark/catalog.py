@@ -109,8 +109,13 @@ class Catalog:
         # read via spark.table: a path load silently drops the bucketing
         # metadata, and the very Exchange-free join the bucketed write
         # prepaid for comes back. Path load is only the fallback for plain
-        # path-written tables.
-        if spark.catalog.tableExists(name):
+        # path-written tables (or names the metastore cannot even parse,
+        # e.g. containing path separators).
+        try:
+            is_table = spark.catalog.tableExists(name)
+        except Exception:
+            is_table = False
+        if is_table:
             return spark.table(name)
         return spark.read.format(self.fmt).load(self.path(name))
 

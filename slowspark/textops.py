@@ -1038,6 +1038,43 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HTML -> text extraction — the heavy binary column, JVM-only
+# ---------------------------------------------------------------------------
+
+# common entities, decoded by literal replace; '&amp;' LAST so already-
+# escaped ampersands don't double-unescape
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+]
+
+
+def html_to_text(
+    df: DataFrame, html_col: str = "html", out: str = "extracted_text"
+) -> DataFrame:
+    """Visible-text extraction from an html BINARY column — all JVM
+    built-ins (decode + regexp_replace chain under whole-stage codegen, no
+    Python): drop <script>/<style> blocks, strip tags, decode common
+    entities, collapse whitespace. Patterns avoid backreferences so the
+    same expressions run on RE2-family engines (the DuckDB oracle).
+
+    Scale note: this is the ONLY operator that reads the html column; every
+    other pipeline stage prunes it at the scan. Extraction is narrow — at
+    100 TB the cost is the html scan IO itself, so run it once and persist
+    `extracted_text` rather than re-extracting per downstream query."""
+    s = F.decode(F.col(html_col), "UTF-8")
+    s = F.regexp_replace(s, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    # tags must start with a letter, '/', or '!' — a bare '<' in unescaped
+    # embedded content (e.g. 'total < 19549') is NOT a tag and must not
+    # swallow everything to the next '>'
+    s = F.regexp_replace(s, r"(?s)</?[A-Za-z!][^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return df.withColumn(out, F.trim(F.regexp_replace(s, r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination — n-gram overlap against an eval set
 # ---------------------------------------------------------------------------
 

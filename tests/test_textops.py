@@ -228,6 +228,30 @@ def test_simhash_sf001_regression_golden(spark):
     assert n == 2507
 
 
+def test_html_to_text_extraction(spark):
+    """Tag/script/style stripping, entity decoding, whitespace collapse —
+    and the round-trip invariant on the generated pages table: extracting
+    the html column reproduces the text column (modulo the extraction's
+    whitespace collapse)."""
+    from slowspark.gen import gen_pages
+
+    df = spark.createDataFrame(
+        [(1, ("<html><head><script>if (a < b) { x(); }</script>"
+              "<style>p{}</style></head>"
+              "<body><h1>Hi &amp; bye</h1>\n<p>two  words</p></body></html>"
+              ).encode())],
+        "doc_id long, html binary",
+    )
+    got = textops.html_to_text(df).first()["extracted_text"]
+    assert got == "Hi & bye two words"
+
+    pages = gen_pages(spark, 30)
+    rt = textops.html_to_text(pages).select("url", "text", "extracted_text").collect()
+    for r in rt:
+        collapsed = " ".join(r["text"].split())
+        assert r["extracted_text"] == collapsed, r["url"]
+
+
 def test_incremental_dedup_against_persisted_index(spark, tmp_path):
     """Continuous-ingest pattern: build a MinHash index over the corpus,
     then dedup an incoming batch against it. Corpus priority: a new doc
