@@ -174,6 +174,25 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    entries_stream: DataFrame,
+    keys: tuple[str, ...] = ("url", "entry_index"),
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, dropping
+    replays/duplicates that arrive within the watermark window
+    (dropDuplicatesWithinWatermark — state per key expires once the
+    watermark passes, so state size is bounded by the window's key
+    cardinality, never the stream's history; plain dropDuplicates on a
+    stream would grow state forever). The ingest-time companion to the
+    batch textops.exact_dedup: upstream crawlers redeliver pages, and the
+    sinks should see each (url, entry_index) once per window."""
+    return entries_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def start_fanout_sink(entries_stream: DataFrame, base_path: str, checkpoint: str):
     """foreachBatch multi-sink fan-out: each micro-batch is routed by
     entry_kind into the same per-kind tables the batch pipeline writes.

@@ -123,6 +123,35 @@ def test_streaming_fanout_replay_is_idempotent(spark, tmp_path):
     assert second == first
 
 
+def test_dedup_stream_drops_cross_batch_replays(spark, tmp_path):
+    """Streaming exact dedup: the same pages delivered again in a LATER
+    micro-batch (crawler redelivery) must reach the sink once."""
+    import time
+
+    from slowspark.streaming import dedup_stream
+
+    src = str(tmp_path / "pages_dd")
+    pages = gen_pages(spark, 10, partitions=1)
+    pages.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.05)
+    pages.coalesce(1).write.mode("append").parquet(src)  # full replay
+
+    stream = dedup_stream(
+        read_page_stream(spark, src, max_files=1),
+        keys=("url",), ts_col="warc_ts",
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select url from dd_out").collect()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == 10
+    assert len(set(urls)) == 10
+
+
 def test_sessionize_stream_matches_batch_analog(spark, tmp_path):
     """applyInPandasWithState sessionization under the FINALITY contract:
     every emitted session must exactly equal a batch session_windows

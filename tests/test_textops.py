@@ -470,6 +470,23 @@ def test_connected_min_labels_rejects_nonpositive_max_iters(spark):
         textops.connected_min_labels(pairs, max_iters=0)
 
 
+def test_capped_by_bucket_lazy_when_logging_off(spark):
+    """log_drops=False must keep the plan fully lazy (no eager stats job):
+    pin it by capping an un-computable source — a UDF that would raise if
+    any job ran."""
+    from pyspark.sql import functions as F
+
+    from slowspark.util import capped_by_bucket
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("must not execute at plan-construction time")
+
+    df = spark.range(10).select(boom("id").alias("k"), "id")
+    out = capped_by_bucket(df, ["k"], 3, "lazy-test", log_drops=False)
+    assert out.columns == ["k", "id"]  # plan built, nothing executed
+
+
 def test_bucket_cap_reachable_from_public_dedup_apis(spark, caplog):
     """max_bucket_size must thread end-to-end through the four public dedup
     entry points, and capped drops must be LOGGED (no silent caps).
