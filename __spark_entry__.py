@@ -363,6 +363,30 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(d, ev, n=5).select("doc_id", "n_hits")
 
 
+def _normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (textops.normalize_text, pandas UDF over
+    unicodedata) on text with deterministically injected combining-mark
+    sequences; oracle = DuckDB's utf8proc nfc_normalize over the same
+    construction — two independent UAX#15 implementations must agree on
+    the full normalized string (md5)."""
+    from slowspark.textops import normalize_text
+
+    d = _read(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" café naïve ñ Ångström "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return normalize_text(injected).select(
+        "doc_id",
+        F.length("text_nfc").alias("n_nfc"),
+        F.md5("text_nfc").alias("nfc_md5"),
+    )
+
+
 def _html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction (textops.html_to_text) on a deterministic
     html wrapping of each document (tags + a script block + entities,
@@ -990,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _contamination,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
+        "normalize_unicode": _normalize_unicode,
         "ann_topk": _ann_topk,
         # parse-path, hash-checked via the materialized entries parquet
         "kind_census": _kind_census,
@@ -1174,6 +1199,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "contamination": _CONTAMINATION_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
+        "normalize_unicode": """
+            SELECT doc_id,
+                   CAST(length(nfc_normalize(
+                       text || ' cafe' || chr(769) || ' nai' || chr(776)
+                            || 've n' || chr(771) || ' A' || chr(778)
+                            || 'ngstro' || chr(776) || 'm ' || doc_id
+                   )) AS INTEGER) AS n_nfc,
+                   md5(nfc_normalize(
+                       text || ' cafe' || chr(769) || ' nai' || chr(776)
+                            || 've n' || chr(771) || ' A' || chr(778)
+                            || 'ngstro' || chr(776) || 'm ' || doc_id
+                   )) AS nfc_md5
+            FROM documents
+        """,
         "html_extract": """
             WITH wrapped AS (
                 SELECT doc_id,

@@ -1037,6 +1037,31 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("ws_tokens", ws_tokens).withColumn("est_bpe_tokens", word_pieces)
 
 
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out: str = "text_nfc", form: str = "NFC"
+) -> DataFrame:
+    """Unicode normalization (default NFC) — the canonical first step of a
+    web-text pipeline (crawled pages mix precomposed and combining-mark
+    encodings of the same glyphs, which breaks exact dedup and tokenizer
+    merges). Spark SQL has no normalization built-in, so this is an
+    Arrow-batched pandas UDF over Python's unicodedata (UAX#15) — a pure
+    per-row string map, narrow, no shuffle. ASCII-only batches short-circuit
+    via str.isascii() (NFC is the identity on ASCII)."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def norm_udf(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: None if t is None
+            else (t if t.isascii() else unicodedata.normalize(form, t))
+        )
+
+    return df.withColumn(out, norm_udf(F.col(text_col)))
+
+
 # ---------------------------------------------------------------------------
 # HTML -> text extraction — the heavy binary column, JVM-only
 # ---------------------------------------------------------------------------

@@ -228,6 +228,35 @@ def test_simhash_sf001_regression_golden(spark):
     assert n == 2507
 
 
+def test_exploded_ngrams_plan_has_no_lambda(spark, docs):
+    """Plan-shape pin for the O(len^2) Catalyst trap: exploded_ngrams must
+    contain NO lambda function anywhere in its optimized plan (a transform-
+    built gram array would reappear as an inlined per-element lambda in the
+    Generate's inferred Filter)."""
+    plan = (
+        textops.exploded_ngrams(docs, "text", "doc_id", 5)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "lambdafunction" not in plan
+
+
+def test_normalize_text_nfc(spark):
+    """NFC: combining-mark sequences collapse to precomposed forms; ASCII
+    and precomposed text pass through unchanged; dedup becomes possible
+    across encodings of the same glyphs."""
+    decomposed = "re\u0301sume\u0301"   # e + COMBINING ACUTE ACCENT
+    composed = "r\u00e9sum\u00e9"       # precomposed
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, "plain ascii"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_nfc"]
+           for r in textops.normalize_text(df).collect()}
+    assert got[1] == composed == got[2]
+    assert got[3] == "plain ascii"
+    assert got[4] is None
+
+
 def test_html_to_text_extraction(spark):
     """Tag/script/style stripping, entity decoding, whitespace collapse —
     and the round-trip invariant on the generated pages table: extracting
