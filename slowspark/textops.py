@@ -422,6 +422,36 @@ def build_minhash_index(
     )
 
 
+def append_to_minhash_index(
+    accepted_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = _N_PERM_DEFAULT,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> None:
+    """Grow a persisted MinHash index with an ACCEPTED batch (the rows
+    incremental_dedup returned): appends the batch's signature and band-key
+    rows to the same paths. Parameters must match the original
+    build_minhash_index call — band keys computed under different
+    n_perm/bands/shingle_k would silently never collide with the corpus's.
+    Appends are row-additive, so a crashed append at worst leaves the
+    batch partially indexed; re-running incremental_dedup on the same
+    batch first (idempotent: already-indexed docs now match themselves and
+    are dropped) keeps the index duplicate-free."""
+    sigs = _materialize(
+        minhash_signatures(accepted_df, text_col, id_col, n_perm, shingle_k)
+    )
+    sigs.write.mode("append").parquet(f"{index_path}/sigs")
+    (
+        band_keys(sigs, id_col, bands, n_perm // bands)
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(f"{index_path}/bands")
+    )
+
+
 def incremental_near_dup_pairs(
     new_df: DataFrame,
     index_path: str,

@@ -49,6 +49,31 @@ def test_no_parse_errors_on_generated_pages(entries):
     assert bad.count() == 0
 
 
+def test_parse_large_single_page_memory_bounded(spark, pages):
+    """The reference's headline claim is memory-boundedness on arbitrarily
+    large inputs; our analog bound is the Arrow batch (one page row at a
+    time through the Python worker). A single multi-megabyte page holding
+    thousands of entries must parse completely and linearly — the census
+    of text*N is exactly N times the census of text."""
+    row = pages.orderBy("url").select("warc_ts", "text").first()
+    one = {e["entry_kind"] for e in parse_entries(row["text"])}
+    base_counts = Counter(e["entry_kind"] for e in parse_entries(row["text"]))
+    reps = 3000  # ~2.5 MB, ~10k entries in ONE row
+    big = spark.createDataFrame(
+        [("https://big.example.com/one", row["warc_ts"], None,
+          row["text"] * reps, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {
+        r["entry_kind"]: r["n"]
+        for r in agg.kind_census(
+            parse_pages(big, columns=["entry_kind"])
+        ).collect()
+    }
+    assert got == {k: v * reps for k, v in base_counts.items()}
+    assert one  # sanity: the template page parsed at all
+
+
 def test_census_fingerprint_rollup_fusion_consistent(entries):
     """The fused single-pass aggregate must derive the exact kind census
     and the exact fingerprint-rollup group count that the two standalone

@@ -311,12 +311,26 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
     pairs = textops.incremental_near_dup_pairs(new, idx, jaccard_threshold=0.5)
     got = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
     assert got == {(5, 100)}
-    accepted = {
+    accepted_df = textops.incremental_dedup(new, idx, jaccard_threshold=0.5)
+    accepted = {r["doc_id"] for r in accepted_df.select("doc_id").collect()}
+    assert accepted == {6, 7}
+
+    # grow the index with the accepted batch; the NEXT batch must now be
+    # deduped against the grown corpus (near-dup of batch-1 doc 6 loses)
+    textops.append_to_minhash_index(accepted_df, idx)
+    batch2 = spark.createDataFrame(
+        [
+            (20, "a brand new unique document about streaming watermarks " * 6 + "y"),
+            (21, "totally fresh subject matter never indexed before today " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    accepted2 = {
         r["doc_id"]
-        for r in textops.incremental_dedup(new, idx, jaccard_threshold=0.5)
+        for r in textops.incremental_dedup(batch2, idx, jaccard_threshold=0.5)
         .select("doc_id").collect()
     }
-    assert accepted == {6, 7}
+    assert accepted2 == {21}
 
 
 def test_simhash_dedup_end_to_end(spark, docs_with_dupes):
