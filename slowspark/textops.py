@@ -2,18 +2,21 @@
 
 Beyond the reference's own operators (SURVEY.md §2), these are the
 operations a 100 TB web-text training pipeline needs: deduplication (exact,
-MinHash+LSH, SimHash, n-gram Jaccard), language ID, quality scoring, token
-counting, and document fingerprinting. All shaped for scale:
+MinHash+LSH with a persisted incremental index, SimHash, exact-verified
+n-gram Jaccard), benchmark decontamination, PII scrubbing, HTML-to-text
+extraction, unicode normalization, language ID, quality + repetition
+scoring, token counting, and document fingerprinting. All shaped for scale:
 
-  - exact/quality/token/langid stages are pure JVM built-ins
+  - exact/quality/token/langid/scrub/extract stages are pure JVM built-ins
     (whole-stage codegen, no Python);
-  - MinHash/SimHash signatures are numpy-vectorized Arrow-batched pandas
-    UDFs (the sanctioned slow path — one pass per document, no per-row
-    Python);
+  - MinHash/SimHash signatures and unicode normalization are Arrow-batched
+    pandas UDFs (the sanctioned slow path — vectorized or memoized per
+    worker, no per-row Python round trips);
   - candidate generation is a band-bucket groupBy (shuffle keyed on
     (band, hash), never an all-pairs cross join) — the standard
     MinHash-LSH banding construction (Broder 1997; Leskovec et al., Mining
-    of Massive Datasets ch.3).
+    of Massive Datasets ch.3) — with an optional bucket cap whose drops
+    are always logged (slowspark.util.capped_by_bucket).
 """
 
 from __future__ import annotations
