@@ -240,6 +240,59 @@ def test_exploded_ngrams_plan_has_no_lambda(spark, docs):
     assert "lambdafunction" not in plan
 
 
+def test_exploded_ngrams_differential_random(spark):
+    """Seeded-random differential vs a pure-Python reference that mimics
+    Spark's tokenization (split('\\s+') on trimmed lowercase — note an
+    empty string tokenizes to [''], not []): gram MULTISETS must match for
+    every doc, including whitespace runs and sub-n docs. One Spark job for
+    all examples (a job per hypothesis case would be pathological)."""
+    import random
+    import re
+    from collections import Counter
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "x", "yy", "Zq"]
+    docs = []
+    for i in range(100):
+        k = rng.randint(0, 12)
+        sep = lambda: " " * rng.randint(1, 3)
+        docs.append((i, sep().join(rng.choice(words) for _ in range(k))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for n in (2, 4):
+        got: dict[int, Counter] = {i: Counter() for i, _ in docs}
+        for r in textops.exploded_ngrams(df, "text", "doc_id", n).collect():
+            got[r["doc_id"]][r["gram"]] += 1
+        for i, text in docs:
+            toks = re.split(r"\s+", text.strip().lower())
+            if len(toks) >= n:
+                want = Counter(
+                    " ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)
+                )
+            else:
+                want = Counter([" ".join(toks)])
+            assert got[i] == want, (i, n, text)
+
+
+def test_normalize_text_differential_random(spark):
+    """Seeded-random differential vs Python unicodedata directly, plus
+    idempotence (NFC(NFC(x)) = NFC(x)) — over strings mixing ASCII,
+    precomposed accents, combining marks, and CJK."""
+    import random
+    import unicodedata
+
+    rng = random.Random(7)
+    pool = list("abc 123") + ["\u00e9", "e\u0301", "\u00f1", "n\u0303",
+                              "\u3042", "\u4e2d", "\u0301", "A\u030a"]
+    docs = [(i, "".join(rng.choice(pool) for _ in range(rng.randint(0, 30))))
+            for i in range(100)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_nfc"] for r in textops.normalize_text(df).collect()}
+    for i, text in docs:
+        want = unicodedata.normalize("NFC", text)
+        assert got[i] == want, i
+        assert unicodedata.normalize("NFC", got[i]) == got[i]
+
+
 def test_normalize_text_nfc(spark):
     """NFC: combining-mark sequences collapse to precomposed forms; ASCII
     and precomposed text pass through unchanged; dedup becomes possible
