@@ -235,13 +235,20 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     contract._ensure_oracle_artifacts(spark, sf_dir)
     timings["oracle_artifacts_materialize"] = round(time.perf_counter() - t0, 3)
+    import gc
+
     for name, fn in contract.queries().items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         # operators like minhash_dedup cache intermediates; don't let one
-        # query's cache skew the next query's memory budget
+        # query's cache skew the next query's memory budget. localCheckpoint
+        # blocks are only freed once the Python wrappers are collected AND
+        # the JVM ContextCleaner runs — force both, or block/shuffle debris
+        # accumulates across the sweep and inflates late queries.
         spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     return timings
 
 
@@ -286,6 +293,14 @@ def main_single(
         spark = _fresh_session(min(cpus, 8))
         try:
             queries = run_query_bench(spark, sf_dir)
+        finally:
+            spark.stop()
+        # fresh session: the skew bench after a 36-query sweep in the same
+        # JVM measured 10-30x slower (accumulated checkpoint blocks /
+        # shuffle files / GC pressure), which is session hygiene, not the
+        # operator under test
+        spark = _fresh_session(min(cpus, 8))
+        try:
             skew = run_dedup_skew_bench(spark, sf_dir)
         finally:
             spark.stop()

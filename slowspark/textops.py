@@ -248,7 +248,10 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        hooked = (
+        # materialize the hook result BEFORE the jump self-join: both sides
+        # of the join would otherwise race to recompute the hook shuffle
+        # (the same lazy-plan trap as the signature self-joins)
+        hooked = _materialize(
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
@@ -273,7 +276,9 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 ).alias("changed"),
             )
         )
-        new_labels = _materialize(new_labels)
+        # the jump join stays lazy: its inputs are the checkpointed hook
+        # table, so the lineage entering the next round is one join deep —
+        # bounded, because the next round's hook gets checkpointed again
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
