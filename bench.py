@@ -177,16 +177,22 @@ def run_dedup_skew_bench(spark, sf_dir: str) -> dict:
 
     out: dict = {"n_docs": n_docs, "n_viral": n_viral}
     for label, cap in (("uncapped", None), ("capped_10", 10)):
-        t0 = time.perf_counter()
-        pairs = jaccard_verified_pairs(corpus, max_bucket_size=cap)
-        n_pairs = pairs.count()
-        n_viral_pairs = pairs.filter("id_a >= 10000000").count()
+        best = None
+        # best-of-2: this host's bursty vCPU steal inflates single runs
+        # 5-25x (BENCH.md); min approximates unstolen capacity
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pairs = jaccard_verified_pairs(corpus, max_bucket_size=cap)
+            n_pairs = pairs.count()
+            n_viral_pairs = pairs.filter("id_a >= 10000000").count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
         out[label] = {
-            "seconds": round(time.perf_counter() - t0, 3),
+            "seconds": round(best, 3),
             "pairs": n_pairs,
             "viral_pairs": n_viral_pairs,
         }
-        spark.catalog.clearCache()
     return out
 
 
