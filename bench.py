@@ -102,7 +102,7 @@ def _timed_pipeline(spark, pages_df, reps: int = 2) -> tuple[float, dict, int]:
 
 def run_pipeline_bench(
     spark, sf_dir: str, shard: str | None = None, n_pages: int | None = None,
-    inner_reps: int = 2,
+    inner_reps: int = 3,
 ) -> dict:
     """Pipeline bench over the shared pages artifact; optional 'i:n' url-hash
     shard restriction (the executor-emulation unit of work)."""
@@ -244,17 +244,26 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     import gc
 
     for name, fn in contract.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators like minhash_dedup cache intermediates; don't let one
-        # query's cache skew the next query's memory budget. localCheckpoint
-        # blocks are only freed once the Python wrappers are collected AND
-        # the JVM ContextCleaner runs — force both, or block/shuffle debris
-        # accumulates across the sweep and inflates late queries.
-        spark.catalog.clearCache()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        # best-of-2: a single run sits exposed to this host's bursty vCPU
+        # steal (5-25x single-stage outliers, BENCH.md) — min approximates
+        # unstolen capacity; the shared artifacts are memoized so reruns
+        # time the query itself
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # operators like minhash_dedup cache intermediates; don't let
+            # one query's cache skew the next query's memory budget.
+            # localCheckpoint blocks are only freed once the Python
+            # wrappers are collected AND the JVM ContextCleaner runs —
+            # force both, or block/shuffle debris accumulates across the
+            # sweep and inflates late queries.
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        timings[name] = round(best, 3)
     return timings
 
 
@@ -269,7 +278,7 @@ def _fresh_session(cpus: int):
 
 def main_single(
     sf_dir: str, cpus: int, pipeline_only: bool, shard: str | None,
-    n_pages: int | None = None, inner_reps: int = 2, exact_cpus: bool = False,
+    n_pages: int | None = None, inner_reps: int = 3, exact_cpus: bool = False,
 ) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -528,7 +537,7 @@ if __name__ == "__main__":
                    help="run exactly --cpus task threads (no 8-thread cap)")
     p.add_argument("--shard", default=None, help="'i:n' url-hash shard restriction")
     p.add_argument("--n-pages", type=int, default=None)
-    p.add_argument("--inner-reps", type=int, default=2)
+    p.add_argument("--inner-reps", type=int, default=3)
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--reps", type=int, default=2)
     args = p.parse_args()
