@@ -224,6 +224,80 @@ def test_sessionize_stream_matches_batch_analog(spark, tmp_path):
     assert all(e + gap <= wm_hi + slack for _, s, e, n in got)
 
 
+def test_sessionize_stream_random_differential(spark, tmp_path):
+    """Seeded-random differential in the adversarial regime ADVICE flagged
+    (watermark delay >> gap, heavy in-batch disorder): the emitted set must
+    equal the BATCH sessionization of the same rows restricted to sessions
+    the watermark finalized — no splits, no overlaps, no early emissions."""
+    import random
+    import time
+    from datetime import datetime, timedelta
+
+    from slowspark.aggregate import session_windows
+    from slowspark.streaming import sessionize_stream
+
+    rng = random.Random(99)
+    base = datetime(2022, 3, 1)
+    gap_s, wm_s = 5.0, 20.0
+    chunks = []
+    for k in range(4):
+        rows = []
+        for _ in range(40):
+            u = f"u{rng.randint(0, 2)}"
+            # chunk k spans [60k, 60k+60): inter-chunk event time advances,
+            # in-chunk order is fully shuffled (watermark only moves
+            # between micro-batches, so disorder inside a chunk is always
+            # within-watermark)
+            s = 60 * k + rng.random() * 60
+            rows.append((u, base + timedelta(seconds=s), rng.random()))
+        rng.shuffle(rows)
+        chunks.append(rows)
+
+    src = str(tmp_path / "rand_sess")
+    for rows in chunks:
+        spark.createDataFrame(
+            rows, "user string, warc_ts timestamp, query_time double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema("user string, warc_ts timestamp, query_time double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sess = sessionize_stream(stream, ("user",), "warc_ts",
+                             gap_minutes=gap_s / 60.0, watermark=f"{int(wm_s)} seconds")
+    q = (
+        sess.writeStream.format("memory").queryName("rand_sess_out")
+        .option("checkpointLocation", str(tmp_path / "rand_sess_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    key = lambda r: (r["user"], r["session_start"], r["session_end"],
+                     r["n_events"], round(r["sum_query_time"], 6))
+    got = {key(r) for r in spark.sql(
+        "select user, session_start, session_end, n_events, sum_query_time "
+        "from rand_sess_out").collect()}
+
+    all_rows = [r for c in chunks for r in c]
+    batch = session_windows(
+        spark.createDataFrame(
+            all_rows, "user string, warc_ts timestamp, query_time double"
+        ),
+        ["user"], "warc_ts", gap_s / 60.0, agg_col="query_time",
+    ).select("user", "session_start", "session_end", "n_events",
+             F.col("sum_query_time"))
+    want = {key(r) for r in batch.collect()}
+
+    assert got <= want  # every emitted session is a true batch session
+    gap = timedelta(seconds=gap_s)
+    slack = timedelta(milliseconds=2)
+    wm_lo = max(r[1] for r in chunks[2]) - timedelta(seconds=wm_s)  # last data batch's wm
+    wm_hi = max(r[1] for c in chunks for r in c) - timedelta(seconds=wm_s)
+    # completeness at the guaranteed watermark; finality at the max one
+    assert {x for x in want if x[2] + gap + slack <= wm_lo} <= got
+    assert all(e + gap <= wm_hi + slack for _, s, e, n, q_ in got)
+
+
 def test_audio_features_and_chunks(spark, media):
     from slowspark import multimodal
 
