@@ -19,7 +19,6 @@ salting is actually exercised at bench scale.
 from __future__ import annotations
 
 import hashlib
-import math
 from datetime import datetime, timedelta, timezone
 from typing import Iterator
 
