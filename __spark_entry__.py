@@ -363,6 +363,19 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(d, ev, n=5).select("doc_id", "n_hits")
 
 
+def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (textops.term_stats): top 100 terms by
+    document frequency with full deterministic tie-break."""
+    from slowspark.textops import term_stats
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        term_stats(d)
+        .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("term"))
+        .limit(100)
+    )
+
+
 def _normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (textops.normalize_text, pandas UDF over
     unicodedata) on text with deterministically injected combining-mark
@@ -1015,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
+        "term_stats": _term_stats,
         "ann_topk": _ann_topk,
         # parse-path, hash-checked via the materialized entries parquet
         "kind_census": _kind_census,
@@ -1199,6 +1213,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "contamination": _CONTAMINATION_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
+        "term_stats": """
+            WITH toks AS (
+                SELECT doc_id, unnest(
+                    list_filter(
+                        regexp_split_to_array(lower(text), '[^\\p{L}]+'),
+                        t -> t != ''
+                    )
+                ) AS term
+                FROM documents
+            ), per_doc AS (
+                SELECT term, doc_id, count(*) AS n FROM toks GROUP BY term, doc_id
+            )
+            SELECT term, sum(n) AS term_freq, count(*) AS doc_freq
+            FROM per_doc GROUP BY term
+            ORDER BY doc_freq DESC, term_freq DESC, term
+            LIMIT 100
+        """,
         "normalize_unicode": """
             SELECT doc_id,
                    CAST(length(nfc_normalize(

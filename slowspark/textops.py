@@ -1266,6 +1266,34 @@ def scrub_pii(
     return df.withColumns({**cols, out_col: scrubbed})
 
 
+def term_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus term statistics: term -> (term_freq, doc_freq) — the IDF /
+    vocabulary-analysis building block. Tokenization matches language_id
+    (lowercase, split on non-letters, empties dropped).
+
+    Scale shape: two-level aggregation — first groupBy (term, doc) with a
+    per-doc count (map-side combine collapses each document's repeats
+    BEFORE the shuffle, so heavy-hitter terms ship one row per (term, doc),
+    not one per occurrence), then groupBy term sums tf and counts rows for
+    an EXACT doc_freq with no countDistinct expansion."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"[^\p{L}]+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    per_doc = toks.groupBy("term", id_col).agg(F.count("*").alias("n"))
+    return per_doc.groupBy("term").agg(
+        F.sum("n").alias("term_freq"),
+        F.count("*").alias("doc_freq"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable content fingerprint: xxhash64 of the whitespace-normalized
     lowercased text (the document-level analog of the SQL fingerprint)."""

@@ -122,6 +122,18 @@ def test_token_count(spark):
     assert r["est_bpe_tokens"] >= 3
 
 
+def test_term_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c!"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["term"]: (r["term_freq"], r["doc_freq"])
+           for r in textops.term_stats(df).collect()}
+    assert got == {"a": (2, 1), "b": (2, 2), "c": (1, 1)}
+    # two-level aggregation: repeats collapse map-side before the shuffle
+    plan = textops.term_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+
+
 def test_doc_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "something else")],
