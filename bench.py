@@ -59,7 +59,7 @@ def _ensure_pages(spark, n_pages: int) -> None:
         f.write(str(n_pages))
 
 
-def _timed_pipeline(spark, pages_df, reps: int = 2) -> tuple[float, dict, int]:
+def _timed_pipeline(spark, pages_df, reps: int = 3) -> tuple[float, dict, int]:
     """parse -> broadcast enrich -> fused census+fingerprint rollup, run
     `reps` times in one warm JVM, best kept (the first run pays Python-worker
     startup + codegen; later runs expose the host's bursty steal — min
@@ -412,8 +412,9 @@ def _write_bench_md(report: dict) -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write(
             "# BENCH — scaling evidence (north_rule two-cluster-size criterion)\n\n"
-            "Same pipeline job (parse -> broadcast enrich -> kind census ->\n"
-            "fingerprint rollup) on the SAME deterministic on-disk pages input\n"
+            "Same pipeline job (parse -> broadcast enrich -> fused census +\n"
+            "fingerprint rollup, one action) on the SAME deterministic on-disk\n"
+            "pages input\n"
             "at two N->4N parallelism pairs (sandbox stand-in for N vs 4N\n"
             f"executors), in-process best-of reps per level, {n_pages} pages "
             f"(sf={report['sf']}).\n\n"
