@@ -57,45 +57,121 @@ def entry(spark: SparkSession) -> DataFrame:
     return sink_rollup(enriched).orderBy("entry_kind", "sql_type")
 
 
+_ARTIFACT_NAMES = (
+    "entries", "simhash_sigs", "lsh_buckets", "ivf_cells",
+    "minhash_index", "minhash_pairs", "jaccard_pairs",
+)
+
+
+def _artifact_stamp(sf_dir: str) -> str:
+    """Content stamp for the oracle artifacts: sha256 over every slowspark
+    source file + this contract file + the (path, size, mtime) listing of
+    the input documents/embeddings parquet. Every artifact is a pure
+    deterministic function of exactly those inputs, so an equal stamp means
+    the on-disk artifacts are byte-equivalent to what a rebuild would
+    produce. mtime is included conservatively: a regenerated-but-identical
+    testdata dir rebuilds (wasted work, never wrong)."""
+    import glob
+    import hashlib
+    import os
+
+    import slowspark
+
+    h = hashlib.sha256()
+    src_dir = os.path.dirname(os.path.abspath(slowspark.__file__))
+    for p in sorted(glob.glob(f"{src_dir}/*.py")) + [os.path.abspath(__file__)]:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    for t in ("documents", "embeddings"):
+        root = f"{sf_dir}/{t}.parquet"
+        files = [p for p in sorted(glob.glob(f"{root}/**", recursive=True))
+                 if os.path.isfile(p)] or ([root] if os.path.isfile(root) else [])
+        for p in files:
+            st = os.stat(p)
+            h.update(
+                f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
+                .encode()
+            )
+    return h.hexdigest()
+
+
 def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Materialize every parquet the file-dependent oracles read.
 
-    Calls the materializers UNCONDITIONALLY: their in-process memo
-    (_ENTRIES_WRITTEN) makes repeat calls free within a process, and a
-    fresh process deliberately OVERWRITES whatever is on disk — trusting a
-    leftover _SUCCESS from an older code version would let stale artifacts
-    (pre-log_meta schema, old hash constants) short-circuit this path while
-    the per-query materializers rebuild theirs, splitting the two sides of
-    the oracle comparison across code versions.
+    Cross-process skip via a content manifest: the stamp hashes the
+    slowspark sources, this file, and the input parquet listing — the full
+    closure the (deterministic) artifacts depend on. A matching
+    `_MANIFEST.json` means the on-disk artifacts are already what a rebuild
+    would write, so a fresh process skips the ~1-minute rebuild; any code
+    or input change misses the stamp and forces a full overwrite (a stale
+    _SUCCESS from an older code version can never short-circuit this path,
+    which was why earlier rounds always overwrote).
 
-    The five artifact groups are independent Spark jobs, so they are
-    submitted from a small thread pool — the local scheduler interleaves
-    their tasks, overlapping each job's Python-worker startup and
-    driver-side planning gaps instead of paying them serially (on a
-    cluster this is the standard scheduler-pool fan-out)."""
+    On a rebuild, the MinHash signature pass over `documents` — the
+    single most expensive UDF here — runs ONCE and feeds both the dedup
+    pair sets and the incremental index (round 3 computed it twice). The
+    artifact groups are independent Spark jobs submitted from a thread
+    pool so the local scheduler interleaves their tasks (on a cluster,
+    standard scheduler-pool fan-out)."""
+    import json
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
-    groups = (
-        lambda: _entries_parquet(spark, sf_dir),
-        lambda: _simhash_sigs_parquet(spark, sf_dir),
-        lambda: _lsh_buckets_parquet(spark, sf_dir),
-        lambda: _ivf_index_parquet(spark, sf_dir),
-        lambda: _incremental_index_parquet(spark, sf_dir),
-        lambda: _dedup_pairs_parquets(spark, sf_dir),
-    )
-    with ThreadPoolExecutor(len(groups)) as ex:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    abase = f"{_ORACLE_ENTRIES_BASE}/{base}"
+    paths = [f"{abase}/{n}" for n in _ARTIFACT_NAMES]
+    if all(p in _ENTRIES_WRITTEN for p in paths):
+        return
+    stamp = _artifact_stamp(sf_dir)
+    mpath = f"{abase}/_MANIFEST.json"
+    try:
+        with open(mpath) as f:
+            if json.load(f).get("stamp") == stamp:
+                _ENTRIES_WRITTEN.update(paths)
+                return
+    except (OSError, ValueError):
+        pass
+
+    from slowspark.textops import minhash_signatures
+    from slowspark.util import materialize
+
+    with ThreadPoolExecutor(7) as ex:
+        sig_fut = ex.submit(
+            lambda: materialize(
+                minhash_signatures(_read(spark, sf_dir, "documents"))
+            )
+        )
+        groups = (
+            lambda: _entries_parquet(spark, sf_dir),
+            lambda: _simhash_sigs_parquet(spark, sf_dir),
+            lambda: _lsh_buckets_parquet(spark, sf_dir),
+            lambda: _ivf_index_parquet(spark, sf_dir),
+            lambda: _incremental_index_parquet(
+                spark, sf_dir, sigs=sig_fut.result()
+            ),
+            lambda: _dedup_pairs_parquets(spark, sf_dir, sigs=sig_fut.result()),
+        )
         for fut in [ex.submit(g) for g in groups]:
             fut.result()
+    os.makedirs(abase, exist_ok=True)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"stamp": stamp}, f)
+    os.replace(tmp, mpath)  # atomic: a torn manifest never looks valid
 
 
-def _dedup_pairs_parquets(spark: SparkSession, sf_dir: str) -> None:
+def _dedup_pairs_parquets(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> None:
     """Materialize BOTH dedup pair sets from ONE shared signature pass and
     ONE shared banding/estimate pass: minhash pairs are the estimate table
     filtered at the threshold; jaccard pairs are the same table filtered at
     threshold - margin then exact-verified. Results are identical to the
     standalone minhash_verified_pairs / jaccard_verified_pairs defaults
     (pinned by scripts/check_oracle.py), but the signature UDF and the
-    banding shuffle run once instead of twice."""
+    banding shuffle run once instead of twice. `sigs` (a default-parameter
+    signature table over the same documents, already materialized) shares
+    the pass further — with _incremental_index_parquet."""
     import os
 
     from pyspark.sql import functions as F
@@ -113,7 +189,8 @@ def _dedup_pairs_parquets(spark: SparkSession, sf_dir: str) -> None:
     if all(p in _ENTRIES_WRITTEN for p in paths.values()):
         return
     d = _read(spark, sf_dir, "documents")
-    sigs = materialize(minhash_signatures(d))
+    if sigs is None:
+        sigs = materialize(minhash_signatures(d))
     est = materialize(minhash_estimated_pairs(sigs))
     _pairs_parquet(
         spark, sf_dir, "minhash_pairs",
@@ -714,13 +791,20 @@ def _simhash_sigs_parquet(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _incremental_index_parquet(spark: SparkSession, sf_dir: str) -> str:
+def _incremental_index_parquet(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> str:
     """Materialize the incremental-dedup fixtures once per process: a
     persisted MinHash index over the EVEN doc_ids (textops.
     build_minhash_index — sigs + band keys partitioned by band_id) and the
     signature table of the ODD-id 'incoming batch'. Both signature tables
     are parquet, so the oracle can recompute the banding construction
-    itself in SQL (band slice equality <=> band hash equality)."""
+    itself in SQL (band slice equality <=> band hash equality).
+
+    `sigs` (default-parameter signatures over ALL documents, materialized)
+    lets both tables come from per-row FILTERS of one shared pass instead
+    of two fresh signature-UDF runs — minhash_signatures is per-doc
+    deterministic, so filter-of-full equals compute-on-subset exactly."""
     import os
 
     from slowspark.textops import build_minhash_index, minhash_signatures
@@ -729,10 +813,18 @@ def _incremental_index_parquet(spark: SparkSession, sf_dir: str) -> str:
     idx = f"{_ORACLE_ENTRIES_BASE}/{base}/minhash_index"
     if idx not in _ENTRIES_WRITTEN:
         d = _read(spark, sf_dir, "documents")
-        build_minhash_index(d.filter(F.col("doc_id") % 2 == 0), idx)
-        minhash_signatures(d.filter(F.col("doc_id") % 2 == 1)).write.mode(
-            "overwrite"
-        ).parquet(f"{idx}/new_sigs")
+        even_sigs = (
+            sigs.filter(F.col("doc_id") % 2 == 0) if sigs is not None else None
+        )
+        build_minhash_index(
+            d.filter(F.col("doc_id") % 2 == 0), idx, sigs=even_sigs
+        )
+        odd_sigs = (
+            sigs.filter(F.col("doc_id") % 2 == 1)
+            if sigs is not None
+            else minhash_signatures(d.filter(F.col("doc_id") % 2 == 1))
+        )
+        odd_sigs.write.mode("overwrite").parquet(f"{idx}/new_sigs")
         _ENTRIES_WRITTEN.add(idx)
     return idx
 
@@ -1225,7 +1317,7 @@ def oracle_sql() -> dict[str, str]:
             ), per_doc AS (
                 SELECT term, doc_id, count(*) AS n FROM toks GROUP BY term, doc_id
             )
-            SELECT term, sum(n) AS term_freq, count(*) AS doc_freq
+            SELECT term, CAST(sum(n) AS BIGINT) AS term_freq, count(*) AS doc_freq
             FROM per_doc GROUP BY term
             ORDER BY doc_freq DESC, term_freq DESC, term
             LIMIT 100

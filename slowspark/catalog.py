@@ -15,6 +15,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _is_temp_view(spark: SparkSession, name: str) -> bool:
+    """True when `name` resolves to a temp/global-temp view. tableExists()
+    matches those too, and a temp view must neither shadow path data on
+    read nor be dropped by a table write."""
+    try:
+        return bool(spark.catalog.getTable(name).isTemporary)
+    except Exception:
+        return False
+
+
 @dataclass
 class Catalog:
     """warehouse_root/<table_name> tables."""
@@ -49,6 +59,20 @@ class Catalog:
             writer.createOrReplace()
             return name
         path = self.path(name)
+        # A prior write_bucketed(name) leaves a metastore entry whose
+        # bucketing metadata describes the OLD files; overwriting the path
+        # underneath it would make read()'s spark.table(name) return a
+        # table whose bucket metadata no longer matches the data —
+        # Exchange-free joins would then silently co-locate on garbage.
+        # Drop the stale entry so read() falls back to the path load.
+        spark = df.sparkSession
+        try:
+            if spark.catalog.tableExists(name) and not _is_temp_view(
+                spark, name
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass  # no metastore / unparseable name: nothing to go stale
         w = df.write.mode(mode).format(self.fmt)
         if self.fmt == "parquet":
             w = w.option("compression", self.codec)
@@ -110,9 +134,12 @@ class Catalog:
         # metadata, and the very Exchange-free join the bucketed write
         # prepaid for comes back. Path load is only the fallback for plain
         # path-written tables (or names the metastore cannot even parse,
-        # e.g. containing path separators).
+        # e.g. containing path separators). Temp views are excluded: a
+        # same-named temp view must not shadow the path data.
         try:
-            is_table = spark.catalog.tableExists(name)
+            is_table = spark.catalog.tableExists(name) and not _is_temp_view(
+                spark, name
+            )
         except Exception:
             is_table = False
         if is_table:

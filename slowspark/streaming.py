@@ -106,8 +106,12 @@ def sessionize_stream(
         wm_us = state.getCurrentWatermarkMs() * 1000
 
         def split_final(sessions):
-            final = [s for s in sessions if s[1] + gap_us <= wm_us]
-            keep = [s for s in sessions if s[1] + gap_us > wm_us]
+            # STRICT <: Spark still admits rows with event time exactly
+            # equal to the watermark, and a row at t == end + gap merges
+            # in batch semantics (t - prev <= gap). Finalize only once no
+            # admissible row could extend the session.
+            final = [s for s in sessions if s[1] + gap_us < wm_us]
+            keep = [s for s in sessions if s[1] + gap_us >= wm_us]
             return final, keep
 
         def park(keep):

@@ -409,6 +409,7 @@ def build_minhash_index(
     n_perm: int = _N_PERM_DEFAULT,
     bands: int = 16,
     shingle_k: int = 5,
+    sigs: DataFrame | None = None,
 ) -> None:
     """Persist a MinHash-LSH index for CONTINUOUS dedup: the signature
     table plus the banded key table (partitioned by band_id — a probe
@@ -419,8 +420,16 @@ def build_minhash_index(
     documents and probes the index with a band-keyed join — per-batch cost
     is O(batch), never a corpus rescan. Growing the index after accepting
     a batch is an append of the batch's sigs/band rows (mode='append' on
-    the same paths)."""
-    sigs = _materialize(minhash_signatures(df, text_col, id_col, n_perm, shingle_k))
+    the same paths).
+
+    Pass `sigs` (a signature table already computed with the SAME
+    n_perm/shingle_k, e.g. shared with a batch dedup pass over the same
+    corpus) to skip the signature UDF entirely — the caller owns the
+    parameter-match guarantee."""
+    if sigs is None:
+        sigs = _materialize(
+            minhash_signatures(df, text_col, id_col, n_perm, shingle_k)
+        )
     sigs.write.mode("overwrite").parquet(f"{index_path}/sigs")
     (
         band_keys(sigs, id_col, bands, n_perm // bands)
@@ -444,20 +453,29 @@ def append_to_minhash_index(
     rows to the same paths. Parameters must match the original
     build_minhash_index call — band keys computed under different
     n_perm/bands/shingle_k would silently never collide with the corpus's.
-    Appends are row-additive, so a crashed append at worst leaves the
-    batch partially indexed; re-running incremental_dedup on the same
-    batch first (idempotent: already-indexed docs now match themselves and
-    are dropped) keeps the index duplicate-free."""
+
+    Crash-recovery contract: band rows are written BEFORE signature rows.
+    A crash between the two writes leaves band rows without signatures;
+    re-running incremental_dedup then re-appending is still safe — the
+    batch's docs match themselves on the band join, and the duplicate band
+    rows the re-append creates are neutralized by the candidate pipeline's
+    DISTINCT, while the signature rows (written last, hence absent after
+    the crash) land exactly once. The reverse order would strand
+    signature-only docs that never self-match on the band join, so a
+    re-append would duplicate their signature rows — duplicated pair rows
+    downstream. (This is at-least-once plus dedup, not a transaction; a
+    cluster deployment that needs atomic appends should put both tables in
+    one Iceberg/Delta commit.)"""
     sigs = _materialize(
         minhash_signatures(accepted_df, text_col, id_col, n_perm, shingle_k)
     )
-    sigs.write.mode("append").parquet(f"{index_path}/sigs")
     (
         band_keys(sigs, id_col, bands, n_perm // bands)
         .write.mode("append")
         .partitionBy("band_id")
         .parquet(f"{index_path}/bands")
     )
+    sigs.write.mode("append").parquet(f"{index_path}/sigs")
 
 
 def incremental_near_dup_pairs(
