@@ -176,23 +176,28 @@ def run_dedup_skew_bench(spark, sf_dir: str) -> dict:
     corpus = d.select("doc_id", "text").unionByName(viral)
 
     out: dict = {"n_docs": n_docs, "n_viral": n_viral}
-    for label, cap in (("uncapped", None), ("capped_10", 10)):
-        best = None
-        # best-of-2: this host's bursty vCPU steal inflates single runs
-        # 5-25x (BENCH.md); min approximates unstolen capacity
-        for _ in range(2):
+    # INTERLEAVED best-of-3: this host's bursty vCPU steal inflates single
+    # runs 5-25x (BENCH.md). Sequential per-label reps let one steal window
+    # swallow one label's whole sample; alternating labels puts both under
+    # the same windows, and min-of-3 approximates unstolen capacity.
+    best: dict = {}
+    for _ in range(3):
+        for label, cap in (("uncapped", None), ("capped_10", 10)):
             t0 = time.perf_counter()
             pairs = jaccard_verified_pairs(corpus, max_bucket_size=cap)
             n_pairs = pairs.count()
             n_viral_pairs = pairs.filter("id_a >= 10000000").count()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            prev = best.get(label)
+            if prev is None or dt < prev["seconds"]:
+                best[label] = {
+                    "seconds": dt,
+                    "pairs": n_pairs,
+                    "viral_pairs": n_viral_pairs,
+                }
             spark.catalog.clearCache()
-        out[label] = {
-            "seconds": round(best, 3),
-            "pairs": n_pairs,
-            "viral_pairs": n_viral_pairs,
-        }
+    for label, rec in best.items():
+        out[label] = {**rec, "seconds": round(rec["seconds"], 3)}
     return out
 
 
