@@ -48,6 +48,26 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, 3
 
 
+def _real_image_decode(payload: bytes) -> tuple[int, int, int]:
+    """The real-decode wire-in point: uses PIL when the executor image has
+    it, raises the documented NotImplementedError otherwise (pinned by
+    tests/test_multimodal_streaming.py::test_real_decode_gate — green on
+    either path, so a cluster image WITH PIL exercises the real kernel
+    with no code change)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires PIL/libvips — not in this "
+            "container; wire PIL.Image.open here"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        w, h = im.size
+        return w, h, len(im.getbands())
+
+
 def decode_images(
     media: DataFrame, feature_dim: int = 8, real_decode: bool = False
 ) -> DataFrame:
@@ -65,12 +85,7 @@ def decode_images(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                if real_decode:
-                    raise NotImplementedError(
-                        "real image decode requires PIL/libvips — not in this "
-                        "container; wire PIL.Image.open here"
-                    )
-                w, h, c = _fake_decode(b)
+                w, h, c = _real_image_decode(b) if real_decode else _fake_decode(b)
                 digest = hashlib.sha256(b).hexdigest()
                 # deterministic fake embedding from content hash
                 seed = int.from_bytes(hashlib.blake2b(b, digest_size=4).digest(), "big")
@@ -149,14 +164,34 @@ def extract_audio_features(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                if real_decode:
-                    raise NotImplementedError(
-                        "real audio decode requires soundfile/torchaudio — "
-                        "not in this container; wire sf.read(io.BytesIO) here"
-                    )
                 h = hashlib.blake2b(b, digest_size=8).digest()
-                sr = (8000, 16000, 22050, 44100)[h[0] % 4]
-                duration = 0.5 + (int.from_bytes(h[1:3], "big") % 6000) / 100.0
+                if real_decode:
+                    # wire-in point: soundfile when the executor image has
+                    # it, loud refusal otherwise (same gate pattern as
+                    # _real_image_decode; test_real_decode_gate pins the
+                    # message)
+                    try:
+                        import soundfile as sf_mod
+                    except ImportError as exc:
+                        raise NotImplementedError(
+                            "real audio decode requires soundfile/torchaudio "
+                            "— not in this container; wire "
+                            "sf.read(io.BytesIO) here"
+                        ) from exc
+                    import io
+
+                    info = sf_mod.info(io.BytesIO(b))
+                    sr = int(info.samplerate)
+                    duration = float(info.duration)
+                    n_ch = int(info.channels)
+                else:
+                    sr = (8000, 16000, 22050, 44100)[h[0] % 4]
+                    duration = 0.5 + (int.from_bytes(h[1:3], "big") % 6000) / 100.0
+                    n_ch = 1 + h[3] % 2
+                # mel means stay content-hash-derived even under
+                # real_decode: a real mel filterbank needs an FFT pass the
+                # plumbing test does not require; swap in
+                # librosa.feature.melspectrogram here for production
                 seed = int.from_bytes(h[4:8], "big")
                 rng = np.random.RandomState(seed)
                 mel = rng.standard_normal(n_mel).astype(np.float32)
@@ -164,7 +199,7 @@ def extract_audio_features(
                     "media_id": int(mid),
                     "sample_rate": sr,
                     "duration_s": float(duration),
-                    "n_channels": 1 + h[3] % 2,
+                    "n_channels": n_ch,
                     "mel_means": mel.tolist(),
                 })
             yield pd.DataFrame(
