@@ -1098,6 +1098,56 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher hard keep/drop rules with per-rule audit columns
+    (corpus.quality_filter_flags) — the filter stage that complements
+    textops.quality_score's ranking stage."""
+    from slowspark.corpus import quality_filter_flags
+
+    d = _read(spark, sf_dir, "documents")
+    return quality_filter_flags(d).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "digit_ratio",
+        "stopword_hits", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_digit_ratio", "rule_stopwords", "keep",
+    )
+
+
+def _passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level boilerplate removal (corpus.passage_dedup): chunking,
+    cross-doc passage counting, and ordered reassembly are ALL inside the
+    value hash (kept_md5 covers the full surviving text per doc)."""
+    from slowspark.corpus import passage_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    return passage_dedup(d, passage_words=20, max_docs_per_passage=2)
+
+
+def _unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM negative log-likelihood per doc
+    (corpus.unigram_logprob) — CCNet-style perplexity ranking without an
+    external model."""
+    from slowspark.corpus import unigram_logprob
+
+    d = _read(spark, sf_dir, "documents")
+    return unigram_logprob(d)
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 1.0, "zh": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket stratified sampling (corpus.hash_sample):
+    the selection itself is the hash check — DuckDB recomputes the same
+    md5 buckets and rate CASE and must select the identical row set."""
+    from slowspark.corpus import hash_sample
+
+    d = _read(spark, sf_dir, "documents")
+    return hash_sample(
+        d, rates=_SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    ).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # oracle-checked
@@ -1122,6 +1172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_unicode": _normalize_unicode,
         "term_stats": _term_stats,
         "ann_topk": _ann_topk,
+        "quality_filter": _quality_filter,
+        "passage_dedup": _passage_dedup,
+        "unigram_scores": _unigram_scores,
+        "stratified_sample": _stratified_sample,
         # parse-path, hash-checked via the materialized entries parquet
         "kind_census": _kind_census,
         "fingerprint_rollup": _fingerprint_rollup_pipeline,
@@ -1321,6 +1375,122 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY term
             ORDER BY doc_freq DESC, term_freq DESC, term
             LIMIT 100
+        """,
+        "quality_filter": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '\\s+', '', 'g')) AS nonws,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           AS symbols,
+                       length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       length(ws) AS n_words,
+                       CAST(nonws AS DOUBLE) / greatest(length(ws), 1)
+                           AS mean_wl,
+                       CAST(symbols AS DOUBLE) / greatest(n_chars, 1)
+                           AS sym_r,
+                       CAST(digits AS DOUBLE) / greatest(n_chars, 1)
+                           AS dig_r,
+                       length(list_intersect(list_distinct(ws),
+                           [{", ".join(repr(w) for w in ("the", "a", "to", "of", "and", "in", "that", "with"))}]))
+                           AS stop_hits
+                FROM base
+            )
+            SELECT doc_id,
+                   n_words,
+                   round(mean_wl, 4) AS mean_word_len,
+                   round(sym_r, 4) AS symbol_ratio,
+                   round(dig_r, 4) AS digit_ratio,
+                   stop_hits AS stopword_hits,
+                   (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+                   (mean_wl >= 2.0 AND mean_wl <= 12.0) AS rule_mean_word_len,
+                   (sym_r <= 0.1) AS rule_symbol_ratio,
+                   (dig_r <= 0.3) AS rule_digit_ratio,
+                   (stop_hits >= 1) AS rule_stopwords,
+                   ((n_words >= 20 AND n_words <= 100000)
+                    AND (mean_wl >= 2.0 AND mean_wl <= 12.0)
+                    AND (sym_r <= 0.1) AND (dig_r <= 0.3)
+                    AND (stop_hits >= 1)) AS keep
+            FROM m
+        """,
+        "passage_dedup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t != ''
+                       ) AS ws
+                FROM documents
+            ), p0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(0, CAST(ceil(length(ws) / 20.0) AS INT)),
+                           i -> struct_pack(
+                               idx := i,
+                               passage := array_to_string(
+                                   ws[i * 20 + 1 : (i + 1) * 20], ' ')
+                           ))) AS u
+                FROM toks WHERE length(ws) > 0
+            ), p AS (
+                SELECT doc_id, u.idx AS passage_idx, u.passage AS passage,
+                       md5(u.passage) AS passage_md5
+                FROM p0
+            ), boiler AS (
+                SELECT passage_md5 FROM p
+                GROUP BY passage_md5
+                HAVING count(DISTINCT doc_id) > 2
+            ), flagged AS (
+                SELECT p.doc_id, p.passage_idx, p.passage,
+                       (b.passage_md5 IS NOT NULL) AS dropped
+                FROM p LEFT JOIN boiler b USING (passage_md5)
+            ), per_doc AS (
+                SELECT doc_id,
+                       count(*) AS n_passages,
+                       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dropped,
+                       md5(coalesce(
+                           string_agg(passage, ' ' ORDER BY passage_idx)
+                               FILTER (WHERE NOT dropped),
+                           '')) AS kept_md5
+                FROM flagged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(pd.n_passages, 0) AS n_passages,
+                   coalesce(pd.n_dropped, 0) AS n_dropped,
+                   coalesce(pd.kept_md5, md5('')) AS kept_md5
+            FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+        """,
+        "unigram_scores": """
+            WITH toks AS (
+                SELECT doc_id, unnest(
+                    list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        t -> t != ''
+                    )
+                ) AS term
+                FROM documents
+            ), tf AS (
+                SELECT term, count(*) AS tf FROM toks GROUP BY term
+            ), tot AS (
+                SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   round(ln((SELECT total FROM tot)) - avg(ln(tf)), 4)
+                       AS avg_neg_logprob
+            FROM toks JOIN tf USING (term)
+            GROUP BY doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 10000
+                  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                               WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 10000
         """,
         "normalize_unicode": """
             SELECT doc_id,

@@ -1,0 +1,305 @@
+"""Corpus-curation operators for LLM training-data pipelines: composable
+quality-filter rules (C4/Gopher-style), passage-level boilerplate dedup,
+unigram language-model scoring, and deterministic stratified sampling.
+
+These complement textops' scoring/dedup family: quality_score (textops)
+RANKS documents, quality_filter_flags here makes the hard KEEP/DROP
+decision a curation pipeline actually applies; MinHash/SimHash dedup
+(textops) works at document granularity, passage_dedup here removes
+repeated boilerplate *within* surviving documents (navigation chrome,
+cookie banners, templated footers — the CCNet observation that most crawl
+duplication is passage-level, not document-level).
+
+Everything is built-ins only (JVM-side, whole-stage codegen) — no Python
+in any hot path — and every operator is value-hash-checked against a
+DuckDB oracle through the driver contract (__spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# the C4 "terrible tiny corpus" stopword rule uses a handful of very
+# frequent English words; language_id's per-language tables live in
+# textops._STOPWORDS — this set is deliberately tiny and English-only
+# because the rule tests "is this running text at all", not "which
+# language" (non-English docs should be kept by lang routing, not this)
+_FILTER_STOPWORDS = ("the", "a", "to", "of", "and", "in", "that", "with")
+
+
+def quality_filter_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    max_digit_ratio: float = 0.3,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """Hard keep/drop quality rules (C4 / Gopher §A1 style), one boolean
+    column per rule plus the conjunction `keep` — a curation pipeline
+    filters on `keep` and AUDITS per-rule drop rates (each rule column
+    aggregates to a drop-reason histogram; a silent composite would hide a
+    mis-tuned threshold wiping the corpus).
+
+    Rules (all computed from counts, integer-exact):
+      - word count in [min_words, max_words]        (Gopher: 50..100k)
+      - mean word length in [min, max]              (Gopher: 3..10)
+      - symbol ratio (non-alnum, non-space) <= max  (C4 code/lorem filter)
+      - digit ratio <= max
+      - >= min_stopword_hits distinct common-English stopwords (C4)
+
+    Scale shape: pure narrow projection — no shuffle, no UDF, whole-stage
+    codegen end-to-end; at 10^12 docs this is a single scan. Thresholds are
+    arguments, defaults tuned DOWN for the synthetic word-salad corpus
+    (min_words=20; real Gopher uses 50)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_words = F.size(toks)
+    n_chars = F.length(text_col)
+    # non-whitespace character count: the denominator-free building block
+    # for mean word length (sum of token lengths == non-ws chars)
+    nonws = F.length(F.regexp_replace(text_col, r"\s+", ""))
+    symbols = F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace(text_col, r"[^0-9]", ""))
+    mean_wl = nonws / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in _FILTER_STOPWORDS]),
+        )
+    )
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_wl, 4))
+        .withColumn("symbol_ratio", F.round(symbols / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("digit_ratio", F.round(digits / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("stopword_hits", stop_hits)
+        .withColumn("rule_word_count",
+                    (n_words >= min_words) & (n_words <= max_words))
+        .withColumn("rule_mean_word_len",
+                    (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len))
+        .withColumn("rule_symbol_ratio",
+                    symbols / F.greatest(n_chars, F.lit(1)) <= max_symbol_ratio)
+        .withColumn("rule_digit_ratio",
+                    digits / F.greatest(n_chars, F.lit(1)) <= max_digit_ratio)
+        .withColumn("rule_stopwords", stop_hits >= min_stopword_hits)
+    )
+    return out.withColumn(
+        "keep",
+        F.col("rule_word_count") & F.col("rule_mean_word_len")
+        & F.col("rule_symbol_ratio") & F.col("rule_digit_ratio")
+        & F.col("rule_stopwords"),
+    )
+
+
+def passage_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_words: int = 20,
+) -> DataFrame:
+    """Explode each document into fixed-width word passages:
+    (id, passage_idx, passage, passage_md5). Tokens are hoisted into a
+    column and the explode runs over POSITIONS with the slice applied
+    after (textops.exploded_ngrams pattern) — exploding a transform-built
+    array of passages would let InferFiltersFromGenerate inline the
+    tokenize into a per-element filter, O(len^2) per doc."""
+    toks_col, n_col = "__p_toks", "__p_n"
+    k = int(passage_words)
+    if k < 1:
+        raise ValueError(f"passage_words must be >= 1, got {passage_words}")
+    with_toks = (
+        df.select(id_col, text_col)
+        # drop empty tokens: split('') yields [''] (size 1), which would
+        # give every empty document one empty passage; filtering the
+        # array makes "no text" mean "no passages" in both engines
+        .withColumn(
+            toks_col,
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            ),
+        )
+        .withColumn(n_col, F.size(toks_col))
+        # sequence(0, -1) would yield DESCENDING [0, -1]; guard empties
+        .filter(F.col(n_col) > 0)
+    )
+    n_passages = F.ceil(F.col(n_col) / F.lit(k)).cast("int")
+    return (
+        with_toks.withColumn(
+            "passage_idx",
+            F.explode(F.sequence(F.lit(0), n_passages - F.lit(1))),
+        )
+        .withColumn(
+            "passage",
+            F.concat_ws(
+                " ", F.slice(F.col(toks_col), F.col("passage_idx") * k + 1, k)
+            ),
+        )
+        .withColumn("passage_md5", F.md5("passage"))
+        .select(id_col, "passage_idx", "passage", "passage_md5")
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_words: int = 20,
+    max_docs_per_passage: int = 2,
+) -> DataFrame:
+    """Passage-level boilerplate removal (CCNet-style): drop every passage
+    whose exact text occurs in MORE than `max_docs_per_passage` distinct
+    documents, reassemble each document from its surviving passages.
+
+    Returns one row per input document: (id, n_passages, n_dropped,
+    kept_md5) where kept_md5 = md5 of the surviving passages joined in
+    passage order (md5('') when everything was boilerplate — the caller
+    decides whether an emptied doc survives).
+
+    Scale shape: one explode (positions, O(words/k) rows per doc), one
+    groupBy on passage_md5 (32-char key, passages themselves never
+    shuffle twice), a left join of the passage table against the (small —
+    only hashes above the threshold) boilerplate set, one groupBy doc.
+    The boilerplate set is what CCNet materializes per crawl snapshot; at
+    10^12 docs it stays broadcastable because passages repeated across
+    >k docs are by construction a tiny fraction of distinct passages."""
+    p = passage_table(df, text_col, id_col, passage_words)
+    boiler = (
+        p.groupBy("passage_md5")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") > max_docs_per_passage)
+        .select("passage_md5")
+    )
+    flagged = p.join(
+        F.broadcast(boiler.withColumn("__boiler", F.lit(True))),
+        "passage_md5",
+        "left",
+    ).withColumn("__drop", F.coalesce("__boiler", F.lit(False)))
+    per_doc = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.col("__drop").cast("int")).alias("n_dropped"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("__drop"),
+                                    F.struct("passage_idx", "passage"),
+                                )
+                            )
+                        ),
+                        lambda s: s["passage"],
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    # docs whose text was empty produced no passages: surface them with
+    # zero counts rather than silently vanishing from the output
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .fillna({"n_passages": 0, "n_dropped": 0})
+        .withColumn("kept_md5", F.coalesce("kept_md5", F.md5(F.lit(""))))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-unigram negative log-likelihood per document — the cheap
+    LM-quality signal (CCNet ranks crawl text by LM perplexity; a unigram
+    model over the corpus itself is the degenerate-but-useful version that
+    needs no external model): score = avg over tokens of -ln p(token),
+    p(token) = corpus_tf / corpus_total. Low score = stereotypical text,
+    high = rare-token-heavy (gibberish, boilerplate IDs, non-language).
+
+    Returns (id, n_tokens, avg_neg_logprob rounded to 4).
+
+    Scale shape: one explode to (doc, term) rows, one groupBy(term) for
+    the TF table, one join back on term, one groupBy(doc). The TF table
+    is vocabulary-sized (Heaps' law: ~10^7-10^8 terms at web scale, far
+    smaller than the token table) — Spark picks broadcast vs shuffle join
+    from stats; the algebraic identity avg(-ln p) = ln(total) - avg(ln tf)
+    means the scalar total joins as a literal, not a cross join of rows."""
+    toks = (
+        df.select(id_col, text_col)
+        .withColumn("__t", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .filter(F.size("__t") > 0)
+        .select(id_col, F.explode("__t").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = tf.agg(F.sum("tf").alias("total"))
+    per_doc = (
+        toks.join(tf, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log("tf")).alias("__avg_ln_tf"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .withColumn(
+            "avg_neg_logprob",
+            F.round(F.log("total") - F.col("__avg_ln_tf"), 4),
+        )
+        .select(id_col, "n_tokens", "avg_neg_logprob")
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    md5(id || salt)-derived bucket < rate(stratum) * buckets.
+
+    Why not df.sample(): rand()-based sampling is neither reproducible
+    across retries/stage replays (a recomputed partition draws different
+    rows — silently corrupts an eval holdout) nor consistent across runs.
+    Hash-bucketing is a pure projection of the row itself: the same doc
+    lands in the same split in every run, every retry, every engine —
+    and the SAME salt carves the same holdout out of next month's crawl.
+
+    Per-stratum rates (e.g. downsample English, keep all of a low-resource
+    language) are a literal CASE expression — no join, no shuffle, a
+    single codegen'd scan at any scale. Bucket granularity = 1/buckets."""
+    if not (0 < buckets):
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    for k, v in {**rates, "default": default_rate}.items():
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return (
+        df.withColumn("__bucket", bucket)
+        .filter(F.col("__bucket") < rate * buckets)
+        .drop("__bucket")
+    )

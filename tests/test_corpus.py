@@ -1,0 +1,187 @@
+"""Unit tests for slowspark.corpus (quality filters, passage dedup,
+unigram LM scoring, deterministic stratified sampling). The DuckDB
+value-hash checks live in the driver contract (scripts/check_oracle.py);
+these pin the per-rule semantics and the scale-relevant plan shapes."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from slowspark.corpus import (
+    hash_sample,
+    passage_dedup,
+    passage_table,
+    quality_filter_flags,
+    unigram_logprob,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------------------
+# quality_filter_flags
+# ---------------------------------------------------------------------------
+
+GOOD = "the quick brown fox jumps over a lazy dog near the old mill " * 3
+
+
+def test_quality_rules_fire_individually(spark):
+    rows = [
+        (1, GOOD, "en"),                               # passes everything
+        (2, "short text only here", "en"),             # < min_words
+        (3, "ab " * 30, "en"),                         # no stopwords
+        (4, GOOD + " ##$% " * 20, "en"),               # symbol ratio
+        (5, GOOD + " 123456789 " * 40, "en"),          # digit ratio
+        (6, ("pneumonoultramicroscopicsilicovolcanoconiosis " * 25) + "the a", "en"),  # mean word len
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in quality_filter_flags(_docs(spark, rows)).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["rule_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["rule_stopwords"] is False and out[3]["keep"] is False
+    assert out[4]["rule_symbol_ratio"] is False and out[4]["keep"] is False
+    assert out[5]["rule_digit_ratio"] is False and out[5]["keep"] is False
+    assert out[6]["rule_mean_word_len"] is False and out[6]["keep"] is False
+
+
+def test_quality_filter_is_narrow_no_shuffle(spark):
+    """The filter stage must stay a pure projection: at 10^12 docs any
+    Exchange here would shuffle the whole corpus for per-row math."""
+    plan = quality_filter_flags(
+        _docs(spark, [(1, GOOD, "en")])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# passage_table / passage_dedup
+# ---------------------------------------------------------------------------
+
+def test_passage_table_chunking(spark):
+    words = [f"w{i}" for i in range(45)]
+    df = _docs(spark, [(1, " ".join(words), "en")])
+    p = passage_table(df, passage_words=20).orderBy("passage_idx").collect()
+    assert [r["passage_idx"] for r in p] == [0, 1, 2]
+    assert p[0]["passage"] == " ".join(words[:20])
+    assert p[1]["passage"] == " ".join(words[20:40])
+    assert p[2]["passage"] == " ".join(words[40:])  # 5-word remainder chunk
+
+
+def test_passage_table_empty_and_single(spark):
+    df = _docs(spark, [(1, "", "en"), (2, "  ", "en"), (3, "solo", "en")])
+    p = passage_table(df, passage_words=20).collect()
+    # empty text tokenizes to nothing -> no passage rows; "solo" -> one
+    assert {(r["doc_id"], r["passage"]) for r in p} == {(3, "solo")}
+
+
+def test_passage_dedup_drops_boilerplate(spark):
+    boiler = " ".join(f"b{i}" for i in range(20))
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}x{j}" for j in range(20)), "en")
+        for i in range(4)  # boilerplate passage shared by 4 docs
+    ] + [(9, " ".join(f"v{j}" for j in range(40)), "en")]
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(
+            _docs(spark, rows), passage_words=20, max_docs_per_passage=2
+        ).collect()
+    }
+    for i in range(4):
+        assert out[i]["n_passages"] == 2 and out[i]["n_dropped"] == 1
+    assert out[9]["n_passages"] == 2 and out[9]["n_dropped"] == 0
+    # kept text is the unique tail, reassembled in order
+    import hashlib
+
+    want = hashlib.md5(
+        " ".join(f"u0x{j}" for j in range(20)).encode()
+    ).hexdigest()
+    assert out[0]["kept_md5"] == want
+
+
+def test_passage_dedup_fully_boilerplate_doc(spark):
+    boiler = " ".join(f"b{i}" for i in range(20))
+    rows = [(i, boiler, "en") for i in range(5)] + [(9, "", "en")]
+    out = {
+        r["doc_id"]: r
+        for r in passage_dedup(
+            _docs(spark, rows), passage_words=20, max_docs_per_passage=2
+        ).collect()
+    }
+    import hashlib
+
+    empty = hashlib.md5(b"").hexdigest()
+    for i in range(5):
+        assert out[i]["n_dropped"] == 1 and out[i]["kept_md5"] == empty
+    # empty-text doc surfaces with zero counts, not a missing row
+    assert out[9]["n_passages"] == 0 and out[9]["kept_md5"] == empty
+
+
+def test_passage_words_validation(spark):
+    with pytest.raises(ValueError, match="passage_words"):
+        passage_table(_docs(spark, [(1, "x", "en")]), passage_words=0)
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: "a a b" + "a c" -> tf: a=3, b=1, c=1, total=5
+    df = _docs(spark, [(1, "a a b", "en"), (2, "a c", "en")])
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    ln = math.log
+    d1 = -(2 * ln(3 / 5) + ln(1 / 5)) / 3
+    d2 = -(ln(3 / 5) + ln(1 / 5)) / 2
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_neg_logprob"] == pytest.approx(round(d1, 4))
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["avg_neg_logprob"] == pytest.approx(round(d2, 4))
+    # rare-token-heavy doc scores higher (worse) than stereotypical doc
+    assert out[2]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
+
+
+# ---------------------------------------------------------------------------
+# hash_sample
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_rate_bounds(spark):
+    df = _docs(
+        spark,
+        [(i, "t", "en" if i % 2 == 0 else "de") for i in range(400)],
+    )
+    a = sorted(r["doc_id"] for r in hash_sample(df, {"en": 0.5, "de": 0.1}).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df, {"en": 0.5, "de": 0.1}).collect())
+    assert a == b  # identical across runs (no rand())
+    assert hash_sample(df, {}, default_rate=1.0).count() == 400
+    assert hash_sample(df, {}, default_rate=0.0).count() == 0
+    # stratified: en kept at ~50%, de at ~10%
+    kept = hash_sample(df, {"en": 0.5, "de": 0.1}).groupBy("lang").count()
+    kc = {r["lang"]: r["count"] for r in kept.collect()}
+    assert 60 <= kc.get("en", 0) <= 140          # 200 * 0.5 +/- slack
+    assert 5 <= kc.get("de", 0) <= 45            # 200 * 0.1 +/- slack
+
+
+def test_hash_sample_salt_changes_selection_subset_stable(spark):
+    df = _docs(spark, [(i, "t", "en") for i in range(500)])
+    s1 = {r["doc_id"] for r in hash_sample(df, {"en": 0.3}).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df, {"en": 0.3}, salt="v2").collect()}
+    assert s1 != s2  # a different salt carves a different holdout
+    # rate nesting: the 0.1 sample is a SUBSET of the 0.3 sample (same
+    # salt) — growing a holdout never resamples already-assigned rows
+    s_small = {r["doc_id"] for r in hash_sample(df, {"en": 0.1}).collect()}
+    assert s_small <= s1
+
+
+def test_hash_sample_no_shuffle_and_validation(spark):
+    df = _docs(spark, [(1, "t", "en")])
+    plan = hash_sample(df, {"en": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="rate"):
+        hash_sample(df, {"en": 1.5})
+    with pytest.raises(ValueError, match="rate"):
+        hash_sample(df, {}, default_rate=-0.1)
