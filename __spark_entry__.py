@@ -1148,6 +1148,27 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language deterministic sampling (corpus.exact_k_sample):
+    the md5 rank order is recomputed by DuckDB, so the selected row set
+    itself is the hash check."""
+    from slowspark.corpus import exact_k_sample
+
+    d = _read(spark, sf_dir, "documents")
+    return exact_k_sample(d, k=25).select("doc_id", "lang")
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (corpus.pack_sequences): the
+    distributed two-phase prefix sum must agree exactly with DuckDB's
+    single-window cumsum — partition boundaries cannot leak into the
+    result."""
+    from slowspark.corpus import pack_sequences
+
+    d = _read(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=512)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # oracle-checked
@@ -1176,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": _passage_dedup,
         "unigram_scores": _unigram_scores,
         "stratified_sample": _stratified_sample,
+        "exact_k_sample": _exact_k_sample,
+        "pack_sequences": _pack_sequences,
         # parse-path, hash-checked via the materialized entries parquet
         "kind_census": _kind_census,
         "fingerprint_rollup": _fingerprint_rollup_pipeline,
@@ -1491,6 +1514,35 @@ def oracle_sql() -> dict[str, str]:
                        AS UBIGINT) % 10000
                   < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
                                WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 10000
+        """,
+        "exact_k_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 25
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       length(list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x != '')) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                       ) - n_tokens AS BIGINT) AS s
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   s // 512 AS seq_id,
+                   s % 512 AS seq_offset
+            FROM c
         """,
         "normalize_unicode": """
             SELECT doc_id,

@@ -1,6 +1,7 @@
 """Corpus-curation operators for LLM training-data pipelines: composable
 quality-filter rules (C4/Gopher-style), passage-level boilerplate dedup,
-unigram language-model scoring, and deterministic stratified sampling.
+unigram language-model scoring, deterministic sampling (stratified-rate
+and exact-k), and concat-then-chunk sequence packing.
 
 These complement textops' scoring/dedup family: quality_score (textops)
 RANKS documents, quality_filter_flags here makes the hard KEEP/DROP
@@ -302,4 +303,120 @@ def hash_sample(
         df.withColumn("__bucket", bucket)
         .filter(F.col("__bucket") < rate * buckets)
         .drop("__bucket")
+    )
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sampling: rank each stratum's
+    rows by md5(id || salt) and keep the first k. The hash order is a
+    reproducible shuffle of each stratum — the same rows win in every run
+    and engine (hash_sample gives reproducible RATES; this gives
+    reproducible exact COUNTS, e.g. 10k eval docs per language).
+
+    Scale shape: one shuffle on the stratum key + a per-stratum window
+    rank. Strata are languages/sources (small cardinality, large groups):
+    per-group ranking parallelizes across strata, and a skewed stratum is
+    bounded by the same AQE skew handling as any hot groupBy key."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rank_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (GPT-style pretraining layout):
+    documents are concatenated in `id_col` order and cut into fixed
+    `seq_len`-token training sequences; returns per doc (id, n_tokens,
+    seq_id, seq_offset) — the sequence its first token lands in and the
+    offset within it (a doc may straddle into following sequences;
+    end_seq_id = (start + n_tokens - 1) div seq_len).
+
+    The naive formulation — sum(n_tokens) OVER (ORDER BY id) — is a
+    GLOBAL window: Spark plans it as a shuffle of every row into ONE
+    partition, the canonical scale-killer. This implements the classic
+    two-phase distributed prefix sum instead:
+
+      1. repartitionByRange(id) so partition p holds an id range wholly
+         below partition p+1's;
+      2. intra-partition exclusive cumsum via a window PARTITIONED by the
+         range-partition id (parallel across partitions);
+      3. per-partition token totals (map-side-combined aggregate, one row
+         per partition) -> exclusive offsets via a window over that TINY
+         table -> broadcast back.
+
+    All integer arithmetic (token counts, div/mod) — no float rounding at
+    any corpus size (double-precision floor() would silently misplace
+    sequences past 2^53 total tokens; ~10^14 tokens is a realistic
+    pretraining corpus)."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    from pyspark.sql import Window
+
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    base = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    from slowspark.util import materialize
+
+    ranged = (
+        base.repartitionByRange(n_partitions, id_col)
+        if n_partitions
+        else base.repartitionByRange(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    # MATERIALIZED before branching: both the intra-partition cumsum and
+    # the per-partition totals read __pid, and spark_partition_id() is
+    # nondeterministic — if the range exchange recomputed independently
+    # for the two subtrees (sampled boundaries can differ run to run),
+    # the pids would disagree and the offsets silently misplace every
+    # sequence. Truncating lineage pins one partitioning for both reads.
+    ranged = materialize(ranged)
+    w_intra = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = ranged.withColumn(
+        "__cum", F.sum("n_tokens").over(w_intra).cast("long")
+    )
+    totals = ranged.groupBy("__pid").agg(
+        F.sum("n_tokens").cast("long").alias("__ptotal")
+    )
+    w_off = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__ptotal").over(w_off), F.lit(0)).cast("long")
+    ).select("__pid", "__offset")
+    start = F.col("__offset") + F.col("__cum") - F.col("n_tokens")
+    return (
+        intra.join(F.broadcast(offsets), "__pid")
+        .withColumn("__start", start)
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(f"__start div {int(seq_len)}").alias("seq_id"),
+            (F.col("__start") % seq_len).alias("seq_offset"),
+        )
     )

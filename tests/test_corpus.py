@@ -185,3 +185,72 @@ def test_hash_sample_no_shuffle_and_validation(spark):
         hash_sample(df, {"en": 1.5})
     with pytest.raises(ValueError, match="rate"):
         hash_sample(df, {}, default_rate=-0.1)
+
+
+# ---------------------------------------------------------------------------
+# exact_k_sample / pack_sequences
+# ---------------------------------------------------------------------------
+
+def test_exact_k_sample_counts_and_determinism(spark):
+    df = _docs(
+        spark,
+        [(i, "t", ["en", "de", "fr"][i % 3]) for i in range(90)] + [(901, "t", "zh")],
+    )
+    from slowspark.corpus import exact_k_sample
+
+    out = exact_k_sample(df, k=10)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # exactly k where the stratum is big enough, whole stratum otherwise
+    assert counts == {"en": 10, "de": 10, "fr": 10, "zh": 1}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in exact_k_sample(df, k=10).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="k must be"):
+        exact_k_sample(df, k=0)
+
+
+def test_pack_sequences_hand_computed(spark):
+    # docs of 3, 4, 5 tokens; seq_len=6:
+    # starts: 0, 3, 7 -> seq_id 0,0,1; offsets 0,3,1
+    df = _docs(spark, [(1, "a b c", "en"), (2, "d e f g", "en"), (3, "h i j k l", "en")])
+    from slowspark.corpus import pack_sequences
+
+    out = {r["doc_id"]: r for r in pack_sequences(df, seq_len=6).collect()}
+    assert (out[1]["seq_id"], out[1]["seq_offset"]) == (0, 0)
+    assert (out[2]["seq_id"], out[2]["seq_offset"]) == (0, 3)
+    assert (out[3]["seq_id"], out[3]["seq_offset"]) == (1, 1)
+    assert [out[i]["n_tokens"] for i in (1, 2, 3)] == [3, 4, 5]
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, seq_len=0)
+
+
+def test_pack_sequences_partition_boundary_independence(spark):
+    """The defining property of the two-phase prefix sum: the result is a
+    pure function of (id order, token counts) — partition count must not
+    leak into seq assignments."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(rng.randint(1, 30))), "en")
+        for i in range(200)
+    ]
+    df = _docs(spark, rows)
+    from slowspark.corpus import pack_sequences
+
+    def norm(n_parts):
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["seq_id"], r["seq_offset"])
+            for r in pack_sequences(df, seq_len=64, n_partitions=n_parts).collect()
+        )
+
+    one = norm(1)
+    assert norm(4) == one
+    assert norm(13) == one
+    # cross-check against the naive driver-side cumsum
+    toks = {i: len(t.split()) for i, t, _ in rows}
+    start = 0
+    for doc_id, n_tokens, seq_id, seq_offset in one:
+        assert n_tokens == toks[doc_id]
+        assert seq_id == start // 64 and seq_offset == start % 64
+        start += n_tokens
