@@ -202,18 +202,31 @@ def run_dedup_skew_bench(spark, sf_dir: str) -> dict:
 
 
 _DEDUP_SKEW_HEADER = "## Dedup skew realism (viral-template cap evidence)"
+_MANUAL_MARKER = "<!-- MANUAL SECTIONS BELOW — preserved by bench writers -->"
 
 
-def _update_bench_md_dedup_section(skew: dict) -> None:
-    """Replace-or-append the dedup-skew section in BENCH.md (the scaling
-    mode owns the rest of the file)."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+def _split_manual_tail(path: str) -> tuple[str, str]:
+    """(generated_zone, manual_tail) of BENCH.md. Hand-written analysis
+    lives below _MANUAL_MARKER; both writers regenerate only the zone
+    above it (round-4 lesson: each writer used to own 'the rest of the
+    file' and silently deleted the other's — and any human's — sections)."""
     body = ""
     if os.path.exists(path):
         with open(path) as f:
             body = f.read()
-        if _DEDUP_SKEW_HEADER in body:
-            body = body[: body.index(_DEDUP_SKEW_HEADER)].rstrip() + "\n"
+    if _MANUAL_MARKER in body:
+        i = body.index(_MANUAL_MARKER)
+        return body[:i], body[i:]
+    return body, _MANUAL_MARKER + "\n"
+
+
+def _update_bench_md_dedup_section(skew: dict) -> None:
+    """Replace-or-append the dedup-skew section in BENCH.md's generated
+    zone; the manual tail below _MANUAL_MARKER is preserved verbatim."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    body, manual_tail = _split_manual_tail(path)
+    if _DEDUP_SKEW_HEADER in body:
+        body = body[: body.index(_DEDUP_SKEW_HEADER)].rstrip() + "\n"
     un, cap = skew["uncapped"], skew["capped_10"]
     with open(path, "w") as f:
         f.write(
@@ -231,7 +244,7 @@ def _update_bench_md_dedup_section(skew: dict) -> None:
             "near-dup pairs survive; at 10^12 docs the uncapped k^2/2 bucket\n"
             "join is the difference between a bounded shuffle and a runaway\n"
             "stage, and the sanctioned order (exact_dedup first) plus this cap\n"
-            "bounds the worst case.\n"
+            "bounds the worst case.\n\n" + manual_tail
         )
 
 
@@ -414,7 +427,9 @@ def _write_bench_md(report: dict) -> None:
         if "efficiency_8_to_32" in kernel
         else ""
     )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    _, manual_tail = _split_manual_tail(path)
+    with open(path, "w") as f:
         f.write(
             "# BENCH — scaling evidence (north_rule two-cluster-size criterion)\n\n"
             "Same pipeline job (parse -> broadcast enrich -> fused census +\n"
@@ -473,7 +488,7 @@ def _write_bench_md(report: dict) -> None:
             "At 100 TB on a real cluster the equivalent risks are stragglers\n"
             "and skew, which this pipeline addresses with deterministic salted\n"
             "repartition before the parse stage, AQE skew handling, and (on\n"
-            "noisy clusters) speculative execution.\n"
+            "noisy clusters) speculative execution.\n\n" + manual_tail
         )
 
 
