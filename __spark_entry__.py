@@ -1148,6 +1148,17 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF all-pairs similarity (corpus.tfidf_similar_pairs):
+    tokenize, idf weighting, L2 normalization, the inverted-index
+    self-join, and the DF-pruning cutoff are ALL recomputed by DuckDB —
+    the full sparse-vector pipeline is inside the value hash."""
+    from slowspark.corpus import tfidf_similar_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return tfidf_similar_pairs(d, min_cosine=0.85, max_df=450)
+
+
 def _exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k-per-language deterministic sampling (corpus.exact_k_sample):
     the md5 rank order is recomputed by DuckDB, so the selected row set
@@ -1199,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "exact_k_sample": _exact_k_sample,
         "pack_sequences": _pack_sequences,
+        "tfidf_pairs": _tfidf_pairs,
         # parse-path, hash-checked via the materialized entries parquet
         "kind_census": _kind_census,
         "fingerprint_rollup": _fingerprint_rollup_pipeline,
@@ -1514,6 +1526,42 @@ def oracle_sql() -> dict[str, str]:
                        AS UBIGINT) % 10000
                   < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
                                WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 10000
+        """,
+        "tfidf_pairs": """
+            WITH toks AS (
+                SELECT doc_id, unnest(
+                    list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        t -> t != ''
+                    )
+                ) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), n AS (
+                SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+            ), dfreq AS (
+                SELECT term, count(*) AS df_t FROM tf GROUP BY term
+                HAVING count(*) <= 450
+            ), w AS (
+                SELECT doc_id, term,
+                       tf * (ln(((SELECT n_docs FROM n) + 1)
+                                / (df_t + 1)) + 1) AS w
+                FROM tf JOIN dfreq USING (term)
+            ), norms AS (
+                SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                FROM w GROUP BY doc_id
+            ), vec AS (
+                SELECT w.doc_id, term, w / nrm AS wn
+                FROM w JOIN norms USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(sum(a.wn * b.wn), 4) AS cosine
+            FROM vec a JOIN vec b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING sum(a.wn * b.wn) >= 0.85
         """,
         "exact_k_sample": """
             SELECT doc_id, lang FROM (

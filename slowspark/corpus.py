@@ -420,3 +420,88 @@ def pack_sequences(
             (F.col("__start") % seq_len).alias("seq_offset"),
         )
     )
+
+
+def tfidf_similar_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_cosine: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF all-pairs document similarity WITHOUT embeddings:
+    docs as tf-idf term vectors, cosine computed through an inverted-index
+    self-join on the shared terms (a pair of docs is scored iff they share
+    at least one term — disjoint docs never meet, unlike a dense
+    cross join). Returns (id_a, id_b, cosine) with id_a < id_b and
+    cosine >= min_cosine.
+
+    idf = ln((N + 1) / (df_t + 1)) + 1 (smoothed, always > 0);
+    w(d, t) = tf(d, t) * idf(t), L2-normalized per doc.
+
+    Scale shape: the join fan-out is sum over terms of df_t^2 — dominated
+    by stop-word-like heavy hitters whose idf weight contributes almost
+    nothing to any cosine. `max_df` prunes terms appearing in more than
+    that many docs BEFORE the self-join (the DISCO/DIMSUM observation:
+    drop the quadratic cost, keep the signal); dropped term counts are
+    LOGGED, never silent. At web scale max_df is mandatory — without it
+    one term in 10^9 docs is a 10^18-row join."""
+    import logging
+
+    from slowspark.util import materialize
+
+    logger = logging.getLogger("slowspark")
+
+    toks = (
+        df.select(id_col, text_col)
+        .withColumn("__t", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .select(F.col(id_col), F.explode("__t").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    if max_df is not None:
+        dropped = dfreq.filter(F.col("df_t") > max_df)
+        n_dropped = dropped.count()
+        if n_dropped:
+            logger.warning(
+                "tfidf_similar_pairs: max_df=%d pruned %d heavy-hitter "
+                "term(s) before the self-join (their idf contribution is "
+                "near zero; their join fan-out is quadratic)",
+                max_df, n_dropped,
+            )
+        dfreq = dfreq.filter(F.col("df_t") <= max_df)
+    weighted = tf.join(dfreq, "term").withColumn(
+        "w",
+        F.col("tf")
+        * (F.log((F.lit(float(n_docs + 1))) / (F.col("df_t") + 1)) + 1.0),
+    )
+    norms = weighted.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__norm")
+    )
+    # materialized: the inverted-index self-join would otherwise recompute
+    # the tokenize/tf/idf subtree for both sides (the signature-self-join
+    # trap, util.py)
+    vec = materialize(
+        weighted.join(norms, id_col).select(
+            F.col(id_col), "term", (F.col("w") / F.col("__norm")).alias("wn")
+        )
+    )
+    a, b = vec.alias("a"), vec.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.term") == F.col("b.term"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.sum(F.col("a.wn") * F.col("b.wn")).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

@@ -254,3 +254,40 @@ def test_pack_sequences_partition_boundary_independence(spark):
         assert n_tokens == toks[doc_id]
         assert seq_id == start // 64 and seq_offset == start % 64
         start += n_tokens
+
+
+# ---------------------------------------------------------------------------
+# tfidf_similar_pairs
+# ---------------------------------------------------------------------------
+
+def test_tfidf_identical_disjoint_and_threshold(spark):
+    from slowspark.corpus import tfidf_similar_pairs
+
+    df = _docs(spark, [
+        (1, "alpha beta gamma", "en"),
+        (2, "alpha beta gamma", "en"),      # identical -> cosine 1.0
+        (3, "delta epsilon zeta", "en"),    # disjoint from 1/2 -> no pair
+        (4, "alpha other words", "en"),     # weak overlap with 1/2
+    ])
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in tfidf_similar_pairs(df, min_cosine=0.0).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) not in out and (2, 3) not in out  # never met in the join
+    assert 0.0 < out[(1, 4)] < 0.9
+    # threshold filters: only the identical pair survives a high cutoff
+    high = {(r["id_a"], r["id_b"])
+            for r in tfidf_similar_pairs(df, min_cosine=0.99).collect()}
+    assert high == {(1, 2)}
+
+
+def test_tfidf_max_df_prunes_heavy_hitters(spark):
+    from slowspark.corpus import tfidf_similar_pairs
+
+    # "common" appears in every doc; pairs exist ONLY through it
+    df = _docs(spark, [
+        (i, f"common unique{i}a unique{i}b", "en") for i in range(6)
+    ])
+    with_hh = tfidf_similar_pairs(df, min_cosine=0.0)
+    assert with_hh.count() == 15  # all C(6,2) pairs meet via "common"
+    pruned = tfidf_similar_pairs(df, min_cosine=0.0, max_df=5)
+    assert pruned.count() == 0    # pruning the hub removes all join fan-out
