@@ -150,6 +150,7 @@ def passage_dedup(
     id_col: str = "doc_id",
     passage_words: int = 20,
     max_docs_per_passage: int = 2,
+    with_text: bool = False,
 ) -> DataFrame:
     """Passage-level boilerplate removal (CCNet-style): drop every passage
     whose exact text occurs in MORE than `max_docs_per_passage` distinct
@@ -158,7 +159,10 @@ def passage_dedup(
     Returns one row per input document: (id, n_passages, n_dropped,
     kept_md5) where kept_md5 = md5 of the surviving passages joined in
     passage order (md5('') when everything was boilerplate — the caller
-    decides whether an emptied doc survives).
+    decides whether an emptied doc survives). `with_text=True` adds the
+    reassembled `kept_text` column itself — the curation-pipeline path
+    (slowspark.curate) that REWRITES documents rather than just auditing
+    them; the md5-only default keeps the oracle check cheap.
 
     Scale shape: one explode (positions, O(words/k) rows per doc), one
     groupBy on passage_md5 (32-char key, passages themselves never
@@ -179,37 +183,39 @@ def passage_dedup(
         "passage_md5",
         "left",
     ).withColumn("__drop", F.coalesce("__boiler", F.lit(False)))
-    per_doc = (
-        flagged.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_passages"),
-            F.sum(F.col("__drop").cast("int")).alias("n_dropped"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    ~F.col("__drop"),
-                                    F.struct("passage_idx", "passage"),
-                                )
-                            )
-                        ),
-                        lambda s: s["passage"],
-                    ),
+    kept_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("__drop"),
+                        F.struct("passage_idx", "passage"),
+                    )
                 )
-            ).alias("kept_md5"),
-        )
+            ),
+            lambda s: s["passage"],
+        ),
     )
+    aggs = [
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("__drop").cast("int")).alias("n_dropped"),
+        F.md5(kept_text).alias("kept_md5"),
+    ]
+    if with_text:
+        aggs.append(kept_text.alias("kept_text"))
+    per_doc = flagged.groupBy(id_col).agg(*aggs)
     # docs whose text was empty produced no passages: surface them with
     # zero counts rather than silently vanishing from the output
-    return (
+    out = (
         df.select(id_col)
         .join(per_doc, id_col, "left")
         .fillna({"n_passages": 0, "n_dropped": 0})
         .withColumn("kept_md5", F.coalesce("kept_md5", F.md5(F.lit(""))))
     )
+    if with_text:
+        out = out.withColumn("kept_text", F.coalesce("kept_text", F.lit("")))
+    return out
 
 
 def unigram_logprob(

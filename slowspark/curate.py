@@ -1,0 +1,188 @@
+"""spark-submit entry point for the training-data CURATION pipeline:
+filter -> exact dedup -> near dedup -> passage scrub -> sample -> pack,
+with the same checkpoint-resumable stage manifests as slowspark.job.
+
+This is the corpus-side counterpart of the log pipeline: where job.py
+turns raw pages into routed/aggregated entry tables, curate.py turns a
+raw `documents` table (doc_id, text, lang, ...) into a training-ready
+corpus plus a per-stage attrition report. Stage order is the sanctioned
+one (textops docs): exact dedup BEFORE near-dup (byte-identical viral
+blobs collapse to one representative before they can flood LSH buckets),
+near-dup BEFORE passage scrub (no point passage-scrubbing documents that
+are about to be dropped whole), scrub before sampling (rates apply to
+the cleaned population), packing last (sequences index the final corpus).
+
+Cluster usage:
+
+    spark-submit --py-files slowspark.zip -m slowspark.curate \\
+        --input <documents-parquet-or-table> --warehouse <out> \\
+        [--sample-rate 1.0] [--seq-len 4096] [--min-words 20]
+
+Every stage writes a manifest {input_signature, row_count, content_hash};
+re-running with the same input + parameters skips completed stages
+(checkpoint.run_stage) — at 100 TB a curation run is hours long and WILL
+be preempted; resume must not recompute the signature UDFs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from slowspark.catalog import Catalog
+from slowspark.checkpoint import run_stage
+from slowspark.corpus import (
+    hash_sample,
+    pack_sequences,
+    passage_dedup,
+    quality_filter_flags,
+)
+from slowspark.session import get_spark
+from slowspark.textops import exact_dedup, minhash_dedup
+
+_RULE_COLS = (
+    "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+    "rule_digit_ratio", "rule_stopwords",
+)
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    warehouse: str,
+    input_signature: str,
+    min_words: int = 20,
+    passage_words: int = 20,
+    max_docs_per_passage: int = 2,
+    sample_rate: float = 1.0,
+    sample_salt: str = "",
+    seq_len: int = 4096,
+) -> dict[str, DataFrame]:
+    """Full curation chain. Returns the materialized stage DataFrames;
+    `filter_audit` carries the per-rule drop counts (the no-silent-drops
+    rule at pipeline granularity: every document lost between stages is
+    attributable to a stage and, for the filter stage, to a rule)."""
+    cat = Catalog(warehouse)
+    sig = (
+        f"{input_signature}|mw={min_words}|pw={passage_words}"
+        f"|mdp={max_docs_per_passage}|sr={sample_rate}|salt={sample_salt}"
+        f"|sl={seq_len}"
+    )
+    out: dict[str, DataFrame] = {}
+
+    flagged = run_stage(
+        spark, cat, "flagged", sig,
+        lambda: quality_filter_flags(docs, min_words=min_words),
+    )
+    out["filter_audit"] = run_stage(
+        spark, cat, "filter_audit", sig,
+        lambda: flagged.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            *[
+                F.sum((~F.col(c)).cast("int")).alias(f"dropped_by_{c}")
+                for c in _RULE_COLS
+            ],
+        ),
+    )
+    filtered = run_stage(
+        spark, cat, "filtered", sig,
+        lambda: flagged.filter(F.col("keep")).select(*docs.columns),
+    )
+    out["filtered"] = filtered
+
+    deduped_exact = run_stage(
+        spark, cat, "deduped_exact", sig, lambda: exact_dedup(filtered)
+    )
+    out["deduped_exact"] = deduped_exact
+
+    deduped = run_stage(
+        spark, cat, "deduped_near", sig, lambda: minhash_dedup(deduped_exact)
+    )
+    out["deduped_near"] = deduped
+
+    def _scrub() -> DataFrame:
+        scrubbed = passage_dedup(
+            deduped,
+            passage_words=passage_words,
+            max_docs_per_passage=max_docs_per_passage,
+            with_text=True,
+        )
+        # rewrite text to the boilerplate-free reassembly; a doc whose
+        # every passage was boilerplate is dropped (nothing left to train
+        # on) — the count delta vs deduped_near is the audit trail
+        return (
+            deduped.drop("text")
+            .join(scrubbed.select("doc_id", "kept_text"), "doc_id")
+            .filter(F.col("kept_text") != "")
+            .withColumnRenamed("kept_text", "text")
+            .select(*deduped.columns)
+        )
+
+    scrubbed = run_stage(spark, cat, "scrubbed", sig, _scrub)
+    out["scrubbed"] = scrubbed
+
+    sampled = run_stage(
+        spark, cat, "sampled", sig,
+        lambda: hash_sample(
+            scrubbed, rates={}, default_rate=sample_rate, salt=sample_salt
+        ),
+    )
+    out["sampled"] = sampled
+
+    out["packed"] = run_stage(
+        spark, cat, "packed", sig,
+        lambda: pack_sequences(sampled, seq_len=seq_len),
+    )
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--master", default=None)
+    p.add_argument("--min-words", type=int, default=20)
+    p.add_argument("--passage-words", type=int, default=20)
+    p.add_argument("--max-docs-per-passage", type=int, default=2)
+    p.add_argument("--sample-rate", type=float, default=1.0)
+    p.add_argument("--sample-salt", default="")
+    p.add_argument("--seq-len", type=int, default=4096)
+    args = p.parse_args(argv)
+
+    spark = get_spark("slowspark-curate", master=args.master)
+    try:
+        docs = spark.read.parquet(args.input)
+        tables = run_curation(
+            spark, docs, args.warehouse, f"path:{args.input}",
+            min_words=args.min_words,
+            passage_words=args.passage_words,
+            max_docs_per_passage=args.max_docs_per_passage,
+            sample_rate=args.sample_rate,
+            sample_salt=args.sample_salt,
+            seq_len=args.seq_len,
+        )
+        audit = tables["filter_audit"].collect()[0].asDict()
+        stages = {
+            name: tables[name].count()
+            for name in ("filtered", "deduped_exact", "deduped_near",
+                         "scrubbed", "sampled", "packed")
+        }
+        n_seq = tables["packed"].agg(
+            (F.max("seq_id") + 1).alias("n")
+        ).collect()[0]["n"]
+        print(json.dumps({
+            "filter_audit": audit,
+            "stage_rows": stages,
+            "n_sequences": int(n_seq or 0),
+        }))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

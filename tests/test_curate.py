@@ -1,0 +1,104 @@
+"""End-to-end tests for the curation pipeline (slowspark.curate):
+filter -> exact dedup -> near dedup -> passage scrub -> sample -> pack,
+with resumable stage manifests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from slowspark.curate import run_curation
+
+GOOD_TAIL = "the quick brown fox jumps over a lazy dog near the old mill"
+BOILER = " ".join(f"nav{i}" for i in range(20))  # one exact 20-word passage
+
+
+def _corpus(spark):
+    rows = []
+    # 6 good docs sharing the SAME leading boilerplate passage; tails are
+    # long and unique so the docs are NOT near-dups of each other (the
+    # shared 32-word head over a ~100-word doc is Jaccard ~0.3 < 0.7 —
+    # exactly the boilerplate-but-distinct-documents case passage scrub
+    # exists for, which document-level dedup must NOT collapse)
+    import hashlib
+
+    for i in range(6):
+        # hash-derived words: shingling is CHARACTER-level, so the tails
+        # must differ in character content, not just in an index digit
+        # all-letter words (hex digits would trip the digit-ratio rule)
+        letters = str.maketrans("0123456789", "ghijklmnop")
+        tail = " ".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8].translate(letters)
+            for j in range(70)
+        )
+        rows.append((i, f"{BOILER} {GOOD_TAIL} {tail}", "en"))
+    # an exact duplicate pair (doc 10 survives, 11 dropped at exact dedup)
+    dup_text = (
+        f"{GOOD_TAIL} alpha beta gamma delta epsilon zeta eta theta " * 3
+    ).strip()
+    rows += [(10, dup_text, "en"), (11, dup_text, "en")]
+    # a near-duplicate of doc 10: ONE word changed in ~60 (jaccard ~0.9,
+    # well over the 0.7 threshold; a single change in a SHORT doc rewrites
+    # most of its 5-shingles and is correctly NOT a near-dup)
+    rows.append((12, dup_text.replace("theta", "iota", 1), "en"))
+    # low-quality: too short
+    rows.append((20, "too short", "en"))
+    # low-quality: no stopwords
+    rows.append((21, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg", "en"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_curation_end_to_end(spark, tmp_path):
+    tables = run_curation(
+        spark, _corpus(spark), str(tmp_path / "wh"), "test:v1",
+        min_words=10, passage_words=20, max_docs_per_passage=2, seq_len=32,
+    )
+    # filter drops 20 (short) and 21 (no stopwords)
+    kept = {r["doc_id"] for r in tables["filtered"].collect()}
+    assert 20 not in kept and 21 not in kept and len(kept) == 9
+    # exact dedup collapses {10, 11} -> {10}
+    exact = {r["doc_id"] for r in tables["deduped_exact"].collect()}
+    assert 11 not in exact and 10 in exact and len(exact) == 8
+    # near dedup collapses {10, 12} -> {10}
+    near = {r["doc_id"] for r in tables["deduped_near"].collect()}
+    assert 12 not in near and 10 in near and len(near) == 7
+    # passage scrub removes the shared nav boilerplate from the 6 docs
+    scrubbed = {r["doc_id"]: r["text"] for r in tables["scrubbed"].collect()}
+    assert len(scrubbed) == 7
+    for i in range(6):
+        assert "nav0" not in scrubbed[i]
+        assert GOOD_TAIL.split()[0] in scrubbed[i]  # unique content kept
+    assert scrubbed[10].startswith("the quick")
+    # packing covers every surviving doc exactly once, ids are contiguous
+    packed = tables["packed"].collect()
+    assert {r["doc_id"] for r in packed} == set(scrubbed)
+    audit = tables["filter_audit"].collect()[0]
+    assert audit["n_docs"] == 11 and audit["n_kept"] == 9
+    assert audit["dropped_by_rule_word_count"] >= 1
+    assert audit["dropped_by_rule_stopwords"] >= 1
+
+
+def test_curation_resume_skips_stages(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    docs = _corpus(spark)
+    t1 = run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32)
+    first = sorted(
+        (r["doc_id"], r["seq_id"], r["seq_offset"])
+        for r in t1["packed"].collect()
+    )
+    # mtime of a stage's parquet dir must not change on resume
+    packed_dir = os.path.join(wh, "packed")
+    mtime_before = os.path.getmtime(packed_dir)
+    t2 = run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32)
+    second = sorted(
+        (r["doc_id"], r["seq_id"], r["seq_offset"])
+        for r in t2["packed"].collect()
+    )
+    assert first == second
+    assert os.path.getmtime(packed_dir) == mtime_before  # stage skipped
+    # a parameter change invalidates the signature and recomputes
+    t3 = run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=16)
+    assert os.path.getmtime(packed_dir) != mtime_before
+    n16 = t3["packed"].agg(F.max("seq_id")).collect()[0][0]
+    n32 = max(seq_id for _, seq_id, _ in first)  # from the pre-t3 collect
+    assert n16 > n32  # half the seq_len -> about twice the sequences
