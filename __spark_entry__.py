@@ -1414,7 +1414,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": f"""
             WITH base AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+                       list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t != ''
+                       ) AS ws,
                        length(text) AS n_chars,
                        length(regexp_replace(text, '\\s+', '', 'g')) AS nonws,
                        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))

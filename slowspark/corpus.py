@@ -56,7 +56,13 @@ def quality_filter_flags(
     codegen end-to-end; at 10^12 docs this is a single scan. Thresholds are
     arguments, defaults tuned DOWN for the synthetic word-salad corpus
     (min_words=20; real Gopher uses 50)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # empty tokens are filtered, not just trimmed: F.trim strips SPACES
+    # only, so "\ntext\n" would otherwise split into phantom '' words
+    # (caught by the hypothesis differential in tests/test_property.py)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
     n_words = F.size(toks)
     n_chars = F.length(text_col)
     # non-whitespace character count: the denominator-free building block

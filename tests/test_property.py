@@ -72,3 +72,63 @@ def test_fingerprint_total(s):
     """mask_fingerprint never raises on arbitrary input (malformed
     statements route to InvalidStatement, they must not kill a task)."""
     mask_fingerprint(s)
+
+
+# ---------------------------------------------------------------------------
+# corpus.quality_filter_flags vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+_JAVA_WS = " \t\n\x0b\f\r"  # Java regex \s is ASCII-only (unlike Python's)
+_QF_ALPHABET = list("abe THE.the,a#7 09%\t\né中ß-")
+
+
+def _ref_quality_row(text, min_words=20, max_words=100_000,
+                     min_mwl=2.0, max_mwl=12.0, max_sym=0.1, max_dig=0.3,
+                     min_stop=1):
+    """Pure-Python re-implementation of quality_filter_flags' per-row math,
+    with Java-regex whitespace semantics (\\s = ASCII classes only)."""
+    import re
+
+    ws = f"[{_JAVA_WS}]"
+    trimmed = text.strip(_JAVA_WS)
+    toks = [t for t in re.split(ws + "+", trimmed.lower()) if t]
+    n_words = len(toks)
+    n_chars = len(text)
+    nonws = len(re.sub(ws + "+", "", text))
+    symbols = len(re.sub(f"[A-Za-z0-9{_JAVA_WS}]", "", text))
+    digits = len(re.sub("[^0-9]", "", text))
+    mean_wl = nonws / max(n_words, 1)
+    sym_r = symbols / max(n_chars, 1)
+    dig_r = digits / max(n_chars, 1)
+    stops = {"the", "a", "to", "of", "and", "in", "that", "with"}
+    stop_hits = len(set(toks) & stops)
+    rules = {
+        "rule_word_count": min_words <= n_words <= max_words,
+        "rule_mean_word_len": min_mwl <= mean_wl <= max_mwl,
+        "rule_symbol_ratio": sym_r <= max_sym,
+        "rule_digit_ratio": dig_r <= max_dig,
+        "rule_stopwords": stop_hits >= min_stop,
+    }
+    return {
+        "n_words": n_words,
+        "stopword_hits": stop_hits,
+        **rules,
+        "keep": all(rules.values()),
+    }
+
+
+@given(
+    st.lists(st.text(alphabet=_QF_ALPHABET, max_size=120), min_size=1, max_size=30)
+)
+@settings(max_examples=15, deadline=None)
+def test_quality_filter_matches_python_reference(spark, texts):
+    from slowspark.corpus import quality_filter_flags
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in quality_filter_flags(df).collect()}
+    for i, t in enumerate(texts):
+        want = _ref_quality_row(t)
+        for k, v in want.items():
+            assert got[i][k] == v, (k, repr(t), got[i][k], v)
