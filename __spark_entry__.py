@@ -1030,7 +1030,10 @@ def _pii_scrub_oracle() -> str:
 
 _CONTAMINATION_ORACLE = """
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        SELECT doc_id, list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   t -> t != ''
+               ) AS tk
         FROM documents
     ), grams AS (
         SELECT doc_id, unnest(CASE WHEN length(tk) >= 5 THEN
@@ -1331,7 +1334,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": """
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+                       list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t != ''
+                       ) AS ws,
                        string_split(text, chr(10)) AS lines
                 FROM documents
             ), base AS (

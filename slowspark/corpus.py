@@ -59,9 +59,8 @@ def quality_filter_flags(
     # empty tokens are filtered, not just trimmed: F.trim strips SPACES
     # only, so "\ntext\n" would otherwise split into phantom '' words
     # (caught by the hypothesis differential in tests/test_property.py)
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-        lambda t: t != "",
+    toks = F.array_remove(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), ""
     )
     n_words = F.size(toks)
     n_chars = F.length(text_col)
@@ -124,9 +123,8 @@ def passage_table(
         # array makes "no text" mean "no passages" in both engines
         .withColumn(
             toks_col,
-            F.filter(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-                lambda t: t != "",
+            F.array_remove(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), ""
             ),
         )
         .withColumn(n_col, F.size(toks_col))
@@ -384,10 +382,7 @@ def pack_sequences(
     from pyspark.sql import Window
 
     n_tokens = F.size(
-        F.filter(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-            lambda t: t != "",
-        )
+        F.array_remove(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), "")
     )
     base = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
     from slowspark.util import materialize

@@ -797,7 +797,7 @@ def with_ngram_set(
     jaccard_dedup bench before hoisting)."""
     toks_col = f"__{out}_toks"
     return (
-        df.withColumn(toks_col, F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        df.withColumn(toks_col, ws_token_array(text_col))
         .withColumn(
             out,
             F.array_distinct(
@@ -1034,7 +1034,7 @@ def repetition_stats(
     # would give them a single all-tokens gram; the documented contract is
     # 0.0, which the left join's coalesce restores).
     grams = exploded_ngrams(
-        df.withColumn("__rs_n", F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")))
+        df.withColumn("__rs_n", F.size(ws_token_array(text_col)))
         .filter(F.col("__rs_n") >= 2),
         text_col, id_col, n=2,
     )
@@ -1056,7 +1056,7 @@ def repetition_stats(
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + a composite score; all JVM-side."""
     length = F.length(F.col(text_col))
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tokens = F.size(ws_token_array(text_col, lowered=False))
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.!?,;:]", ""))
     upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
     alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
@@ -1081,10 +1081,23 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ws_token_array(text_col: str, lowered: bool = True):
+    """Whitespace tokens as a non-empty-string array column. F.trim strips
+    SPACES only, so '\\ntext\\n' split on \\s+ yields phantom '' tokens at
+    the edges — every consumer that counts or n-grams tokens must filter
+    them (the hypothesis differential in tests/test_property.py is the
+    regression net for this class of bug)."""
+    base = F.lower(F.col(text_col)) if lowered else F.col(text_col)
+    # array_remove, not F.filter(lambda): keeps the expression lambda-free
+    # so the exploded_ngrams no-lambda plan pin (the O(len^2) inlining
+    # trap detector) stays strict
+    return F.array_remove(F.split(F.trim(base), r"\s+"), "")
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (regex word pieces +
     chars/4 heuristic for long words) — built-ins only."""
-    ws_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ws_tokens = F.size(ws_token_array(text_col, lowered=False))
     word_pieces = F.size(
         F.regexp_extract_all(
             F.col(text_col), F.lit(r"[A-Za-z]{1,8}|\d{1,3}|[^\sA-Za-z\d]"), F.lit(0)
@@ -1189,7 +1202,7 @@ def exploded_ngrams(
     )
     ids = [F.col(id_col)] if id_col is not None else []
     return (
-        df.withColumn(toks, F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        df.withColumn(toks, ws_token_array(text_col))
         .select(*ids, F.col(toks), F.explode(F.expr(pos_arr)).alias("__ng_pos"))
         .select(*ids, F.expr(gram).alias(out))
     )
