@@ -229,3 +229,126 @@ def start_fanout_sink(entries_stream: DataFrame, base_path: str, checkpoint: str
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curate_ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    accepted_path: str,
+    min_words: int = 20,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = None,
+) -> None:
+    """One epoch of the continuous-ingest curation flow (the foreachBatch
+    body of start_curate_ingest, factored out so tests and backfills can
+    drive it directly): quality filter -> in-batch exact dedup ->
+    near-dup dedup against the persisted MinHash index (corpus priority;
+    the index is built from the first epoch if absent) -> write accepted
+    docs to an epoch-keyed sink -> append them to the index.
+
+    Replay contract (foreachBatch is at-least-once; the checkpoint replays
+    a failed epoch with the SAME epoch_id):
+      - the accepted sink is authoritative per epoch: if its _SUCCESS
+        marker exists the replay RE-READS accepted rows from it instead of
+        recomputing (recomputing after a completed index append would find
+        every doc already indexed and overwrite the epoch with an empty
+        set — data loss, not idempotency);
+      - the index append is gated on `<index>/_epochs/<id>`, written
+        atomically AFTER the append, so a completed append is never
+        repeated. A crash between append and marker re-appends once;
+        the duplicate band rows are neutralized by the candidate
+        pipeline's DISTINCT and duplicate signature rows only duplicate
+        candidate rows that the same DISTINCT collapses — degraded probe
+        cost until compaction, never wrong results (the
+        append_to_minhash_index crash contract).
+    Path probes use local os.path — on a cluster with object-store paths,
+    swap in the Hadoop FS API (sources.compact_pages shows the pattern)."""
+    import os
+
+    from slowspark.corpus import quality_filter_flags
+    from slowspark.textops import (
+        append_to_minhash_index,
+        build_minhash_index,
+        exact_dedup,
+        incremental_dedup,
+        minhash_dedup,
+    )
+    from slowspark.util import materialize
+
+    spark = batch_df.sparkSession
+    sink_dir = f"{accepted_path}/epoch={epoch_id}"
+    index_exists = os.path.isfile(f"{index_path}/bands/_SUCCESS") or os.path.isdir(
+        f"{index_path}/bands"
+    )
+    if os.path.isfile(f"{sink_dir}/_SUCCESS"):
+        accepted = spark.read.parquet(sink_dir)
+    else:
+        kept = (
+            quality_filter_flags(batch_df, min_words=min_words)
+            .filter(F.col("keep"))
+            .select(*batch_df.columns)
+        )
+        kept = exact_dedup(kept)
+        if index_exists:
+            accepted = incremental_dedup(
+                kept, index_path,
+                jaccard_threshold=jaccard_threshold,
+                max_bucket_size=max_bucket_size,
+            )
+        else:
+            accepted = minhash_dedup(
+                kept,
+                jaccard_threshold=jaccard_threshold,
+                max_bucket_size=max_bucket_size,
+            )
+        # one computation feeds both the sink write and the index append
+        accepted = materialize(accepted)
+        accepted.write.mode("overwrite").parquet(sink_dir)
+    marker = f"{index_path}/_epochs/{epoch_id}"
+    if not os.path.exists(marker):
+        if index_exists:
+            append_to_minhash_index(accepted, index_path)
+        else:
+            build_minhash_index(accepted, index_path)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as f:
+            f.write("done")
+        os.replace(tmp, marker)  # atomic: a torn marker never looks valid
+
+
+def start_curate_ingest(
+    docs_stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    min_words: int = 20,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = None,
+):
+    """Continuous-ingest curation: the streaming front door of the batch
+    slowspark.curate pipeline. Each micro-batch of new documents is
+    quality-filtered, exact-deduped within the batch, near-dup-deduped
+    against EVERYTHING ingested so far (persisted MinHash index — O(batch)
+    probe, no corpus rescan), and the survivors land in an epoch-keyed
+    accepted sink and grow the index. Corpus priority: a new near-dup of
+    an already-accepted doc is dropped, never swapped in.
+
+    State lives in storage (the index), not in Spark streaming state —
+    unbounded corpus growth with bounded executor memory; the streaming
+    checkpoint only tracks source offsets."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        curate_ingest_batch(
+            batch_df, epoch_id, index_path, accepted_path,
+            min_words, jaccard_threshold, max_bucket_size,
+        )
+
+    return (
+        docs_stream.writeStream
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -102,3 +102,89 @@ def test_curation_resume_skips_stages(spark, tmp_path):
     n16 = t3["packed"].agg(F.max("seq_id")).collect()[0][0]
     n32 = max(seq_id for _, seq_id, _ in first)  # from the pre-t3 collect
     assert n16 > n32  # half the seq_len -> about twice the sequences
+
+
+# ---------------------------------------------------------------------------
+# continuous-ingest curation (streaming.start_curate_ingest)
+# ---------------------------------------------------------------------------
+
+def _write_batch(spark, path, rows, name):
+    """Land one parquet FILE in the stream-source dir (the file source
+    lists files, not arbitrary subdirectories): write to a staging dir,
+    move the part file in."""
+    import glob
+    import os
+    import shutil
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    staging = f"{path}__staging_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    os.makedirs(path, exist_ok=True)
+    part = glob.glob(f"{staging}/part-*.parquet")[0]
+    shutil.move(part, os.path.join(path, f"{name}.parquet"))
+    shutil.rmtree(staging)
+
+
+def _accepted_ids(spark, acc):
+    import glob
+
+    if not glob.glob(f"{acc}/epoch=*"):
+        return set()
+    return {
+        r["doc_id"] for r in spark.read.parquet(str(acc)).select("doc_id").collect()
+    }
+
+
+def test_curate_ingest_stream(spark, tmp_path):
+    from slowspark.streaming import curate_ingest_batch, start_curate_ingest
+
+    src, idx, acc, ckpt = (str(tmp_path / d) for d in ("src", "idx", "acc", "ck"))
+    base = ("the quick brown fox jumps over a lazy dog and runs to the old "
+            "mill with great speed every single morning before dawn " * 2)
+    doc_a = base + "alpha ending here"
+    doc_b = "completely different words that still keep the a to of and " \
+            "in that with tokens repeated many times over and over again " \
+            "for a long enough document to pass the word count threshold"
+    # batch 1: two good docs, one exact dup of A, one low-quality doc
+    _write_batch(spark, src, [
+        (1, doc_a, "en"), (2, doc_b, "en"), (3, doc_a, "en"),
+        (4, "too short", "en"),
+    ], "b1")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = start_curate_ingest(stream, idx, acc, ckpt, min_words=10)
+        q.awaitTermination(120)
+
+    run()
+    assert _accepted_ids(spark, acc) == {1, 2}  # dup 3 + low-quality 4 dropped
+
+    # batch 2: a near-dup of doc 1 (corpus priority -> dropped) + a new doc
+    near_a = doc_a.replace("alpha", "omega", 1)
+    doc_c = "fresh content the and a of with in that plus many new unique " \
+            "tokens making this another valid long document for ingestion " \
+            "well beyond the minimum word count threshold for this test"
+    _write_batch(spark, src, [(10, near_a, "en"), (11, doc_c, "en")], "b2")
+    run()
+    assert _accepted_ids(spark, acc) == {1, 2, 11}  # 10 dropped vs corpus
+
+    # index grew to exactly the accepted docs
+    sig_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/sigs").select("doc_id").collect()
+    }
+    assert sig_ids == {1, 2, 11}
+
+    # replay idempotency: re-running a COMPLETED epoch must not change the
+    # sink (re-read from its _SUCCESS) nor re-append to the index (marker)
+    n_sig_rows = spark.read.parquet(f"{idx}/sigs").count()
+    batch2 = spark.createDataFrame(
+        [(10, near_a, "en"), (11, doc_c, "en")],
+        "doc_id long, text string, lang string",
+    )
+    curate_ingest_batch(batch2, 1, idx, acc, min_words=10)
+    assert _accepted_ids(spark, acc) == {1, 2, 11}
+    assert spark.read.parquet(f"{idx}/sigs").count() == n_sig_rows
