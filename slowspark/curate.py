@@ -60,16 +60,22 @@ def run_curation(
     sample_rate: float = 1.0,
     sample_salt: str = "",
     seq_len: int = 4096,
+    eval_df: DataFrame | None = None,
+    decontaminate_ngram: int = 13,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
     rule at pipeline granularity: every document lost between stages is
-    attributable to a stage and, for the filter stage, to a rule)."""
+    attributable to a stage and, for the filter stage, to a rule).
+    `eval_df` (a benchmark/eval table with a text column) enables the
+    GPT-3-style decontamination stage between scrub and sampling —
+    training-set leakage into evals is the one curation failure that
+    silently corrupts every downstream measurement."""
     cat = Catalog(warehouse)
     sig = (
         f"{input_signature}|mw={min_words}|pw={passage_words}"
         f"|mdp={max_docs_per_passage}|sr={sample_rate}|salt={sample_salt}"
-        f"|sl={seq_len}"
+        f"|sl={seq_len}|decon={decontaminate_ngram if eval_df is not None else 0}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -125,6 +131,15 @@ def run_curation(
     scrubbed = run_stage(spark, cat, "scrubbed", sig, _scrub)
     out["scrubbed"] = scrubbed
 
+    if eval_df is not None:
+        from slowspark.textops import decontaminate
+
+        scrubbed = run_stage(
+            spark, cat, "decontaminated", sig,
+            lambda: decontaminate(scrubbed, eval_df, n=decontaminate_ngram),
+        )
+        out["decontaminated"] = scrubbed
+
     sampled = run_stage(
         spark, cat, "sampled", sig,
         lambda: hash_sample(
@@ -151,11 +166,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sample-rate", type=float, default=1.0)
     p.add_argument("--sample-salt", default="")
     p.add_argument("--seq-len", type=int, default=4096)
+    p.add_argument("--eval-set", default=None,
+                   help="eval/benchmark parquet with a text column: enables "
+                   "the n-gram decontamination stage")
+    p.add_argument("--decontaminate-ngram", type=int, default=13)
     args = p.parse_args(argv)
 
     spark = get_spark("slowspark-curate", master=args.master)
     try:
         docs = spark.read.parquet(args.input)
+        eval_df = spark.read.parquet(args.eval_set) if args.eval_set else None
         tables = run_curation(
             spark, docs, args.warehouse, f"path:{args.input}",
             min_words=args.min_words,
@@ -164,13 +184,18 @@ def main(argv: list[str] | None = None) -> int:
             sample_rate=args.sample_rate,
             sample_salt=args.sample_salt,
             seq_len=args.seq_len,
+            eval_df=eval_df,
+            decontaminate_ngram=args.decontaminate_ngram,
         )
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {
             name: tables[name].count()
             for name in ("filtered", "deduped_exact", "deduped_near",
                          "scrubbed", "sampled", "packed")
+            if name in tables
         }
+        if "decontaminated" in tables:
+            stages["decontaminated"] = tables["decontaminated"].count()
         n_seq = tables["packed"].agg(
             (F.max("seq_id") + 1).alias("n")
         ).collect()[0]["n"]

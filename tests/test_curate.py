@@ -188,3 +188,28 @@ def test_curate_ingest_stream(spark, tmp_path):
     curate_ingest_batch(batch2, 1, idx, acc, min_words=10)
     assert _accepted_ids(spark, acc) == {1, 2, 11}
     assert spark.read.parquet(f"{idx}/sigs").count() == n_sig_rows
+
+
+def test_curation_decontamination_stage(spark, tmp_path):
+    """An eval_df enables the decontamination stage: a doc containing an
+    eval 13-gram is dropped between scrub and sampling."""
+    docs = _corpus(spark)
+    # leak a 13-token window UNIQUE to doc 10 (spans its GOOD_TAIL tail
+    # into the alpha-beta section; docs 0-5 follow GOOD_TAIL with
+    # hash-derived words instead, so only doc 10 is contaminated)
+    dup_text = (
+        f"{GOOD_TAIL} alpha beta gamma delta epsilon zeta eta theta " * 3
+    ).strip()
+    leaked = " ".join(dup_text.split()[8:21])
+    eval_df = spark.createDataFrame(
+        [(0, leaked + " plus some extra eval words")], "eid long, text string"
+    )
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1",
+        min_words=10, seq_len=32, eval_df=eval_df,
+    )
+    decon = {r["doc_id"] for r in tables["decontaminated"].collect()}
+    scrubbed = {r["doc_id"] for r in tables["scrubbed"].collect()}
+    assert decon == scrubbed - {10}  # exactly the leaking doc dropped
+    packed = {r["doc_id"] for r in tables["packed"].collect()}
+    assert packed == decon
