@@ -59,7 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _ARTIFACT_NAMES = (
     "entries", "simhash_sigs", "lsh_buckets", "ivf_cells",
-    "minhash_index", "minhash_pairs", "jaccard_pairs",
+    "minhash_index", "minhash_pairs", "jaccard_pairs", "pq_index",
 )
 
 
@@ -135,7 +135,7 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
     from slowspark.textops import minhash_signatures
     from slowspark.util import materialize
 
-    with ThreadPoolExecutor(7) as ex:
+    with ThreadPoolExecutor(8) as ex:
         sig_fut = ex.submit(
             lambda: materialize(
                 minhash_signatures(_read(spark, sf_dir, "documents"))
@@ -146,6 +146,7 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
             lambda: _simhash_sigs_parquet(spark, sf_dir),
             lambda: _lsh_buckets_parquet(spark, sf_dir),
             lambda: _ivf_index_parquet(spark, sf_dir),
+            lambda: _pq_index_parquet(spark, sf_dir),
             lambda: _incremental_index_parquet(
                 spark, sf_dir, sigs=sig_fut.result()
             ),
@@ -999,6 +1000,122 @@ def _ivf_index_parquet(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_PQ_M, _PQ_K, _PQ_RERANK = 16, 16, 100
+
+
+def _pq_index_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the PQ index once per process: the code table (vec_id,
+    pq_codes, norm) plus the (tiny) codebook table (j, c, centroid). The
+    deterministic sub-quantizers become DATA, so the DuckDB oracle can
+    recompute the whole ADC prefilter + exact re-rank from the SAME
+    parquet — encode correctness rides inside the hash check via the
+    codes the prefilter ranks."""
+    import os
+
+    from slowspark.similarity import pq_encode, pq_train
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_ORACLE_ENTRIES_BASE}/{base}/pq_index"
+    if path not in _ENTRIES_WRITTEN:
+        emb = _read(spark, sf_dir, "embeddings")
+        books = pq_train(emb, m=_PQ_M, k=_PQ_K)
+        pq_encode(emb, books).write.mode("overwrite").parquet(f"{path}/codes")
+        rows = [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        spark.createDataFrame(
+            rows, "j int, c int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        _ENTRIES_WRITTEN.add(path)
+    return path
+
+
+def _pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compressed ANN (similarity.pq_topk_rerank): ADC prefilter over
+    the materialized code table -> exact cosine re-rank of the candidate
+    set. DuckDB recomputes BOTH stages from the same codes/codebooks
+    parquet, so quantized scoring, candidate cutoff, and re-rank are all
+    inside the value hash."""
+    import numpy as np
+
+    from slowspark.similarity import pq_topk_rerank
+
+    path = _pq_index_parquet(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    codes = spark.read.parquet(f"{path}/codes")
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["j"] for r in book_rows) + 1
+    k = max(r["c"] for r in book_rows) + 1
+    books = np.zeros((m, k, len(book_rows[0]["centroid"])))
+    for r in book_rows:
+        books[r["j"]][r["c"]] = r["centroid"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return pq_topk_rerank(
+        emb, codes, books, query, k=10, rerank=_PQ_RERANK
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _pq_ann_topk_oracle(sf_dir_base: str = "sf0.01") -> str:
+    """DuckDB replica of BOTH PQ stages from the materialized parquet:
+    LUT[j][c] = dot(q_sub_j, centroid) computed in SQL from the codebook
+    table and the vec_id=0 query row, ADC = sum over subspaces of the
+    looked-up dots, candidates = top-rerank by (adc / (|q| *
+    greatest(norm, 1e-12))), final = exact list_cosine_similarity re-rank
+    of the candidates. Ordering is scale-invariant in |q|, so the oracle's
+    SQL sqrt and Spark's Python-float norm cannot reorder anything."""
+    dsub = 64 // _PQ_M
+    return f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ), codes AS (
+            SELECT * FROM read_parquet(
+                '{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/pq_index/codes/*.parquet')
+        ), books AS (
+            SELECT * FROM read_parquet(
+                '{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/pq_index/codebooks/*.parquet')
+        ), lut AS (
+            SELECT j, c,
+                   list_sum(list_transform(range(1, {dsub} + 1),
+                       i -> centroid[i] * qv[j * {dsub} + i])) AS d
+            FROM books, q
+        ), expanded AS (
+            SELECT vec_id, norm, u.j AS j, u.code AS code
+            FROM (
+                SELECT vec_id, norm,
+                       unnest(list_transform(range(1, {_PQ_M} + 1),
+                           i -> struct_pack(j := i - 1, code := pq_codes[i])))
+                           AS u
+                FROM codes
+            )
+        ), adc AS (
+            SELECT vec_id, any_value(norm) AS norm, sum(lut.d) AS dot
+            FROM expanded JOIN lut
+              ON expanded.j = lut.j AND expanded.code = lut.c
+            GROUP BY vec_id
+        ), qn AS (
+            SELECT sqrt(list_sum(list_transform(qv, x -> x * x))) AS n FROM q
+        ), cands AS (
+            SELECT vec_id
+            FROM adc, qn
+            ORDER BY dot / ((SELECT n FROM qn) * greatest(norm, 1e-12)) DESC,
+                     vec_id ASC
+            LIMIT {_PQ_RERANK}
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                     (SELECT qv FROM q)), 4) AS cosine
+        FROM embeddings e JOIN cands USING (vec_id)
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT qv FROM q)) DESC,
+                 e.vec_id ASC
+        LIMIT 10
+    """
+
+
 def _pii_scrub_oracle() -> str:
     """DuckDB replica generated from the same PII_PATTERNS table (no
     drift): per-type regexp_extract_all counts + the same chained global
@@ -1232,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _language_id,
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
+        "pq_ann_topk": _pq_ann_topk,
     }
 
 
@@ -1789,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(emb, (SELECT qv FROM q)) DESC, vec_id
             LIMIT 10
         """,
+        "pq_ann_topk": _pq_ann_topk_oracle(),
         "ivf_ann_topk": f"""
             WITH c AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, ivf_cell

@@ -291,3 +291,63 @@ def test_ivf_indexed_topk_partition_prunes(spark, emb, query_vec, tmp_path):
     }
     got = {(r["vec_id"], round(r["cosine"], 6)) for r in res.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+def test_pq_encode_deterministic_and_shapes(emb):
+    from slowspark.similarity import pq_encode, pq_train
+
+    books = pq_train(emb)
+    assert books.shape == (16, 16, 4)  # m=16 subspaces of dim 64/16
+    books2 = pq_train(emb)
+    assert (books == books2).all()  # hash-seeded + fixed Lloyd = identical
+    a = {r["vec_id"]: (tuple(r["pq_codes"]), r["norm"])
+         for r in pq_encode(emb, books).collect()}
+    b = {r["vec_id"]: (tuple(r["pq_codes"]), r["norm"])
+         for r in pq_encode(emb, books).collect()}
+    assert a == b
+    codes, _ = next(iter(a.values()))
+    assert len(codes) == 16 and all(0 <= c < 16 for c in codes)
+
+
+def test_pq_rerank_recall(spark, emb, query_vec):
+    """ADC prefilter at rerank=100 must keep the full exact top-10 at this
+    corpus size (the tuned-defaults pin: candidate-recall@10 = 1.0 on the
+    sf0.01 table); the re-ranked output is then EXACTLY the brute-force
+    top-10, cosine values included."""
+    from slowspark.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    books = pq_train(emb)
+    codes = pq_encode(emb, books)
+    got = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in pq_topk_rerank(emb, codes, books, query_vec, k=10).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in brute_force_topk(emb, "embedding", query_vec, 10).collect()
+    ]
+    assert got == want
+
+
+def test_pq_validations(spark, emb, query_vec):
+    from slowspark.similarity import pq_topk, pq_topk_rerank, pq_train
+    import numpy as np
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7)
+    books = np.zeros((16, 16, 4))
+    with pytest.raises(ValueError, match="query dim"):
+        pq_topk(emb, books, [1.0, 2.0])
+    with pytest.raises(ValueError, match="zero query"):
+        pq_topk(emb, books, [0.0] * 64)
+    with pytest.raises(ValueError, match="rerank"):
+        pq_topk_rerank(emb, emb, books, query_vec, k=10, rerank=5)
