@@ -532,7 +532,7 @@ def pq_train(
     m: int = 16,
     k: int = 16,
     seed: int = 42,
-    lloyd_iters: int = 2,
+    lloyd_iters: int = 4,
 ) -> np.ndarray:
     """Train PQ sub-codebooks: split the vector into `m` subspaces and run
     plain (Euclidean, non-spherical) k-means with `k` centroids in each.
@@ -542,28 +542,80 @@ def pq_train(
     256 TB of vector payload alone; m=16/k=16 codes are 16 x 4 bits = 8 B
     (32x smaller), small enough that a probe scans codes from memory while
     exact vectors stay cold. Defaults (m=16: 4-dim subspaces) are tuned on
-    the sf0.01 table: candidate-recall@10 = 1.0 at rerank=100 vs 0.9 for
-    m=8 — near-random embeddings need fine subspaces; clustered real
-    embeddings tolerate coarser ones. Training reuses the distributed Lloyd pass
-    (ivf_train, normalize=False) once per subspace on the SLICED subvector
-    column — m narrow jobs, no extra shuffle; seeds are offset per
-    subspace so codebooks are independent."""
+    the sf0.01 table: candidate-recall@10 = 1.0 at rerank=100.
+
+    ALL m subspaces train in the SAME distributed pass: one hash-seeded
+    sample job initializes every codebook (sliced from the same k rows),
+    and each Lloyd iteration is ONE mapInPandas over the corpus that
+    assigns/accumulates per subspace inside the worker (m*k tiny partial
+    rows out). The per-subspace formulation (m separate Lloyd drivers)
+    costs m * iters corpus passes — measured 4x the whole oracle-artifact
+    step at sf0.1."""
     dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     dsub = dim // m
-    books = []
-    for j in range(m):
-        sub = corpus.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("__sub")
+    sample = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .withColumn(
+            "__h", F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed)))
         )
-        books.append(
-            ivf_train(
-                sub, "__sub", id_col, n_centroids=k,
-                seed=seed + j, lloyd_iters=lloyd_iters, normalize=False,
-            )
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_train: empty corpus")
+    init = np.asarray(
+        [[float(x) for x in r[vec_col]] for r in sample], dtype=np.float64
+    )
+    while init.shape[0] < k:  # tiny corpus: cycle rows to fill k seeds
+        init = np.vstack([init, init[: k - init.shape[0]]])
+    books = np.stack([init[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+    for _ in range(max(0, lloyd_iters)):
+        cur = books.copy()
+
+        def partial(batches, cur=cur):
+            sums = np.zeros((m, k, dsub))
+            counts = np.zeros((m, k), dtype=np.int64)
+            # argmin ||x-c||^2 == argmax (x.c - 0.5|c|^2)
+            bias = 0.5 * (cur * cur).sum(axis=2)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat, valid = _stack_vectors(pdf[vec_col], dim)
+                mat = mat[valid]
+                if len(mat) == 0:
+                    continue
+                for j in range(m):
+                    sub = mat[:, j * dsub : (j + 1) * dsub]
+                    cells = np.argmax(sub @ cur[j].T - bias[j], axis=1)
+                    np.add.at(sums[j], cells, sub)
+                    np.add.at(counts[j], cells, 1)
+            jj, cc = np.meshgrid(np.arange(m), np.arange(k), indexing="ij")
+            yield pd.DataFrame({
+                "j": jj.ravel().astype("int32"),
+                "cell": cc.ravel().astype("int32"),
+                "vsum": [row.tolist() for row in sums.reshape(m * k, dsub)],
+                "cnt": counts.ravel(),
+            })
+
+        parts = (
+            corpus.select(vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .mapInPandas(partial, schema="j int, cell int, vsum array<double>, cnt long")
+            .collect()
         )
-    return np.stack(books)
+        sums = np.zeros((m, k, dsub))
+        counts = np.zeros((m, k), dtype=np.int64)
+        for r in parts:
+            sums[r["j"]][r["cell"]] += np.asarray(r["vsum"])
+            counts[r["j"]][r["cell"]] += r["cnt"]
+        nz = counts > 0  # empty cells keep their old centroid
+        books[nz] = sums[nz] / counts[nz][:, None]
+    return books
 
 
 def pq_encode(
