@@ -278,9 +278,10 @@ def curate_ingest_batch(
 
     spark = batch_df.sparkSession
     sink_dir = f"{accepted_path}/epoch={epoch_id}"
-    index_exists = os.path.isfile(f"{index_path}/bands/_SUCCESS") or os.path.isdir(
-        f"{index_path}/bands"
-    )
+    # _SUCCESS required: a bands dir WITHOUT it is a crashed initial
+    # build — probing it would read partial parquet; treating the index
+    # as absent makes the epoch rebuild it (overwrite = clean recovery)
+    index_exists = os.path.isfile(f"{index_path}/bands/_SUCCESS")
     if os.path.isfile(f"{sink_dir}/_SUCCESS"):
         accepted = spark.read.parquet(sink_dir)
     else:
