@@ -351,3 +351,23 @@ def test_pq_validations(spark, emb, query_vec):
         pq_topk(emb, books, [0.0] * 64)
     with pytest.raises(ValueError, match="rerank"):
         pq_topk_rerank(emb, emb, books, query_vec, k=10, rerank=5)
+
+
+def test_pq_adc_plan_never_scans_vectors(spark, emb, query_vec):
+    """The ADC prefilter's whole point at 10^12 vectors: the scan reads
+    codes and norms only — the float vector column must not appear
+    anywhere in its plan (no join back to the corpus, no vector scan)."""
+    from slowspark.similarity import pq_encode, pq_topk, pq_train
+    from slowspark.util import materialize
+
+    books = pq_train(emb)
+    # the production shape: codes live as their own table (parquet index),
+    # not as a lazy view over the vector column — materialize to isolate
+    # the ADC stage the way _pq_index_parquet does
+    codes = materialize(pq_encode(emb, books))
+    plan = (
+        pq_topk(codes, books, query_vec, k=10)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "embedding" not in plan
+    assert "Join" not in plan
