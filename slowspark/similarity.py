@@ -382,20 +382,20 @@ def ivf_build_index(
     IO per query is p/n_centroids of the corpus, not a full scan.
     Returns the trained centroids."""
     import json
-    import os
+
+    from slowspark.util import fs_write_text_atomic
 
     centroids = ivf_train(corpus, vec_col, id_col, n_centroids, seed, lloyd_iters)
     assigned = _assign_with(corpus, centroids, vec_col)
     (
         assigned.write.mode("overwrite")
         .partitionBy("ivf_cell")
-        .parquet(os.path.join(index_path, "cells"))
+        .parquet(f"{index_path}/cells")
     )
     meta = {"centroids": centroids.tolist(), "vec_col": vec_col, "id_col": id_col}
-    tmp = os.path.join(index_path, "centroids.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_path, "centroids.json"))
+    fs_write_text_atomic(
+        corpus.sparkSession, f"{index_path}/centroids.json", json.dumps(meta)
+    )
     return centroids
 
 
@@ -411,16 +411,16 @@ def ivf_topk_indexed(
     with .explain(): PartitionFilters carries the ivf_cell IN list), exact
     cosine within."""
     import json
-    import os
 
-    with open(os.path.join(index_path, "centroids.json")) as f:
-        meta = json.load(f)
+    from slowspark.util import fs_read_text
+
+    meta = json.loads(fs_read_text(spark, f"{index_path}/centroids.json"))
     cmat = _normalize_rows(np.asarray(meta["centroids"], dtype=np.float64))
     q = np.asarray(query, dtype=np.float64)
     qn = np.linalg.norm(q) or 1.0
     order = np.argsort(-(cmat @ (q / qn)))
     probe = [int(c) for c in order[: max(1, probe_cells)]]
-    cells = spark.read.parquet(os.path.join(index_path, "cells"))
+    cells = spark.read.parquet(f"{index_path}/cells")
     return brute_force_topk(
         cells.filter(F.col("ivf_cell").isin(probe)),
         meta["vec_col"], query, k, meta["id_col"],
@@ -694,9 +694,17 @@ def pq_topk(
     lut_lit = "array(" + ", ".join(
         "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in lut
     ) + ")"
-    adc = " + ".join(
-        f"element_at(element_at({lut_lit}, {j + 1}), pq_codes[{j}] + 1)"
-        for j in range(mq)
+    # The LUT literal is bound ONCE: the ADC sum folds over
+    # zip_with(codes, subspace-indices) so the m*k nested-array literal
+    # appears a single time in the expression/plan. The naive per-subspace
+    # sum (element_at(LUT, 1)[...] + element_at(LUT, 2)[...] + ...) inlines
+    # the literal m times — O(m^2 * k) plan text, a multi-megabyte parsed
+    # plan at production PQ shapes (m=32, k=256). Summation order is
+    # unchanged (left fold over j = 0..m-1), so scores are bit-identical.
+    adc = (
+        f"aggregate(zip_with(pq_codes, sequence(0, {mq - 1}), "
+        f"(c, j) -> element_at(element_at({lut_lit}, j + 1), c + 1)), "
+        f"0D, (acc, v) -> acc + v)"
     )
     return (
         codes_df.withColumn(

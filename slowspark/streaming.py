@@ -256,16 +256,16 @@ def curate_ingest_batch(
         set — data loss, not idempotency);
       - the index append is gated on `<index>/_epochs/<id>`, written
         atomically AFTER the append, so a completed append is never
-        repeated. A crash between append and marker re-appends once;
-        the duplicate band rows are neutralized by the candidate
-        pipeline's DISTINCT and duplicate signature rows only duplicate
-        candidate rows that the same DISTINCT collapses — degraded probe
-        cost until compaction, never wrong results (the
-        append_to_minhash_index crash contract).
-    Path probes use local os.path — on a cluster with object-store paths,
-    swap in the Hadoop FS API (sources.compact_pages shows the pattern)."""
-    import os
-
+        repeated. On a REPLAY (accepted re-read from a completed sink)
+        with the marker absent, a prior attempt may already have appended
+        or built before crashing — the batch's ids are anti-joined
+        against the index's signature ids first, so the append lands each
+        doc's sig rows exactly once (no duplicate index rows; the
+        anti-join scans one column of the sigs table and only runs on the
+        crash-recovery path, never per healthy epoch).
+    Path probes and the marker go through the Hadoop FS util
+    (slowspark.util.fs_exists / fs_write_text_atomic), so object-store
+    index paths (s3a://, hdfs://) behave the same as local dirs."""
     from slowspark.corpus import quality_filter_flags
     from slowspark.textops import (
         append_to_minhash_index,
@@ -274,15 +274,16 @@ def curate_ingest_batch(
         incremental_dedup,
         minhash_dedup,
     )
-    from slowspark.util import materialize
+    from slowspark.util import fs_exists, fs_write_text_atomic, materialize
 
     spark = batch_df.sparkSession
     sink_dir = f"{accepted_path}/epoch={epoch_id}"
     # _SUCCESS required: a bands dir WITHOUT it is a crashed initial
     # build — probing it would read partial parquet; treating the index
     # as absent makes the epoch rebuild it (overwrite = clean recovery)
-    index_exists = os.path.isfile(f"{index_path}/bands/_SUCCESS")
-    if os.path.isfile(f"{sink_dir}/_SUCCESS"):
+    index_exists = fs_exists(spark, f"{index_path}/bands/_SUCCESS")
+    is_replay = fs_exists(spark, f"{sink_dir}/_SUCCESS")
+    if is_replay:
         accepted = spark.read.parquet(sink_dir)
     else:
         kept = (
@@ -307,16 +308,26 @@ def curate_ingest_batch(
         accepted = materialize(accepted)
         accepted.write.mode("overwrite").parquet(sink_dir)
     marker = f"{index_path}/_epochs/{epoch_id}"
-    if not os.path.exists(marker):
+    if not fs_exists(spark, marker):
+        to_index = accepted
+        if is_replay and index_exists:
+            # Crash-recovery path only: the sink completed but the marker
+            # is absent, so a prior attempt may have appended (crash
+            # between append and marker) or done the initial build (crash
+            # between build and marker). Appending the whole epoch again
+            # would duplicate every doc's sig+band rows; dedup RESULTS
+            # would stay correct (candidate DISTINCT collapses dup bands)
+            # but incremental_near_dup_pairs would return duplicated pair
+            # rows (its DISTINCT runs before the sig join). The anti-join
+            # against the index's id column keeps the append idempotent.
+            idx_ids = spark.read.parquet(f"{index_path}/sigs").select("doc_id")
+            to_index = accepted.join(idx_ids, "doc_id", "left_anti")
         if index_exists:
-            append_to_minhash_index(accepted, index_path)
+            append_to_minhash_index(to_index, index_path)
         else:
-            build_minhash_index(accepted, index_path)
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        tmp = f"{marker}.tmp"
-        with open(tmp, "w") as f:
-            f.write("done")
-        os.replace(tmp, marker)  # atomic: a torn marker never looks valid
+            build_minhash_index(to_index, index_path)
+        # atomic publish: a torn marker never looks valid
+        fs_write_text_atomic(spark, marker, "done")
 
 
 def start_curate_ingest(

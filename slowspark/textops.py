@@ -456,16 +456,20 @@ def append_to_minhash_index(
 
     Crash-recovery contract: band rows are written BEFORE signature rows.
     A crash between the two writes leaves band rows without signatures;
-    re-running incremental_dedup then re-appending is still safe — the
-    batch's docs match themselves on the band join, and the duplicate band
-    rows the re-append creates are neutralized by the candidate pipeline's
-    DISTINCT, while the signature rows (written last, hence absent after
-    the crash) land exactly once. The reverse order would strand
-    signature-only docs that never self-match on the band join, so a
-    re-append would duplicate their signature rows — duplicated pair rows
-    downstream. (This is at-least-once plus dedup, not a transaction; a
-    cluster deployment that needs atomic appends should put both tables in
-    one Iceberg/Delta commit.)"""
+    a sig-less doc produces NO pair from incremental_near_dup_pairs (the
+    candidate join is inner against the sigs table), so on replay it is
+    re-accepted and re-appended: its signature rows (written last, hence
+    absent after the crash) land exactly once, and the duplicate band
+    rows are neutralized by the candidate pipeline's DISTINCT. Replay
+    idempotency of the ACCEPTED SET therefore relies on the caller's
+    epoch-authoritative sink (curate_ingest_batch re-reads accepted rows
+    from the epoch's _SUCCESS-marked sink rather than recomputing); a
+    caller without such a sink will duplicate accepted rows on replay.
+    The reverse write order would strand signature-only docs whose
+    re-append duplicates sig rows — duplicated pair rows downstream.
+    (This is at-least-once plus dedup, not a transaction; a cluster
+    deployment that needs atomic appends should put both tables in one
+    Iceberg/Delta commit.)"""
     sigs = _materialize(
         minhash_signatures(accepted_df, text_col, id_col, n_perm, shingle_k)
     )

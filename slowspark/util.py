@@ -39,6 +39,63 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for `path` via the Hadoop FS API — resolves the
+    scheme (file://, hdfs://, s3a://, ...) from the session's Hadoop conf,
+    so the same call works on local dirs in the sandbox and object stores
+    on a cluster. This is the one sanctioned way slowspark probes/writes
+    index and marker files (sources.compact_pages uses the same API for
+    sizing); os.path/open on an s3a:// string would silently probe the
+    driver's local disk instead."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def fs_exists(spark, path: str) -> bool:
+    """True iff `path` exists on its (scheme-resolved) filesystem."""
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def fs_mkdirs(spark, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    fs.mkdirs(p)
+
+
+def fs_write_text_atomic(spark, path: str, content: str) -> None:
+    """Write a small text file (marker / JSON metadata) so a torn write
+    never looks valid: the bytes land in `<path>.tmp` first, then a rename
+    publishes them. Rename is atomic on HDFS and local filesystems; on
+    S3-family stores it is copy+delete, but the tmp suffix still guarantees
+    a reader never observes a partially-written final path."""
+    fs, p = _hadoop_fs(spark, path)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"fs_write_text_atomic: rename {tmp} -> {p} failed")
+
+
+def fs_read_text(spark, path: str) -> str:
+    """Read a small text file (marker / JSON metadata) via the Hadoop FS
+    API. Only for driver-side metadata a few KB in size — datasets go
+    through spark.read."""
+    fs, p = _hadoop_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def capped_by_bucket(
     df: DataFrame,
     keys: list[str],

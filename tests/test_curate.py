@@ -190,6 +190,48 @@ def test_curate_ingest_stream(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/sigs").count() == n_sig_rows
 
 
+def test_curate_ingest_crash_between_index_write_and_marker(spark, tmp_path):
+    """Crash window between the index build/append and the epoch marker:
+    simulated by deleting the marker after a completed epoch. The replay
+    re-enters the marker-absent branch with the index already containing
+    the epoch's docs — the anti-join against the index's sig ids must keep
+    the index free of duplicate (doc_id) sig rows, for BOTH the epoch-0
+    build-then-crash case and a later append-then-crash case."""
+    import os
+
+    from slowspark.streaming import curate_ingest_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    doc_a = ("the quick brown fox jumps over a lazy dog and runs to the old "
+             "mill with great speed every single morning before dawn " * 2
+             + "alpha ending here")
+    doc_c = ("fresh content the and a of with in that plus many new unique "
+             "tokens making this another valid long document for ingestion "
+             "well beyond the minimum word count threshold for this test")
+    batch0 = spark.createDataFrame(
+        [(1, doc_a, "en")], "doc_id long, text string, lang string"
+    )
+    curate_ingest_batch(batch0, 0, idx, acc, min_words=10)
+    # epoch-0 crash: bands/_SUCCESS exists but the marker never landed
+    os.remove(f"{idx}/_epochs/0")
+    curate_ingest_batch(batch0, 0, idx, acc, min_words=10)
+    sigs = spark.read.parquet(f"{idx}/sigs")
+    assert sigs.count() == sigs.select("doc_id").distinct().count() == 1
+    assert os.path.exists(f"{idx}/_epochs/0")
+
+    batch1 = spark.createDataFrame(
+        [(11, doc_c, "en")], "doc_id long, text string, lang string"
+    )
+    curate_ingest_batch(batch1, 1, idx, acc, min_words=10)
+    # append-epoch crash: same window, append already completed
+    os.remove(f"{idx}/_epochs/1")
+    curate_ingest_batch(batch1, 1, idx, acc, min_words=10)
+    sigs = spark.read.parquet(f"{idx}/sigs")
+    assert sigs.count() == sigs.select("doc_id").distinct().count() == 2
+    # accepted sink unchanged through both replays
+    assert _accepted_ids(spark, acc) == {1, 11}
+
+
 def test_curation_decontamination_stage(spark, tmp_path):
     """An eval_df enables the decontamination stage: a doc containing an
     eval 13-gram is dropped between scrub and sampling."""

@@ -371,3 +371,28 @@ def test_pq_adc_plan_never_scans_vectors(spark, emb, query_vec):
     )
     assert "embedding" not in plan
     assert "Join" not in plan
+
+
+def test_pq_adc_plan_size_bounded_at_production_shape(spark):
+    """The LUT literal must be bound ONCE in the ADC expression: at the
+    production PQ shape (m=32, k=256) the plan carries one m*k nested-array
+    literal (~8k doubles), not m copies of it (the pre-fix inlining was
+    O(m^2 * k) — a multi-megabyte parsed plan). Same pattern as the LSH
+    plan-size pin (test_lsh_bucket_high_dim_matches_numpy_oracle)."""
+    from slowspark.similarity import pq_topk
+
+    m, k, dsub = 32, 256, 2
+    rng = np.random.RandomState(5)
+    books = rng.standard_normal((m, k, dsub))
+    codes_df = spark.createDataFrame(
+        [(i, rng.randint(0, k, size=m).tolist(), 1.0) for i in range(20)],
+        "vec_id long, pq_codes array<int>, norm double",
+    )
+    query = rng.standard_normal(m * dsub).tolist()
+    res = pq_topk(codes_df, books, query, k=5)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    # one 32x256 double literal is ~200 KB of plan text; the m-fold
+    # inlining it replaces was ~32x that
+    assert len(plan) < 500_000
+    rows = res.collect()
+    assert len(rows) == 5
