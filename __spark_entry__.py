@@ -60,6 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _ARTIFACT_NAMES = (
     "entries", "simhash_sigs", "lsh_buckets", "ivf_cells",
     "minhash_index", "minhash_pairs", "jaccard_pairs", "pq_index",
+    "ivfpq_index",
 )
 
 
@@ -147,6 +148,7 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
             lambda: _lsh_buckets_parquet(spark, sf_dir),
             lambda: _ivf_index_parquet(spark, sf_dir),
             lambda: _pq_index_parquet(spark, sf_dir),
+            lambda: _ivfpq_index_parquet(spark, sf_dir),
             lambda: _incremental_index_parquet(
                 spark, sf_dir, sigs=sig_fut.result()
             ),
@@ -1032,6 +1034,125 @@ def _pq_index_parquet(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _ivfpq_index_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the composed IVF-PQ index once per process: the
+    cell-partitioned (vec_id, embedding, pq_codes, norm) table that
+    similarity.ivfpq_build_index writes, plus the centroid and codebook
+    tables as parquet so the DuckDB oracle can recompute the ENTIRE query
+    — coarse cell ranking, partition-restricted ADC, candidate cutoff,
+    exact re-rank — from the same artifacts the Spark path reads."""
+    import os
+
+    from slowspark.similarity import ivfpq_build_index
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_ORACLE_ENTRIES_BASE}/{base}/ivfpq_index"
+    if path not in _ENTRIES_WRITTEN:
+        emb = _read(spark, sf_dir, "embeddings")
+        centroids, books = ivfpq_build_index(
+            emb, path, n_centroids=_IVF_N_CENTROIDS, m=_PQ_M, k=_PQ_K
+        )
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        rows = [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        spark.createDataFrame(
+            rows, "j int, c int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        _ENTRIES_WRITTEN.add(path)
+    return path
+
+
+def _ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (similarity.ivfpq_topk): coarse centroids rank
+    the probe cells, the ADC prefilter scans ONLY those cells' code
+    columns (partition + column pruned), and the exact re-rank touches
+    only the candidates' raw vectors. DuckDB recomputes all four stages
+    from the same materialized index."""
+    path = _ivfpq_index_parquet(spark, sf_dir)
+    from slowspark.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        spark, path, _query_vec_0(spark, sf_dir), k=10,
+        probe_cells=_IVF_PROBE_CELLS, rerank=_PQ_RERANK,
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _query_vec_0(spark: SparkSession, sf_dir: str) -> list:
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in qrow["embedding"]]
+
+
+def _ivfpq_ann_topk_oracle(sf_dir_base: str = "sf0.01") -> str:
+    """DuckDB replica of the full composed query: probe = top-p stored
+    centroids by cosine vs the vec_id=0 query row (same deterministic
+    (score desc, cell) tie-break), ADC over codes restricted to the probed
+    cells (hive-partitioned read of cells/ivf_cell=N/), candidate cutoff
+    at rerank, exact re-rank of the candidates' raw vectors from the same
+    probed partitions."""
+    dsub = 64 // _PQ_M
+    idx = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/ivfpq_index"
+    return f"""
+        WITH cells AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   pq_codes, norm, ivf_cell
+            FROM read_parquet('{idx}/cells/*/*.parquet',
+                              hive_partitioning=1)
+        ), q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ), probe AS (
+            SELECT cell
+            FROM read_parquet('{idx}/centroids/*.parquet')
+            ORDER BY list_cosine_similarity(centroid, (SELECT qv FROM q))
+                     DESC, cell
+            LIMIT {_IVF_PROBE_CELLS}
+        ), probed AS (
+            SELECT * FROM cells WHERE ivf_cell IN (SELECT cell FROM probe)
+        ), lut AS (
+            SELECT j, c,
+                   list_sum(list_transform(range(1, {dsub} + 1),
+                       i -> centroid[i] * qv[j * {dsub} + i])) AS d
+            FROM read_parquet('{idx}/codebooks/*.parquet'), q
+        ), expanded AS (
+            SELECT vec_id, norm, u.j AS j, u.code AS code
+            FROM (
+                SELECT vec_id, norm,
+                       unnest(list_transform(range(1, {_PQ_M} + 1),
+                           i -> struct_pack(j := i - 1, code := pq_codes[i])))
+                           AS u
+                FROM probed
+            )
+        ), adc AS (
+            SELECT vec_id, any_value(norm) AS norm, sum(lut.d) AS dot
+            FROM expanded JOIN lut
+              ON expanded.j = lut.j AND expanded.code = lut.c
+            GROUP BY vec_id
+        ), qn AS (
+            SELECT sqrt(list_sum(list_transform(qv, x -> x * x))) AS n FROM q
+        ), cands AS (
+            SELECT vec_id
+            FROM adc, qn
+            ORDER BY dot / ((SELECT n FROM qn) * greatest(norm, 1e-12)) DESC,
+                     vec_id ASC
+            LIMIT {_PQ_RERANK}
+        )
+        SELECT p.vec_id,
+               round(list_cosine_similarity(p.emb, (SELECT qv FROM q)), 4)
+                   AS cosine
+        FROM probed p JOIN cands USING (vec_id)
+        ORDER BY list_cosine_similarity(p.emb, (SELECT qv FROM q)) DESC,
+                 p.vec_id ASC
+        LIMIT 10
+    """
+
+
 def _pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compressed ANN (similarity.pq_topk_rerank): ADC prefilter over
     the materialized code table -> exact cosine re-rank of the candidate
@@ -1350,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
         "pq_ann_topk": _pq_ann_topk,
+        "ivfpq_ann_topk": _ivfpq_ann_topk,
     }
 
 
@@ -1908,6 +2030,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "pq_ann_topk": _pq_ann_topk_oracle(),
+        "ivfpq_ann_topk": _ivfpq_ann_topk_oracle(),
         "ivf_ann_topk": f"""
             WITH c AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, ivf_cell

@@ -717,6 +717,157 @@ def pq_topk(
     )
 
 
+def ivfpq_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    m: int = 16,
+    k: int = 16,
+    seed: int = 42,
+    ivf_lloyd_iters: int = 2,
+    pq_lloyd_iters: int = 4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build the composed IVF-PQ index — the production ANN shape at 10^12
+    vectors, combining the two halves this module already has: IVF cell
+    pruning (a probe-p query reads p/n_centroids of the corpus, enforced by
+    PARTITION pruning) and PQ compression (the pruned scan reads 8-byte
+    codes, not 256-byte float vectors).
+
+    Layout (one cell-partitioned table + driver-side metadata):
+      <index>/cells/ivf_cell=N/  (id, vec, pq_codes array<int>, norm)
+      <index>/meta.json          centroids (n_centroids x dim) + codebooks
+                                 (m x k x dim/m) + column names
+    Storing vectors and codes in ONE table partitioned by ivf_cell means
+    the ADC prefilter is partition-pruned AND column-pruned (parquet reads
+    only id/pq_codes/norm), while the exact re-rank re-reads only the
+    candidate ids' vector column from the same probed partitions — neither
+    stage ever opens an unprobed cell's files.
+
+    Codes quantize the RAW vectors (not per-cell residuals), so the ADC
+    lookup table is shared across cells and the DuckDB oracle can recompute
+    the whole query from the materialized artifacts; classic IVFADC
+    residual encoding (quantize x - centroid_cell, one LUT per probed
+    cell) is the accuracy upgrade path and changes only pq_train's input
+    and the LUT construction. Returns (centroids, codebooks)."""
+    import json
+
+    from slowspark.util import fs_write_text_atomic, materialize
+
+    centroids = ivf_train(
+        corpus, vec_col, id_col, n_centroids, seed, ivf_lloyd_iters
+    )
+    books = pq_train(corpus, vec_col, id_col, m, k, seed, pq_lloyd_iters)
+    # one materialized pass holds the assignment; encode joins back on id
+    # (both stages are narrow maps, the join is the only shuffle)
+    assigned = materialize(
+        _assign_with(corpus, centroids, vec_col).select(
+            id_col, vec_col, "ivf_cell"
+        )
+    )
+    codes = pq_encode(assigned, books, vec_col, id_col)
+    (
+        assigned.join(codes, id_col)
+        .select(id_col, vec_col, "pq_codes", "norm", "ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(f"{index_path}/cells")
+    )
+    meta = {
+        "centroids": centroids.tolist(),
+        "codebooks": books.tolist(),
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
+    fs_write_text_atomic(
+        corpus.sparkSession, f"{index_path}/meta.json", json.dumps(meta)
+    )
+    return centroids, books
+
+
+def _ivfpq_meta(spark, index_path: str):
+    import json
+
+    from slowspark.util import fs_read_text
+
+    meta = json.loads(fs_read_text(spark, f"{index_path}/meta.json"))
+    return (
+        _normalize_rows(np.asarray(meta["centroids"], dtype=np.float64)),
+        np.asarray(meta["codebooks"], dtype=np.float64),
+        meta["vec_col"],
+        meta["id_col"],
+    )
+
+
+def _rank_cells(cmat: np.ndarray, query: list[float], probe_cells: int) -> list[int]:
+    """Driver-side coarse ranking: cosine of the query against the (tiny)
+    centroid matrix, deterministic (score desc, cell asc) tie-break."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    scores = cmat @ (q / qn)
+    order = sorted(range(len(scores)), key=lambda c: (-scores[c], c))
+    return [int(c) for c in order[: max(1, probe_cells)]]
+
+
+def ivfpq_candidates(
+    spark,
+    index_path: str,
+    query: list[float],
+    rerank: int = 100,
+    probe_cells: int = 4,
+) -> DataFrame:
+    """The IVF-PQ ADC prefilter: rank centroids driver-side, scan ONLY the
+    probed cells' code columns (PartitionFilters on ivf_cell; ReadSchema
+    never includes the vector column — both plan-pinned by tests), rank by
+    asymmetric distance, keep the best `rerank` ids. IO per query is
+    (probe_cells / n_centroids) x (code bytes / vector bytes) of the
+    corpus — at 16 cells / 4 probes / 32x PQ compression, ~1/128 of what
+    brute force scans."""
+    cmat, books, _vec_col, id_col = _ivfpq_meta(spark, index_path)
+    probe = _rank_cells(cmat, query, probe_cells)
+    cells = spark.read.parquet(f"{index_path}/cells")
+    probed_codes = cells.filter(F.col("ivf_cell").isin(probe)).select(
+        id_col, "pq_codes", "norm"
+    )
+    return pq_topk(probed_codes, books, query, k=rerank, id_col=id_col)
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    probe_cells: int = 4,
+    rerank: int = 100,
+) -> DataFrame:
+    """IVF-PQ ANN top-k against a persisted index (ivfpq_build_index):
+    probe p cells -> ADC over codes within them -> exact cosine re-rank of
+    the surviving `rerank` ids' raw vectors, fetched from the SAME probed
+    partitions via a broadcast semi-join. Strictly better than either
+    half alone: pq_topk ADC-scans every cell's codes; ivf_topk_indexed
+    reads raw float vectors for the whole probed fraction. recall@k = 1
+    whenever the true top-k lands in the probed cells AND survives the
+    ADC cutoff; raise probe_cells / rerank independently to trade IO for
+    recall on each axis."""
+    if rerank < k:
+        raise ValueError(f"ivfpq_topk: rerank={rerank} < k={k}")
+    cmat, books, vec_col, id_col = _ivfpq_meta(spark, index_path)
+    probe = _rank_cells(cmat, query, probe_cells)
+    cells = spark.read.parquet(f"{index_path}/cells")
+    probed = cells.filter(F.col("ivf_cell").isin(probe))
+    cands = pq_topk(
+        probed.select(id_col, "pq_codes", "norm"), books, query,
+        k=rerank, id_col=id_col,
+    ).select(id_col)
+    return brute_force_topk(
+        probed.select(id_col, vec_col).join(
+            F.broadcast(cands), id_col, "left_semi"
+        ),
+        vec_col, query, k, id_col,
+    )
+
+
 def pq_topk_rerank(
     corpus: DataFrame,
     codes_df: DataFrame,

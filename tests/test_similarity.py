@@ -353,6 +353,76 @@ def test_pq_validations(spark, emb, query_vec):
         pq_topk_rerank(emb, emb, books, query_vec, k=10, rerank=5)
 
 
+def test_ivfpq_matches_ivf_exact_when_rerank_covers_cells(spark, emb, query_vec, tmp_path):
+    """With rerank >= every probed cell's row count the ADC cutoff drops
+    nothing, so ivfpq_topk must equal the exact-within-probed-cells result
+    (ivf_topk with the SAME trained centroids) — cosines included. This
+    pins the composition: cell ranking, partition scan, ADC candidate set,
+    and re-rank all agree with the un-compressed probe path."""
+    idx = str(tmp_path / "ivfpq")
+    centroids, _books = similarity.ivfpq_build_index(
+        emb, idx, n_centroids=8, ivf_lloyd_iters=1
+    )
+    n = emb.count()
+    got = {
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in similarity.ivfpq_topk(
+            spark, idx, query_vec, k=5, probe_cells=2, rerank=n
+        ).collect()
+    }
+    want = {
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in similarity.ivf_topk(
+            emb, query_vec, k=5, probe_cells=2, centroids=centroids
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_recall_with_injected_neighbors(spark, emb, query_vec, tmp_path):
+    """Injected near neighbors: the composed probe (4-of-16 cells, ADC
+    prefilter at rerank=100) must recover >= 0.8 of the exact top-10."""
+    rng = np.random.RandomState(17)
+    q = np.array(query_vec)
+    neighbors = [
+        (30_000 + i, (q + 0.05 * rng.standard_normal(len(q))).astype("float32").tolist(), -1)
+        for i in range(5)
+    ]
+    corpus = emb.unionByName(spark.createDataFrame(neighbors, emb.schema)).cache()
+    idx = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build_index(corpus, idx, n_centroids=16)
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(corpus, "embedding", query_vec, k=10).collect()]
+    ann = [r["vec_id"] for r in
+           similarity.ivfpq_topk(spark, idx, query_vec, k=10,
+                                 probe_cells=4, rerank=100).collect()]
+    assert len(set(exact) & set(ann)) >= 8
+    corpus.unpersist()
+
+
+def test_ivfpq_prefilter_plan_prunes_partitions_and_vectors(spark, emb, query_vec, tmp_path):
+    """The composed plan pin (VERDICT r4 #1): the ADC prefilter scan must
+    (a) carry the probe as a PARTITION filter on ivf_cell — directory-level
+    pruning, unprobed cells' files never open — and (b) read a schema
+    WITHOUT the vector column (codes/norm only), with no join. Together:
+    IO per query = probed fraction x code bytes."""
+    idx = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build_index(emb, idx, n_centroids=8, ivf_lloyd_iters=1)
+    cands = similarity.ivfpq_candidates(spark, idx, query_vec, rerank=20, probe_cells=2)
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters:"):].splitlines()[0]
+    assert "ivf_cell" in pf and " IN " in pf
+    rs = plan[plan.index("ReadSchema:"):].splitlines()[0]
+    assert "embedding" not in rs
+    assert "Join" not in plan
+    # and the LUT literal is bound once (the pq_topk plan-size contract)
+    assert len(plan) < 100_000
+    rows = cands.collect()
+    assert len(rows) == 20
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.ivfpq_topk(spark, idx, query_vec, k=10, rerank=5)
+
+
 def test_pq_adc_plan_never_scans_vectors(spark, emb, query_vec):
     """The ADC prefilter's whole point at 10^12 vectors: the scan reads
     codes and norms only — the float vector column must not appear
