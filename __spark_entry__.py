@@ -1269,7 +1269,7 @@ def _pii_scrub_oracle() -> str:
 _CONTAMINATION_ORACLE = """
     WITH toks AS (
         SELECT doc_id, list_filter(
-                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                    t -> t != ''
                ) AS tk
         FROM documents
@@ -1575,7 +1575,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(
-                           regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                            t -> t != ''
                        ) AS ws,
                        string_split(text, chr(10)) AS lines
@@ -1661,12 +1661,12 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
                 SELECT doc_id,
                        list_filter(
-                           regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                            t -> t != ''
                        ) AS ws,
                        length(text) AS n_chars,
-                       length(regexp_replace(text, '\\s+', '', 'g')) AS nonws,
-                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS nonws,
+                       length(regexp_replace(text, '[\\p{{L}}\\p{{N}} \\t\\n\\x0B\\f\\r]', '', 'g'))
                            AS symbols,
                        length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
                 FROM documents
@@ -1705,7 +1705,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(
-                           regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                            t -> t != ''
                        ) AS ws
                 FROM documents
@@ -1752,7 +1752,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id, unnest(
                     list_filter(
-                        regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                         t -> t != ''
                     )
                 ) AS term
@@ -1769,18 +1769,21 @@ def oracle_sql() -> dict[str, str]:
             FROM toks JOIN tf USING (term)
             GROUP BY doc_id
         """,
+        # integer thresholds (round(rate * buckets)), mirroring
+        # corpus.hash_sample exactly — a double-arithmetic rate * buckets
+        # cutoff admits boundary buckets (0.1 * 10000 > 1000 in binary FP)
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) % 10000
-                  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
-                               WHEN 'zh' THEN 0.25 ELSE 0.1 END) * 10000
+                  < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                               WHEN 'zh' THEN 2500 ELSE 1000 END)
         """,
         "tfidf_pairs": """
             WITH toks AS (
                 SELECT doc_id, unnest(
                     list_filter(
-                        regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                         t -> t != ''
                     )
                 ) AS term
@@ -1826,7 +1829,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id,
                        length(list_filter(
-                           regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x != '')) AS n_tokens
                 FROM documents
             ), c AS (
@@ -1877,7 +1880,7 @@ def oracle_sql() -> dict[str, str]:
                                    '(?s)</?[A-Za-z!][^>]*>', ' ', 'g'),
                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                            '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-                           '\\s+', ' ', 'g')) AS t
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
                 FROM wrapped
             )
             SELECT doc_id,

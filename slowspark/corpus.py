@@ -48,9 +48,18 @@ def quality_filter_flags(
     Rules (all computed from counts, integer-exact):
       - word count in [min_words, max_words]        (Gopher: 50..100k)
       - mean word length in [min, max]              (Gopher: 3..10)
-      - symbol ratio (non-alnum, non-space) <= max  (C4 code/lorem filter)
+      - symbol ratio (non-letter/number/ws) <= max  (C4 code/lorem filter)
       - digit ratio <= max
       - >= min_stopword_hits distinct common-English stopwords (C4)
+
+    Script coverage: the symbol rule counts Unicode letters/numbers
+    (\\p{L}\\p{N}) as text, so CJK/Cyrillic/Arabic prose does NOT trip it.
+    The word-count and mean-word-length rules remain WHITESPACE-segmented
+    — an unsegmented script (zh/ja/th) reads as a few enormous "words"
+    and fails them, and the stopword rule is English-only by design; a
+    multilingual curation run should route documents by language FIRST
+    (slowspark.curate's --langs stage / textops.with_language_id) and
+    apply this filter to the whitespace-segmented languages only.
 
     Scale shape: pure narrow projection — no shuffle, no UDF, whole-stage
     codegen end-to-end; at 10^12 docs this is a single scan. Thresholds are
@@ -67,7 +76,13 @@ def quality_filter_flags(
     # non-whitespace character count: the denominator-free building block
     # for mean word length (sum of token lengths == non-ws chars)
     nonws = F.length(F.regexp_replace(text_col, r"\s+", ""))
-    symbols = F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", ""))
+    # Unicode letters/numbers, not [A-Za-z0-9]: ASCII-only classes count
+    # every non-Latin character as a "symbol" and wipe CJK/Cyrillic/Arabic
+    # corpora at this rule. Whitespace is spelled out because the DuckDB
+    # oracle (RE2) excludes \x0B from \s while Java includes it.
+    symbols = F.length(
+        F.regexp_replace(text_col, r"[\p{L}\p{N} \t\n\x0B\f\r]", "")
+    )
     digits = F.length(F.regexp_replace(text_col, r"[^0-9]", ""))
     mean_wl = nonws / F.greatest(n_words, F.lit(1))
     stop_hits = F.size(
@@ -290,7 +305,14 @@ def hash_sample(
 
     Per-stratum rates (e.g. downsample English, keep all of a low-resource
     language) are a literal CASE expression — no join, no shuffle, a
-    single codegen'd scan at any scale. Bucket granularity = 1/buckets."""
+    single codegen'd scan at any scale. Bucket granularity = 1/buckets.
+
+    The cutoff is an INTEGER threshold computed once in Python
+    (round(rate * buckets)), never `bucket < rate * buckets` in double
+    arithmetic: 0.1 * 10000 = 1000.0000000000001 in binary floating
+    point, which admits bucket 1000 — an off-by-1/buckets effective rate
+    that silently diverges from any engine evaluating the product
+    exactly. Integer-vs-integer comparison is reproducible everywhere."""
     if not (0 < buckets):
         raise ValueError(f"buckets must be positive, got {buckets}")
     for k, v in {**rates, "default": default_rate}.items():
@@ -306,12 +328,15 @@ def hash_sample(
         ).cast("long")
         % buckets
     )
-    rate = F.lit(float(default_rate))
+    thr = F.lit(int(round(float(default_rate) * buckets)))
     for stratum, r in sorted(rates.items()):
-        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+        thr = F.when(
+            F.col(stratum_col) == stratum,
+            F.lit(int(round(float(r) * buckets))),
+        ).otherwise(thr)
     return (
         df.withColumn("__bucket", bucket)
-        .filter(F.col("__bucket") < rate * buckets)
+        .filter(F.col("__bucket") < thr)
         .drop("__bucket")
     )
 

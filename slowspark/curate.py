@@ -58,26 +58,68 @@ def run_curation(
     passage_words: int = 20,
     max_docs_per_passage: int = 2,
     sample_rate: float = 1.0,
+    sample_rates: dict[str, float] | None = None,
     sample_salt: str = "",
     seq_len: int = 4096,
     eval_df: DataFrame | None = None,
     decontaminate_ngram: int = 13,
+    langs: list[str] | None = None,
+    scrub_pii: bool = False,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
     rule at pipeline granularity: every document lost between stages is
     attributable to a stage and, for the filter stage, to a rule).
-    `eval_df` (a benchmark/eval table with a text column) enables the
-    GPT-3-style decontamination stage between scrub and sampling —
-    training-set leakage into evals is the one curation failure that
-    silently corrupts every downstream measurement."""
+
+    Optional stages, each participating in the resume signature:
+      - `langs`: keep only documents whose lang column is in the list,
+        BEFORE the quality filter — the C4/Gopher rules are tuned for
+        whitespace-segmented (and partly English) text, so a multilingual
+        corpus routes by language first rather than letting the word-count
+        rules wipe unsegmented scripts (corpus.quality_filter_flags docs);
+        populate the column with textops.language_id when the source has
+        none.
+      - `eval_df` (a benchmark/eval table with a text column) enables the
+        GPT-3-style decontamination stage between scrub and sampling —
+        training-set leakage into evals is the one curation failure that
+        silently corrupts every downstream measurement. The signature
+        includes a content hash of eval_df (count + xxhash64 sum), so
+        swapping the eval set invalidates the decontaminated/sampled/
+        packed manifests even when every other knob matches.
+      - `scrub_pii`: mask emails / IPs / phone numbers (textops.scrub_pii)
+        after the passage scrub — the text that reaches sampling/packing
+        is the scrubbed rendition.
+      - `sample_rates`: per-stratum (lang) keep-rates for the
+        deterministic hash sampler; `sample_rate` remains the default for
+        strata not listed."""
     cat = Catalog(warehouse)
+    if eval_df is not None:
+        ev = eval_df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("text")), F.lit(0)).alias("h"),
+        ).first()
+        eval_sig = f"{decontaminate_ngram}:{ev['n']}:{ev['h']}"
+    else:
+        eval_sig = "0"
+    rates_sig = ",".join(
+        f"{k}={v}" for k, v in sorted((sample_rates or {}).items())
+    )
     sig = (
         f"{input_signature}|mw={min_words}|pw={passage_words}"
-        f"|mdp={max_docs_per_passage}|sr={sample_rate}|salt={sample_salt}"
-        f"|sl={seq_len}|decon={decontaminate_ngram if eval_df is not None else 0}"
+        f"|mdp={max_docs_per_passage}|sr={sample_rate}|srates={rates_sig}"
+        f"|salt={sample_salt}"
+        f"|sl={seq_len}|decon={eval_sig}"
+        f"|langs={','.join(sorted(langs)) if langs else '*'}"
+        f"|pii={int(scrub_pii)}"
     )
     out: dict[str, DataFrame] = {}
+
+    if langs is not None:
+        docs = run_stage(
+            spark, cat, "lang_filtered", sig,
+            lambda: docs.filter(F.col("lang").isin(list(langs))),
+        )
+        out["lang_filtered"] = docs
 
     flagged = run_stage(
         spark, cat, "flagged", sig,
@@ -131,6 +173,21 @@ def run_curation(
     scrubbed = run_stage(spark, cat, "scrubbed", sig, _scrub)
     out["scrubbed"] = scrubbed
 
+    if scrub_pii:
+        from slowspark.textops import scrub_pii as _scrub_pii_fn
+
+        def _pii() -> DataFrame:
+            cols = scrubbed.columns
+            return (
+                _scrub_pii_fn(scrubbed)
+                .drop("text")
+                .withColumnRenamed("text_scrubbed", "text")
+                .select(*cols)
+            )
+
+        scrubbed = run_stage(spark, cat, "pii_scrubbed", sig, _pii)
+        out["pii_scrubbed"] = scrubbed
+
     if eval_df is not None:
         from slowspark.textops import decontaminate
 
@@ -143,7 +200,8 @@ def run_curation(
     sampled = run_stage(
         spark, cat, "sampled", sig,
         lambda: hash_sample(
-            scrubbed, rates={}, default_rate=sample_rate, salt=sample_salt
+            scrubbed, rates=dict(sample_rates or {}),
+            default_rate=sample_rate, salt=sample_salt,
         ),
     )
     out["sampled"] = sampled
@@ -164,13 +222,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--passage-words", type=int, default=20)
     p.add_argument("--max-docs-per-passage", type=int, default=2)
     p.add_argument("--sample-rate", type=float, default=1.0)
+    p.add_argument("--sample-rates", default=None,
+                   help="per-stratum rates as lang=rate[,lang=rate...], "
+                   "e.g. 'en=0.5,zh=1.0'; --sample-rate stays the default "
+                   "for unlisted strata")
     p.add_argument("--sample-salt", default="")
     p.add_argument("--seq-len", type=int, default=4096)
     p.add_argument("--eval-set", default=None,
                    help="eval/benchmark parquet with a text column: enables "
                    "the n-gram decontamination stage")
     p.add_argument("--decontaminate-ngram", type=int, default=13)
+    p.add_argument("--langs", default=None,
+                   help="comma-separated language allowlist (lang column); "
+                   "filters BEFORE the quality rules")
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="mask emails/IPs/phone numbers after passage scrub")
     args = p.parse_args(argv)
+    sample_rates = None
+    if args.sample_rates:
+        sample_rates = {
+            k: float(v)
+            for k, v in (kv.split("=", 1) for kv in args.sample_rates.split(","))
+        }
 
     spark = get_spark("slowspark-curate", master=args.master)
     try:
@@ -182,20 +255,22 @@ def main(argv: list[str] | None = None) -> int:
             passage_words=args.passage_words,
             max_docs_per_passage=args.max_docs_per_passage,
             sample_rate=args.sample_rate,
+            sample_rates=sample_rates,
             sample_salt=args.sample_salt,
             seq_len=args.seq_len,
             eval_df=eval_df,
             decontaminate_ngram=args.decontaminate_ngram,
+            langs=args.langs.split(",") if args.langs else None,
+            scrub_pii=args.scrub_pii,
         )
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {
             name: tables[name].count()
-            for name in ("filtered", "deduped_exact", "deduped_near",
-                         "scrubbed", "sampled", "packed")
+            for name in ("lang_filtered", "filtered", "deduped_exact",
+                         "deduped_near", "scrubbed", "pii_scrubbed",
+                         "decontaminated", "sampled", "packed")
             if name in tables
         }
-        if "decontaminated" in tables:
-            stages["decontaminated"] = tables["decontaminated"].count()
         n_seq = tables["packed"].agg(
             (F.max("seq_id") + 1).alias("n")
         ).collect()[0]["n"]

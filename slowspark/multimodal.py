@@ -2,13 +2,23 @@
 
 Media are opaque `binary` columns with typed metadata structs; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
-over mapInPandas. The actual codec calls (PIL/ffmpeg/torchaudio) are NOT in
-this container, so the decode kernels are STUBBED: by default a clearly
-marked deterministic fake derives metadata from the bytes themselves
-(stable across reruns, good enough to test schema/partitioning/batch
-shape); pass real_decode=True to get the NotImplementedError marking where
-the real library call goes. The Spark-side plumbing — schemas, batching,
-UDF signatures, partition sizing — is real and tested.
+over mapInPandas. By default every kernel is a clearly marked
+DETERMINISTIC FAKE deriving metadata from the bytes themselves (stable
+across reruns, good enough to test schema/partitioning/batch shape).
+
+real_decode=True per modality, honestly stated:
+  - image: fully real when PIL is on the executor image (PIL.Image.open);
+    gated NotImplementedError otherwise.
+  - audio: fully real when soundfile is on the executor image — sf.read
+    decodes samples and _mel_band_means (pure-numpy FFT + HTK mel
+    filterbank, unit-tested against synthetic sines without any codec)
+    computes genuine log-mel features; gated otherwise.
+  - video: real PyAV demux/decode loop when `av` (ffmpeg) is on the
+    executor image; gated otherwise. This container has none of the three
+    codecs, so the gates raise here — each pinned by a
+    green-on-either-path test.
+The Spark-side plumbing — schemas, batching, UDF signatures, partition
+sizing — is real and tested everywhere.
 """
 
 from __future__ import annotations
@@ -117,16 +127,51 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
-def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_n: int = 10, max_frames: int = 5,
+    real_decode: bool = False,
+) -> DataFrame:
     """Video frame sampling (UDTF-shaped: 1 video row -> N frame rows).
-    STUB: frame count derived deterministically from payload bytes; replace
-    the inner loop with an ffmpeg/pyav demux in production."""
+    Default: deterministic fake (frame count derived from payload bytes —
+    tests the Spark plumbing). real_decode=True is GATED on PyAV being
+    importable on the executor image (the ffmpeg-binding wire-in point:
+    av.open -> demux -> decode every_n-th frame); this container has no
+    ffmpeg, so the gate raises the documented NotImplementedError —
+    pinned by test_video_real_decode_gate, green on either path."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
+                if real_decode:
+                    try:
+                        import av
+                    except ImportError as exc:
+                        raise NotImplementedError(
+                            "real video decode requires PyAV/ffmpeg — not "
+                            "in this container; wire av.open here"
+                        ) from exc
+                    import io
+
+                    with av.open(io.BytesIO(b)) as container:
+                        vstream = container.streams.video[0]
+                        kept = 0
+                        for i, frame in enumerate(container.decode(vstream)):
+                            if kept >= max_frames:
+                                break
+                            if i % every_n:
+                                continue
+                            fh = hashlib.sha256(
+                                frame.to_ndarray(format="rgb24").tobytes()
+                            ).hexdigest()
+                            rows.append({
+                                "media_id": int(mid),
+                                "frame_index": i,
+                                "frame_sha256": fh,
+                            })
+                            kept += 1
+                    continue
                 n_frames = 1 + (hashlib.blake2b(b, digest_size=1).digest()[0] % 100)
                 for i, f_idx in enumerate(range(0, n_frames, every_n)):
                     if i >= max_frames:
@@ -142,6 +187,46 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> D
     )
 
 
+def _mel_band_means(
+    samples: np.ndarray, sr: int, n_mel: int = 16,
+    n_fft: int = 1024, hop: int = 512,
+) -> np.ndarray:
+    """REAL log-mel band means from raw mono samples — pure numpy (hann
+    window + rfft power spectrum + HTK triangular mel filterbank), no
+    librosa dependency. This is the kernel the real_decode audio path
+    feeds with soundfile-decoded samples; it is unit-tested directly with
+    synthetic sines (a tone at f Hz must peak in the band containing f),
+    so the DSP is honest even in containers without an audio codec."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim > 1:
+        x = x.mean(axis=1)  # downmix to mono
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    win = np.hanning(n_fft)
+    n_frames = 1 + (len(x) - n_fft) // hop
+    frames = np.lib.stride_tricks.as_strided(
+        x, shape=(n_frames, n_fft),
+        strides=(x.strides[0] * hop, x.strides[0]),
+    )
+    power = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2  # (frames, bins)
+    # HTK mel scale: mel = 2595 * log10(1 + f / 700)
+    fmax = sr / 2.0
+    mel_pts = np.linspace(0.0, 2595.0 * np.log10(1.0 + fmax / 700.0), n_mel + 2)
+    hz_pts = 700.0 * (10.0 ** (mel_pts / 2595.0) - 1.0)
+    bins = np.floor((n_fft + 1) * hz_pts / sr).astype(int)
+    fbank = np.zeros((n_mel, n_fft // 2 + 1))
+    for m in range(1, n_mel + 1):
+        lo, ctr, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, ctr):
+            if ctr > lo:
+                fbank[m - 1, k] = (k - lo) / (ctr - lo)
+        for k in range(ctr, hi):
+            if hi > ctr:
+                fbank[m - 1, k] = (hi - k) / (hi - ctr)
+    mel_energy = power @ fbank.T  # (frames, n_mel)
+    return np.log(mel_energy + 1e-10).mean(axis=0).astype(np.float32)
+
+
 AUDIO_META_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("sample_rate", T.IntegerType(), True),
@@ -154,10 +239,14 @@ AUDIO_META_SCHEMA = T.StructType([
 def extract_audio_features(
     media: DataFrame, n_mel: int = 16, real_decode: bool = False
 ) -> DataFrame:
-    """binary audio payload -> typed metadata + mel-band mean features.
-    STUB decode (deterministic fake from byte hash — wire torchaudio/
-    soundfile here in production); the Spark plumbing (Arrow batching,
-    kind filter, metadata-only shuffle) is real, mirroring decode_images."""
+    """binary audio payload -> typed metadata + log-mel band mean features.
+    Default: deterministic fake from the byte hash (tests the Spark
+    plumbing). real_decode=True is FULLY real when soundfile is on the
+    executor image: sf.read decodes the samples and _mel_band_means (pure
+    numpy FFT + HTK mel filterbank, unit-tested against synthetic sines)
+    computes genuine features — no librosa needed; without soundfile the
+    gate raises the documented NotImplementedError (same pattern as
+    _real_image_decode, pinned green on either path)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,21 +269,17 @@ def extract_audio_features(
                         ) from exc
                     import io
 
-                    info = sf_mod.info(io.BytesIO(b))
-                    sr = int(info.samplerate)
-                    duration = float(info.duration)
-                    n_ch = int(info.channels)
+                    data, sr = sf_mod.read(io.BytesIO(b), always_2d=True)
+                    duration = float(data.shape[0]) / sr
+                    n_ch = int(data.shape[1])
+                    mel = _mel_band_means(data, int(sr), n_mel)
                 else:
                     sr = (8000, 16000, 22050, 44100)[h[0] % 4]
                     duration = 0.5 + (int.from_bytes(h[1:3], "big") % 6000) / 100.0
                     n_ch = 1 + h[3] % 2
-                # mel means stay content-hash-derived even under
-                # real_decode: a real mel filterbank needs an FFT pass the
-                # plumbing test does not require; swap in
-                # librosa.feature.melspectrogram here for production
-                seed = int.from_bytes(h[4:8], "big")
-                rng = np.random.RandomState(seed)
-                mel = rng.standard_normal(n_mel).astype(np.float32)
+                    seed = int.from_bytes(h[4:8], "big")
+                    rng = np.random.RandomState(seed)
+                    mel = rng.standard_normal(n_mel).astype(np.float32)
                 rows.append({
                     "media_id": int(mid),
                     "sample_rate": sr,

@@ -217,18 +217,25 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Each round does two shuffle-keyed steps:
       1. HOOK: label <- min(label, neighbors' labels) over the edge set;
-      2. POINTER JUMP: label <- label's own current label (one join of the
-         label table against itself) — the chain a node must traverse to
-         reach its component min HALVES every round, so convergence takes
-         O(log diameter) rounds instead of O(diameter) (Shiloach-Vishkin
-         style; measured 11 -> 4 rounds, ~2x wall on a dense 195k-edge
-         near-dup graph, and the gap widens with chain length at scale).
-    _materialize() truncates the lineage each round so the plan does not
-    grow with iterations (reliable checkpoint when a checkpoint dir is
-    configured, localCheckpoint otherwise); the loop's only driver action
-    is the tiny changed-count convergence check."""
+      2. POINTER JUMP x `hops`: label <- label's own current label (one
+         join of the label table against itself) — the chain a node must
+         traverse to reach its component min HALVES per hop, so
+         convergence takes O(log diameter / hops) rounds instead of
+         O(diameter) (Shiloach-Vishkin style; measured 11 -> 4 rounds
+         at hops=1 on a dense 195k-edge near-dup graph, and the gap
+         widens with chain length at scale).
+    _materialize() truncates the lineage at every step that is read twice
+    (reliable checkpoint when a checkpoint dir is configured,
+    localCheckpoint otherwise): the hook result before the jump self-join,
+    and each jump result — the NEXT jump (or next round's hook) self-joins
+    it again, and the convergence count reads it too. Counting `changed`
+    from the materialized table instead of a lazy plan is what keeps the
+    per-round driver overhead to one tiny block-scan job (the r4 shape
+    recomputed the whole jump join once for the count and once for the
+    next round's hook — the dominant cost of the fixpoint at toy scale)."""
     if max_iters < 1:
         raise ValueError(f"connected_min_labels: max_iters must be >= 1, got {max_iters}")
+    hops = 2
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -251,36 +258,36 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # materialize the hook result BEFORE the jump self-join: both sides
         # of the join would otherwise race to recompute the hook shuffle
         # (the same lazy-plan trap as the signature self-joins)
-        hooked = _materialize(
+        cur = _materialize(
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("h_changed"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
         )
         # POINTER JUMP: label <- label(label). Labels are always node ids
         # (inductively: they start as ids and only ever take other nodes'
         # label values), so the lookup hits; the left join + coalesce is
         # belt-and-braces.
-        parents = hooked.select(
-            F.col("id").alias("p_id"), F.col("label").alias("p_label")
-        )
-        new_labels = (
-            hooked.join(parents, hooked["label"] == parents["p_id"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
-                (
-                    F.col("h_changed") | (F.col("p_label") < F.col("label"))
-                ).alias("changed"),
+        for _hop in range(hops):
+            parents = cur.select(
+                F.col("id").alias("p_id"), F.col("label").alias("p_label")
             )
-        )
-        # the jump join stays lazy: its inputs are the checkpointed hook
-        # table, so the lineage entering the next round is one join deep —
-        # bounded, because the next round's hook gets checkpointed again
-        n_changed = new_labels.filter(F.col("changed")).count()
-        labels = new_labels.drop("changed")
+            cur = _materialize(
+                cur.join(parents, cur["label"] == parents["p_id"], "left")
+                .select(
+                    "id",
+                    F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
+                    (
+                        F.col("changed") | (F.col("p_label") < F.col("label"))
+                    ).alias("changed"),
+                )
+            )
+        # the convergence check scans the already-materialized blocks —
+        # no recompute of any join
+        n_changed = cur.filter(F.col("changed")).count()
+        labels = cur.drop("changed")
         if n_changed == 0:
             break
     else:

@@ -104,6 +104,89 @@ def test_curation_resume_skips_stages(spark, tmp_path):
     assert n16 > n32  # half the seq_len -> about twice the sequences
 
 
+def test_curation_lang_filter_and_pii_stages(spark, tmp_path):
+    """--langs drops a wrong-language doc at exactly the lang_filtered
+    stage (before the quality rules see it); --scrub-pii rewrites a PII
+    doc at exactly the pii_scrubbed stage (text before it still carries
+    the email, text after it carries the placeholder)."""
+    rows = [r for r in _corpus(spark).collect()]
+    extra = [
+        # wrong language, otherwise high quality
+        (30, rows[0]["text"], "fr"),
+        # PII doc: long enough, with an email + stopwords
+        (31, ("please contact me at someone@example.com for the details "
+              "of the plan and a copy of that report in a timely manner "
+              "with all of the numbers included for review and approval "
+              "so that we can proceed to the next stage of the project"),
+         "en"),
+    ]
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"]) for r in rows] + extra,
+        "doc_id long, text string, lang string",
+    )
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1",
+        min_words=10, seq_len=32, langs=["en"], scrub_pii=True,
+    )
+    lang_kept = {r["doc_id"] for r in tables["lang_filtered"].collect()}
+    assert 30 not in lang_kept and 31 in lang_kept
+    filtered = {r["doc_id"] for r in tables["filtered"].collect()}
+    assert 30 not in filtered and 31 in filtered
+    before = {r["doc_id"]: r["text"] for r in tables["scrubbed"].collect()}
+    after = {r["doc_id"]: r["text"] for r in tables["pii_scrubbed"].collect()}
+    assert "someone@example.com" in before[31]
+    assert "someone@example.com" not in after[31] and "<EMAIL>" in after[31]
+    # the scrubbed rendition is what gets packed
+    packed = {r["doc_id"] for r in tables["packed"].collect()}
+    assert 31 in packed and 30 not in packed
+
+
+def test_curation_new_knobs_invalidate_resume(spark, tmp_path):
+    """Changing --langs / --scrub-pii / per-stratum rates / the eval set
+    must miss the stage manifests and recompute downstream stages — the
+    'knob change invalidates downstream resumes' contract extended to the
+    round-5 knobs (the eval-set content hash closes the r4 ADVICE hole:
+    same ngram + different eval set no longer resumes stale
+    decontamination)."""
+    wh = str(tmp_path / "wh")
+    docs = _corpus(spark)
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32)
+    packed_dir = os.path.join(wh, "packed")
+    m0 = os.path.getmtime(packed_dir)
+
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 langs=["en"])
+    m1 = os.path.getmtime(packed_dir)
+    assert m1 != m0  # langs knob invalidates
+
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 langs=["en"], scrub_pii=True)
+    m2 = os.path.getmtime(packed_dir)
+    assert m2 != m1  # pii knob invalidates
+
+    t = run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                     langs=["en"], scrub_pii=True,
+                     sample_rates={"en": 1.0})
+    m3 = os.path.getmtime(packed_dir)
+    assert m3 != m2  # per-stratum rates invalidate
+    assert "sampled" in t
+
+    # eval-set CONTENT participates: same ngram, different eval rows
+    ev1 = spark.createDataFrame([(0, "alpha beta gamma")], "eid long, text string")
+    ev2 = spark.createDataFrame([(0, "delta epsilon zeta")], "eid long, text string")
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 eval_df=ev1)
+    m4 = os.path.getmtime(packed_dir)
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 eval_df=ev2)
+    m5 = os.path.getmtime(packed_dir)
+    assert m5 != m4  # swapped eval set cannot serve stale manifests
+    # and an identical re-run still resumes
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 eval_df=ev2)
+    assert os.path.getmtime(packed_dir) == m5
+
+
 # ---------------------------------------------------------------------------
 # continuous-ingest curation (streaming.start_curate_ingest)
 # ---------------------------------------------------------------------------

@@ -79,7 +79,9 @@ def test_fingerprint_total(s):
 # ---------------------------------------------------------------------------
 
 _JAVA_WS = " \t\n\x0b\f\r"  # Java regex \s is ASCII-only (unlike Python's)
-_QF_ALPHABET = list("abe THE.the,a#7 09%\t\né中ß-")
+# \x0b included: Java \s and RE2 \s disagree on it, so the oracles spell
+# the class out — the differential must cover the disagreement byte
+_QF_ALPHABET = list("abe THE.the,a#7 09%\t\né中ß-\x0b")
 
 
 def _ref_quality_row(text, min_words=20, max_words=100_000,
@@ -95,7 +97,14 @@ def _ref_quality_row(text, min_words=20, max_words=100_000,
     n_words = len(toks)
     n_chars = len(text)
     nonws = len(re.sub(ws + "+", "", text))
-    symbols = len(re.sub(f"[A-Za-z0-9{_JAVA_WS}]", "", text))
+    # Java \p{L}\p{N} == Unicode general categories L* / N* (Python's re
+    # has no \p classes, so count via unicodedata)
+    import unicodedata
+
+    symbols = sum(
+        1 for ch in text
+        if ch not in _JAVA_WS and unicodedata.category(ch)[0] not in "LN"
+    )
     digits = len(re.sub("[^0-9]", "", text))
     mean_wl = nonws / max(n_words, 1)
     sym_r = symbols / max(n_chars, 1)
