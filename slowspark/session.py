@@ -16,6 +16,7 @@ def get_spark(
     app: str = "slowspark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
@@ -46,4 +47,6 @@ def get_spark(
             .config("spark.speculation.multiplier", "2")
             .config("spark.speculation.quantile", "0.9")
         )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

