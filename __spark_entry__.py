@@ -146,9 +146,15 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
             lambda: _entries_parquet(spark, sf_dir),
             lambda: _simhash_sigs_parquet(spark, sf_dir),
             lambda: _lsh_buckets_parquet(spark, sf_dir),
-            lambda: _ivf_index_parquet(spark, sf_dir),
-            lambda: _pq_index_parquet(spark, sf_dir),
-            lambda: _ivfpq_index_parquet(spark, sf_dir),
+            # ivf -> pq -> ivfpq sequenced in ONE worker: the composed
+            # index reuses the centroids/codebooks those two just trained
+            # (identical parameters + deterministic trainers), so the
+            # Lloyd passes run once, not twice
+            lambda: (
+                _ivf_index_parquet(spark, sf_dir),
+                _pq_index_parquet(spark, sf_dir),
+                _ivfpq_index_parquet(spark, sf_dir),
+            ),
             lambda: _incremental_index_parquet(
                 spark, sf_dir, sigs=sig_fut.result()
             ),
@@ -1045,12 +1051,36 @@ def _ivfpq_index_parquet(spark: SparkSession, sf_dir: str) -> str:
 
     from slowspark.similarity import ivfpq_build_index
 
+    import numpy as np
+
     base = os.path.basename(os.path.normpath(sf_dir))
     path = f"{_ORACLE_ENTRIES_BASE}/{base}/ivfpq_index"
     if path not in _ENTRIES_WRITTEN:
         emb = _read(spark, sf_dir, "embeddings")
+        # reuse the standalone artifacts' trained quantizers when present
+        # (same parameters, deterministic trainers -> identical output;
+        # _ensure_oracle_artifacts sequences this after both builders)
+        pre_c = pre_b = None
+        try:
+            cent = spark.read.parquet(
+                f"{_ORACLE_ENTRIES_BASE}/{base}/ivf_centroids"
+            ).collect()
+            pre_c = np.zeros((len(cent), len(cent[0]["centroid"])))
+            for r in cent:
+                pre_c[r["cell"]] = r["centroid"]
+            bk = spark.read.parquet(
+                f"{_ORACLE_ENTRIES_BASE}/{base}/pq_index/codebooks"
+            ).collect()
+            mm = max(r["j"] for r in bk) + 1
+            kk = max(r["c"] for r in bk) + 1
+            pre_b = np.zeros((mm, kk, len(bk[0]["centroid"])))
+            for r in bk:
+                pre_b[r["j"]][r["c"]] = r["centroid"]
+        except Exception:
+            pre_c = pre_b = None  # standalone artifacts absent: train fresh
         centroids, books = ivfpq_build_index(
-            emb, path, n_centroids=_IVF_N_CENTROIDS, m=_PQ_M, k=_PQ_K
+            emb, path, n_centroids=_IVF_N_CENTROIDS, m=_PQ_M, k=_PQ_K,
+            centroids=pre_c, codebooks=pre_b,
         )
         spark.createDataFrame(
             [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],

@@ -728,6 +728,8 @@ def ivfpq_build_index(
     seed: int = 42,
     ivf_lloyd_iters: int = 2,
     pq_lloyd_iters: int = 4,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Build the composed IVF-PQ index — the production ANN shape at 10^12
     vectors, combining the two halves this module already has: IVF cell
@@ -750,15 +752,27 @@ def ivfpq_build_index(
     the whole query from the materialized artifacts; classic IVFADC
     residual encoding (quantize x - centroid_cell, one LUT per probed
     cell) is the accuracy upgrade path and changes only pq_train's input
-    and the LUT construction. Returns (centroids, codebooks)."""
+    and the LUT construction. Returns (centroids, codebooks).
+
+    Pass pre-trained `centroids` / `codebooks` (same shapes the internal
+    trainers would produce) to skip the training passes — a caller that
+    already built a standalone IVF or PQ index over the same corpus with
+    the same parameters shares the Lloyd work (the trainers are
+    deterministic, so the composed index is identical either way)."""
     import json
 
     from slowspark.util import fs_write_text_atomic, materialize
 
-    centroids = ivf_train(
-        corpus, vec_col, id_col, n_centroids, seed, ivf_lloyd_iters
-    )
-    books = pq_train(corpus, vec_col, id_col, m, k, seed, pq_lloyd_iters)
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, vec_col, id_col, n_centroids, seed, ivf_lloyd_iters
+        )
+    else:
+        centroids = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    if codebooks is None:
+        books = pq_train(corpus, vec_col, id_col, m, k, seed, pq_lloyd_iters)
+    else:
+        books = np.asarray(codebooks, dtype=np.float64)
     # one materialized pass holds the assignment; encode joins back on id
     # (both stages are narrow maps, the join is the only shuffle)
     assigned = materialize(
