@@ -261,7 +261,7 @@ def test_ann_driver_queries_probe_paths(spark):
     the self-match first — at any sf dir, not just the oracle-checked one."""
     import __spark_entry__ as contract
 
-    for name in ("lsh_ann_topk", "ivf_ann_topk"):
+    for name in ("lsh_ann_topk", "ivf_ann_topk", "pq_ann_topk", "ivfpq_ann_topk"):
         rows = contract.queries()[name](spark, SF_DIR).collect()
         assert len(rows) == 10, name
         assert rows[0]["vec_id"] == 0, name
