@@ -142,17 +142,19 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
                 minhash_signatures(_read(spark, sf_dir, "documents"))
             )
         )
+        # ivf and pq train in parallel; the composed ivfpq build waits on
+        # BOTH and reuses the centroids/codebooks they trained (identical
+        # parameters + deterministic trainers), so the Lloyd passes run
+        # once without serializing the two trainers behind each other
+        ivf_fut = ex.submit(lambda: _ivf_index_parquet(spark, sf_dir))
+        pq_fut = ex.submit(lambda: _pq_index_parquet(spark, sf_dir))
         groups = (
             lambda: _entries_parquet(spark, sf_dir),
             lambda: _simhash_sigs_parquet(spark, sf_dir),
             lambda: _lsh_buckets_parquet(spark, sf_dir),
-            # ivf -> pq -> ivfpq sequenced in ONE worker: the composed
-            # index reuses the centroids/codebooks those two just trained
-            # (identical parameters + deterministic trainers), so the
-            # Lloyd passes run once, not twice
             lambda: (
-                _ivf_index_parquet(spark, sf_dir),
-                _pq_index_parquet(spark, sf_dir),
+                ivf_fut.result(),
+                pq_fut.result(),
                 _ivfpq_index_parquet(spark, sf_dir),
             ),
             lambda: _incremental_index_parquet(
