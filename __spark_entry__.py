@@ -60,7 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _ARTIFACT_NAMES = (
     "entries", "simhash_sigs", "lsh_buckets", "ivf_cells",
     "minhash_index", "minhash_pairs", "jaccard_pairs", "pq_index",
-    "ivfpq_index",
+    "ivfpq_index", "ivfpq_res_index",
 )
 
 
@@ -156,6 +156,9 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
                 ivf_fut.result(),
                 pq_fut.result(),
                 _ivfpq_index_parquet(spark, sf_dir),
+                # residual codebooks are trained on residuals, so only
+                # the coarse centroids are shareable here
+                _ivfpq_res_index_parquet(spark, sf_dir),
             ),
             lambda: _incremental_index_parquet(
                 spark, sf_dir, sigs=sig_fut.result()
@@ -1100,6 +1103,137 @@ def _ivfpq_index_parquet(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _ivfpq_res_index_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the RESIDUAL (IVFADC) variant of the composed index:
+    codes quantize x - centroid_cell with codebooks trained on residuals
+    (shared across cells), and the query adds a per-cell q.centroid bias.
+    Reuses the standalone IVF artifact's coarse centroids when present
+    (same parameters, deterministic); the residual codebooks cannot be
+    shared with the raw-vector PQ artifact by construction."""
+    import os
+
+    import numpy as np
+
+    from slowspark.similarity import ivfpq_build_index
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_ORACLE_ENTRIES_BASE}/{base}/ivfpq_res_index"
+    if path not in _ENTRIES_WRITTEN:
+        emb = _read(spark, sf_dir, "embeddings")
+        pre_c = None
+        try:
+            cent = spark.read.parquet(
+                f"{_ORACLE_ENTRIES_BASE}/{base}/ivf_centroids"
+            ).collect()
+            pre_c = np.zeros((len(cent), len(cent[0]["centroid"])))
+            for r in cent:
+                pre_c[r["cell"]] = r["centroid"]
+        except Exception:
+            pre_c = None
+        centroids, books = ivfpq_build_index(
+            emb, path, n_centroids=_IVF_N_CENTROIDS, m=_PQ_M, k=_PQ_K,
+            centroids=pre_c, residual=True,
+        )
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        rows = [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        spark.createDataFrame(
+            rows, "j int, c int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        _ENTRIES_WRITTEN.add(path)
+    return path
+
+
+def _ivfpq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded (IVFADC) composed ANN: same four stages as
+    ivfpq_ann_topk plus the per-cell q.centroid bias in the ADC score.
+    DuckDB recomputes the bias, the residual LUT, the cutoff, and the
+    re-rank from the materialized index."""
+    path = _ivfpq_res_index_parquet(spark, sf_dir)
+    from slowspark.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        spark, path, _query_vec_0(spark, sf_dir), k=10,
+        probe_cells=_IVF_PROBE_CELLS, rerank=_PQ_RERANK,
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _ivfpq_residual_ann_topk_oracle(sf_dir_base: str = "sf0.01") -> str:
+    """DuckDB replica of the residual composed query: identical to the
+    ivfpq oracle except adc = (q . centroid_cell) + sum(residual LUT) —
+    the bias is recomputed in SQL from the stored centroids."""
+    dsub = 64 // _PQ_M
+    idx = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/ivfpq_res_index"
+    return f"""
+        WITH cells AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   pq_codes, norm, ivf_cell
+            FROM read_parquet('{idx}/cells/*/*.parquet',
+                              hive_partitioning=1)
+        ), q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ), cent AS (
+            SELECT cell, centroid
+            FROM read_parquet('{idx}/centroids/*.parquet')
+        ), probe AS (
+            SELECT cell FROM cent
+            ORDER BY list_cosine_similarity(centroid, (SELECT qv FROM q))
+                     DESC, cell
+            LIMIT {_IVF_PROBE_CELLS}
+        ), bias AS (
+            SELECT cell,
+                   list_sum(list_transform(range(1, {_PQ_M * dsub} + 1),
+                       i -> centroid[i] * qv[i])) AS b
+            FROM cent, q
+        ), probed AS (
+            SELECT * FROM cells WHERE ivf_cell IN (SELECT cell FROM probe)
+        ), lut AS (
+            SELECT j, c,
+                   list_sum(list_transform(range(1, {dsub} + 1),
+                       i -> centroid[i] * qv[j * {dsub} + i])) AS d
+            FROM read_parquet('{idx}/codebooks/*.parquet'), q
+        ), expanded AS (
+            SELECT vec_id, norm, ivf_cell, u.j AS j, u.code AS code
+            FROM (
+                SELECT vec_id, norm, ivf_cell,
+                       unnest(list_transform(range(1, {_PQ_M} + 1),
+                           i -> struct_pack(j := i - 1, code := pq_codes[i])))
+                           AS u
+                FROM probed
+            )
+        ), adc AS (
+            SELECT e.vec_id, any_value(e.norm) AS norm,
+                   any_value(bias.b) + sum(lut.d) AS dot
+            FROM expanded e
+            JOIN lut ON e.j = lut.j AND e.code = lut.c
+            JOIN bias ON e.ivf_cell = bias.cell
+            GROUP BY e.vec_id
+        ), qn AS (
+            SELECT sqrt(list_sum(list_transform(qv, x -> x * x))) AS n FROM q
+        ), cands AS (
+            SELECT vec_id
+            FROM adc, qn
+            ORDER BY dot / ((SELECT n FROM qn) * greatest(norm, 1e-12)) DESC,
+                     vec_id ASC
+            LIMIT {_PQ_RERANK}
+        )
+        SELECT p.vec_id,
+               round(list_cosine_similarity(p.emb, (SELECT qv FROM q)), 4)
+                   AS cosine
+        FROM probed p JOIN cands USING (vec_id)
+        ORDER BY list_cosine_similarity(p.emb, (SELECT qv FROM q)) DESC,
+                 p.vec_id ASC
+        LIMIT 10
+    """
+
+
 def _ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ ANN (similarity.ivfpq_topk): coarse centroids rank
     the probe cells, the ADC prefilter scans ONLY those cells' code
@@ -1504,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _ivf_ann_topk,
         "pq_ann_topk": _pq_ann_topk,
         "ivfpq_ann_topk": _ivfpq_ann_topk,
+        "ivfpq_residual_ann_topk": _ivfpq_residual_ann_topk,
     }
 
 
@@ -2066,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_ann_topk": _pq_ann_topk_oracle(),
         "ivfpq_ann_topk": _ivfpq_ann_topk_oracle(),
+        "ivfpq_residual_ann_topk": _ivfpq_residual_ann_topk_oracle(),
         "ivf_ann_topk": f"""
             WITH c AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, ivf_cell

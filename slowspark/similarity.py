@@ -668,6 +668,8 @@ def pq_topk(
     query: list[float],
     k: int = 10,
     id_col: str = "vec_id",
+    cell_bias: list[float] | None = None,
+    cell_col: str = "ivf_cell",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the query is NOT
     quantized — per subspace j the lookup table LUT[j][c] = q_sub_j .
@@ -678,7 +680,14 @@ def pq_topk(
     approx_cosine = ADC_dot / (|q| * stored_norm). Exactness contract:
     this is the standard PQ approximation (exact in q, quantized in x);
     recall floors are pinned by tests, and the arithmetic is re-derived by
-    the DuckDB oracle from the same materialized codebooks."""
+    the DuckDB oracle from the same materialized codebooks.
+
+    `cell_bias` (residual / IVFADC mode): when codes quantize RESIDUALS
+    x - centroid_cell, the approximate dot decomposes as
+    q . x ~= q . centroid_cell + q . r_quantized — the first term is a
+    per-cell constant computed driver-side and added via one literal
+    array lookup on `cell_col`; the LUT term is unchanged because
+    residual codebooks are shared across cells (classic IVFADC)."""
     mq, kq, dsub = codebooks.shape
     q = np.asarray(query, dtype=np.float64)
     if q.size != mq * dsub:
@@ -706,6 +715,9 @@ def pq_topk(
         f"(c, j) -> element_at(element_at({lut_lit}, j + 1), c + 1)), "
         f"0D, (acc, v) -> acc + v)"
     )
+    if cell_bias is not None:
+        bias_lit = "array(" + ", ".join(f"{float(b)!r}D" for b in cell_bias) + ")"
+        adc = f"element_at({bias_lit}, {cell_col} + 1) + {adc}"
     return (
         codes_df.withColumn(
             "approx_cosine",
@@ -730,6 +742,7 @@ def ivfpq_build_index(
     pq_lloyd_iters: int = 4,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    residual: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Build the composed IVF-PQ index — the production ANN shape at 10^12
     vectors, combining the two halves this module already has: IVF cell
@@ -747,12 +760,20 @@ def ivfpq_build_index(
     candidate ids' vector column from the same probed partitions — neither
     stage ever opens an unprobed cell's files.
 
-    Codes quantize the RAW vectors (not per-cell residuals), so the ADC
-    lookup table is shared across cells and the DuckDB oracle can recompute
-    the whole query from the materialized artifacts; classic IVFADC
-    residual encoding (quantize x - centroid_cell, one LUT per probed
-    cell) is the accuracy upgrade path and changes only pq_train's input
-    and the LUT construction. Returns (centroids, codebooks).
+    Encoding modes:
+      - residual=False (default): codes quantize the RAW vectors; the ADC
+        LUT is a single shared table.
+      - residual=True: classic IVFADC — codes quantize x - centroid_cell
+        (codebooks trained on residuals, shared across cells). Residual
+        magnitudes are much smaller than raw vectors, so the same m x k
+        budget spends its resolution on the part the coarse quantizer
+        did NOT explain — better ADC fidelity at low probe counts. The
+        query-side cost is one per-cell constant (q . centroid_cell,
+        computed driver-side, added via a literal array lookup on
+        ivf_cell); the LUT term is unchanged. The stored `norm` stays
+        |x| (the original vector norm — the cosine denominator), NOT the
+        residual norm.
+    Returns (centroids, codebooks).
 
     Pass pre-trained `centroids` / `codebooks` (same shapes the internal
     trainers would produce) to skip the training passes — a caller that
@@ -769,10 +790,6 @@ def ivfpq_build_index(
         )
     else:
         centroids = _normalize_rows(np.asarray(centroids, dtype=np.float64))
-    if codebooks is None:
-        books = pq_train(corpus, vec_col, id_col, m, k, seed, pq_lloyd_iters)
-    else:
-        books = np.asarray(codebooks, dtype=np.float64)
     # one materialized pass holds the assignment; encode joins back on id
     # (both stages are narrow maps, the join is the only shuffle)
     assigned = materialize(
@@ -780,11 +797,38 @@ def ivfpq_build_index(
             id_col, vec_col, "ivf_cell"
         )
     )
-    codes = pq_encode(assigned, books, vec_col, id_col)
+    if residual:
+        # the residual table feeds several training passes + the encode —
+        # materialize so the subtract-UDF runs once
+        res = materialize(_with_residual(assigned, centroids, vec_col))
+        if codebooks is None:
+            books = pq_train(
+                res, "__residual", id_col, m, k, seed, pq_lloyd_iters
+            )
+        else:
+            books = np.asarray(codebooks, dtype=np.float64)
+        codes = pq_encode(res, books, "__residual", id_col).select(
+            id_col, "pq_codes"
+        )
+        table = (
+            assigned.join(codes, id_col)
+            # norm must be |x|, the cosine denominator — pq_encode's norm
+            # column would be the residual magnitude, which is meaningless
+            # to the query
+            .withColumn("norm", _norm(vec_col))
+            .select(id_col, vec_col, "pq_codes", "norm", "ivf_cell")
+        )
+    else:
+        if codebooks is None:
+            books = pq_train(corpus, vec_col, id_col, m, k, seed, pq_lloyd_iters)
+        else:
+            books = np.asarray(codebooks, dtype=np.float64)
+        codes = pq_encode(assigned, books, vec_col, id_col)
+        table = assigned.join(codes, id_col).select(
+            id_col, vec_col, "pq_codes", "norm", "ivf_cell"
+        )
     (
-        assigned.join(codes, id_col)
-        .select(id_col, vec_col, "pq_codes", "norm", "ivf_cell")
-        .write.mode("overwrite")
+        table.write.mode("overwrite")
         .partitionBy("ivf_cell")
         .parquet(f"{index_path}/cells")
     )
@@ -793,11 +837,35 @@ def ivfpq_build_index(
         "codebooks": books.tolist(),
         "vec_col": vec_col,
         "id_col": id_col,
+        "residual": bool(residual),
     }
     fs_write_text_atomic(
         corpus.sparkSession, f"{index_path}/meta.json", json.dumps(meta)
     )
     return centroids, books
+
+
+def _with_residual(
+    assigned: DataFrame, centroids: np.ndarray, vec_col: str,
+    out: str = "__residual",
+) -> DataFrame:
+    """x - centroid_cell per row (the IVFADC encoding input): one
+    vectorized subtract per Arrow batch against the worker-held centroid
+    matrix. Invalid vectors yield null residuals (downstream encode
+    filters them, same contract as pq_encode)."""
+    cmat = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf("array<double>")
+    def res_udf(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m, valid = _stack_vectors(vecs, cmat.shape[1])
+        res = m - cmat[cells.to_numpy(dtype=np.int64)]
+        return pd.Series(
+            [row.tolist() if ok else None for row, ok in zip(res, valid)]
+        )
+
+    return assigned.withColumn(out, res_udf(F.col(vec_col), F.col("ivf_cell")))
 
 
 def _ivfpq_meta(spark, index_path: str):
@@ -811,7 +879,15 @@ def _ivfpq_meta(spark, index_path: str):
         np.asarray(meta["codebooks"], dtype=np.float64),
         meta["vec_col"],
         meta["id_col"],
+        bool(meta.get("residual", False)),
     )
+
+
+def _cell_bias(cmat: np.ndarray, query: list[float]) -> list[float]:
+    """Per-cell ADC constant for residual mode: q . centroid_cell for
+    every cell (tiny — n_centroids doubles, shipped as one literal)."""
+    q = np.asarray(query, dtype=np.float64)
+    return [float(x) for x in cmat @ q]
 
 
 def _rank_cells(cmat: np.ndarray, query: list[float], probe_cells: int) -> list[int]:
@@ -838,13 +914,16 @@ def ivfpq_candidates(
     (probe_cells / n_centroids) x (code bytes / vector bytes) of the
     corpus — at 16 cells / 4 probes / 32x PQ compression, ~1/128 of what
     brute force scans."""
-    cmat, books, _vec_col, id_col = _ivfpq_meta(spark, index_path)
+    cmat, books, _vec_col, id_col, residual = _ivfpq_meta(spark, index_path)
     probe = _rank_cells(cmat, query, probe_cells)
+    bias = _cell_bias(cmat, query) if residual else None
     cells = spark.read.parquet(f"{index_path}/cells")
     probed_codes = cells.filter(F.col("ivf_cell").isin(probe)).select(
-        id_col, "pq_codes", "norm"
+        id_col, "pq_codes", "norm", "ivf_cell"
     )
-    return pq_topk(probed_codes, books, query, k=rerank, id_col=id_col)
+    return pq_topk(
+        probed_codes, books, query, k=rerank, id_col=id_col, cell_bias=bias
+    )
 
 
 def ivfpq_topk(
@@ -866,13 +945,14 @@ def ivfpq_topk(
     recall on each axis."""
     if rerank < k:
         raise ValueError(f"ivfpq_topk: rerank={rerank} < k={k}")
-    cmat, books, vec_col, id_col = _ivfpq_meta(spark, index_path)
+    cmat, books, vec_col, id_col, residual = _ivfpq_meta(spark, index_path)
     probe = _rank_cells(cmat, query, probe_cells)
+    bias = _cell_bias(cmat, query) if residual else None
     cells = spark.read.parquet(f"{index_path}/cells")
     probed = cells.filter(F.col("ivf_cell").isin(probe))
     cands = pq_topk(
-        probed.select(id_col, "pq_codes", "norm"), books, query,
-        k=rerank, id_col=id_col,
+        probed.select(id_col, "pq_codes", "norm", "ivf_cell"), books, query,
+        k=rerank, id_col=id_col, cell_bias=bias,
     ).select(id_col)
     return brute_force_topk(
         probed.select(id_col, vec_col).join(
