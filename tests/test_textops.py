@@ -478,11 +478,42 @@ def test_minhash_dedup_with_reliable_checkpoint_dir(spark, docs):
 
 
 def test_connected_min_labels_raises_on_nonconvergence(spark):
+    """The iterative path (forced by driver_finish_max_edges=0) must fail
+    loudly when max_iters is too small for the diameter."""
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
     with pytest.raises(Exception, match="no fixpoint"):
-        textops.connected_min_labels(chain, max_iters=2).collect()
+        textops.connected_min_labels(
+            chain, max_iters=2, driver_finish_max_edges=0
+        ).collect()
+
+
+def test_connected_min_labels_loop_path_matches_driver_finish(spark):
+    """Differential between the two execution paths: the size-gated
+    driver union-find (default) and the distributed fixpoint loop
+    (forced via driver_finish_max_edges=0) must produce identical labels
+    on a mixed topology (cliques + chains + isolated pair)."""
+    edges = []
+    # a 6-clique on 100..105
+    clique = list(range(100, 106))
+    edges += [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+    # a 7-chain on 1..7 (worst case for contraction)
+    edges += [(i, i + 1) for i in range(1, 7)]
+    # chain-of-cliques: 200-clique bridged to 300-clique via one edge
+    c1, c2 = list(range(200, 204)), list(range(300, 304))
+    edges += [(a, b) for i, a in enumerate(c1) for b in c1[i + 1:]]
+    edges += [(a, b) for i, a in enumerate(c2) for b in c2[i + 1:]]
+    edges += [(203, 300)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r["id"]: r["label"]
+            for r in textops.connected_min_labels(pairs).collect()}
+    loop = {r["id"]: r["label"]
+            for r in textops.connected_min_labels(
+                pairs, driver_finish_max_edges=0).collect()}
+    assert fast == loop
+    assert fast[105] == 100 and fast[7] == 1
+    assert fast[303] == 200 and fast[300] == 200  # bridged cliques merge
 
 
 def test_exploded_ngrams_matches_with_ngram_set(spark):
