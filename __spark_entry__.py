@@ -1505,6 +1505,37 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-blocked semantic near-dup pairs
+    (similarity.semantic_near_dup_pairs): k-means cells block the pair
+    generation, exact cosine verifies. Runs the library path with the
+    SAME stored centroids the ivf_cells artifact was assigned with, so
+    DuckDB can recompute blocking + verification entirely from that
+    parquet — cluster assignment, pair fan-out, and cosine all inside
+    the value hash."""
+    import numpy as np
+
+    from slowspark.similarity import semantic_near_dup_pairs
+
+    _ivf_index_parquet(spark, sf_dir)
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    cent = spark.read.parquet(
+        f"{_ORACLE_ENTRIES_BASE}/{base}/ivf_centroids"
+    ).collect()
+    centroids = np.zeros((len(cent), len(cent[0]["centroid"])))
+    for r in cent:
+        centroids[r["cell"]] = r["centroid"]
+    emb = _read(spark, sf_dir, "embeddings")
+    # threshold matches the LSH sibling (embedding_near_dup): the synthetic
+    # embeddings are near-random, so 0.2 is the "related" band there
+    return semantic_near_dup_pairs(
+        emb, n_clusters=_IVF_N_CENTROIDS, cosine_threshold=0.2,
+        centroids=centroids,
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher hard keep/drop rules with per-rule audit columns
     (corpus.quality_filter_flags) — the filter stage that complements
@@ -1632,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _simhash_candidates,
         "simhash_dedup": _simhash_dedup,
         "embedding_near_dup": _embedding_near_dup,
+        "semdedup_pairs": _semdedup_pairs,
         "incremental_near_dups": _incremental_near_dups,
         "language_id": _language_id,
         "lsh_ann_topk": _lsh_ann_topk,
@@ -2141,6 +2173,22 @@ def oracle_sql() -> dict[str, str]:
             FROM b a JOIN b c
               ON a.lsh_bucket = c.lsh_bucket AND a.vec_id < c.vec_id
             WHERE list_cosine_similarity(a.emb, c.emb) >= 0.2
+        """,
+        # SemDeDup: cluster-blocked pairs re-derived entirely from the
+        # materialized cell assignment (same centroids the Spark path
+        # assigns with — blocking and cosine verification both inside
+        # the hash)
+        "semdedup_pairs": f"""
+            WITH c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, ivf_cell
+                FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/ivf_cells/*.parquet')
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CAST(list_cosine_similarity(a.emb, b.emb) AS DOUBLE), 4)
+                       AS cosine
+            FROM c a JOIN c b
+              ON a.ivf_cell = b.ivf_cell AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= 0.2
         """,
         # incremental dedup: candidates re-derived in SQL via band SLICE
         # equality (equivalent to the band-hash join modulo xxhash64

@@ -525,6 +525,98 @@ def embedding_dedup(
 # Product quantization (PQ) — compressed ANN for corpora too big for floats
 # ---------------------------------------------------------------------------
 
+def semantic_near_dup_pairs(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    cosine_threshold: float = 0.95,
+    seed: int = 42,
+    lloyd_iters: int = 2,
+    centroids: np.ndarray | None = None,
+    max_cluster_size: int | None = None,
+    log_drops: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding space, then generate
+    and exact-verify cosine pairs ONLY within clusters. Same contract as
+    embedding_near_dup_pairs but the blocking key is a learned spherical
+    k-means cell instead of an LSH bucket — the published recipe, and the
+    right one when the corpus has cluster structure (LSH hyperplanes are
+    oblivious to it; centroids concentrate true semantic neighbors).
+
+    Scale shape mirrors the LSH sibling: invalid vectors filtered before
+    assignment, the assigned table materialized before the self-join
+    (UDF-race trap), the join keyed on the cell (pair fan-out is
+    sum of cluster_size^2, never corpus^2), `max_cluster_size` drops
+    degenerate clusters with LOGGED counts. Pass pre-trained `centroids`
+    to share the quantizer with an IVF/IVFPQ index over the same corpus.
+    At 10^12 docs raise n_clusters so cells stay joinable (SemDeDup used
+    ~100k clusters for LAION-scale corpora)."""
+    from slowspark.util import capped_by_bucket, materialize
+
+    valid = corpus.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    if centroids is None:
+        centroids = ivf_train(
+            valid, vec_col, id_col, n_clusters, seed, lloyd_iters
+        )
+    assigned = materialize(
+        _assign_with(valid, centroids, vec_col).select(
+            F.col(id_col), F.col(vec_col), F.col("ivf_cell"),
+            _norm(vec_col).alias("__n"),
+        )
+    )
+    if max_cluster_size is not None:
+        assigned = capped_by_bucket(
+            assigned, ["ivf_cell"], max_cluster_size,
+            "semantic_near_dup_pairs", log_drops,
+        )
+    l, r = assigned.alias("l"), assigned.alias("r")
+    cos = F.expr(
+        f"aggregate(zip_with(l.{vec_col}, r.{vec_col}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), 0D, (a, v) -> a + v)"
+    ) / F.greatest(F.col("l.__n") * F.col("r.__n"), F.lit(1e-12))
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.ivf_cell") == F.col("r.ivf_cell"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    cosine_threshold: float = 0.95,
+    seed: int = 42,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Drop the higher-id member of every semantic near-dup pair (min-id
+    keeper, the embedding_dedup policy) over SemDeDup cluster-blocked
+    pairs."""
+    losers = (
+        semantic_near_dup_pairs(
+            corpus, vec_col, id_col, n_clusters, cosine_threshold,
+            seed=seed, max_cluster_size=max_cluster_size,
+        )
+        .select(F.greatest("id_a", "id_b").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(losers, on=id_col, how="left_anti")
+
+
 def pq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",

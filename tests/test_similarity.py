@@ -293,6 +293,52 @@ def test_ivf_indexed_topk_partition_prunes(spark, emb, query_vec, tmp_path):
     assert got == want
 
 
+def test_semantic_dedup_finds_injected_near_dups(spark, emb):
+    """SemDeDup (cluster-blocked) pairs: near-identical copies co-assign
+    to their original's k-means cell and must be found + dropped; every
+    original survives (min-id keeper)."""
+    base = emb.limit(5).collect()
+    copies = [
+        (
+            100_000 + r["vec_id"],
+            (np.asarray(r["embedding"]) * 1.0001).astype("float32").tolist(),
+            -1,
+        )
+        for r in base
+    ]
+    corpus = emb.unionByName(spark.createDataFrame(copies, emb.schema))
+    pairs = similarity.semantic_near_dup_pairs(
+        corpus, n_clusters=8, cosine_threshold=0.99
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for r in base:
+        assert (r["vec_id"], 100_000 + r["vec_id"]) in found
+    deduped = similarity.semantic_dedup(corpus, n_clusters=8, cosine_threshold=0.99)
+    kept = {r["vec_id"] for r in deduped.select("vec_id").collect()}
+    assert all(r["vec_id"] in kept for r in base)
+    assert all(100_000 + r["vec_id"] not in kept for r in base)
+
+
+def test_semantic_dedup_cluster_cap_logged_and_no_udf_in_join(spark, emb, caplog):
+    """max_cluster_size drops oversized cells with a LOGGED warning (no
+    silent caps), and the pair plan contains no pandas-UDF node (the
+    assigned table is materialized before the self-join)."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="slowspark"):
+        pairs = similarity.semantic_near_dup_pairs(
+            emb, n_clusters=4, cosine_threshold=0.99, max_cluster_size=10
+        )
+        pairs.collect()
+    assert any("semantic_near_dup_pairs" in r.message and "dropped" in r.message
+               for r in caplog.records)
+    plan = (
+        similarity.semantic_near_dup_pairs(emb, n_clusters=4, cosine_threshold=0.99)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 # ---------------------------------------------------------------------------
 # Product quantization
 # ---------------------------------------------------------------------------
@@ -495,6 +541,22 @@ def test_ivfpq_residual_beats_raw_adc_on_clustered_data(spark, tmp_path):
     assert res_mean < raw_mean
     assert res_max < raw_max
     emb_c.unpersist()
+
+
+def test_ivfpq_build_with_pretrained_quantizers_is_identical(spark, emb, tmp_path):
+    """Passing pre-trained centroids/codebooks (the artifact-sharing path)
+    must produce an index byte-identical in content to training fresh with
+    the same parameters — pins the determinism the sharing relies on."""
+    idx_a, idx_b = str(tmp_path / "fresh"), str(tmp_path / "shared")
+    cen, books = similarity.ivfpq_build_index(emb, idx_a, n_centroids=8)
+    similarity.ivfpq_build_index(
+        emb, idx_b, n_centroids=8, centroids=cen, codebooks=books
+    )
+    a = {(r["vec_id"], tuple(r["pq_codes"]), round(r["norm"], 9), r["ivf_cell"])
+         for r in spark.read.parquet(f"{idx_a}/cells").collect()}
+    b = {(r["vec_id"], tuple(r["pq_codes"]), round(r["norm"], 9), r["ivf_cell"])
+         for r in spark.read.parquet(f"{idx_b}/cells").collect()}
+    assert a == b
 
 
 def test_pq_adc_plan_never_scans_vectors(spark, emb, query_vec):
