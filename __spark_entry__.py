@@ -1083,22 +1083,12 @@ def _ivfpq_index_parquet(spark: SparkSession, sf_dir: str) -> str:
                 pre_b[r["j"]][r["c"]] = r["centroid"]
         except Exception:
             pre_c = pre_b = None  # standalone artifacts absent: train fresh
-        centroids, books = ivfpq_build_index(
+        # the index build itself persists centroids/ and codebooks/ as
+        # parquet — exactly the tables the DuckDB oracle reads
+        ivfpq_build_index(
             emb, path, n_centroids=_IVF_N_CENTROIDS, m=_PQ_M, k=_PQ_K,
             centroids=pre_c, codebooks=pre_b,
         )
-        spark.createDataFrame(
-            [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
-            "cell int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-        rows = [
-            (j, c, [float(x) for x in books[j][c]])
-            for j in range(books.shape[0])
-            for c in range(books.shape[1])
-        ]
-        spark.createDataFrame(
-            rows, "j int, c int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
         _ENTRIES_WRITTEN.add(path)
     return path
 
@@ -1130,22 +1120,12 @@ def _ivfpq_res_index_parquet(spark: SparkSession, sf_dir: str) -> str:
                 pre_c[r["cell"]] = r["centroid"]
         except Exception:
             pre_c = None
-        centroids, books = ivfpq_build_index(
+        # the index build itself persists centroids/ and codebooks/ as
+        # parquet — exactly the tables the DuckDB oracle reads
+        ivfpq_build_index(
             emb, path, n_centroids=_IVF_N_CENTROIDS, m=_PQ_M, k=_PQ_K,
             centroids=pre_c, residual=True,
         )
-        spark.createDataFrame(
-            [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
-            "cell int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-        rows = [
-            (j, c, [float(x) for x in books[j][c]])
-            for j in range(books.shape[0])
-            for c in range(books.shape[1])
-        ]
-        spark.createDataFrame(
-            rows, "j int, c int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
         _ENTRIES_WRITTEN.add(path)
     return path
 

@@ -842,10 +842,16 @@ def ivfpq_build_index(
     PARTITION pruning) and PQ compression (the pruned scan reads 8-byte
     codes, not 256-byte float vectors).
 
-    Layout (one cell-partitioned table + driver-side metadata):
+    Layout (one cell-partitioned table + quantizer tables + scalar
+    metadata):
       <index>/cells/ivf_cell=N/  (id, vec, pq_codes array<int>, norm)
-      <index>/meta.json          centroids (n_centroids x dim) + codebooks
-                                 (m x k x dim/m) + column names
+      <index>/centroids/         parquet (cell int, centroid array<double>)
+      <index>/codebooks/         parquet (j int, c int, centroid array<double>)
+      <index>/meta.json          column names + shapes + residual flag only
+    Quantizers live as PARQUET, not JSON: at production shapes
+    (n_centroids ~ 10^5-10^6 at dim 768+) the centroid matrix is hundreds
+    of MB — a column store the driver reads once per query process, never
+    a JSON blob parsed per open. meta.json stays O(100 bytes).
     Storing vectors and codes in ONE table partitioned by ivf_cell means
     the ADC prefilter is partition-pruned AND column-pruned (parquet reads
     only id/pq_codes/norm), while the exact re-rank re-reads only the
@@ -924,15 +930,29 @@ def ivfpq_build_index(
         .partitionBy("ivf_cell")
         .parquet(f"{index_path}/cells")
     )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "j int, c int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
     meta = {
-        "centroids": centroids.tolist(),
-        "codebooks": books.tolist(),
         "vec_col": vec_col,
         "id_col": id_col,
         "residual": bool(residual),
+        "n_centroids": int(centroids.shape[0]),
+        "m": int(books.shape[0]),
+        "k": int(books.shape[1]),
     }
     fs_write_text_atomic(
-        corpus.sparkSession, f"{index_path}/meta.json", json.dumps(meta)
+        spark, f"{index_path}/meta.json", json.dumps(meta)
     )
     return centroids, books
 
@@ -961,14 +981,25 @@ def _with_residual(
 
 
 def _ivfpq_meta(spark, index_path: str):
+    """(centroids, codebooks, vec_col, id_col, residual) from a persisted
+    IVF-PQ index: scalars from meta.json, quantizer matrices from their
+    parquet tables (one bounded driver read per query process)."""
     import json
 
     from slowspark.util import fs_read_text
 
     meta = json.loads(fs_read_text(spark, f"{index_path}/meta.json"))
+    cent = spark.read.parquet(f"{index_path}/centroids").collect()
+    cmat = np.zeros((meta["n_centroids"], len(cent[0]["centroid"])))
+    for r in cent:
+        cmat[r["cell"]] = r["centroid"]
+    bk = spark.read.parquet(f"{index_path}/codebooks").collect()
+    books = np.zeros((meta["m"], meta["k"], len(bk[0]["centroid"])))
+    for r in bk:
+        books[r["j"]][r["c"]] = r["centroid"]
     return (
-        _normalize_rows(np.asarray(meta["centroids"], dtype=np.float64)),
-        np.asarray(meta["codebooks"], dtype=np.float64),
+        _normalize_rows(cmat),
+        books,
         meta["vec_col"],
         meta["id_col"],
         bool(meta.get("residual", False)),
