@@ -156,7 +156,10 @@ class Catalog:
         # _SUCCESS is REQUIRED: a directory with part files but no marker is
         # a crashed partial overwrite and must not satisfy a resume check
         # (round-1 ADVICE finding). Spark writes the marker last, after all
-        # tasks commit.
-        return os.path.isdir(self.path(name)) and os.path.isfile(
-            os.path.join(self.path(name), "_SUCCESS")
+        # tasks commit. Probed via the Hadoop FS util so object-store
+        # warehouse paths (s3a://, hdfs://) behave like local dirs.
+        from slowspark.util import fs_exists
+
+        return fs_exists(
+            spark, f"{self.path(name)}/_SUCCESS"
         )

@@ -39,23 +39,42 @@ def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
 
 
 def _manifest_path(cat: Catalog, stage: str) -> str:
-    return os.path.join(cat.warehouse, "_manifests", f"{stage}.json")
+    return f"{cat.warehouse}/_manifests/{stage}.json"
 
 
-def load_manifest(cat: Catalog, stage: str) -> dict | None:
+def load_manifest(
+    cat: Catalog, stage: str, spark: SparkSession | None = None
+) -> dict | None:
+    """Manifest IO goes through the Hadoop FS util when a session is
+    given, so an object-store warehouse resumes correctly; the local
+    fallback keeps Spark-free callers (and tests) working."""
     p = _manifest_path(cat, stage)
+    if spark is not None:
+        from slowspark.util import fs_exists, fs_read_text
+
+        if not fs_exists(spark, p):
+            return None
+        return json.loads(fs_read_text(spark, p))
     if not os.path.exists(p):
         return None
     with open(p) as f:
         return json.load(f)
 
 
-def save_manifest(cat: Catalog, stage: str, manifest: dict) -> None:
+def save_manifest(
+    cat: Catalog, stage: str, manifest: dict, spark: SparkSession | None = None
+) -> None:
     p = _manifest_path(cat, stage)
+    body = json.dumps(manifest, sort_keys=True)
+    if spark is not None:
+        from slowspark.util import fs_write_text_atomic
+
+        fs_write_text_atomic(spark, p, body)
+        return
     os.makedirs(os.path.dirname(p), exist_ok=True)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+        f.write(body)
     os.replace(tmp, p)  # atomic: a torn manifest never looks valid
 
 
@@ -70,7 +89,7 @@ def run_stage(
 ) -> DataFrame:
     """Materialize `build()` as table `stage` unless a manifest with the
     same input signature already covers it (resume path)."""
-    m = load_manifest(cat, stage)
+    m = load_manifest(cat, stage, spark)
     if (
         m is not None
         and m.get("input_signature") == input_signature
@@ -87,5 +106,5 @@ def run_stage(
         "content_hash": content_hash(out, hash_cols),
         "partition_by": partition_by or [],
     }
-    save_manifest(cat, stage, manifest)
+    save_manifest(cat, stage, manifest, spark)
     return out
