@@ -305,11 +305,17 @@ def _fresh_session(cpus: int):
     # only the executor-side log line is wrong; AQE itself stays on (the
     # skew-join handling is part of the at-scale config). Real task
     # failures still fail jobs and surface as driver exceptions.
+    # TaskSchedulerImpl joins the list for the same family's other shape:
+    # a stolen-thread straggler's statusUpdate arriving AFTER spark.stop()
+    # terminated the TaskResultGetter pool (RejectedExecutionException in
+    # the bench tail between phases — the session is already gone, the
+    # phase's results already collected).
     try:
         jvm = spark._jvm
         off = jvm.org.apache.logging.log4j.Level.OFF
         for logger in ("org.apache.spark.TaskContextImpl",
-                       "org.apache.spark.executor.Executor"):
+                       "org.apache.spark.executor.Executor",
+                       "org.apache.spark.scheduler.TaskSchedulerImpl"):
             jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
                 logger, off
             )
