@@ -1493,26 +1493,16 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB can recompute blocking + verification entirely from that
     parquet — cluster assignment, pair fan-out, and cosine all inside
     the value hash."""
-    import numpy as np
-
     from slowspark.similarity import semantic_near_dup_pairs
 
-    _ivf_index_parquet(spark, sf_dir)
-    import os
-
-    base = os.path.basename(os.path.normpath(sf_dir))
-    cent = spark.read.parquet(
-        f"{_ORACLE_ENTRIES_BASE}/{base}/ivf_centroids"
-    ).collect()
-    centroids = np.zeros((len(cent), len(cent[0]["centroid"])))
-    for r in cent:
-        centroids[r["cell"]] = r["centroid"]
-    emb = _read(spark, sf_dir, "embeddings")
+    cells = spark.read.parquet(_ivf_index_parquet(spark, sf_dir))
     # threshold matches the LSH sibling (embedding_near_dup): the synthetic
-    # embeddings are near-random, so 0.2 is the "related" band there
+    # embeddings are near-random, so 0.2 is the "related" band there. The
+    # materialized cell assignment is passed straight in (assigned=) — the
+    # IVF-index-sharing composition the library documents, and exactly
+    # the table the DuckDB oracle reads.
     return semantic_near_dup_pairs(
-        emb, n_clusters=_IVF_N_CENTROIDS, cosine_threshold=0.2,
-        centroids=centroids,
+        cells, cosine_threshold=0.2, assigned=cells,
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 

@@ -536,6 +536,7 @@ def semantic_near_dup_pairs(
     centroids: np.ndarray | None = None,
     max_cluster_size: int | None = None,
     log_drops: bool = True,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -551,22 +552,38 @@ def semantic_near_dup_pairs(
     (UDF-race trap), the join keyed on the cell (pair fan-out is
     sum of cluster_size^2, never corpus^2), `max_cluster_size` drops
     degenerate clusters with LOGGED counts. Pass pre-trained `centroids`
-    to share the quantizer with an IVF/IVFPQ index over the same corpus.
-    At 10^12 docs raise n_clusters so cells stay joinable (SemDeDup used
-    ~100k clusters for LAION-scale corpora)."""
+    to share the quantizer with an IVF/IVFPQ index over the same corpus —
+    or pass `assigned` (a table with id, vec, and an ivf_cell column,
+    e.g. an IVF index's cells/ parquet) to skip training AND assignment
+    entirely: the standard composition when the corpus is already stored
+    cell-partitioned for ANN. At 10^12 docs raise n_clusters so cells
+    stay joinable (SemDeDup used ~100k clusters for LAION-scale
+    corpora)."""
     from slowspark.util import capped_by_bucket, materialize
 
-    valid = corpus.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-    if centroids is None:
-        centroids = ivf_train(
-            valid, vec_col, id_col, n_clusters, seed, lloyd_iters
+    if assigned is not None:
+        assigned = materialize(
+            assigned.filter(
+                F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+            ).select(
+                F.col(id_col), F.col(vec_col), F.col("ivf_cell"),
+                _norm(vec_col).alias("__n"),
+            )
         )
-    assigned = materialize(
-        _assign_with(valid, centroids, vec_col).select(
-            F.col(id_col), F.col(vec_col), F.col("ivf_cell"),
-            _norm(vec_col).alias("__n"),
+    else:
+        valid = corpus.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
         )
-    )
+        if centroids is None:
+            centroids = ivf_train(
+                valid, vec_col, id_col, n_clusters, seed, lloyd_iters
+            )
+        assigned = materialize(
+            _assign_with(valid, centroids, vec_col).select(
+                F.col(id_col), F.col(vec_col), F.col("ivf_cell"),
+                _norm(vec_col).alias("__n"),
+            )
+        )
     if max_cluster_size is not None:
         assigned = capped_by_bucket(
             assigned, ["ivf_cell"], max_cluster_size,
