@@ -1485,6 +1485,105 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (textops.exact_substring_dedup, the Lee et
+    al. 2022 fixed-window approximation): duplicated 20-token windows
+    flagged (all but the globally first occurrence), merged into maximal
+    spans, spanned tokens removed. DuckDB recomputes gram occurrences,
+    the first-occurrence composite key, the gaps-and-islands span merge,
+    and the md5 of every document's surviving text — the whole operator
+    is inside the value hash."""
+    from slowspark.textops import exact_substring_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    return exact_substring_dedup(d, n=20).select(
+        "doc_id", "n_tokens", "n_spans",
+        F.col("n_tokens_removed").cast("int").alias("n_tokens_removed"),
+        "kept_md5",
+    )
+
+
+_SUBSTRING_DEDUP_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+                   t -> t != ''
+               ) AS tk
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, tk, length(tk) AS nt FROM base
+    ), occ AS (
+        SELECT doc_id, u.pos AS pos, u.gram AS gram,
+               doc_id * 1048576 + u.pos AS key
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, greatest(nt - 19, 0)),
+                       i -> struct_pack(pos := i,
+                           gram := array_to_string(tk[i + 1 : i + 20], ' '))))
+                       AS u
+            FROM sized
+        )
+    ), keeper AS (
+        SELECT gram, min(key) AS keep_key, count(*) AS cnt
+        FROM occ GROUP BY gram
+    ), flagged AS (
+        SELECT o.doc_id, o.pos
+        FROM occ o JOIN keeper k USING (gram)
+        WHERE k.cnt > 1 AND o.key != k.keep_key
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 19) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS ni
+        FROM flagged
+    ), isl2 AS (
+        SELECT doc_id, pos,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM isl
+    ), merged AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos + 19) AS e
+        FROM isl2 GROUP BY doc_id, island
+    ), postab AS (
+        SELECT doc_id, u.pos AS pos, u.tok AS tok
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, nt + 1),
+                       i -> struct_pack(pos := i - 1, tok := tk[i]))) AS u
+            FROM sized WHERE nt > 0
+        )
+    ), covered AS (
+        SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM merged
+    ), kept AS (
+        SELECT p.doc_id, p.pos, p.tok
+        FROM postab p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM covered c
+            WHERE c.doc_id = p.doc_id AND c.pos = p.pos
+        )
+    ), agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+        FROM kept GROUP BY doc_id
+    ), nspans AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans
+        FROM merged GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.nt AS INTEGER) AS n_tokens,
+           coalesce(ns.n_spans, 0) AS n_spans,
+           CAST(s.nt - coalesce(a.n_kept, 0) AS INTEGER) AS n_tokens_removed,
+           coalesce(a.kept_md5, md5('')) AS kept_md5
+    FROM sized s
+    LEFT JOIN nspans ns USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-blocked semantic near-dup pairs
     (similarity.semantic_near_dup_pairs): k-means cells block the pair
@@ -1634,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _simhash_dedup,
         "embedding_near_dup": _embedding_near_dup,
         "semdedup_pairs": _semdedup_pairs,
+        "substring_dedup": _substring_dedup,
         "incremental_near_dups": _incremental_near_dups,
         "language_id": _language_id,
         "lsh_ann_topk": _lsh_ann_topk,
@@ -2144,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
               ON a.lsh_bucket = c.lsh_bucket AND a.vec_id < c.vec_id
             WHERE list_cosine_similarity(a.emb, c.emb) >= 0.2
         """,
+        "substring_dedup": _SUBSTRING_DEDUP_ORACLE,
         # SemDeDup: cluster-blocked pairs re-derived entirely from the
         # materialized cell assignment (same centroids the Spark path
         # assigns with — blocking and cosine verification both inside

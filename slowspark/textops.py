@@ -1088,6 +1088,125 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_SUBSTR_POS_BASE = 1 << 20  # composite (doc, pos) key base; see docstring
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    with_text: bool = False,
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), fixed-window
+    approximation: every word n-gram occurrence whose exact text appears
+    MORE than once in the corpus is flagged — EXCEPT the globally first
+    occurrence (lexicographic (doc_id, position): one copy of every
+    duplicated substring survives, matching the paper's "all but one"
+    semantics) — then each document's flagged [pos, pos+n-1] windows are
+    merged into maximal spans and the spanned tokens removed. Any
+    duplicated run of length >= n is fully covered by its own repeated
+    interior n-grams, so merged spans recover maximal duplicated runs;
+    runs shorter than n are not detected (the standard fixed-n
+    approximation of the paper's suffix-array construction — the
+    suffix array finds arbitrary-length matches but has no bounded-
+    shuffle distributed formulation).
+
+    Returns one row per input document:
+    (id, n_tokens, n_spans, n_tokens_removed, kept_md5 [, kept_text])
+    where kept_md5 = md5 of the surviving tokens space-joined in order
+    (md5('') when everything was duplicated).
+
+    Scale shape: the gram table is O(total tokens) rows shuffled ONCE on
+    the gram key into a count+min aggregate (map-side combined — a viral
+    gram contributes one partial row per partition, never a quadratic
+    join); the flagged set joins back on the gram key; span merging is a
+    per-document window (parallel across docs); the rebuild is a narrow
+    projection with nested array lambdas. First-occurrence choice uses an
+    exact integer composite key doc_id * 2^20 + pos (no float compare,
+    identical in every engine) — documents must therefore stay under 2^20
+    tokens, comfortably above any pretraining doc after sequence
+    packing's own limits; raise _SUBSTR_POS_BASE for book-length
+    corpora."""
+    if n < 2:
+        raise ValueError(f"exact_substring_dedup: n must be >= 2, got {n}")
+    from pyspark.sql import Window
+
+    toks_col = "__sd_toks"
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        toks_col, ws_token_array(text_col)
+    ).withColumn("n_tokens", F.size(toks_col))
+    base = _materialize(base.select(id_col, toks_col, "n_tokens"))
+
+    pos_arr = (
+        f"CASE WHEN n_tokens >= {n} THEN sequence(0, n_tokens - {n}) "
+        f"ELSE array() END"
+    )
+    occ = (
+        base.select(
+            F.col(id_col),
+            F.col(toks_col),
+            F.explode(F.expr(pos_arr)).alias("pos"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.expr(f"concat_ws(' ', slice({toks_col}, pos + 1, {n}))").alias("gram"),
+            (F.col(id_col) * _SUBSTR_POS_BASE + F.col("pos")).alias("__key"),
+        )
+    )
+    keeper = occ.groupBy("gram").agg(
+        F.min("__key").alias("__keep_key"), F.count("*").alias("__cnt")
+    )
+    flagged = (
+        occ.join(keeper, "gram")
+        .filter((F.col("__cnt") > 1) & (F.col("__key") != F.col("__keep_key")))
+        .select(id_col, "pos")
+    )
+    # gaps-and-islands merge of overlapping [pos, pos+n-1] windows
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        flagged.withColumn(
+            "__ni",
+            (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    merged = islands.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("s"), F.max(F.col("pos") + (n - 1)).alias("e")
+    )
+    spans = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans"),
+        F.count("*").cast("int").alias("n_spans"),
+    )
+    kept = F.expr(
+        f"CASE WHEN __spans IS NULL THEN {toks_col} ELSE "
+        f"filter({toks_col}, (t, i) -> "
+        f"NOT exists(__spans, sp -> i >= sp.s AND i <= sp.e)) END"
+    )
+    out = (
+        base.join(spans, id_col, "left")
+        .withColumn("__kept", kept)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            (F.col("n_tokens") - F.size("__kept")).alias("n_tokens_removed"),
+            F.md5(F.concat_ws(" ", F.col("__kept"))).alias("kept_md5"),
+            *( [F.concat_ws(" ", F.col("__kept")).alias("kept_text")]
+               if with_text else [] ),
+        )
+    )
+    return out
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -489,6 +489,55 @@ def test_connected_min_labels_raises_on_nonconvergence(spark):
         ).collect()
 
 
+def test_exact_substring_dedup_semantics(spark):
+    """Lee et al. 2022 fixed-window semantics: of all occurrences of a
+    duplicated >= n-token run across the corpus, exactly the
+    lexicographically-first (doc_id, pos) occurrence survives; internal
+    repeats of a globally-duplicated run are removed too; docs shorter
+    than n are untouched; an empty doc yields md5('')."""
+    import hashlib
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, f"unique one {run} tail tokens here now", "en"),
+        (2, f"other words {run} different ending words go", "en"),
+        (3, f"self {run} middle filler {run} closing", "en"),
+        (4, "too short", "en"),
+        (5, "", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    res = {r["doc_id"]: r.asDict() for r in
+           textops.exact_substring_dedup(df, n=10, with_text=True).collect()}
+    assert res[1]["n_spans"] == 0 and run in res[1]["kept_text"]  # keeper
+    assert res[2]["n_spans"] == 1 and res[2]["n_tokens_removed"] == 10
+    assert res[2]["kept_text"] == "other words different ending words go"
+    # both of doc 3's occurrences are non-first globally -> both removed
+    assert res[3]["n_spans"] == 2 and res[3]["n_tokens_removed"] == 20
+    assert res[3]["kept_text"] == "self middle filler closing"
+    assert res[4]["n_tokens_removed"] == 0
+    assert res[5]["kept_md5"] == hashlib.md5(b"").hexdigest()
+    with pytest.raises(ValueError, match="n must be"):
+        textops.exact_substring_dedup(df, n=1)
+
+
+def test_exact_substring_dedup_overlapping_runs_merge(spark):
+    """Two overlapping duplicated windows in one doc merge into ONE
+    maximal span (gaps-and-islands), and a run of length n+k is removed
+    in full, not window-by-window."""
+    long_run = " ".join(f"w{i}" for i in range(15))  # 15-token run, n=10
+    docs = [
+        (1, f"keeper text {long_run} ending", "en"),
+        (2, f"copycat {long_run} trailer words", "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    res = {r["doc_id"]: r.asDict() for r in
+           textops.exact_substring_dedup(df, n=10, with_text=True).collect()}
+    assert res[1]["n_spans"] == 0
+    # 6 flagged windows (pos 1..6) merge to one span covering all 15 tokens
+    assert res[2]["n_spans"] == 1 and res[2]["n_tokens_removed"] == 15
+    assert res[2]["kept_text"] == "copycat trailer words"
+
+
 def test_connected_min_labels_loop_path_matches_driver_finish(spark):
     """Differential between the two execution paths: the size-gated
     driver union-find (default) and the distributed fixpoint loop
