@@ -65,6 +65,7 @@ def run_curation(
     decontaminate_ngram: int = 13,
     langs: list[str] | None = None,
     scrub_pii: bool = False,
+    substring_dedup_n: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -91,7 +92,13 @@ def run_curation(
         is the scrubbed rendition.
       - `sample_rates`: per-stratum (lang) keep-rates for the
         deterministic hash sampler; `sample_rate` remains the default for
-        strata not listed."""
+        strata not listed.
+      - `substring_dedup_n`: exact substring dedup (Lee et al. 2022,
+        textops.exact_substring_dedup) between near-dup dedup and the
+        passage scrub — duplicated >= n-token runs are cut (first
+        occurrence kept corpus-wide); a doc emptied by it is dropped.
+        Like the passage scrub, the rewrite is in token space
+        (lowercased, whitespace-normalized)."""
     cat = Catalog(warehouse)
     if eval_df is not None:
         ev = eval_df.agg(
@@ -110,7 +117,7 @@ def run_curation(
         f"|salt={sample_salt}"
         f"|sl={seq_len}|decon={eval_sig}"
         f"|langs={','.join(sorted(langs)) if langs else '*'}"
-        f"|pii={int(scrub_pii)}"
+        f"|pii={int(scrub_pii)}|ssd={substring_dedup_n or 0}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -151,6 +158,24 @@ def run_curation(
         spark, cat, "deduped_near", sig, lambda: minhash_dedup(deduped_exact)
     )
     out["deduped_near"] = deduped
+
+    if substring_dedup_n is not None:
+        from slowspark.textops import exact_substring_dedup
+
+        def _substr() -> DataFrame:
+            sd = exact_substring_dedup(
+                deduped, n=substring_dedup_n, with_text=True
+            )
+            return (
+                deduped.drop("text")
+                .join(sd.select("doc_id", "kept_text"), "doc_id")
+                .filter(F.col("kept_text") != "")
+                .withColumnRenamed("kept_text", "text")
+                .select(*deduped.columns)
+            )
+
+        deduped = run_stage(spark, cat, "substring_deduped", sig, _substr)
+        out["substring_deduped"] = deduped
 
     def _scrub() -> DataFrame:
         scrubbed = passage_dedup(
@@ -237,6 +262,9 @@ def main(argv: list[str] | None = None) -> int:
                    "filters BEFORE the quality rules")
     p.add_argument("--scrub-pii", action="store_true",
                    help="mask emails/IPs/phone numbers after passage scrub")
+    p.add_argument("--substring-dedup-n", type=int, default=None,
+                   help="exact substring dedup window (tokens): duplicated "
+                   ">= n-token runs are cut, first occurrence kept")
     args = p.parse_args(argv)
     sample_rates = None
     if args.sample_rates:
@@ -262,13 +290,15 @@ def main(argv: list[str] | None = None) -> int:
             decontaminate_ngram=args.decontaminate_ngram,
             langs=args.langs.split(",") if args.langs else None,
             scrub_pii=args.scrub_pii,
+            substring_dedup_n=args.substring_dedup_n,
         )
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {
             name: tables[name].count()
             for name in ("lang_filtered", "filtered", "deduped_exact",
-                         "deduped_near", "scrubbed", "pii_scrubbed",
-                         "decontaminated", "sampled", "packed")
+                         "deduped_near", "substring_deduped", "scrubbed",
+                         "pii_scrubbed", "decontaminated", "sampled",
+                         "packed")
             if name in tables
         }
         n_seq = tables["packed"].agg(

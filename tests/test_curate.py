@@ -273,6 +273,49 @@ def test_curate_ingest_stream(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/sigs").count() == n_sig_rows
 
 
+def test_curation_substring_dedup_stage(spark, tmp_path):
+    """--substring-dedup-n cuts a duplicated >= n-token run from every doc
+    but the globally first, at exactly the substring_deduped stage — for
+    doc pairs that share a long run yet are NOT near-dups overall (the
+    case document-level dedup must not collapse and passage scrub only
+    catches at passage alignment). The knob participates in the resume
+    signature."""
+    import hashlib
+    import os
+
+    letters = str.maketrans("0123456789", "ghijklmnop")
+
+    def salad(tag, n):
+        return " ".join(
+            hashlib.md5(f"{tag}:{j}".encode()).hexdigest()[:8].translate(letters)
+            for j in range(n)
+        )
+
+    run = " ".join(f"shared{i} the a of" for i in range(8))  # 32-token run
+    rows = [
+        (1, f"{salad('a', 60)} {run} {salad('b', 60)} and in that with", "en"),
+        (2, f"{salad('c', 60)} {run} {salad('d', 60)} and in that with", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    wh = str(tmp_path / "wh")
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+        substring_dedup_n=20,
+    )
+    near = {r["doc_id"] for r in tables["deduped_near"].collect()}
+    assert near == {1, 2}  # NOT near-dups: both survive document dedup
+    sd = {r["doc_id"]: r["text"] for r in tables["substring_deduped"].collect()}
+    assert "shared0" in sd[1]      # first occurrence kept
+    assert "shared0" not in sd[2]  # duplicated run cut from the later doc
+    packed = {r["doc_id"] for r in tables["packed"].collect()}
+    assert packed == {1, 2}
+    # the knob invalidates downstream manifests
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 substring_dedup_n=24)
+    assert os.path.getmtime(os.path.join(wh, "packed")) != m0
+
+
 def test_curate_ingest_crash_between_index_write_and_marker(spark, tmp_path):
     """Crash window between the index build/append and the epoch marker:
     simulated by deleting the marker after a completed epoch. The replay
