@@ -1490,7 +1490,7 @@ def _substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. 2022 fixed-window approximation): duplicated 20-token windows
     flagged (all but the globally first occurrence), merged into maximal
     spans, spanned tokens removed. DuckDB recomputes gram occurrences,
-    the first-occurrence composite key, the gaps-and-islands span merge,
+    the (doc_id, pos) first-occurrence rank, the gaps-and-islands span merge,
     and the md5 of every document's surviving text — the whole operator
     is inside the value hash."""
     from slowspark.textops import exact_substring_dedup
@@ -1514,8 +1514,7 @@ _SUBSTRING_DEDUP_ORACLE = """
     ), sized AS (
         SELECT doc_id, tk, length(tk) AS nt FROM base
     ), occ AS (
-        SELECT doc_id, u.pos AS pos, u.gram AS gram,
-               doc_id * 1048576 + u.pos AS key
+        SELECT doc_id, u.pos AS pos, u.gram AS gram
         FROM (
             SELECT doc_id,
                    unnest(list_transform(range(0, greatest(nt - 19, 0)),
@@ -1524,13 +1523,14 @@ _SUBSTRING_DEDUP_ORACLE = """
                        AS u
             FROM sized
         )
-    ), keeper AS (
-        SELECT gram, min(key) AS keep_key, count(*) AS cnt
-        FROM occ GROUP BY gram
+    ), ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY gram) AS cnt
+        FROM occ
     ), flagged AS (
-        SELECT o.doc_id, o.pos
-        FROM occ o JOIN keeper k USING (gram)
-        WHERE k.cnt > 1 AND o.key != k.keep_key
+        SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1
     ), isl AS (
         SELECT doc_id, pos,
                CASE WHEN pos > coalesce(max(pos + 19) OVER (

@@ -16,6 +16,7 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -55,6 +56,8 @@ def main():
     oracles = contract.oracle_sql()
     failures = []
     for name, fn in contract.queries().items():
+        if ONLY is not None and name not in ONLY:
+            continue
         try:
             sdf = fn(spark, SF_DIR)
             s_cols = sdf.columns

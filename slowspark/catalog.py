@@ -41,7 +41,11 @@ class Catalog:
     )
 
     def path(self, name: str) -> str:
-        return os.path.join(self.warehouse, name)
+        # URI-safe join ('/' separator regardless of host OS): the
+        # warehouse may be s3a://... or hdfs://... — os.path.join would
+        # use the platform separator and only works for URIs on POSIX by
+        # accident
+        return f"{self.warehouse.rstrip('/')}/{name}"
 
     def write(
         self,

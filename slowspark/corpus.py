@@ -312,12 +312,30 @@ def hash_sample(
     arithmetic: 0.1 * 10000 = 1000.0000000000001 in binary floating
     point, which admits bucket 1000 — an off-by-1/buckets effective rate
     that silently diverges from any engine evaluating the product
-    exactly. Integer-vs-integer comparison is reproducible everywhere."""
+    exactly. Integer-vs-integer comparison is reproducible everywhere.
+    Rounding is half-up (floor(x + 0.5)), not Python round(): banker's
+    rounding sends an exact half-bucket rate (0.05 at buckets=10) to 0.
+    A positive rate whose threshold still lands on 0 — below half-bucket
+    granularity — raises instead of silently sampling nothing (the
+    no-silent-drops convention); raise `buckets` to express finer rates."""
+    import math
+
     if not (0 < buckets):
         raise ValueError(f"buckets must be positive, got {buckets}")
     for k, v in {**rates, "default": default_rate}.items():
         if not (0.0 <= v <= 1.0):
             raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+
+    def _thr(name: str, rate: float) -> int:
+        t = int(math.floor(float(rate) * buckets + 0.5))
+        if rate > 0.0 and t == 0:
+            raise ValueError(
+                f"hash_sample: rate {rate} for {name!r} is below "
+                f"half-bucket granularity at buckets={buckets} (threshold "
+                f"0 would silently sample nothing); raise buckets"
+            )
+        return t
+
     bucket = (
         F.conv(
             F.substring(
@@ -328,11 +346,10 @@ def hash_sample(
         ).cast("long")
         % buckets
     )
-    thr = F.lit(int(round(float(default_rate) * buckets)))
+    thr = F.lit(_thr("default", default_rate))
     for stratum, r in sorted(rates.items()):
         thr = F.when(
-            F.col(stratum_col) == stratum,
-            F.lit(int(round(float(r) * buckets))),
+            F.col(stratum_col) == stratum, F.lit(_thr(stratum, r))
         ).otherwise(thr)
     return (
         df.withColumn("__bucket", bucket)

@@ -1000,20 +1000,26 @@ def _with_residual(
 def _ivfpq_meta(spark, index_path: str):
     """(centroids, codebooks, vec_col, id_col, residual) from a persisted
     IVF-PQ index: scalars from meta.json, quantizer matrices from their
-    parquet tables (one bounded driver read per query process)."""
+    parquet tables. The driver read goes through Arrow (toPandas +
+    np.vstack), NOT collect(): at production shape (10^5-10^6 centroids
+    x dim 768) Row objects of array<double> inflate ~10x over the Arrow
+    buffers — Arrow keeps the load one bounded columnar read."""
     import json
 
     from slowspark.util import fs_read_text
 
     meta = json.loads(fs_read_text(spark, f"{index_path}/meta.json"))
-    cent = spark.read.parquet(f"{index_path}/centroids").collect()
-    cmat = np.zeros((meta["n_centroids"], len(cent[0]["centroid"])))
-    for r in cent:
-        cmat[r["cell"]] = r["centroid"]
-    bk = spark.read.parquet(f"{index_path}/codebooks").collect()
-    books = np.zeros((meta["m"], meta["k"], len(bk[0]["centroid"])))
-    for r in bk:
-        books[r["j"]][r["c"]] = r["centroid"]
+    cent = spark.read.parquet(f"{index_path}/centroids").toPandas()
+    dim = len(cent["centroid"].iloc[0])
+    cmat = np.zeros((meta["n_centroids"], dim))
+    cmat[cent["cell"].to_numpy(dtype=np.int64)] = np.vstack(
+        cent["centroid"].to_numpy()
+    )
+    bk = spark.read.parquet(f"{index_path}/codebooks").toPandas()
+    books = np.zeros((meta["m"], meta["k"], len(bk["centroid"].iloc[0])))
+    books[
+        bk["j"].to_numpy(dtype=np.int64), bk["c"].to_numpy(dtype=np.int64)
+    ] = np.vstack(bk["centroid"].to_numpy())
     return (
         _normalize_rows(cmat),
         books,

@@ -17,8 +17,6 @@ tokio's FramedRead (/root/reference/src/lib.rs:14-36). The Spark equivalents:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from slowspark.schema import PAGES_SCHEMA
@@ -44,7 +42,15 @@ def compact_pages(
     equivalent). Input size comes from the Hadoop FileSystem API (works for
     HDFS/S3A paths too, not just local), the rewrite is one round-robin
     repartition. Returns the output file count."""
-    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+    from slowspark.util import _hadoop_fs
+
+    sfs, sp = _hadoop_fs(spark, src_path)
+    dfs, dp = _hadoop_fs(spark, dst_path)
+    # compare scheme-qualified URIs, NOT os.path.abspath: abspath maps any
+    # URI ('s3a://bucket/x') to a driver-cwd-relative local path, so two
+    # distinct remote paths (or a remote src and a local dst of the same
+    # basename) could collide or, worse, a true src==dst could pass
+    if str(sfs.makeQualified(sp)) == str(dfs.makeQualified(dp)):
         # mode('overwrite') deletes dst BEFORE the lazy read of src runs —
         # an in-place call would destroy its own input
         raise ValueError(
@@ -53,11 +59,7 @@ def compact_pages(
             "write to a temp dir and swap"
         )
     df = spark.read.schema(PAGES_SCHEMA).parquet(src_path)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(src_path)
-    fs = p.getFileSystem(conf)
-    total = fs.getContentSummary(p).getLength()
+    total = sfs.getContentSummary(sp).getLength()
     n_files = max(1, -(-int(total) // (target_file_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files

@@ -307,9 +307,19 @@ def connected_min_labels(
         members: dict = {}
         for x in list(parent):
             members[x] = find(x)
-        rows = [(int(x), int(root)) for x, root in members.items()]
+        rows = [(x, root) for x, root in members.items()]
         spark = pairs.sparkSession
-        comp_df = spark.createDataFrame(rows, "m long, label long")
+        # schema follows the source id type (long, string, ...) — the
+        # fast path must accept every id domain the iterative path does
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = mapping.schema["m"].dataType
+        comp_df = spark.createDataFrame(
+            rows,
+            StructType(
+                [StructField("m", id_type), StructField("label", id_type)]
+            ),
+        )
         return (
             mapping.join(F.broadcast(comp_df), "m", "left")
             .select("id", F.coalesce("label", "m").alias("label"))
@@ -1088,9 +1098,6 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-_SUBSTR_POS_BASE = 1 << 20  # composite (doc, pos) key base; see docstring
-
-
 def exact_substring_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -1123,12 +1130,12 @@ def exact_substring_dedup(
     gram contributes one partial row per partition, never a quadratic
     join); the flagged set joins back on the gram key; span merging is a
     per-document window (parallel across docs); the rebuild is a narrow
-    projection with nested array lambdas. First-occurrence choice uses an
-    exact integer composite key doc_id * 2^20 + pos (no float compare,
-    identical in every engine) — documents must therefore stay under 2^20
-    tokens, comfortably above any pretraining doc after sequence
-    packing's own limits; raise _SUBSTR_POS_BASE for book-length
-    corpora."""
+    projection with nested array lambdas. First-occurrence choice is an
+    exact lexicographic min over struct(doc_id, pos) — no arithmetic, so
+    it is correct for ANY id domain (negative xxhash64 longs, string ids,
+    ints) and any document length; min(struct) is map-side combinable
+    exactly like min(long), so the single-shuffle scale shape is
+    unchanged."""
     if n < 2:
         raise ValueError(f"exact_substring_dedup: n must be >= 2, got {n}")
     from pyspark.sql import Window
@@ -1153,7 +1160,7 @@ def exact_substring_dedup(
             F.col(id_col),
             F.col("pos"),
             F.expr(f"concat_ws(' ', slice({toks_col}, pos + 1, {n}))").alias("gram"),
-            (F.col(id_col) * _SUBSTR_POS_BASE + F.col("pos")).alias("__key"),
+            F.struct(F.col(id_col), F.col("pos")).alias("__key"),
         )
     )
     keeper = occ.groupBy("gram").agg(

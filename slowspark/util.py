@@ -66,16 +66,39 @@ def fs_mkdirs(spark, path: str) -> None:
 def fs_write_text_atomic(spark, path: str, content: str) -> None:
     """Write a small text file (marker / JSON metadata) so a torn write
     never looks valid: the bytes land in `<path>.tmp` first, then a rename
-    publishes them. Rename is atomic on HDFS and local filesystems; on
-    S3-family stores it is copy+delete, but the tmp suffix still guarantees
-    a reader never observes a partially-written final path."""
+    publishes them. On rewrite the rename uses
+    FileContext.rename(..., Options.Rename.OVERWRITE) where the store
+    supports it, so a concurrent reader sees either the old content or the
+    new content — never an absent path (absence is itself an observable
+    torn state: a reader in a delete-to-rename window would conclude the
+    marker is missing and trigger a spurious rebuild). Where overwrite
+    rename is unavailable (some object-store connectors), the fallback is
+    delete-then-rename: still crash-safe (the final path is never
+    partially written) but NOT concurrent-reader-safe on rewrite — a
+    reader can observe the gap."""
+    jvm = spark._jvm
     fs, p = _hadoop_fs(spark, path)
-    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+    try:
+        fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        gw = spark.sparkContext._gateway
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fctx.rename(tmp, p, opts)
+        return
+    except Exception:
+        logger.debug(
+            "fs_write_text_atomic: overwrite rename unavailable for %s; "
+            "falling back to delete-then-rename (crash-safe, not "
+            "concurrent-reader-safe on rewrite)", path,
+        )
     if fs.exists(p):
         fs.delete(p, False)
     if not fs.rename(tmp, p):

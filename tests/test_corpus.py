@@ -187,6 +187,22 @@ def test_hash_sample_no_shuffle_and_validation(spark):
         hash_sample(df, {}, default_rate=-0.1)
 
 
+def test_hash_sample_half_up_threshold_never_silently_zero(spark):
+    """r5 ADVICE: Python round() is banker's rounding — rate=0.05 at
+    buckets=10 rounded to threshold 0 and silently sampled NOTHING for
+    that stratum. Half-up keeps it at 1; a positive rate genuinely below
+    half-bucket granularity raises (no-silent-drops) instead."""
+    df = _docs(spark, [(i, "t", "en") for i in range(200)])
+    kept = hash_sample(df, {"en": 0.05}, buckets=10).count()
+    assert kept > 0  # threshold 1, not banker's-rounded 0
+    with pytest.raises(ValueError, match="half-bucket granularity"):
+        hash_sample(df, {"en": 0.0001}, buckets=10)
+    with pytest.raises(ValueError, match="half-bucket granularity"):
+        hash_sample(df, {}, default_rate=0.0001, buckets=10)
+    # rate 0.0 is an intentional drop, never an error
+    assert hash_sample(df, {"en": 0.0}, buckets=10).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # exact_k_sample / pack_sequences
 # ---------------------------------------------------------------------------

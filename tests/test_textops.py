@@ -538,6 +538,37 @@ def test_exact_substring_dedup_overlapping_runs_merge(spark):
     assert res[2]["kept_text"] == "copycat trailer words"
 
 
+def test_exact_substring_dedup_hashed_and_string_ids(spark):
+    """The first-occurrence keeper is a lexicographic min over
+    struct(doc_id, pos) — no arithmetic composite key — so the repo's own
+    id discipline (xxhash64 longs, full 64-bit range, often negative)
+    and string doc ids both elect a correct keeper. Regression for the
+    r5 silent-overflow hazard (doc_id * 2^20 + pos wrapped for
+    |doc_id| >= 2^43)."""
+    run = " ".join(f"t{i}" for i in range(10))
+    # ids far beyond 2^43, one negative: old arithmetic key wrapped here
+    neg, pos_id = -(2**62) - 12345, 2**62 + 777
+    df = spark.createDataFrame(
+        [(neg, f"first copy {run} end"), (pos_id, f"second copy {run} end")],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: r.asDict() for r in
+           textops.exact_substring_dedup(df, n=10).collect()}
+    # lexicographic min(doc_id, pos): the negative id is globally first
+    assert res[neg]["n_tokens_removed"] == 0
+    # shared "copy ... end" context merges into one 12-token maximal span
+    assert res[pos_id]["n_tokens_removed"] == 12
+    # string ids work too (no cast, no arithmetic)
+    sdf = spark.createDataFrame(
+        [("doc-b", f"x {run} y"), ("doc-a", f"z {run} w")],
+        "doc_id string, text string",
+    )
+    sres = {r["doc_id"]: r.asDict() for r in
+            textops.exact_substring_dedup(sdf, n=10).collect()}
+    assert sres["doc-a"]["n_tokens_removed"] == 0
+    assert sres["doc-b"]["n_tokens_removed"] == 10
+
+
 def test_connected_min_labels_loop_path_matches_driver_finish(spark):
     """Differential between the two execution paths: the size-gated
     driver union-find (default) and the distributed fixpoint loop
@@ -563,6 +594,25 @@ def test_connected_min_labels_loop_path_matches_driver_finish(spark):
     assert fast == loop
     assert fast[105] == 100 and fast[7] == 1
     assert fast[303] == 200 and fast[300] == 200  # bridged cliques merge
+
+
+def test_connected_min_labels_string_ids_both_paths(spark):
+    """Non-integer id domains (string doc ids) work on BOTH paths — the
+    driver fast path builds its component frame from the source id type
+    instead of coercing to long (r5 ADVICE regression: int(x) + a
+    'm long' schema crashed string graphs on the path that fires for
+    virtually every real contracted graph)."""
+    edges = [("docB", "docA"), ("docB", "docC"), ("x2", "x1"), ("z9", "z9")]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    fast = {r["id"]: r["label"]
+            for r in textops.connected_min_labels(pairs).collect()}
+    loop = {r["id"]: r["label"]
+            for r in textops.connected_min_labels(
+                pairs, driver_finish_max_edges=0).collect()}
+    assert fast == loop
+    assert fast["docA"] == fast["docB"] == fast["docC"] == "docA"
+    assert fast["x1"] == fast["x2"] == "x1"
+    assert fast["z9"] == "z9"
 
 
 def test_exploded_ngrams_matches_with_ngram_set(spark):
