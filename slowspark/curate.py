@@ -66,6 +66,10 @@ def run_curation(
     langs: list[str] | None = None,
     scrub_pii: bool = False,
     substring_dedup_n: int | None = None,
+    embeddings_df: DataFrame | None = None,
+    semantic_cells_df: DataFrame | None = None,
+    semantic_n_clusters: int = 16,
+    semantic_threshold: float = 0.95,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -98,12 +102,35 @@ def run_curation(
         passage scrub — duplicated >= n-token runs are cut (first
         occurrence kept corpus-wide); a doc emptied by it is dropped.
         Like the passage scrub, the rewrite is in token space
-        (lowercased, whitespace-normalized)."""
+        (lowercased, whitespace-normalized).
+      - `embeddings_df` (sidecar table: doc_id + embedding array) enables
+        the SemDeDup semantic-dedup stage (Abbas et al. 2023) directly
+        after MinHash near-dup — the published recipe's position: token
+        dedup first (cheap, catches literal copies), then embedding-space
+        dedup catches the paraphrase-shaped near-dups token overlap can
+        never see. Drops the higher-id member of every cluster-blocked
+        cosine pair >= `semantic_threshold` (min-id keeper, the
+        minhash_dedup policy), via similarity.semantic_near_dup_pairs.
+        A doc with no embedding row survives (the stage can only judge
+        docs it has vectors for — the count delta is still attributable
+        to exactly this stage). Pass `semantic_cells_df` instead (doc_id,
+        embedding, ivf_cell — e.g. an IVF/IVFPQ index's cell table over
+        the same corpus) to skip k-means training AND assignment: the
+        standard composition when embeddings are already stored
+        cell-partitioned for ANN. The embeddings CONTENT (count +
+        xxhash64 sum) participates in the resume signature, like the
+        eval set — swapping the embedding table invalidates every
+        downstream manifest."""
     cat = Catalog(warehouse)
     if eval_df is not None:
+        # sum in decimal(38,0): a long sum of xxhash64 values overflows
+        # (and raises under ANSI mode) as soon as a couple of rows share
+        # a sign; decimal keeps the content hash exact at any row count
         ev = eval_df.agg(
             F.count("*").alias("n"),
-            F.coalesce(F.sum(F.xxhash64("text")), F.lit(0)).alias("h"),
+            F.coalesce(
+                F.sum(F.xxhash64("text").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
         ).first()
         eval_sig = f"{decontaminate_ngram}:{ev['n']}:{ev['h']}"
     else:
@@ -111,6 +138,26 @@ def run_curation(
     rates_sig = ",".join(
         f"{k}={v}" for k, v in sorted((sample_rates or {}).items())
     )
+    sem_src = semantic_cells_df if semantic_cells_df is not None else embeddings_df
+    if sem_src is not None:
+        # content hash, same discipline as the eval set: resume must miss
+        # when the embedding table changes, not just when knobs change
+        eh = sem_src.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64(
+                    F.col("doc_id").cast("string"),
+                    F.col("embedding").cast("string"),
+                ).cast("decimal(38,0)")),
+                F.lit(0),
+            ).alias("h"),
+        ).first()
+        sem_sig = (
+            f"{semantic_n_clusters}:{semantic_threshold}"
+            f":{int(semantic_cells_df is not None)}:{eh['n']}:{eh['h']}"
+        )
+    else:
+        sem_sig = "0"
     sig = (
         f"{input_signature}|mw={min_words}|pw={passage_words}"
         f"|mdp={max_docs_per_passage}|sr={sample_rate}|srates={rates_sig}"
@@ -118,6 +165,7 @@ def run_curation(
         f"|sl={seq_len}|decon={eval_sig}"
         f"|langs={','.join(sorted(langs)) if langs else '*'}"
         f"|pii={int(scrub_pii)}|ssd={substring_dedup_n or 0}"
+        f"|sem={sem_sig}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -158,6 +206,29 @@ def run_curation(
         spark, cat, "deduped_near", sig, lambda: minhash_dedup(deduped_exact)
     )
     out["deduped_near"] = deduped
+
+    if sem_src is not None:
+        from slowspark.similarity import semantic_near_dup_pairs
+
+        def _sem() -> DataFrame:
+            # judge only docs still alive after token-level dedup: a doc
+            # already dropped must not also kill its semantic twin
+            alive = sem_src.join(deduped.select("doc_id"), "doc_id", "left_semi")
+            pairs = semantic_near_dup_pairs(
+                alive,
+                vec_col="embedding",
+                id_col="doc_id",
+                n_clusters=semantic_n_clusters,
+                cosine_threshold=semantic_threshold,
+                assigned=alive if semantic_cells_df is not None else None,
+            )
+            losers = pairs.select(
+                F.greatest("id_a", "id_b").alias("doc_id")
+            ).distinct()
+            return deduped.join(losers, "doc_id", "left_anti")
+
+        deduped = run_stage(spark, cat, "semantic_deduped", sig, _sem)
+        out["semantic_deduped"] = deduped
 
     if substring_dedup_n is not None:
         from slowspark.textops import exact_substring_dedup
@@ -265,7 +336,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--substring-dedup-n", type=int, default=None,
                    help="exact substring dedup window (tokens): duplicated "
                    ">= n-token runs are cut, first occurrence kept")
+    p.add_argument("--semantic-dedup-embeddings", default=None,
+                   help="sidecar parquet (doc_id, embedding array): enables "
+                   "the SemDeDup semantic-dedup stage after near-dup")
+    p.add_argument("--semantic-dedup-cells", default=None,
+                   help="pre-assigned cell parquet (doc_id, embedding, "
+                   "ivf_cell — e.g. an IVF index's cell table): enables the "
+                   "semantic-dedup stage WITHOUT k-means training/assignment")
+    p.add_argument("--semantic-n-clusters", type=int, default=16)
+    p.add_argument("--semantic-threshold", type=float, default=0.95)
     args = p.parse_args(argv)
+    if args.semantic_dedup_embeddings and args.semantic_dedup_cells:
+        p.error("--semantic-dedup-embeddings and --semantic-dedup-cells "
+                "are mutually exclusive")
     sample_rates = None
     if args.sample_rates:
         sample_rates = {
@@ -277,6 +360,14 @@ def main(argv: list[str] | None = None) -> int:
     try:
         docs = spark.read.parquet(args.input)
         eval_df = spark.read.parquet(args.eval_set) if args.eval_set else None
+        emb_df = (
+            spark.read.parquet(args.semantic_dedup_embeddings)
+            if args.semantic_dedup_embeddings else None
+        )
+        cells_df = (
+            spark.read.parquet(args.semantic_dedup_cells)
+            if args.semantic_dedup_cells else None
+        )
         tables = run_curation(
             spark, docs, args.warehouse, f"path:{args.input}",
             min_words=args.min_words,
@@ -291,12 +382,17 @@ def main(argv: list[str] | None = None) -> int:
             langs=args.langs.split(",") if args.langs else None,
             scrub_pii=args.scrub_pii,
             substring_dedup_n=args.substring_dedup_n,
+            embeddings_df=emb_df,
+            semantic_cells_df=cells_df,
+            semantic_n_clusters=args.semantic_n_clusters,
+            semantic_threshold=args.semantic_threshold,
         )
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {
             name: tables[name].count()
             for name in ("lang_filtered", "filtered", "deduped_exact",
-                         "deduped_near", "substring_deduped", "scrubbed",
+                         "deduped_near", "semantic_deduped",
+                         "substring_deduped", "scrubbed",
                          "pii_scrubbed", "decontaminated", "sampled",
                          "packed")
             if name in tables

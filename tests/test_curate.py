@@ -316,6 +316,98 @@ def test_curation_substring_dedup_stage(spark, tmp_path):
     assert os.path.getmtime(os.path.join(wh, "packed")) != m0
 
 
+def _semantic_corpus(spark):
+    """Four quality docs with MUTUALLY token-disjoint content words (plus
+    shared stopwords, which 5-shingling never aligns): no token-level
+    stage can relate any pair. Docs 1 and 2 are PARAPHRASE twins only in
+    embedding space."""
+    stop = "the a of and in that with for to is"
+    rows = [
+        (1, f"apples oranges pears grapes melons {stop} fruit basket market stand", "en"),
+        (2, f"puppies kittens rabbits hamsters parrots {stop} animal shelter adoption center", "en"),
+        (3, f"granite basalt marble quartzite slate {stop} geology museum rock exhibit", "en"),
+        (4, f"violins cellos trumpets clarinets drums {stop} orchestra concert hall stage", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _semantic_embeddings(spark):
+    # twins 1/2: cosine ~0.995; doc 3 orthogonal; doc 4 has NO embedding
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.995, 0.0999, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+
+
+def test_curation_semantic_dedup_stage(spark, tmp_path):
+    """An embeddings sidecar enables the SemDeDup stage directly after
+    MinHash near-dup: a paraphrase-shaped pair (token-disjoint texts,
+    cosine ~0.995 embeddings) is collapsed to its min-id member at
+    exactly the semantic_deduped stage — the case NO token-level stage
+    (exact, minhash, substring, passage) can see. A doc with no
+    embedding row survives. The pre-assigned cell-table variant skips
+    training and drops the same doc."""
+    docs, emb = _semantic_corpus(spark), _semantic_embeddings(spark)
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1",
+        min_words=10, seq_len=32,
+        embeddings_df=emb, semantic_n_clusters=1, semantic_threshold=0.95,
+    )
+    near = {r["doc_id"] for r in tables["deduped_near"].collect()}
+    assert near == {1, 2, 3, 4}  # token stages see nothing
+    sem = {r["doc_id"] for r in tables["semantic_deduped"].collect()}
+    assert sem == {1, 3, 4}  # twin 2 dropped (min-id keeper); no-vector 4 kept
+    packed = {r["doc_id"] for r in tables["packed"].collect()}
+    assert packed == {1, 3, 4}
+
+    # pre-assigned cell table (IVF-index composition): no k-means, same drop
+    cells = emb.withColumn(
+        "ivf_cell", (F.col("doc_id") >= 3).cast("int")
+    )
+    t2 = run_curation(
+        spark, docs, str(tmp_path / "wh2"), "test:v1",
+        min_words=10, seq_len=32,
+        semantic_cells_df=cells, semantic_threshold=0.95,
+    )
+    assert {r["doc_id"] for r in t2["semantic_deduped"].collect()} == {1, 3, 4}
+
+
+def test_curation_semantic_knobs_invalidate_resume(spark, tmp_path):
+    """The semantic-dedup knobs AND the embedding table's CONTENT
+    participate in the resume signature: threshold change or swapped
+    embeddings recompute downstream; an identical re-run still resumes."""
+    wh = str(tmp_path / "wh")
+    docs, emb = _semantic_corpus(spark), _semantic_embeddings(spark)
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 embeddings_df=emb, semantic_n_clusters=1)
+    packed_dir = os.path.join(wh, "packed")
+    m0 = os.path.getmtime(packed_dir)
+
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 embeddings_df=emb, semantic_n_clusters=1,
+                 semantic_threshold=0.9)
+    m1 = os.path.getmtime(packed_dir)
+    assert m1 != m0  # threshold knob invalidates
+
+    emb2 = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 0.5)
+    )
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 embeddings_df=emb2, semantic_n_clusters=1,
+                 semantic_threshold=0.9)
+    m2 = os.path.getmtime(packed_dir)
+    assert m2 != m1  # swapped embedding CONTENT cannot serve stale manifests
+
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 embeddings_df=emb2, semantic_n_clusters=1,
+                 semantic_threshold=0.9)
+    assert os.path.getmtime(packed_dir) == m2  # identical re-run resumes
+
+
 def test_curate_ingest_crash_between_index_write_and_marker(spark, tmp_path):
     """Crash window between the index build/append and the epoch marker:
     simulated by deleting the marker after a completed epoch. The replay
