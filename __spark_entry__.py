@@ -59,8 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _ARTIFACT_NAMES = (
     "entries", "simhash_sigs", "lsh_buckets", "ivf_cells",
-    "minhash_index", "minhash_pairs", "jaccard_pairs", "pq_index",
-    "ivfpq_index", "ivfpq_res_index",
+    "minhash_index", "simhash_index", "minhash_pairs", "jaccard_pairs",
+    "pq_index", "ivfpq_index", "ivfpq_res_index",
 )
 
 
@@ -150,7 +150,12 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
         pq_fut = ex.submit(lambda: _pq_index_parquet(spark, sf_dir))
         groups = (
             lambda: _entries_parquet(spark, sf_dir),
-            lambda: _simhash_sigs_parquet(spark, sf_dir),
+            # the simhash index reuses the full signature artifact (one
+            # signature UDF pass feeds both), so build it in sequence
+            lambda: (
+                _simhash_sigs_parquet(spark, sf_dir),
+                _simhash_index_parquet(spark, sf_dir),
+            ),
             lambda: _lsh_buckets_parquet(spark, sf_dir),
             lambda: (
                 ivf_fut.result(),
@@ -841,6 +846,46 @@ def _incremental_index_parquet(
         odd_sigs.write.mode("overwrite").parquet(f"{idx}/new_sigs")
         _ENTRIES_WRITTEN.add(idx)
     return idx
+
+
+def _simhash_index_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the incremental-SIMHASH fixtures once per process: a
+    persisted SimHash index over the EVEN doc_ids (textops.
+    build_simhash_index) plus the odd-id batch's signature table at
+    new_sigs. Both sides slice the already-materialized full signature
+    artifact (_simhash_sigs_parquet) — one signature pass, and per-doc
+    determinism makes filter-of-full equal compute-on-subset exactly."""
+    import os
+
+    from slowspark.textops import build_simhash_index
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"{_ORACLE_ENTRIES_BASE}/{base}/simhash_index"
+    if idx not in _ENTRIES_WRITTEN:
+        sigs = spark.read.parquet(_simhash_sigs_parquet(spark, sf_dir))
+        build_simhash_index(
+            None, idx, sigs=sigs.filter(F.col("doc_id") % 2 == 0)
+        )
+        sigs.filter(F.col("doc_id") % 2 == 1).write.mode(
+            "overwrite"
+        ).parquet(f"{idx}/new_sigs")
+        _ENTRIES_WRITTEN.add(idx)
+    return idx
+
+
+def _incremental_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch-vs-persisted-index) SimHash near-dups: odd-id
+    docs probe the even-id index through the LIBRARY operator
+    (textops.incremental_simhash_near_dups — fresh batch signatures, Manku
+    table keys, (tbl, tkey) equi-join, bit_count verify). Manku generation
+    is recall-EXACT for hamming <= 3, so the oracle is the brute-force
+    cross join of the two materialized signature tables — the whole probe
+    construction is inside the value hash."""
+    from slowspark.textops import incremental_simhash_near_dups
+
+    idx = _simhash_index_parquet(spark, sf_dir)
+    new = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    return incremental_simhash_near_dups(new, idx)
 
 
 def _incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1735,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_pairs": _semdedup_pairs,
         "substring_dedup": _substring_dedup,
         "incremental_near_dups": _incremental_near_dups,
+        "incremental_simhash_near_dups": _incremental_simhash_near_dups,
         "language_id": _language_id,
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
@@ -2297,6 +2343,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/simhash_sigs/*.parquet') b
               ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # incremental simhash: the Manku probe is recall-exact for
+        # hamming <= 3, so brute force over the two materialized signature
+        # tables IS the oracle — the table-key construction, the
+        # partition-pruned probe join, and the bit_count verify are all
+        # inside the value hash
+        "incremental_simhash_near_dups": f"""
+            SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+                   CAST(bit_count(xor(n.simhash, c.simhash)) AS INTEGER) AS hamming
+            FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/simhash_index/new_sigs/*.parquet') n
+            JOIN read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/simhash_index/sigs/*.parquet') c
+              ON bit_count(xor(n.simhash, c.simhash)) <= 3
         """,
         # ANN oracles: DuckDB reads the SAME materialized bucket/cell
         # parquets the Spark queries scan, re-derives the probe set with

@@ -755,6 +755,34 @@ def _manku_key_expr(blocks: list[tuple[int, int]]) -> str:
     return " + ".join(parts)
 
 
+def _manku_keyed(
+    sigs: DataFrame,
+    id_col: str | None,
+    max_hamming: int,
+    n_blocks: int | None,
+) -> DataFrame:
+    """(id_col?, simhash, tbl, tkey) rows: every signature exploded into
+    its C(n_blocks, agree) Manku table keys. The shared trunk of
+    simhash_candidates, simhash_bucket_histogram, and the persisted-index
+    build/probe path — the table construction MUST be identical everywhere
+    or index keys silently never collide with probe keys."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 3
+    agree = n_blocks - max_hamming
+    if agree < 1:
+        raise ValueError("n_blocks must exceed max_hamming")
+    tables = _manku_tables(n_blocks, agree)
+    structs = ", ".join(
+        f"named_struct('tbl', {tid}, 'tkey', cast({_manku_key_expr(blocks)} as bigint))"
+        for tid, blocks in tables
+    )
+    cols = ([id_col] if id_col else []) + ["simhash"]
+    return (
+        sigs.select(*cols, F.explode(F.expr(f"array({structs})")).alias("t"))
+        .select(*cols, "t.tbl", "t.tkey")
+    )
+
+
 def simhash_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -785,19 +813,7 @@ def simhash_candidates(
     simply not emitted (route such blobs to exact_dedup first — identical
     text means identical simhash). Use simhash_bucket_histogram to SEE the
     distribution before capping."""
-    if n_blocks is None:
-        n_blocks = max_hamming + 3
-    agree = n_blocks - max_hamming
-    if agree < 1:
-        raise ValueError("n_blocks must exceed max_hamming")
-    tables = _manku_tables(n_blocks, agree)
-    structs = ", ".join(
-        f"named_struct('tbl', {tid}, 'tkey', cast({_manku_key_expr(blocks)} as bigint))"
-        for tid, blocks in tables
-    )
-    keyed = sigs.select(
-        id_col, "simhash", F.explode(F.expr(f"array({structs})")).alias("t")
-    ).select(id_col, "simhash", "t.tbl", "t.tkey")
+    keyed = _manku_keyed(sigs, id_col, max_hamming, n_blocks)
     if max_bucket_size is not None:
         keyed = capped_by_bucket(
             keyed, ["tbl", "tkey"], max_bucket_size,
@@ -853,22 +869,157 @@ def simhash_bucket_histogram(
     """Bucket-size histogram per table: (tbl, bucket_size, n_buckets).
     The visibility companion to simhash_candidates(max_bucket_size=...) —
     truncation should be a decision made looking at this, never silent."""
-    if n_blocks is None:
-        n_blocks = max_hamming + 3
-    agree = n_blocks - max_hamming
-    tables = _manku_tables(n_blocks, agree)
-    structs = ", ".join(
-        f"named_struct('tbl', {tid}, 'tkey', cast({_manku_key_expr(blocks)} as bigint))"
-        for tid, blocks in tables
-    )
-    keyed = sigs.select(
-        F.explode(F.expr(f"array({structs})")).alias("t")
-    ).select("t.tbl", "t.tkey")
+    keyed = _manku_keyed(sigs, None, max_hamming, n_blocks)
     return (
         keyed.groupBy("tbl", "tkey")
         .agg(F.count("*").alias("bucket_size"))
         .groupBy("tbl", "bucket_size")
         .agg(F.count("*").alias("n_buckets"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted SimHash index — incremental (new-batch-vs-corpus) near-dups
+# ---------------------------------------------------------------------------
+
+def build_simhash_index(
+    df: DataFrame | None,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    sigs: DataFrame | None = None,
+) -> None:
+    """Persist a SimHash index for CONTINUOUS hamming-distance dedup: the
+    signature table plus the Manku table-key rows (partitioned by tbl — a
+    probe join's tbl equi-condition prunes to one directory per table).
+    The minhash-index pattern (build_minhash_index) transplanted to the
+    simhash semantics: the corpus pays the signature UDF once at build;
+    every incremental batch signatures only ITS OWN documents and probes
+    with a (tbl, tkey) equi-join — per-batch cost is O(batch + matching
+    buckets), never a corpus rescan.
+
+    `max_hamming`/`n_blocks` are BAKED INTO the persisted keys: a probe
+    or append computed under different values produces keys that silently
+    never collide — callers own the parameter match, exactly like
+    n_perm/bands for the minhash index. Pass `sigs` (a signature table
+    over the same docs, already materialized) to skip the signature
+    UDF entirely (df may then be None)."""
+    if sigs is None:
+        sigs = _materialize(simhash_signatures(df, text_col, id_col))
+    sigs.select(id_col, "simhash").write.mode("overwrite").parquet(
+        f"{index_path}/sigs"
+    )
+    (
+        _manku_keyed(sigs, id_col, max_hamming, n_blocks)
+        .select(id_col, "tbl", "tkey")
+        .write.mode("overwrite")
+        .partitionBy("tbl")
+        .parquet(f"{index_path}/tables")
+    )
+
+
+def append_to_simhash_index(
+    accepted_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> None:
+    """Grow a persisted SimHash index with an ACCEPTED batch. Crash-
+    recovery contract is the minhash one (append_to_minhash_index): table
+    keys are written BEFORE signatures. A crash between the two leaves
+    key rows without signatures; a sig-less doc produces NO pair from
+    incremental_simhash_near_dups (the verify join is inner against
+    sigs), so on replay it is re-accepted and re-appended — its sig rows
+    land exactly once and the duplicated key rows are neutralized by the
+    candidate DISTINCT. Replay idempotency of the accepted SET stays with
+    the caller's epoch-authoritative sink."""
+    sigs = _materialize(simhash_signatures(accepted_df, text_col, id_col))
+    (
+        _manku_keyed(sigs, id_col, max_hamming, n_blocks)
+        .select(id_col, "tbl", "tkey")
+        .write.mode("append")
+        .partitionBy("tbl")
+        .parquet(f"{index_path}/tables")
+    )
+    sigs.select(id_col, "simhash").write.mode("append").parquet(
+        f"{index_path}/sigs"
+    )
+
+
+def incremental_simhash_near_dups(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id, hamming) pairs between an incoming batch and a
+    persisted SimHash index (build_simhash_index) within `max_hamming`
+    bits. The batch side is signatured and table-keyed fresh; the index
+    side is a parquet scan pruned per table directory. Recall is EXACT
+    for <= max_hamming (the Manku pigeonhole guarantee spans the
+    batch-vs-corpus join the same way it spans the self-join), verified
+    with built-in bit_count against both signature tables. Shuffle volume
+    is O(batch keys + matching index buckets); `max_bucket_size` (logged
+    drops) caps viral index buckets the same way the in-corpus path
+    does."""
+    spark = new_df.sparkSession
+    new_sigs = _materialize(simhash_signatures(new_df, text_col, id_col))
+    new_keyed = _manku_keyed(new_sigs, id_col, max_hamming, n_blocks)
+    idx_keyed = spark.read.parquet(f"{index_path}/tables")
+    if max_bucket_size is not None:
+        idx_keyed = capped_by_bucket(
+            idx_keyed, ["tbl", "tkey"], max_bucket_size,
+            "incremental_simhash_near_dups",
+        )
+    cands = (
+        new_keyed.select(F.col(id_col).alias("new_id"), "tbl", "tkey")
+        .join(
+            idx_keyed.select(F.col(id_col).alias("corpus_id"), "tbl", "tkey"),
+            ["tbl", "tkey"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    idx_sigs = spark.read.parquet(f"{index_path}/sigs")
+    sa = new_sigs.select(F.col(id_col).alias("new_id"), F.col("simhash").alias("sim_a"))
+    sb = idx_sigs.select(F.col(id_col).alias("corpus_id"), F.col("simhash").alias("sim_b"))
+    return (
+        cands.join(sa, "new_id").join(sb, "corpus_id")
+        .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
+    )
+
+
+def incremental_simhash_dedup(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental-batch SimHash dedup with CORPUS PRIORITY (the
+    incremental_dedup policy): a new doc within `max_hamming` bits of an
+    indexed doc is dropped (arrival order wins), then survivors are
+    deduped among themselves (simhash_dedup component-min). Returns the
+    accepted rows of new_df — feed them to append_to_simhash_index."""
+    vs_corpus = incremental_simhash_near_dups(
+        new_df, index_path, text_col, id_col, max_hamming, n_blocks,
+        max_bucket_size,
+    )
+    losers = vs_corpus.select(F.col("new_id").alias(id_col)).distinct()
+    fresh = new_df.join(losers, on=id_col, how="left_anti")
+    return simhash_dedup(
+        fresh, text_col, id_col, max_hamming, n_blocks, max_bucket_size
     )
 
 

@@ -398,6 +398,100 @@ def test_incremental_dedup_against_persisted_index(spark, tmp_path):
     assert accepted2 == {21}
 
 
+def test_incremental_simhash_index_two_batches_and_replay(spark, tmp_path):
+    """The minhash incremental-index pattern transplanted to simhash:
+    build over a corpus, probe a batch O(batch)-style, corpus priority,
+    append accepted rows, probe the grown index — with the index CONTENTS
+    pinned after every step, a brute-force differential for the probe
+    (Manku recall-exactness spans the batch-vs-corpus join), and the
+    crash-window replay contract (table keys land before sigs; stranded
+    sig-less key rows produce no pairs and duplicated key rows are
+    neutralized by the candidate DISTINCT)."""
+    idx = str(tmp_path / "sh_index")
+    t100 = "the quick brown fox jumps over the lazy dog every day " * 6
+    t101 = "completely different corpus text about database tables " * 6
+    corpus = spark.createDataFrame(
+        [(100, t100), (101, t101)], "doc_id long, text string"
+    )
+    textops.build_simhash_index(corpus, idx)
+    idx_sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in spark.read.parquet(f"{idx}/sigs").collect()
+    }
+    expect_sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in textops.simhash_signatures(corpus).collect()
+    }
+    assert idx_sigs == expect_sigs  # index content == signature table
+    tables = spark.read.parquet(f"{idx}/tables")
+    assert tables.count() == 2 * 20  # C(6,3) Manku tables per doc
+    assert tables.select("tbl").distinct().count() == 20  # partition dirs
+
+    t6 = "a brand new unique document about streaming watermarks " * 6
+    t7 = "batch internal duplicate text about shuffle partitions " * 6
+    new = spark.createDataFrame(
+        [(5, t100), (6, t6), (7, t7), (8, t7)],  # 5 = exact copy of 100
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in textops.incremental_simhash_near_dups(new, idx).collect()
+    }
+    # brute-force differential from the two signature tables
+    new_sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in textops.simhash_signatures(new).collect()
+    }
+    mask = (1 << 64) - 1
+    brute = {
+        (n, c, bin((ns ^ cs) & mask).count("1"))
+        for n, ns in new_sigs.items() for c, cs in idx_sigs.items()
+        if bin((ns ^ cs) & mask).count("1") <= 3
+    }
+    assert got == brute and (5, 100, 0) in got
+
+    accepted_df = textops.incremental_simhash_dedup(new, idx)
+    accepted = {r["doc_id"] for r in accepted_df.select("doc_id").collect()}
+    assert accepted == {6, 7}  # corpus priority drops 5; in-batch min keeps 7
+    textops.append_to_simhash_index(accepted_df, idx)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(f"{idx}/sigs").collect()
+    } == {100, 101, 6, 7}
+    assert spark.read.parquet(f"{idx}/tables").count() == 4 * 20
+
+    # batch 2 against the GROWN index: near-dup of batch-1 doc 6 loses
+    t21 = "totally fresh subject matter never indexed before today " * 6
+    batch2 = spark.createDataFrame(
+        [(20, t6), (21, t21)], "doc_id long, text string"
+    )
+    acc2_df = textops.incremental_simhash_dedup(batch2, idx)
+    assert {r["doc_id"] for r in acc2_df.select("doc_id").collect()} == {21}
+
+    # crash window: 21's table keys land, sigs do not (the append order) —
+    # the replayed probe must still accept 21 (its stranded key rows are
+    # sig-less, so the inner verify join yields no self-pair)
+    only21 = batch2.filter("doc_id = 21")
+    from slowspark.textops import _manku_keyed, simhash_signatures
+
+    (
+        _manku_keyed(simhash_signatures(only21), "doc_id", 3, None)
+        .select("doc_id", "tbl", "tkey")
+        .write.mode("append").partitionBy("tbl").parquet(f"{idx}/tables")
+    )
+    replay_df = textops.incremental_simhash_dedup(batch2, idx)
+    assert {r["doc_id"] for r in replay_df.select("doc_id").collect()} == {21}
+    textops.append_to_simhash_index(replay_df, idx)
+    sig_rows = spark.read.parquet(f"{idx}/sigs").filter("doc_id = 21")
+    assert sig_rows.count() == 1  # exactly one sig row despite the replay
+    # duplicated key rows for 21 are neutralized: a probe near 21 emits
+    # exactly ONE pair row
+    batch3 = spark.createDataFrame([(30, t21)], "doc_id long, text string")
+    pairs3 = textops.incremental_simhash_near_dups(batch3, idx).collect()
+    assert [(r["new_id"], r["corpus_id"], r["hamming"]) for r in pairs3] == [
+        (30, 21, 0)
+    ]
+
+
 def test_simhash_dedup_end_to_end(spark, docs_with_dupes):
     """simhash_dedup composes signatures -> Manku candidates -> component-
     min survivors: byte-identical copies (hamming 0) must always lose to
