@@ -226,17 +226,23 @@ def connected_min_labels(
     graph {(m(u), m(v)) : (u,v) edge, m(u) != m(v)}, deduplicated, is
     orders of magnitude smaller than the input (195k-edge simhash graph
     -> a few hundred contracted edges). When the contracted edge count is
-    <= `driver_finish_max_edges` (default 1M edges ~ 16 MB — a driver
-    afterthought) the residual components are solved with an exact
-    min-label union-find on the driver and joined back; correctness is
-    the standard contraction argument (m(x) lies in x's component, and
-    every original edge connects its endpoints' label classes in the
-    contracted graph), and the global component min g is a fixed point of
-    m, so it appears as a contracted node and wins its class. The
-    iterative loop below is the general path for graphs whose contracted
-    form is still too big to collect (always correct, never collects),
-    and the gate is explicitly sized so the driver path can never be the
-    thing that OOMs a 10^12-row job. Measured: the loop's per-round cost
+    <= `driver_finish_max_edges` (default 1M) the residual components are
+    solved with an exact min-label union-find on the driver and joined
+    back; correctness is the standard contraction argument (m(x) lies in
+    x's component, and every original edge connects its endpoints' label
+    classes in the contracted graph), and the global component min g is a
+    fixed point of m, so it appears as a contracted node and wins its
+    class. MEASURED driver memory at the 1M-edge gate (tracemalloc,
+    worst-case chain graph where every node enters the union-find):
+    ~330 MB peak for the collected Row list, ~480 MB peak through the
+    union-find + result rows — transient Python heap, an order of
+    magnitude under any practical driver's headroom but NOT the raw
+    16 MB of long pairs; size the gate accordingly if the driver is
+    memory-constrained. The iterative loop below is the general path for
+    graphs whose contracted form is still too big to collect (always
+    correct, never collects — pinned by test), and the gate is explicitly
+    sized so the driver path can never be the thing that OOMs a
+    10^12-row job. Measured: the loop's per-round cost
     at toy scale is pure job-scheduling latency (~2 jobs x ~0.25s x 7
     rounds), which no amount of data-shrinking beats — collecting the
     tiny residual graph is the only way under it.

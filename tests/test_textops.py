@@ -690,6 +690,39 @@ def test_connected_min_labels_loop_path_matches_driver_finish(spark):
     assert fast[303] == 200 and fast[300] == 200  # bridged cliques merge
 
 
+def test_connected_min_labels_gate_boundary_never_collects_over(spark, monkeypatch):
+    """The driver fast path is size-GATED: a contracted graph just over
+    `driver_finish_max_edges` must take the distributed loop and NEVER
+    collect (the gate exists so the driver can never be the OOM at
+    10^12 rows); just under, the driver path collects exactly once.
+    Labels identical on both sides of the boundary. The chain 0-1-2-3-4
+    contracts to 6 directed residual edges, so gate=5 is just-over and
+    gate=6 is just-under."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    collects = []
+    # patch the CONCRETE class (pyspark 4's classic DataFrame overrides
+    # collect; patching the abstract parent never fires)
+    cls = type(pairs)
+    orig = cls.collect
+
+    def spy(self):
+        collects.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", spy)
+    over_df = textops.connected_min_labels(pairs, driver_finish_max_edges=5)
+    assert collects == []  # distributed path: no driver collect anywhere
+    over = {r["id"]: r["label"] for r in orig(over_df)}
+
+    collects.clear()
+    under_df = textops.connected_min_labels(pairs, driver_finish_max_edges=6)
+    assert len(collects) == 1  # driver path: exactly the contracted collect
+    under = {r["id"]: r["label"] for r in orig(under_df)}
+    assert over == under == {i: 0 for i in range(5)}
+
+
 def test_connected_min_labels_string_ids_both_paths(spark):
     """Non-integer id domains (string doc ids) work on BOTH paths — the
     driver fast path builds its component frame from the source id type
