@@ -239,6 +239,8 @@ def curate_ingest_batch(
     min_words: int = 20,
     jaccard_threshold: float = 0.7,
     max_bucket_size: int | None = None,
+    method: str = "minhash",
+    max_hamming: int = 3,
 ) -> None:
     """One epoch of the continuous-ingest curation flow (the foreachBatch
     body of start_curate_ingest, factored out so tests and backfills can
@@ -265,23 +267,83 @@ def curate_ingest_batch(
         crash-recovery path, never per healthy epoch).
     Path probes and the marker go through the Hadoop FS util
     (slowspark.util.fs_exists / fs_write_text_atomic), so object-store
-    index paths (s3a://, hdfs://) behave the same as local dirs."""
+    index paths (s3a://, hdfs://) behave the same as local dirs.
+
+    `method` selects the near-dup semantics — "minhash" (Jaccard over
+    shingles, `jaccard_threshold`) or "simhash" (hamming distance,
+    `max_hamming`) — dispatching to the matching persisted-index family
+    (build/incremental/append_*_{minhash,simhash}_*). Both families share
+    the identical lifecycle contract (sigs table with the id column,
+    keys-written-before-sigs appends, candidate-DISTINCT neutralization),
+    so the epoch/marker/anti-join machinery here is method-agnostic; an
+    index built with one method must never be probed with the other —
+    the index carries a `_method` stamp (written at first build) and a
+    mismatching batch raises BEFORE touching anything (without the stamp
+    the other method's key-table probe would read the index as absent
+    and silently REBUILD over it — data loss, not an error)."""
     from slowspark.corpus import quality_filter_flags
     from slowspark.textops import (
         append_to_minhash_index,
+        append_to_simhash_index,
         build_minhash_index,
+        build_simhash_index,
         exact_dedup,
         incremental_dedup,
+        incremental_simhash_dedup,
         minhash_dedup,
+        simhash_dedup,
     )
-    from slowspark.util import fs_exists, fs_write_text_atomic, materialize
+    from slowspark.util import (
+        fs_exists,
+        fs_read_text,
+        fs_write_text_atomic,
+        materialize,
+    )
+
+    if method == "minhash":
+        key_table = "bands"
+        _build = lambda df: build_minhash_index(df, index_path)
+        _append = lambda df: append_to_minhash_index(df, index_path)
+        _incremental = lambda df: incremental_dedup(
+            df, index_path, jaccard_threshold=jaccard_threshold,
+            max_bucket_size=max_bucket_size,
+        )
+        _batch_dedup = lambda df: minhash_dedup(
+            df, jaccard_threshold=jaccard_threshold,
+            max_bucket_size=max_bucket_size,
+        )
+    elif method == "simhash":
+        key_table = "tables"
+        _build = lambda df: build_simhash_index(df, index_path)
+        _append = lambda df: append_to_simhash_index(df, index_path)
+        _incremental = lambda df: incremental_simhash_dedup(
+            df, index_path, max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
+        )
+        _batch_dedup = lambda df: simhash_dedup(
+            df, max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+        )
+    else:
+        raise ValueError(
+            f"curate_ingest_batch: method must be 'minhash' or 'simhash', "
+            f"got {method!r}"
+        )
 
     spark = batch_df.sparkSession
+    method_stamp = f"{index_path}/_method"
+    if fs_exists(spark, method_stamp):
+        recorded = fs_read_text(spark, method_stamp).strip()
+        if recorded != method:
+            raise ValueError(
+                f"curate_ingest_batch: index at {index_path} was built with "
+                f"method={recorded!r}; probing it with method={method!r} "
+                f"would read it as absent and silently rebuild over it"
+            )
     sink_dir = f"{accepted_path}/epoch={epoch_id}"
-    # _SUCCESS required: a bands dir WITHOUT it is a crashed initial
+    # _SUCCESS required: a key-table dir WITHOUT it is a crashed initial
     # build — probing it would read partial parquet; treating the index
     # as absent makes the epoch rebuild it (overwrite = clean recovery)
-    index_exists = fs_exists(spark, f"{index_path}/bands/_SUCCESS")
+    index_exists = fs_exists(spark, f"{index_path}/{key_table}/_SUCCESS")
     is_replay = fs_exists(spark, f"{sink_dir}/_SUCCESS")
     if is_replay:
         accepted = spark.read.parquet(sink_dir)
@@ -293,17 +355,9 @@ def curate_ingest_batch(
         )
         kept = exact_dedup(kept)
         if index_exists:
-            accepted = incremental_dedup(
-                kept, index_path,
-                jaccard_threshold=jaccard_threshold,
-                max_bucket_size=max_bucket_size,
-            )
+            accepted = _incremental(kept)
         else:
-            accepted = minhash_dedup(
-                kept,
-                jaccard_threshold=jaccard_threshold,
-                max_bucket_size=max_bucket_size,
-            )
+            accepted = _batch_dedup(kept)
         # one computation feeds both the sink write and the index append
         accepted = materialize(accepted)
         accepted.write.mode("overwrite").parquet(sink_dir)
@@ -323,9 +377,13 @@ def curate_ingest_batch(
             idx_ids = spark.read.parquet(f"{index_path}/sigs").select("doc_id")
             to_index = accepted.join(idx_ids, "doc_id", "left_anti")
         if index_exists:
-            append_to_minhash_index(to_index, index_path)
+            _append(to_index)
         else:
-            build_minhash_index(to_index, index_path)
+            _build(to_index)
+        if not fs_exists(spark, method_stamp):
+            # idempotent: first build stamps the method; replays that
+            # crashed before the stamp re-land the identical content
+            fs_write_text_atomic(spark, method_stamp, method)
         # atomic publish: a torn marker never looks valid
         fs_write_text_atomic(spark, marker, "done")
 
@@ -338,14 +396,18 @@ def start_curate_ingest(
     min_words: int = 20,
     jaccard_threshold: float = 0.7,
     max_bucket_size: int | None = None,
+    method: str = "minhash",
+    max_hamming: int = 3,
 ):
     """Continuous-ingest curation: the streaming front door of the batch
     slowspark.curate pipeline. Each micro-batch of new documents is
     quality-filtered, exact-deduped within the batch, near-dup-deduped
-    against EVERYTHING ingested so far (persisted MinHash index — O(batch)
-    probe, no corpus rescan), and the survivors land in an epoch-keyed
-    accepted sink and grow the index. Corpus priority: a new near-dup of
-    an already-accepted doc is dropped, never swapped in.
+    against EVERYTHING ingested so far (persisted MinHash or SimHash
+    index per `method` — O(batch) probe, no corpus rescan), and the
+    survivors land in an epoch-keyed accepted sink and grow the index.
+    Corpus priority: a new near-dup of an already-accepted doc is
+    dropped, never swapped in. The `method` must stay constant for the
+    lifetime of one index path (curate_ingest_batch docs).
 
     State lives in storage (the index), not in Spark streaming state —
     unbounded corpus growth with bounded executor memory; the streaming
@@ -355,6 +417,7 @@ def start_curate_ingest(
         curate_ingest_batch(
             batch_df, epoch_id, index_path, accepted_path,
             min_words, jaccard_threshold, max_bucket_size,
+            method, max_hamming,
         )
 
     return (

@@ -273,6 +273,86 @@ def test_curate_ingest_stream(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/sigs").count() == n_sig_rows
 
 
+def test_curate_ingest_stream_simhash_method(spark, tmp_path):
+    """method='simhash' runs the SAME ingest lifecycle over the persisted
+    SimHash index family: first epoch builds the index, later epochs probe
+    it with corpus priority (an exact copy of an accepted doc is hamming 0
+    — dropped), accepted docs grow the index, and a completed-epoch replay
+    changes nothing (sink re-read, marker-gated append). A minhash probe
+    of a simhash index path fails loudly (distinct key-table layouts), and
+    an unknown method raises."""
+    import pytest as _pytest
+
+    from slowspark.streaming import curate_ingest_batch, start_curate_ingest
+
+    src, idx, acc, ckpt = (str(tmp_path / d) for d in ("src", "idx", "acc", "ck"))
+    doc_a = ("the quick brown fox jumps over a lazy dog and runs to the old "
+             "mill with great speed every single morning before dawn " * 2
+             + "alpha ending here")
+    doc_b = ("completely different words that still keep the a to of and "
+             "in that with tokens repeated many times over and over again "
+             "for a long enough document to pass the word count threshold")
+    _write_batch(spark, src, [
+        (1, doc_a, "en"), (2, doc_b, "en"), (4, "too short", "en"),
+    ], "b1")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = start_curate_ingest(
+            stream, idx, acc, ckpt, min_words=10, method="simhash"
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert _accepted_ids(spark, acc) == {1, 2}
+    # the simhash index layout (tables/, not bands/) exists and is marked
+    import os
+
+    assert os.path.exists(f"{idx}/tables/_SUCCESS")
+    assert not os.path.exists(f"{idx}/bands")
+
+    # batch 2: exact copy of accepted doc 1 (hamming 0 -> corpus priority
+    # drops it) + a fresh doc
+    doc_c = ("fresh content the and a of with in that plus many new unique "
+             "tokens making this another valid long document for ingestion "
+             "well beyond the minimum word count threshold for this test")
+    _write_batch(spark, src, [(10, doc_a, "en"), (11, doc_c, "en")], "b2")
+    run()
+    assert _accepted_ids(spark, acc) == {1, 2, 11}
+    sig_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/sigs").select("doc_id").collect()
+    }
+    assert sig_ids == {1, 2, 11}
+
+    # completed-epoch replay: sink re-read, index unchanged
+    n_sig_rows = spark.read.parquet(f"{idx}/sigs").count()
+    batch2 = spark.createDataFrame(
+        [(10, doc_a, "en"), (11, doc_c, "en")],
+        "doc_id long, text string, lang string",
+    )
+    curate_ingest_batch(batch2, 1, idx, acc, min_words=10, method="simhash")
+    assert _accepted_ids(spark, acc) == {1, 2, 11}
+    assert spark.read.parquet(f"{idx}/sigs").count() == n_sig_rows
+
+    # method mismatch fails loudly BEFORE touching the index (the _method
+    # stamp; without it the minhash probe would silently rebuild over the
+    # simhash index), unknown method raises
+    batch3 = spark.createDataFrame(
+        [(20, doc_b, "en")], "doc_id long, text string, lang string"
+    )
+    with _pytest.raises(ValueError, match="was built with"):
+        curate_ingest_batch(batch3, 2, idx, acc, min_words=10)  # minhash probe
+    with _pytest.raises(ValueError, match="method must be"):
+        curate_ingest_batch(batch3, 2, idx, acc, min_words=10, method="nope")
+    # the failed mismatch attempts changed nothing
+    assert _accepted_ids(spark, acc) == {1, 2, 11}
+    assert spark.read.parquet(f"{idx}/sigs").count() == n_sig_rows
+
+
 def test_curation_substring_dedup_stage(spark, tmp_path):
     """--substring-dedup-n cuts a duplicated >= n-token run from every doc
     but the globally first, at exactly the substring_deduped stage — for
