@@ -359,17 +359,23 @@ def _fresh_session(cpus: int):
     # OFF on the Executor logger also swallowed a genuinely failing
     # task's stack trace, making a real failure undiagnosable from bench
     # output). Any other ERROR from these loggers still prints.
+    # (?s): log4j2's RegexFilter applies Matcher.matches() to the WHOLE
+    # formatted message, and these messages are multi-line ("Exception 0:
+    # ...\nException 1: ...") — without DOTALL the dot stops at the first
+    # newline, the full-string match fails, and the noise prints anyway
     _ZOMBIE_NOISE = {
         # TaskCompletionListener of an already-served stage releasing its
         # broadcast read lock after AQE destroyed the relation
-        "org.apache.spark.TaskContextImpl": r".*Error in TaskCompletionListener.*",
-        # the same zombie task's own failure report (the driver already
-        # has the stage result; a REAL task failure also fails the job
-        # and surfaces as a driver exception with the full stack)
-        "org.apache.spark.executor.Executor": r"Exception in task .* in stage .*",
+        "org.apache.spark.TaskContextImpl": r"(?s).*Error in TaskCompletionListener.*",
+        # the zombie task's own failure report, ONLY for the benign
+        # already-destroyed-broadcast shape (the driver already has the
+        # stage result; a REAL task failure also fails the job and
+        # surfaces as a driver exception with the full stack)
+        "org.apache.spark.executor.Executor":
+            r"(?s)Exception in task .* in stage .*Block broadcast_\d+ does not exist.*",
         # straggler statusUpdate arriving after spark.stop() tore down
         # the TaskResultGetter pool
-        "org.apache.spark.scheduler.TaskSchedulerImpl": r".*statusUpdate.*",
+        "org.apache.spark.scheduler.TaskSchedulerImpl": r"(?s).*statusUpdate.*",
     }
     try:
         jvm = spark._jvm
