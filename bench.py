@@ -565,12 +565,21 @@ def _write_bench_md(report: dict) -> None:
             f"**Scaling efficiency** = **{wide['scaling_efficiency_N_to_4N']}**, measured with\n"
             "spark.speculation=true (multiplier 2, quantile 0.9) — the\n"
             "production straggler mitigation. This pair runs INSIDE this\n"
-            "host's measured steal band (below): local[32] is absolutely\n"
-            "slower than local[8] here, which is a property of the\n"
-            "virtualized host, not of the plan — the bare-kernel control\n"
-            "below shows the same collapse with no Spark and no JVM. The\n"
+            "host's measured steal band (below): in this run local[32] was "
+            + (
+                "absolutely FASTER than local[8] (a clean window; the\n"
+                "bare-kernel 8->32 efficiency below is the Spark-free ceiling\n"
+                "any layout can reach at this width)"
+                if wide["seconds"]["4N"] < wide["seconds"]["N"]
+                else "absolutely SLOWER than local[8], which is a property of\n"
+                "the virtualized host, not of the plan — the bare-kernel\n"
+                "control below shows the same collapse with no Spark and no\n"
+                "JVM"
+            )
+            + ". The\n"
             "number is reported unfiltered alongside the controls rather\n"
-            "than hidden.\n\n"
+            "than hidden; run-to-run spread at this width is 3-8x, so only\n"
+            "the pair-1 efficiency is a stable criterion reading.\n\n"
             "## Parse-kernel control (no Spark, no JVM)\n\n"
             "Bare multiprocessing of grammar.parse_entries over the same page\n"
             "texts:\n\n"
