@@ -152,3 +152,42 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_incremental_simhash_probe_prunes_index_columns(spark, tmp_path):
+    """The persisted-index probe's scale contract: the candidate join
+    scans the tbl-partitioned key table reading ONLY (doc_id, tkey) —
+    never the 8-byte simhash per key row (20 rows/doc; reading it would
+    inflate the dominant scan by ~50%) — with tbl arriving as a partition
+    column (PartitionFilters, prunable); and the index sigs table is
+    scanned exactly once (the hamming verify), not per candidate join."""
+    from slowspark import textops
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} " * 30) for i in range(20)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "shidx")
+    textops.build_simhash_index(corpus, idx)
+    new = spark.createDataFrame(
+        [(100, "w1 " * 30)], "doc_id long, text string"
+    )
+    df = textops.incremental_simhash_near_dups(new, idx)
+    plan = _plan(df)
+    assert "Cartesian" not in plan
+    # identify the two index scans by ReadSchema (the plan's Location
+    # string truncates long paths): the key-table scan reads exactly
+    # (doc_id, tkey) with tbl as a partition filter; the sigs scan reads
+    # (doc_id, simhash). Exactly one of each — no redundant re-read.
+    scans = plan.split("Scan parquet")[1:]
+    tables_scans = [
+        s for s in scans
+        if "ReadSchema: struct<doc_id:bigint,tkey:bigint>" in s
+    ]
+    assert len(tables_scans) == 1
+    assert "PartitionFilters: [isnotnull(tbl" in tables_scans[0]
+    sigs_scans = [
+        s for s in scans
+        if "ReadSchema: struct<doc_id:bigint,simhash:bigint>" in s
+    ]
+    assert len(sigs_scans) == 1
+    assert len(scans) == 2  # and nothing else scans the index
