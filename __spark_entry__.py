@@ -1274,6 +1274,31 @@ def _ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _ivfpq_batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-PQ ANN (similarity.ivfpq_topk_batch): top-10 for five
+    query rows in ONE job — distributed per-query cell ranking (the
+    single-query path's driver-side _rank_cells moved into an
+    Arrow-batched UDF), broadcast probe join, per-batch-LUT ADC, windowed
+    cutoffs. DuckDB recomputes every stage per query from the same
+    materialized index (per-query probe ranking, LUT join, ADC window,
+    exact re-rank window), so the whole batch construction is inside the
+    value hash."""
+    path = _ivfpq_index_parquet(spark, sf_dir)
+    from slowspark.similarity import ivfpq_topk_batch
+
+    queries = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivfpq_topk_batch(
+        spark, path, queries, k=10,
+        probe_cells=_IVF_PROBE_CELLS, rerank=_PQ_RERANK,
+    ).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def _query_vec_0(spark: SparkSession, sf_dir: str) -> list:
     emb = _read(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -1341,6 +1366,83 @@ def _ivfpq_ann_topk_oracle(sf_dir_base: str = "sf0.01") -> str:
         ORDER BY list_cosine_similarity(p.emb, (SELECT qv FROM q)) DESC,
                  p.vec_id ASC
         LIMIT 10
+    """
+
+
+def _ivfpq_batch_ann_topk_oracle(sf_dir_base: str = "sf0.01") -> str:
+    """Per-query generalization of _ivfpq_ann_topk_oracle: every stage
+    (probe ranking, LUT, ADC aggregation, rerank cutoff, exact re-rank)
+    is keyed by query_id with window-function cutoffs instead of LIMIT."""
+    dsub = 64 // _PQ_M
+    idx = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/ivfpq_index"
+    return f"""
+        WITH cells AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   pq_codes, norm, ivf_cell
+            FROM read_parquet('{idx}/cells/*/*.parquet',
+                              hive_partitioning=1)
+        ), q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ), probe AS (
+            SELECT query_id, cell FROM (
+                SELECT q.query_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(c.centroid, q.qv)
+                                    DESC, c.cell
+                       ) AS rn
+                FROM read_parquet('{idx}/centroids/*.parquet') c, q
+            ) WHERE rn <= {_IVF_PROBE_CELLS}
+        ), probed AS (
+            SELECT p.query_id, cells.*
+            FROM cells JOIN probe p ON cells.ivf_cell = p.cell
+        ), lut AS (
+            SELECT q.query_id, j, c,
+                   list_sum(list_transform(range(1, {dsub} + 1),
+                       i -> centroid[i] * q.qv[j * {dsub} + i])) AS d
+            FROM read_parquet('{idx}/codebooks/*.parquet'), q
+        ), expanded AS (
+            SELECT query_id, vec_id, norm, u.j AS j, u.code AS code
+            FROM (
+                SELECT query_id, vec_id, norm,
+                       unnest(list_transform(range(1, {_PQ_M} + 1),
+                           i -> struct_pack(j := i - 1, code := pq_codes[i])))
+                           AS u
+                FROM probed
+            )
+        ), adc AS (
+            SELECT e.query_id, vec_id, any_value(norm) AS norm,
+                   sum(lut.d) AS dot
+            FROM expanded e JOIN lut
+              ON e.query_id = lut.query_id AND e.j = lut.j AND e.code = lut.c
+            GROUP BY e.query_id, vec_id
+        ), qn AS (
+            SELECT query_id,
+                   sqrt(list_sum(list_transform(qv, x -> x * x))) AS n
+            FROM q
+        ), cands AS (
+            SELECT query_id, vec_id FROM (
+                SELECT adc.query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY adc.query_id
+                           ORDER BY dot / (qn.n * greatest(norm, 1e-12))
+                                    DESC, vec_id ASC
+                       ) AS rn
+                FROM adc JOIN qn USING (query_id)
+            ) WHERE rn <= {_PQ_RERANK}
+        )
+        SELECT p.query_id, p.vec_id,
+               round(list_cosine_similarity(p.emb, q.qv), 4) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(p.emb, q.qv) DESC,
+                            p.vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM probed p
+        JOIN cands USING (query_id, vec_id)
+        JOIN q USING (query_id)
+        QUALIFY rank <= 10
     """
 
 
@@ -1786,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _ivf_ann_topk,
         "pq_ann_topk": _pq_ann_topk,
         "ivfpq_ann_topk": _ivfpq_ann_topk,
+        "ivfpq_batch_ann_topk": _ivfpq_batch_ann_topk,
         "ivfpq_residual_ann_topk": _ivfpq_residual_ann_topk,
     }
 
@@ -2378,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_ann_topk": _pq_ann_topk_oracle(),
         "ivfpq_ann_topk": _ivfpq_ann_topk_oracle(),
+        "ivfpq_batch_ann_topk": _ivfpq_batch_ann_topk_oracle(),
         "ivfpq_residual_ann_topk": _ivfpq_residual_ann_topk_oracle(),
         "ivf_ann_topk": f"""
             WITH c AS (

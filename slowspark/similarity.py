@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def _dot(a: str, b: str):
@@ -1105,6 +1105,185 @@ def ivfpq_topk(
             F.broadcast(cands), id_col, "left_semi"
         ),
         vec_col, query, k, id_col,
+    )
+
+
+def ivfpq_topk_batch(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 10,
+    probe_cells: int = 4,
+    rerank: int = 100,
+) -> DataFrame:
+    """Batch IVF-PQ ANN: top-k for EVERY query row of `queries` against a
+    persisted index (ivfpq_build_index), returning (query_id, id, cosine,
+    rank). The production batch shape — and the distributed answer to the
+    single-query path's driver-side `_rank_cells`: cell ranking runs as
+    an Arrow-batched mapInPandas over the QUERY table (one BLAS gemv per
+    query against the broadcast-in-closure centroid matrix, parallel
+    across query partitions — the driver never ranks anything), so a
+    10^6-query batch against 10^6 centroids is cluster work, not a
+    driver loop.
+
+    Stages, each the batch generalization of the single-query path with
+    IDENTICAL per-query arithmetic (pinned by a differential test):
+      1. probe: per query, top-p cells by centroid cosine with the
+         (score desc, cell asc) tie-break — `_rank_cells` verbatim per
+         row — emitting (query_id, cell) rows plus the query vector,
+         its norms, and (residual mode) the per-(query, cell) IVFADC
+         bias q.centroid;
+      2. candidate generation: one equi-join of the exploded probe table
+         (broadcast) against the cell-partitioned codes — the scan reads
+         only (id, pq_codes, norm, ivf_cell), never raw vectors, and the
+         broadcast keys enable dynamic partition pruning of unprobed
+         cells;
+      3. ADC: mapInPandas over the joined rows — per Arrow batch the LUT
+         is built once per distinct query (m*k dots, cached) and scores
+         accumulate in the same left-fold-over-j order as pq_topk's
+         literal-LUT fold, so approx_cosine is bit-identical to the
+         single-query plan;
+      4. rerank cut: row_number window per query (desc score, asc id);
+      5. exact re-rank: the candidates' raw vectors (broadcast semi
+         restricted to (cell, id) — partition-prunable) scored with the
+         same zip_with fold brute_force_topk uses, window top-k.
+
+    Per-query IO is identical to ivfpq_topk's (probed fraction x code
+    bytes + rerank raw vectors); the batch amortizes the scan across all
+    queries that probe the same cells. Zero query vectors are rejected
+    the same way as the single-query path."""
+    if rerank < k:
+        raise ValueError(f"ivfpq_topk_batch: rerank={rerank} < k={k}")
+    cmat, books, vec_col, id_col, residual = _ivfpq_meta(spark, index_path)
+    from slowspark.util import materialize
+
+    mq, kq, dsub = books.shape
+
+    qid_type = queries.schema[query_id].dataType
+    probe_schema = T.StructType([
+        T.StructField(query_id, qid_type),
+        T.StructField("__qv", T.ArrayType(T.DoubleType())),
+        T.StructField("__adcqn", T.DoubleType()),
+        T.StructField("__rrqn", T.DoubleType()),
+        T.StructField("ivf_cell", T.IntegerType()),
+        T.StructField("__bias", T.DoubleType()),
+    ])
+
+    def probe_fn(batches):
+        for pdf in batches:
+            out: dict = {c.name: [] for c in probe_schema}
+            for qid, vec in zip(pdf[query_id], pdf[query_vec]):
+                q = np.asarray(vec, dtype=np.float64)
+                adcqn = float(np.linalg.norm(q))
+                if adcqn == 0.0:
+                    raise ValueError("ivfpq_topk_batch: zero query vector")
+                rrqn = float(np.sqrt(np.dot(q, q)))
+                bias = cmat @ q if residual else None
+                for c in _rank_cells(cmat, q, probe_cells):
+                    out[query_id].append(qid)
+                    out["__qv"].append([float(x) for x in q])
+                    out["__adcqn"].append(adcqn)
+                    out["__rrqn"].append(rrqn)
+                    out["ivf_cell"].append(c)
+                    out["__bias"].append(float(bias[c]) if residual else 0.0)
+            yield pd.DataFrame(out)
+
+    probe = materialize(
+        queries.select(query_id, query_vec).mapInPandas(
+            probe_fn, schema=probe_schema
+        )
+    )
+
+    cells = spark.read.parquet(f"{index_path}/cells")
+    joined = cells.select(id_col, "pq_codes", "norm", "ivf_cell").join(
+        F.broadcast(
+            probe.select(query_id, "__qv", "__adcqn", "__bias", "ivf_cell")
+        ),
+        "ivf_cell",
+    )
+
+    id_type = cells.schema[id_col].dataType
+    adc_schema = T.StructType([
+        T.StructField(query_id, qid_type),
+        T.StructField(id_col, id_type),
+        T.StructField("ivf_cell", T.IntegerType()),
+        T.StructField("approx_cosine", T.DoubleType()),
+    ])
+
+    def adc_fn(batches):
+        lut_cache: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["pq_codes"]]
+            )
+            scores = np.zeros(len(pdf), dtype=np.float64)
+            # group rows by query so each LUT is built once per batch
+            # (and cached across batches of the same worker)
+            qids = pdf[query_id].to_numpy()
+            for qid in pd.unique(pdf[query_id]):
+                sel = qids == qid
+                lut = lut_cache.get(qid)
+                if lut is None:
+                    q = np.asarray(
+                        pdf["__qv"][sel].iloc[0], dtype=np.float64
+                    )
+                    # same arithmetic as pq_topk's LUT build: float(np.dot)
+                    # per (j, c); fold below runs left-to-right over j,
+                    # matching the literal-LUT aggregate's order
+                    lut = np.array([
+                        [float(np.dot(q[j * dsub:(j + 1) * dsub], books[j][c]))
+                         for c in range(kq)]
+                        for j in range(mq)
+                    ])
+                    if len(lut_cache) < 4096:
+                        lut_cache[qid] = lut
+                acc = np.zeros(int(sel.sum()), dtype=np.float64)
+                sub = codes[sel]
+                for j in range(mq):
+                    acc = acc + lut[j][sub[:, j]]
+                scores[sel] = acc
+            scores = scores + pdf["__bias"].to_numpy(dtype=np.float64)
+            scores = scores / (
+                pdf["__adcqn"].to_numpy(dtype=np.float64)
+                * np.maximum(pdf["norm"].to_numpy(dtype=np.float64), 1e-12)
+            )
+            yield pd.DataFrame({
+                query_id: pdf[query_id],
+                id_col: pdf[id_col],
+                "ivf_cell": pdf["ivf_cell"],
+                "approx_cosine": scores,
+            })
+
+    scored = joined.mapInPandas(adc_fn, schema=adc_schema)
+    wa = Window.partitionBy(query_id).orderBy(
+        F.desc("approx_cosine"), F.asc(id_col)
+    )
+    cands = (
+        scored.withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") <= rerank)
+        .select(query_id, id_col, "ivf_cell")
+    )
+
+    qside = probe.select(query_id, "__qv", "__rrqn").dropDuplicates([query_id])
+    reranked = (
+        cells.select(id_col, vec_col, "ivf_cell")
+        .join(F.broadcast(cands), ["ivf_cell", id_col])
+        .join(F.broadcast(qside), query_id)
+        .withColumn(
+            "cosine",
+            _dot(vec_col, "__qv")
+            / (F.greatest(_norm(vec_col), F.lit(1e-12)) * F.col("__rrqn")),
+        )
+    )
+    wk = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        reranked.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
     )
 
 

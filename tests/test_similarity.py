@@ -602,3 +602,45 @@ def test_pq_adc_plan_size_bounded_at_production_shape(spark):
     assert len(plan) < 500_000
     rows = res.collect()
     assert len(rows) == 5
+
+
+def test_ivfpq_topk_batch_matches_single_query_path(spark, emb, tmp_path):
+    """Per-query differential: ivfpq_topk_batch must reproduce the
+    single-query ivfpq_topk EXACTLY (ids AND cosines) for every query in
+    the batch, on both a plain and a residual index — the batch path's
+    distributed cell ranking, per-batch LUT ADC, window cutoffs, and
+    re-rank replicate the single path's arithmetic step for step."""
+    queries = (
+        emb.filter("vec_id < 4")
+        .selectExpr("vec_id AS query_id", "embedding")
+    )
+    qvecs = {
+        r["query_id"]: [float(x) for x in r["embedding"]]
+        for r in queries.collect()
+    }
+    for residual, name in ((False, "plain"), (True, "res")):
+        idx = str(tmp_path / f"ivfpq_{name}")
+        similarity.ivfpq_build_index(
+            emb, idx, n_centroids=8, ivf_lloyd_iters=1, residual=residual
+        )
+        batch = similarity.ivfpq_topk_batch(
+            spark, idx, queries, k=5, probe_cells=2, rerank=20
+        ).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"], r["cosine"])
+            )
+        assert set(got) == set(qvecs)
+        for qid, qv in qvecs.items():
+            single = [
+                (i + 1, r["vec_id"], r["cosine"])
+                for i, r in enumerate(
+                    similarity.ivfpq_topk(
+                        spark, idx, qv, k=5, probe_cells=2, rerank=20
+                    ).collect()
+                )
+            ]
+            assert sorted(got[qid]) == single, f"{name} query {qid}"
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.ivfpq_topk_batch(spark, idx, queries, k=10, rerank=5)
