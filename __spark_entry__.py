@@ -1802,6 +1802,22 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix token budgeting (corpus.mixture_sample): per-stratum
+    keep-rates derived from measured token counts so the sampled corpus
+    hits a 50/30/20 en/de/zh TOKEN mixture at the largest achievable
+    budget, then the deterministic md5-bucket selection. DuckDB
+    recomputes token counts, the binding-stratum budget, the derived
+    thresholds, AND the bucket filter — the rate derivation itself is
+    inside the value hash. Unlisted languages are dropped (rate 0)."""
+    from slowspark.corpus import mixture_sample
+
+    d = _read(spark, sf_dir, "documents")
+    return mixture_sample(
+        d, {"en": 0.5, "de": 0.3, "zh": 0.2}
+    ).select("doc_id", "lang")
+
+
 def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF all-pairs similarity (corpus.tfidf_similar_pairs):
     tokenize, idf weighting, L2 normalization, the inverted-index
@@ -1862,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": _passage_dedup,
         "unigram_scores": _unigram_scores,
         "stratified_sample": _stratified_sample,
+        "mixture_sample": _mixture_sample,
         "exact_k_sample": _exact_k_sample,
         "pack_sequences": _pack_sequences,
         "tfidf_pairs": _tfidf_pairs,
@@ -2196,6 +2213,28 @@ def oracle_sql() -> dict[str, str]:
                        AS UBIGINT) % 10000
                   < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
                                WHEN 'zh' THEN 2500 ELSE 1000 END)
+        """,
+        "mixture_sample": """
+            WITH tok AS (
+                SELECT lang,
+                       CAST(sum(length(regexp_extract_all(text, '\\S+')))
+                            AS DOUBLE) AS t,
+                       CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                                 ELSE 0.2 END AS p
+                FROM documents WHERE lang IN ('en', 'de', 'zh')
+                GROUP BY lang
+            ), tmax AS (
+                SELECT min(t / p) AS big_t FROM tok
+            ), thr AS (
+                SELECT lang,
+                       CAST(floor(p * (SELECT big_t FROM tmax) / t * 10000
+                                  + 0.5) AS BIGINT) AS thr
+                FROM tok
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 10000 < thr.thr
         """,
         "tfidf_pairs": """
             WITH toks AS (

@@ -358,6 +358,108 @@ def hash_sample(
     )
 
 
+def mixture_rates(
+    df: DataFrame,
+    target_props: dict[str, float],
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    target_tokens: int | None = None,
+) -> tuple[dict[str, float], float]:
+    """Per-stratum keep-rates that sample `df` into a target token
+    MIXTURE — the domain-mix step of a pretraining pipeline ("60% en,
+    30% de, 10% code"): the mixture is a TOKEN budget split by the given
+    proportions, and each stratum's rate is whatever fraction of its
+    measured tokens meets its share. Returns (rates, achieved_tokens)
+    for corpus.hash_sample (deterministic md5-bucket sampling — the same
+    docs land in the mixture in every run/retry/engine).
+
+    `target_tokens=None` (default) uses the LARGEST achievable budget:
+    T = min over strata of tokens_s / p_s — the binding stratum samples
+    at rate 1.0 and every other stratum downsamples to proportion. An
+    explicit `target_tokens` above that maximum raises (a mixture that
+    silently under-delivers its scarcest domain is the failure mode this
+    guard exists for — upsampling/repetition is a different operator).
+    Strata in `target_props` with NO rows raise for the same reason;
+    strata in the data but absent from `target_props` get rate 0 (an
+    intentional drop, like hash_sample's default_rate=0).
+
+    Scale shape: ONE aggregate over (stratum, token-count) — token
+    counting is the same regexp_extract_all('\\S+') expression as the
+    token_count op — then pure driver arithmetic on a
+    strata-cardinality-sized table. Achieved tokens are exact in
+    expectation; per-stratum granularity is hash_sample's 1/buckets."""
+    import math
+
+    if not target_props:
+        raise ValueError("mixture_rates: target_props must be non-empty")
+    for s, p in target_props.items():
+        if p <= 0:
+            raise ValueError(
+                f"mixture_rates: proportion for {s!r} must be > 0, got {p}"
+            )
+    total_p = float(sum(target_props.values()))
+    props = {s: float(p) / total_p for s, p in target_props.items()}
+
+    counts = {
+        r["s"]: r["t"]
+        for r in df.filter(
+            F.col(stratum_col).isin(list(props))
+        )
+        .groupBy(F.col(stratum_col).alias("s"))
+        .agg(
+            F.sum(
+                F.size(F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)"))
+            ).alias("t")
+        )
+        .collect()
+    }
+    missing = sorted(set(props) - set(counts))
+    if missing:
+        raise ValueError(
+            f"mixture_rates: strata {missing} in target_props have no rows "
+            f"— the mixture cannot deliver their share (upsample/repeat is "
+            f"a different operator)"
+        )
+    t_max = min(counts[s] / props[s] for s in props)
+    if target_tokens is None:
+        t = t_max
+    elif target_tokens > t_max:
+        binding = min(props, key=lambda s: counts[s] / props[s])
+        raise ValueError(
+            f"mixture_rates: target_tokens={target_tokens} exceeds the "
+            f"maximum achievable mixture {math.floor(t_max)} (binding "
+            f"stratum {binding!r}: {counts[binding]} tokens / "
+            f"proportion {props[binding]:.4f})"
+        )
+    else:
+        t = float(target_tokens)
+    rates = {s: props[s] * t / counts[s] for s in props}
+    return rates, t
+
+
+def mixture_sample(
+    df: DataFrame,
+    target_props: dict[str, float],
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    target_tokens: int | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """mixture_rates composed with hash_sample: deterministically sample
+    `df` into the target token mixture. Strata not in `target_props` are
+    dropped (rate 0). Two jobs total: one token-count aggregate, one
+    narrow filtered scan — nothing shuffles."""
+    rates, _ = mixture_rates(
+        df, target_props, stratum_col, text_col, target_tokens
+    )
+    return hash_sample(
+        df, rates, default_rate=0.0, id_col=id_col,
+        stratum_col=stratum_col, salt=salt, buckets=buckets,
+    )
+
+
 def exact_k_sample(
     df: DataFrame,
     k: int,

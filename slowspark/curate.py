@@ -70,6 +70,8 @@ def run_curation(
     semantic_cells_df: DataFrame | None = None,
     semantic_n_clusters: int = 16,
     semantic_threshold: float = 0.95,
+    mixture: dict[str, float] | None = None,
+    target_tokens: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -120,7 +122,18 @@ def run_curation(
         cell-partitioned for ANN. The embeddings CONTENT (count +
         xxhash64 sum) participates in the resume signature, like the
         eval set — swapping the embedding table invalidates every
-        downstream manifest."""
+        downstream manifest.
+      - `mixture` (+ optional `target_tokens`): replace flat/per-stratum
+        sampling with domain-mix TOKEN budgeting (corpus.mixture_sample)
+        — per-stratum rates derived from the scrubbed corpus's measured
+        token counts so the sampled output hits the given proportions at
+        the largest achievable budget (or the explicit one; infeasible
+        budgets raise). Mutually exclusive with `sample_rates`; strata
+        not in the mixture are dropped."""
+    if mixture and sample_rates:
+        raise ValueError(
+            "run_curation: mixture and sample_rates are mutually exclusive"
+        )
     cat = Catalog(warehouse)
     if eval_df is not None:
         # sum in decimal(38,0): a long sum of xxhash64 values overflows
@@ -166,6 +179,8 @@ def run_curation(
         f"|langs={','.join(sorted(langs)) if langs else '*'}"
         f"|pii={int(scrub_pii)}|ssd={substring_dedup_n or 0}"
         f"|sem={sem_sig}"
+        f"|mix={','.join(f'{k}={v}' for k, v in sorted((mixture or {}).items()))}"
+        f"|tt={target_tokens or 0}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -293,13 +308,24 @@ def run_curation(
         )
         out["decontaminated"] = scrubbed
 
-    sampled = run_stage(
-        spark, cat, "sampled", sig,
-        lambda: hash_sample(
-            scrubbed, rates=dict(sample_rates or {}),
-            default_rate=sample_rate, salt=sample_salt,
-        ),
-    )
+    if mixture:
+        from slowspark.corpus import mixture_sample
+
+        sampled = run_stage(
+            spark, cat, "sampled", sig,
+            lambda: mixture_sample(
+                scrubbed, dict(mixture), target_tokens=target_tokens,
+                salt=sample_salt,
+            ),
+        )
+    else:
+        sampled = run_stage(
+            spark, cat, "sampled", sig,
+            lambda: hash_sample(
+                scrubbed, rates=dict(sample_rates or {}),
+                default_rate=sample_rate, salt=sample_salt,
+            ),
+        )
     out["sampled"] = sampled
 
     out["packed"] = run_stage(
@@ -345,10 +371,20 @@ def main(argv: list[str] | None = None) -> int:
                    "semantic-dedup stage WITHOUT k-means training/assignment")
     p.add_argument("--semantic-n-clusters", type=int, default=16)
     p.add_argument("--semantic-threshold", type=float, default=0.95)
+    p.add_argument("--mixture", default=None,
+                   help="domain-mix token budgeting as lang=prop[,...] "
+                   "(e.g. 'en=0.6,de=0.4'): per-stratum rates derived from "
+                   "measured token counts; unlisted strata dropped; "
+                   "mutually exclusive with --sample-rates")
+    p.add_argument("--target-tokens", type=int, default=None,
+                   help="explicit mixture token budget (default: largest "
+                   "achievable; infeasible budgets fail loudly)")
     args = p.parse_args(argv)
     if args.semantic_dedup_embeddings and args.semantic_dedup_cells:
         p.error("--semantic-dedup-embeddings and --semantic-dedup-cells "
                 "are mutually exclusive")
+    if args.mixture and args.sample_rates:
+        p.error("--mixture and --sample-rates are mutually exclusive")
     sample_rates = None
     if args.sample_rates:
         sample_rates = {
@@ -386,6 +422,12 @@ def main(argv: list[str] | None = None) -> int:
             semantic_cells_df=cells_df,
             semantic_n_clusters=args.semantic_n_clusters,
             semantic_threshold=args.semantic_threshold,
+            mixture={
+                k: float(v)
+                for k, v in (kv.split("=", 1)
+                             for kv in args.mixture.split(","))
+            } if args.mixture else None,
+            target_tokens=args.target_tokens,
         )
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {

@@ -307,3 +307,66 @@ def test_tfidf_max_df_prunes_heavy_hitters(spark):
     assert with_hh.count() == 15  # all C(6,2) pairs meet via "common"
     pruned = tfidf_similar_pairs(df, min_cosine=0.0, max_df=5)
     assert pruned.count() == 0    # pruning the hub removes all join fan-out
+
+
+# ---------------------------------------------------------------------------
+# mixture_rates / mixture_sample (domain-mix token budgeting)
+# ---------------------------------------------------------------------------
+
+def test_mixture_rates_max_budget_and_explicit_target(spark):
+    from slowspark.corpus import mixture_rates
+
+    # en: 100 docs x 10 tokens = 1000; de: 50 x 10 = 500; zh: 20 x 10 = 200
+    rows = (
+        [(i, "t " * 10, "en") for i in range(100)]
+        + [(1000 + i, "t " * 10, "de") for i in range(50)]
+        + [(2000 + i, "t " * 10, "zh") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # 50/30/20 mixture: binding stratum is zh (200 / 0.2 = 1000 <= en's
+    # 1000/0.5 = 2000, de's 500/0.3 ~ 1667) -> T_max = 1000
+    rates, t = mixture_rates(df, {"en": 0.5, "de": 0.3, "zh": 0.2})
+    assert t == 1000.0
+    assert rates["zh"] == 1.0  # binding stratum keeps everything
+    assert abs(rates["en"] - 0.5) < 1e-12    # 0.5 * 1000 / 1000
+    assert abs(rates["de"] - 0.6) < 1e-12    # 0.3 * 1000 / 500
+    # explicit smaller budget scales every rate down proportionally
+    rates2, t2 = mixture_rates(
+        df, {"en": 0.5, "de": 0.3, "zh": 0.2}, target_tokens=500
+    )
+    assert t2 == 500.0 and abs(rates2["zh"] - 0.5) < 1e-12
+    # an infeasible budget raises, naming the binding stratum
+    with pytest.raises(ValueError, match="binding stratum 'zh'"):
+        mixture_rates(df, {"en": 0.5, "de": 0.3, "zh": 0.2},
+                      target_tokens=2000)
+    # a stratum with no rows raises (the mixture cannot deliver it)
+    with pytest.raises(ValueError, match="have no rows"):
+        mixture_rates(df, {"en": 0.5, "fr": 0.5})
+    # proportions normalize (60/40 == 6/4)
+    r3, t3 = mixture_rates(df, {"en": 6, "de": 4})
+    r4, t4 = mixture_rates(df, {"en": 0.6, "de": 0.4})
+    assert r3 == r4 and t3 == t4
+
+
+def test_mixture_sample_hits_proportions_and_drops_unlisted(spark):
+    from slowspark.corpus import hash_sample, mixture_rates, mixture_sample
+
+    rows = (
+        [(i, "w " * 20, "en") for i in range(400)]
+        + [(1000 + i, "w " * 20, "de") for i in range(100)]
+        + [(2000 + i, "w " * 20, "xx") for i in range(30)]  # unlisted
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = mixture_sample(df, {"en": 0.5, "de": 0.5}).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert "xx" not in by_lang  # unlisted stratum dropped
+    assert by_lang["de"] == 100  # binding stratum fully kept
+    # en sampled at ~25% (0.5 * 2000 / 8000); all docs same length so
+    # token proportions == doc proportions; md5 buckets are uniform-ish
+    assert 60 <= by_lang["en"] <= 140
+    # composition identity: mixture_sample == hash_sample(mixture_rates)
+    rates, _ = mixture_rates(df, {"en": 0.5, "de": 0.5})
+    manual = {r["doc_id"] for r in hash_sample(df, rates).collect()}
+    assert {r["doc_id"] for r in out} == manual

@@ -553,3 +553,57 @@ def test_curation_decontamination_stage(spark, tmp_path):
     assert decon == scrubbed - {10}  # exactly the leaking doc dropped
     packed = {r["doc_id"] for r in tables["packed"].collect()}
     assert packed == decon
+
+
+def test_curation_mixture_sampling_stage(spark, tmp_path):
+    """--mixture replaces flat sampling with token-budget domain mixing at
+    exactly the sampled stage: rates derive from the SCRUBBED corpus's
+    measured token counts, the binding stratum keeps everything, unlisted
+    strata are dropped, and the knob participates in the resume
+    signature. mixture + sample_rates together raise."""
+    import os
+
+    import hashlib
+
+    letters = str.maketrans("0123456789", "ghijklmnop")
+
+    def salad(tag, n):
+        return " ".join(
+            hashlib.md5(f"{tag}:{j}".encode()).hexdigest()[:8].translate(letters)
+            for j in range(n)
+        )
+
+    stop = "the a of and in that with for to is"
+    rows = (
+        [(i, f"{salad(f'en{i}', 30)} {stop}", "en") for i in range(40)]
+        + [(100 + i, f"{salad(f'de{i}', 30)} {stop}", "de") for i in range(10)]
+        + [(200, f"{salad('xx', 30)} {stop}", "xx")]  # unlisted -> dropped
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    wh = str(tmp_path / "wh")
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+        mixture={"en": 0.5, "de": 0.5},
+    )
+    sampled = [(r["doc_id"], r["lang"]) for r in tables["sampled"].collect()]
+    langs = {l for _, l in sampled}
+    assert "xx" not in langs  # unlisted stratum dropped at the sampled stage
+    n_de = sum(1 for _, l in sampled if l == "de")
+    n_en = sum(1 for _, l in sampled if l == "en")
+    assert n_de == 10  # binding stratum (fewest tokens / its share) all kept
+    # en downsampled to ~the same token mass as de (docs are equal length,
+    # so ~10 docs; md5-bucket granularity gives it slack)
+    assert 4 <= n_en <= 18
+    packed = {r["doc_id"] for r in tables["packed"].collect()}
+    assert packed == {d for d, _ in sampled}
+
+    # the mixture knob invalidates downstream manifests
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 mixture={"en": 0.6, "de": 0.4})
+    assert os.path.getmtime(os.path.join(wh, "packed")) != m0
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                     mixture={"en": 0.5, "de": 0.5},
+                     sample_rates={"en": 1.0})
