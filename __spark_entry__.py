@@ -1818,6 +1818,25 @@ def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-regime domain mixing (corpus.mixture_rates with
+    allow_upsample + corpus.repeat_sample): a 25/25/50 en/de/zh TOKEN
+    remix at the corpus-preserving budget, so the scarce stratum repeats
+    (rate > 1, per-row repeat_ix) while the abundant one downsamples.
+    DuckDB recomputes token counts, the corpus-total budget, the derived
+    floor/fractional-threshold split, and the per-row copy expansion —
+    the whole repetition arithmetic is inside the value hash.
+    Proportions are powers of two (0.25/0.25/0.5) so normalization is
+    exact in both engines."""
+    from slowspark.corpus import mixture_rates, repeat_sample
+
+    d = _read(spark, sf_dir, "documents")
+    rates, _t = mixture_rates(
+        d, {"en": 0.25, "de": 0.25, "zh": 0.5}, allow_upsample=True
+    )
+    return repeat_sample(d, rates).select("doc_id", "lang", "repeat_ix")
+
+
 def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF all-pairs similarity (corpus.tfidf_similar_pairs):
     tokenize, idf weighting, L2 normalization, the inverted-index
@@ -1879,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_scores": _unigram_scores,
         "stratified_sample": _stratified_sample,
         "mixture_sample": _mixture_sample,
+        "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
         "pack_sequences": _pack_sequences,
         "tfidf_pairs": _tfidf_pairs,
@@ -2235,6 +2255,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN thr ON d.lang = thr.lang
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) % 10000 < thr.thr
+        """,
+        "repeat_upsample": """
+            WITH tok AS (
+                SELECT lang,
+                       CAST(sum(length(regexp_extract_all(text, '\\S+')))
+                            AS DOUBLE) AS t,
+                       CASE lang WHEN 'zh' THEN 0.5 ELSE 0.25 END AS p
+                FROM documents WHERE lang IN ('en', 'de', 'zh')
+                GROUP BY lang
+            ), big AS (
+                SELECT sum(t) AS big_t FROM tok
+            ), parts AS (
+                SELECT lang,
+                       CAST(floor(rate) AS BIGINT) AS n_full,
+                       CAST(floor((rate - floor(rate)) * 10000 + 0.5)
+                            AS BIGINT) AS thr
+                FROM (
+                    SELECT lang, p * (SELECT big_t FROM big) / t AS rate
+                    FROM tok
+                )
+            ), copied AS (
+                SELECT d.doc_id, d.lang,
+                       parts.n_full
+                       + CASE WHEN CAST(('0x' || substr(
+                                  md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                                  AS UBIGINT) % 10000 < parts.thr
+                              THEN 1 ELSE 0 END AS copies
+                FROM documents d JOIN parts USING (lang)
+            )
+            SELECT doc_id, lang, CAST(u AS INTEGER) AS repeat_ix
+            FROM (
+                SELECT doc_id, lang, unnest(range(copies)) AS u
+                FROM copied WHERE copies > 0
+            )
         """,
         "tfidf_pairs": """
             WITH toks AS (

@@ -364,6 +364,7 @@ def mixture_rates(
     stratum_col: str = "lang",
     text_col: str = "text",
     target_tokens: int | None = None,
+    allow_upsample: bool = False,
 ) -> tuple[dict[str, float], float]:
     """Per-stratum keep-rates that sample `df` into a target token
     MIXTURE — the domain-mix step of a pretraining pipeline ("60% en,
@@ -378,10 +379,17 @@ def mixture_rates(
     at rate 1.0 and every other stratum downsamples to proportion. An
     explicit `target_tokens` above that maximum raises (a mixture that
     silently under-delivers its scarcest domain is the failure mode this
-    guard exists for — upsampling/repetition is a different operator).
-    Strata in `target_props` with NO rows raise for the same reason;
-    strata in the data but absent from `target_props` get rate 0 (an
-    intentional drop, like hash_sample's default_rate=0).
+    guard exists for) — UNLESS `allow_upsample=True`, the repetition
+    regime: rates may exceed 1.0 and scarce strata repeat (feed the
+    rates to repeat_sample, NOT hash_sample, which cannot express a
+    rate > 1); its default budget is the listed strata's TOTAL token
+    mass (a corpus-size-preserving remix — e.g. "keep the same token
+    count, but make it 40% code": abundant strata downsample, scarce
+    ones repeat, the classic multi-epoch-Wikipedia recipe).
+    Strata in `target_props` with NO rows raise in both regimes
+    (repetition of nothing is still nothing); strata in the data but
+    absent from `target_props` get rate 0 (an intentional drop, like
+    hash_sample's default_rate=0).
 
     Scale shape: ONE aggregate over (stratum, token-count) — token
     counting is the same regexp_extract_all('\\S+') expression as the
@@ -422,14 +430,15 @@ def mixture_rates(
         )
     t_max = min(counts[s] / props[s] for s in props)
     if target_tokens is None:
-        t = t_max
-    elif target_tokens > t_max:
+        t = float(sum(counts.values())) if allow_upsample else t_max
+    elif target_tokens > t_max and not allow_upsample:
         binding = min(props, key=lambda s: counts[s] / props[s])
         raise ValueError(
             f"mixture_rates: target_tokens={target_tokens} exceeds the "
             f"maximum achievable mixture {math.floor(t_max)} (binding "
             f"stratum {binding!r}: {counts[binding]} tokens / "
-            f"proportion {props[binding]:.4f})"
+            f"proportion {props[binding]:.4f}); pass allow_upsample=True "
+            f"for the repetition regime (rates > 1, repeat_sample)"
         )
     else:
         t = float(target_tokens)
@@ -457,6 +466,87 @@ def mixture_sample(
     return hash_sample(
         df, rates, default_rate=0.0, id_col=id_col,
         stratum_col=stratum_col, salt=salt, buckets=buckets,
+    )
+
+
+def repeat_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "",
+    buckets: int = 10_000,
+    out_col: str = "repeat_ix",
+) -> DataFrame:
+    """Deterministic fractional OVER/under-sampling: each row lands
+    floor(rate) or ceil(rate) times — floor(rate) guaranteed copies plus
+    one more iff the row's md5(id || salt) bucket clears the fractional
+    part's threshold. Emits `out_col` (0-based repeat index) so
+    downstream stages (packing, shuffling) can key on (id, repeat_ix)
+    instead of colliding on the repeated id. For every rate <= 1 the
+    selected row set is IDENTICAL to hash_sample's (same threshold
+    arithmetic: floor(frac * buckets + 0.5), integer compare) — this is
+    hash_sample's strict generalization, and the operator the
+    allow_upsample mixture regime feeds.
+
+    Same no-silent-drops rule as hash_sample: a positive rate whose
+    floor AND fractional threshold are both zero raises (it would
+    silently emit nothing); rate 0.0 is an intentional drop. The same
+    doc repeats in every run/retry/engine — repetition is part of the
+    dataset definition, not a runtime accident.
+
+    Scale shape: one narrow projection + explode(sequence(0, copies-1));
+    no shuffle, no UDF. Expected output tokens per stratum =
+    rate * stratum tokens, exact to hash_sample's 1/buckets
+    granularity."""
+    import math
+
+    if not (0 < buckets):
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    for s, v in {**rates, "default": default_rate}.items():
+        if v < 0.0:
+            raise ValueError(f"rate for {s!r} must be >= 0, got {v}")
+
+    def _parts(name: str, rate: float) -> tuple[int, int]:
+        n_full = int(math.floor(float(rate)))
+        frac_thr = int(math.floor((float(rate) - n_full) * buckets + 0.5))
+        if rate > 0.0 and n_full == 0 and frac_thr == 0:
+            raise ValueError(
+                f"repeat_sample: rate {rate} for {name!r} is below "
+                f"half-bucket granularity at buckets={buckets} (it would "
+                f"silently emit nothing); raise buckets"
+            )
+        return n_full, frac_thr
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % buckets
+    )
+    d_full, d_thr = _parts("default", default_rate)
+    full = F.lit(d_full)
+    thr = F.lit(d_thr)
+    for stratum, r in sorted(rates.items()):
+        n_full, frac_thr = _parts(stratum, r)
+        cond = F.col(stratum_col) == stratum
+        full = F.when(cond, F.lit(n_full)).otherwise(full)
+        thr = F.when(cond, F.lit(frac_thr)).otherwise(thr)
+    copies = full + (F.col("__bucket") < thr).cast("int")
+    return (
+        df.withColumn("__bucket", bucket)
+        .withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            out_col,
+            F.explode(F.expr("sequence(0, __copies - 1)")),
+        )
+        .drop("__bucket", "__copies")
     )
 
 

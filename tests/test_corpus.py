@@ -370,3 +370,60 @@ def test_mixture_sample_hits_proportions_and_drops_unlisted(spark):
     rates, _ = mixture_rates(df, {"en": 0.5, "de": 0.5})
     manual = {r["doc_id"] for r in hash_sample(df, rates).collect()}
     assert {r["doc_id"] for r in out} == manual
+
+
+def test_repeat_sample_upsampling_and_hash_sample_equivalence(spark):
+    from slowspark.corpus import hash_sample, mixture_rates, repeat_sample
+
+    rows = (
+        [(i, "w " * 10, "en") for i in range(300)]
+        + [(1000 + i, "w " * 10, "de") for i in range(60)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    # rate 2.5: every de row appears 2 or 3 times, repeat_ix contiguous
+    out = repeat_sample(df, {"de": 2.5}).collect()
+    by_doc: dict = {}
+    for r in out:
+        assert r["lang"] == "de"  # default_rate 0 drops en
+        by_doc.setdefault(r["doc_id"], []).append(r["repeat_ix"])
+    assert set(by_doc) == {1000 + i for i in range(60)}
+    n3 = 0
+    for doc, ixs in by_doc.items():
+        assert sorted(ixs) == list(range(len(ixs)))
+        assert len(ixs) in (2, 3)
+        n3 += len(ixs) == 3
+    assert 10 <= n3 <= 50  # ~half the rows get the fractional extra copy
+
+    # rates <= 1 reduce EXACTLY to hash_sample's selection
+    rep = {(r["doc_id"],) for r in repeat_sample(df, {"en": 0.4}).collect()}
+    hs = {(r["doc_id"],) for r in hash_sample(df, {"en": 0.4}).collect()}
+    assert rep == hs
+
+    # determinism: same input -> same multiset
+    again = {(r["doc_id"], r["repeat_ix"])
+             for r in repeat_sample(df, {"de": 2.5}).collect()}
+    assert again == {(r["doc_id"], r["repeat_ix"]) for r in out}
+
+    # no-silent-drops: positive rate that would emit nothing raises
+    with pytest.raises(ValueError, match="half-bucket granularity"):
+        repeat_sample(df, {"en": 0.00001})
+    # negative rates rejected
+    with pytest.raises(ValueError, match=">= 0"):
+        repeat_sample(df, {"en": -1.0})
+
+    # allow_upsample mixture: 50/50 remix of a 3000/600-token corpus at
+    # corpus-preserving budget 3600 -> en rate 0.6, de rate 3.0
+    rates, t = mixture_rates(
+        df, {"en": 0.5, "de": 0.5}, allow_upsample=True
+    )
+    assert t == 3600.0
+    assert abs(rates["en"] - 0.6) < 1e-12 and abs(rates["de"] - 3.0) < 1e-12
+    mixed = repeat_sample(df, rates).collect()
+    n_de = sum(1 for r in mixed if r["lang"] == "de")
+    n_en = sum(1 for r in mixed if r["lang"] == "en")
+    assert n_de == 180  # integer rate: every de row exactly 3 times
+    assert 140 <= n_en <= 220  # ~0.6 * 300
+    # without allow_upsample the same budget raises, naming the regime
+    with pytest.raises(ValueError, match="allow_upsample=True"):
+        mixture_rates(df, {"en": 0.5, "de": 0.5}, target_tokens=3600)
