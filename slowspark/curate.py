@@ -72,6 +72,7 @@ def run_curation(
     semantic_threshold: float = 0.95,
     mixture: dict[str, float] | None = None,
     target_tokens: int | None = None,
+    mixture_upsample: bool = False,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -129,10 +130,20 @@ def run_curation(
         token counts so the sampled output hits the given proportions at
         the largest achievable budget (or the explicit one; infeasible
         budgets raise). Mutually exclusive with `sample_rates`; strata
-        not in the mixture are dropped."""
+        not in the mixture are dropped. With `mixture_upsample=True` the
+        repetition regime applies instead (rates may exceed 1; scarce
+        strata repeat via corpus.repeat_sample with a per-row repeat_ix;
+        default budget = the corpus's own token mass): the sampled table
+        gains a repeat_ix column and packing keys on
+        (doc_id, repeat_ix) so repeated copies pack as distinct
+        documents — deterministically, the same copies in every run."""
     if mixture and sample_rates:
         raise ValueError(
             "run_curation: mixture and sample_rates are mutually exclusive"
+        )
+    if mixture_upsample and not mixture:
+        raise ValueError(
+            "run_curation: mixture_upsample requires a mixture"
         )
     cat = Catalog(warehouse)
     if eval_df is not None:
@@ -180,7 +191,7 @@ def run_curation(
         f"|pii={int(scrub_pii)}|ssd={substring_dedup_n or 0}"
         f"|sem={sem_sig}"
         f"|mix={','.join(f'{k}={v}' for k, v in sorted((mixture or {}).items()))}"
-        f"|tt={target_tokens or 0}"
+        f"|tt={target_tokens or 0}|mup={int(mixture_upsample)}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -308,7 +319,18 @@ def run_curation(
         )
         out["decontaminated"] = scrubbed
 
-    if mixture:
+    if mixture and mixture_upsample:
+        from slowspark.corpus import mixture_rates, repeat_sample
+
+        def _upsampled() -> DataFrame:
+            rates, _t = mixture_rates(
+                scrubbed, dict(mixture), target_tokens=target_tokens,
+                allow_upsample=True,
+            )
+            return repeat_sample(scrubbed, rates, salt=sample_salt)
+
+        sampled = run_stage(spark, cat, "sampled", sig, _upsampled)
+    elif mixture:
         from slowspark.corpus import mixture_sample
 
         sampled = run_stage(
@@ -328,10 +350,31 @@ def run_curation(
         )
     out["sampled"] = sampled
 
-    out["packed"] = run_stage(
-        spark, cat, "packed", sig,
-        lambda: pack_sequences(sampled, seq_len=seq_len),
-    )
+    if mixture_upsample:
+        # repeated copies are distinct documents to the packer: key the
+        # global concat order on (doc_id, repeat_ix), then flatten back
+        def _packed() -> DataFrame:
+            # NOT named __pid: pack_sequences uses that internally for
+            # its range-partition id and would overwrite the struct
+            p = pack_sequences(
+                sampled.withColumn(
+                    "__packkey", F.struct("doc_id", "repeat_ix")
+                ),
+                seq_len=seq_len,
+                id_col="__packkey",
+            )
+            return p.select(
+                F.col("__packkey.doc_id").alias("doc_id"),
+                F.col("__packkey.repeat_ix").alias("repeat_ix"),
+                "n_tokens", "seq_id", "seq_offset",
+            )
+
+        out["packed"] = run_stage(spark, cat, "packed", sig, _packed)
+    else:
+        out["packed"] = run_stage(
+            spark, cat, "packed", sig,
+            lambda: pack_sequences(sampled, seq_len=seq_len),
+        )
     return out
 
 
@@ -379,12 +422,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-tokens", type=int, default=None,
                    help="explicit mixture token budget (default: largest "
                    "achievable; infeasible budgets fail loudly)")
+    p.add_argument("--mixture-upsample", action="store_true",
+                   help="repetition regime for --mixture: scarce strata "
+                   "repeat (per-row repeat_ix; packing keys on doc_id + "
+                   "repeat_ix); default budget = the corpus's token mass")
     args = p.parse_args(argv)
     if args.semantic_dedup_embeddings and args.semantic_dedup_cells:
         p.error("--semantic-dedup-embeddings and --semantic-dedup-cells "
                 "are mutually exclusive")
     if args.mixture and args.sample_rates:
         p.error("--mixture and --sample-rates are mutually exclusive")
+    if args.mixture_upsample and not args.mixture:
+        p.error("--mixture-upsample requires --mixture")
     sample_rates = None
     if args.sample_rates:
         sample_rates = {
@@ -428,6 +477,7 @@ def main(argv: list[str] | None = None) -> int:
                              for kv in args.mixture.split(","))
             } if args.mixture else None,
             target_tokens=args.target_tokens,
+            mixture_upsample=args.mixture_upsample,
         )
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {

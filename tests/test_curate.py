@@ -607,3 +607,72 @@ def test_curation_mixture_sampling_stage(spark, tmp_path):
         run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
                      mixture={"en": 0.5, "de": 0.5},
                      sample_rates={"en": 1.0})
+
+
+def test_curation_mixture_upsample_stage(spark, tmp_path):
+    """--mixture --mixture-upsample runs the repetition regime: the
+    scarce stratum's docs REPEAT (repeat_ix column), packing keys on
+    (doc_id, repeat_ix) so copies pack as distinct documents, and the
+    whole chain is deterministic across a resume."""
+    import hashlib
+    import os
+
+    letters = str.maketrans("0123456789", "ghijklmnop")
+
+    def salad(tag, n):
+        return " ".join(
+            hashlib.md5(f"{tag}:{j}".encode()).hexdigest()[:8].translate(letters)
+            for j in range(n)
+        )
+
+    stop = "the a of and in that with for to is"
+    rows = (
+        [(i, f"{salad(f'en{i}', 30)} {stop}", "en") for i in range(40)]
+        + [(100 + i, f"{salad(f'de{i}', 30)} {stop}", "de") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    wh = str(tmp_path / "wh")
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+        mixture={"en": 0.5, "de": 0.5}, mixture_upsample=True,
+    )
+    sampled = [(r["doc_id"], r["lang"], r["repeat_ix"])
+               for r in tables["sampled"].collect()]
+    # 50/50 remix of a 1600/400-token corpus at budget 2000: de rate 2.5
+    # (each de doc 2-3 copies), en rate 0.625
+    de_copies: dict = {}
+    for d, l, ix in sampled:
+        if l == "de":
+            de_copies.setdefault(d, []).append(ix)
+    assert set(de_copies) == {100 + i for i in range(10)}
+    for d, ixs in de_copies.items():
+        assert sorted(ixs) == list(range(len(ixs))) and len(ixs) in (2, 3)
+    packed = tables["packed"].collect()
+    assert {c.name for c in tables["packed"].schema} == {
+        "doc_id", "repeat_ix", "n_tokens", "seq_id", "seq_offset"
+    }
+    # every sampled (doc, copy) packs exactly once
+    assert sorted((r["doc_id"], r["repeat_ix"]) for r in packed) == sorted(
+        (d, ix) for d, _, ix in sampled
+    )
+    # resume: identical output, no recompute
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    t2 = run_curation(
+        spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+        mixture={"en": 0.5, "de": 0.5}, mixture_upsample=True,
+    )
+    assert os.path.getmtime(os.path.join(wh, "packed")) == m0
+    assert sorted(
+        (r["doc_id"], r["repeat_ix"], r["seq_id"], r["seq_offset"])
+        for r in t2["packed"].collect()
+    ) == sorted(
+        (r["doc_id"], r["repeat_ix"], r["seq_id"], r["seq_offset"])
+        for r in packed
+    )
+    # the regime knob itself invalidates (upsample -> downsample)
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 mixture={"en": 0.5, "de": 0.5})
+    assert os.path.getmtime(os.path.join(wh, "packed")) != m0
+    with pytest.raises(ValueError, match="requires a mixture"):
+        run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                     mixture_upsample=True)
