@@ -55,6 +55,12 @@ def main():
 
     oracles = contract.oracle_sql()
     failures = []
+    if ONLY is not None:
+        unknown = sorted(ONLY - set(contract.queries()))
+        if unknown:
+            # a typo'd subset must not read as a green run of nothing
+            print(f"ERROR unknown query name(s): {', '.join(unknown)}")
+            sys.exit(2)
     for name, fn in contract.queries().items():
         if ONLY is not None and name not in ONLY:
             continue

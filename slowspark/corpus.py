@@ -284,6 +284,33 @@ def unigram_logprob(
     )
 
 
+def _md5_bucket(id_col: str, salt: str, buckets: int):
+    """The sampling bucket expression shared by hash_sample and
+    repeat_sample: md5(id || salt)'s first 8 hex digits as an integer,
+    mod buckets. ONE definition on purpose — repeat_sample's documented
+    selection-identity with hash_sample for rates <= 1 holds only while
+    both read the same buckets."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % buckets
+    )
+
+
+def _half_up_threshold(rate: float, buckets: int) -> int:
+    """floor(rate * buckets + 0.5): the shared half-up integer threshold
+    (Python round() is banker's rounding — it sent exact half-bucket
+    rates to 0)."""
+    import math
+
+    return int(math.floor(float(rate) * buckets + 0.5))
+
+
 def hash_sample(
     df: DataFrame,
     rates: dict[str, float],
@@ -318,8 +345,6 @@ def hash_sample(
     A positive rate whose threshold still lands on 0 — below half-bucket
     granularity — raises instead of silently sampling nothing (the
     no-silent-drops convention); raise `buckets` to express finer rates."""
-    import math
-
     if not (0 < buckets):
         raise ValueError(f"buckets must be positive, got {buckets}")
     for k, v in {**rates, "default": default_rate}.items():
@@ -327,7 +352,7 @@ def hash_sample(
             raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
 
     def _thr(name: str, rate: float) -> int:
-        t = int(math.floor(float(rate) * buckets + 0.5))
+        t = _half_up_threshold(rate, buckets)
         if rate > 0.0 and t == 0:
             raise ValueError(
                 f"hash_sample: rate {rate} for {name!r} is below "
@@ -336,16 +361,7 @@ def hash_sample(
             )
         return t
 
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % buckets
-    )
+    bucket = _md5_bucket(id_col, salt, buckets)
     thr = F.lit(_thr("default", default_rate))
     for stratum, r in sorted(rates.items()):
         thr = F.when(
@@ -428,6 +444,16 @@ def mixture_rates(
             f"— the mixture cannot deliver their share (upsample/repeat is "
             f"a different operator)"
         )
+    # rows whose text is all NULL aggregate to a NULL token sum; rows of
+    # empty/whitespace text to 0 — both are "cannot deliver any tokens"
+    # and get the same loud error as a missing stratum (a raw
+    # ZeroDivisionError here would violate the fail-loudly convention)
+    empty = sorted(s for s in props if not counts[s])
+    if empty:
+        raise ValueError(
+            f"mixture_rates: strata {empty} in target_props have rows but "
+            f"zero tokens — the mixture cannot deliver their share"
+        )
     t_max = min(counts[s] / props[s] for s in props)
     if target_tokens is None:
         t = float(sum(counts.values())) if allow_upsample else t_max
@@ -443,6 +469,11 @@ def mixture_rates(
     else:
         t = float(target_tokens)
     rates = {s: props[s] * t / counts[s] for s in props}
+    if not allow_upsample:
+        # the binding stratum's rate is (c/p)*p/c, which float64 can round
+        # to 1.0 + 1 ulp — clamp so hash_sample's [0, 1] validation never
+        # rejects a feasible mixture on data-dependent token counts
+        rates = {s: min(1.0, r) for s, r in rates.items()}
     return rates, t
 
 
@@ -510,7 +541,10 @@ def repeat_sample(
 
     def _parts(name: str, rate: float) -> tuple[int, int]:
         n_full = int(math.floor(float(rate)))
-        frac_thr = int(math.floor((float(rate) - n_full) * buckets + 0.5))
+        # fractional part through the SHARED half-up helper: the
+        # selection-identity with hash_sample for rates <= 1 depends on
+        # both using the same threshold arithmetic
+        frac_thr = _half_up_threshold(float(rate) - n_full, buckets)
         if rate > 0.0 and n_full == 0 and frac_thr == 0:
             raise ValueError(
                 f"repeat_sample: rate {rate} for {name!r} is below "
@@ -519,16 +553,7 @@ def repeat_sample(
             )
         return n_full, frac_thr
 
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-        % buckets
-    )
+    bucket = _md5_bucket(id_col, salt, buckets)
     d_full, d_thr = _parts("default", default_rate)
     full = F.lit(d_full)
     thr = F.lit(d_thr)

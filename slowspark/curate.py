@@ -165,14 +165,21 @@ def run_curation(
     sem_src = semantic_cells_df if semantic_cells_df is not None else embeddings_df
     if sem_src is not None:
         # content hash, same discipline as the eval set: resume must miss
-        # when the embedding table changes, not just when knobs change
+        # when the embedding table changes, not just when knobs change.
+        # For a pre-assigned cell table the CELL ASSIGNMENTS are part of
+        # the content (rebuilding the IVF index with a different seed
+        # keeps doc_id+embedding identical but moves docs across cells,
+        # which changes the cluster-blocked pair set) — hash ivf_cell too
+        hash_cols = [
+            F.col("doc_id").cast("string"),
+            F.col("embedding").cast("string"),
+        ]
+        if semantic_cells_df is not None:
+            hash_cols.append(F.col("ivf_cell").cast("string"))
         eh = sem_src.agg(
             F.count("*").alias("n"),
             F.coalesce(
-                F.sum(F.xxhash64(
-                    F.col("doc_id").cast("string"),
-                    F.col("embedding").cast("string"),
-                ).cast("decimal(38,0)")),
+                F.sum(F.xxhash64(*hash_cols).cast("decimal(38,0)")),
                 F.lit(0),
             ).alias("h"),
         ).first()

@@ -1139,12 +1139,18 @@ def ivfpq_topk_batch(
          (broadcast) against the cell-partitioned codes — the scan reads
          only (id, pq_codes, norm, ivf_cell), never raw vectors, and the
          broadcast keys enable dynamic partition pruning of unprobed
-         cells;
+         cells. The probe rows carry only scalars (norms + residual
+         bias), NEVER the query vector — a dim-sized array on every
+         (query, cell) row would ride the join onto every candidate code
+         row, a ~1000x payload inflation at production dims next to the
+         8-byte codes; query vectors instead travel ONCE per executor as
+         a Spark broadcast variable (so the query set must fit executor
+         memory — chunk larger batches);
       3. ADC: mapInPandas over the joined rows — per Arrow batch the LUT
-         is built once per distinct query (m*k dots, cached) and scores
-         accumulate in the same left-fold-over-j order as pq_topk's
-         literal-LUT fold, so approx_cosine is bit-identical to the
-         single-query plan;
+         is built once per distinct query (m*k dots from the broadcast
+         query map, cached) and scores accumulate in the same
+         left-fold-over-j order as pq_topk's literal-LUT fold, so
+         approx_cosine is bit-identical to the single-query plan;
       4. rerank cut: row_number window per query (desc score, asc id);
       5. exact re-rank: the candidates' raw vectors (broadcast semi
          restricted to (cell, id) — partition-prunable) scored with the
@@ -1164,7 +1170,6 @@ def ivfpq_topk_batch(
     qid_type = queries.schema[query_id].dataType
     probe_schema = T.StructType([
         T.StructField(query_id, qid_type),
-        T.StructField("__qv", T.ArrayType(T.DoubleType())),
         T.StructField("__adcqn", T.DoubleType()),
         T.StructField("__rrqn", T.DoubleType()),
         T.StructField("ivf_cell", T.IntegerType()),
@@ -1183,7 +1188,6 @@ def ivfpq_topk_batch(
                 bias = cmat @ q if residual else None
                 for c in _rank_cells(cmat, q, probe_cells):
                     out[query_id].append(qid)
-                    out["__qv"].append([float(x) for x in q])
                     out["__adcqn"].append(adcqn)
                     out["__rrqn"].append(rrqn)
                     out["ivf_cell"].append(c)
@@ -1195,11 +1199,18 @@ def ivfpq_topk_batch(
             probe_fn, schema=probe_schema
         )
     )
+    # query vectors: one Arrow read, one broadcast — per EXECUTOR, not
+    # per probe row or candidate row
+    qpdf = queries.select(query_id, query_vec).toPandas()
+    bc_queries = spark.sparkContext.broadcast({
+        qid: np.asarray(vec, dtype=np.float64)
+        for qid, vec in zip(qpdf[query_id], qpdf[query_vec])
+    })
 
     cells = spark.read.parquet(f"{index_path}/cells")
     joined = cells.select(id_col, "pq_codes", "norm", "ivf_cell").join(
         F.broadcast(
-            probe.select(query_id, "__qv", "__adcqn", "__bias", "ivf_cell")
+            probe.select(query_id, "__adcqn", "__bias", "ivf_cell")
         ),
         "ivf_cell",
     )
@@ -1228,9 +1239,7 @@ def ivfpq_topk_batch(
                 sel = qids == qid
                 lut = lut_cache.get(qid)
                 if lut is None:
-                    q = np.asarray(
-                        pdf["__qv"][sel].iloc[0], dtype=np.float64
-                    )
+                    q = bc_queries.value[qid]
                     # same arithmetic as pq_topk's LUT build: float(np.dot)
                     # per (j, c); fold below runs left-to-right over j,
                     # matching the literal-LUT aggregate's order
@@ -1268,7 +1277,21 @@ def ivfpq_topk_batch(
         .select(query_id, id_col, "ivf_cell")
     )
 
-    qside = probe.select(query_id, "__qv", "__rrqn").dropDuplicates([query_id])
+    # re-rank side: qv as a COLUMN again, but only on q rows (broadcast)
+    # joined to the q x rerank candidate rows — bounded, unlike the
+    # candidate-generation join. The cast to array<double> widens the
+    # stored floats exactly like the single-query path's
+    # [float(x) for x in row] materialization.
+    qside = (
+        probe.select(query_id, "__rrqn").dropDuplicates([query_id])
+        .join(
+            queries.select(
+                query_id,
+                F.col(query_vec).cast("array<double>").alias("__qv"),
+            ),
+            query_id,
+        )
+    )
     reranked = (
         cells.select(id_col, vec_col, "ivf_cell")
         .join(F.broadcast(cands), ["ivf_cell", id_col])

@@ -277,10 +277,11 @@ def curate_ingest_batch(
     keys-written-before-sigs appends, candidate-DISTINCT neutralization),
     so the epoch/marker/anti-join machinery here is method-agnostic; an
     index built with one method must never be probed with the other —
-    the index carries a `_method` stamp (written at first build) and a
-    mismatching batch raises BEFORE touching anything (without the stamp
-    the other method's key-table probe would read the index as absent
-    and silently REBUILD over it — data loss, not an error)."""
+    the index carries a `_method` stamp (written BEFORE the first build,
+    so no crash window leaves a built index unstamped) and a mismatching
+    batch raises BEFORE touching anything (without the stamp the other
+    method's key-table probe would read the index as absent and silently
+    REBUILD over it — data loss, not an error)."""
     from slowspark.corpus import quality_filter_flags
     from slowspark.textops import (
         append_to_minhash_index,
@@ -363,6 +364,16 @@ def curate_ingest_batch(
         accepted.write.mode("overwrite").parquet(sink_dir)
     marker = f"{index_path}/_epochs/{epoch_id}"
     if not fs_exists(spark, marker):
+        # stamp the method BEFORE touching the index: if the stamp were
+        # written after the build, a crash in between would leave a built
+        # index with no stamp, and a later wrong-method probe would pass
+        # the check, read the index as absent (its key-table layout
+        # differs), and silently rebuild over it — the exact loss the
+        # stamp exists to prevent. Stamping first is safe: the content is
+        # idempotent, and a stamp with no index behind it just means the
+        # next correct-method epoch builds as usual.
+        if not fs_exists(spark, method_stamp):
+            fs_write_text_atomic(spark, method_stamp, method)
         to_index = accepted
         if is_replay and index_exists:
             # Crash-recovery path only: the sink completed but the marker
@@ -380,10 +391,6 @@ def curate_ingest_batch(
             _append(to_index)
         else:
             _build(to_index)
-        if not fs_exists(spark, method_stamp):
-            # idempotent: first build stamps the method; replays that
-            # crashed before the stamp re-land the identical content
-            fs_write_text_atomic(spark, method_stamp, method)
         # atomic publish: a torn marker never looks valid
         fs_write_text_atomic(spark, marker, "done")
 

@@ -487,6 +487,25 @@ def test_curation_semantic_knobs_invalidate_resume(spark, tmp_path):
                  semantic_threshold=0.9)
     assert os.path.getmtime(packed_dir) == m2  # identical re-run resumes
 
+    # a pre-assigned cell table's CELL ASSIGNMENTS are content too (r6
+    # review: rebuilding the IVF index with a different seed keeps
+    # doc_id+embedding identical but moves docs across cells, changing
+    # the blocked pair set — the signature must hash ivf_cell)
+    cells1 = emb2.withColumn("ivf_cell", F.lit(0))
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 semantic_cells_df=cells1)
+    m3 = os.path.getmtime(packed_dir)
+    cells2 = emb2.withColumn(
+        "ivf_cell", (F.col("doc_id") % 2).cast("int")
+    )
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 semantic_cells_df=cells2)
+    m4 = os.path.getmtime(packed_dir)
+    assert m4 != m3  # changed assignments cannot serve stale manifests
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 semantic_cells_df=cells2)
+    assert os.path.getmtime(packed_dir) == m4  # identical cells resume
+
 
 def test_curate_ingest_crash_between_index_write_and_marker(spark, tmp_path):
     """Crash window between the index build/append and the epoch marker:
@@ -676,3 +695,49 @@ def test_curation_mixture_upsample_stage(spark, tmp_path):
     with pytest.raises(ValueError, match="requires a mixture"):
         run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
                      mixture_upsample=True)
+
+
+def test_curate_ingest_method_stamp_written_before_build(spark, tmp_path):
+    """The _method stamp lands BEFORE the index build (r6 review: written
+    after, a crash between build and stamp left a built index unstamped —
+    a later wrong-method probe passed the check and silently rebuilt over
+    it). Pinned two ways: (a) a build that CRASHES mid-way still leaves
+    the stamp, so the wrong-method restart raises instead of rebuilding;
+    (b) a stamp with no index behind it lets the correct method proceed
+    normally."""
+    import pytest as _pytest
+
+    from slowspark import textops
+    from slowspark.streaming import curate_ingest_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    doc_a = ("the quick brown fox jumps over a lazy dog and runs to the "
+             "old mill with great speed every single morning before dawn "
+             * 2)
+    batch = spark.createDataFrame(
+        [(1, doc_a, "en")], "doc_id long, text string, lang string"
+    )
+
+    # (a) crash INSIDE the first build, after the stamp
+    real_build = textops.build_simhash_index
+
+    def exploding_build(*a, **kw):
+        raise RuntimeError("simulated build crash")
+
+    textops.build_simhash_index = exploding_build
+    try:
+        with _pytest.raises(RuntimeError, match="simulated build crash"):
+            curate_ingest_batch(batch, 0, idx, acc, min_words=10,
+                                method="simhash")
+    finally:
+        textops.build_simhash_index = real_build
+    import os
+
+    assert os.path.exists(f"{idx}/_method")  # stamp landed pre-build
+    # the wrong-method restart raises instead of silently rebuilding
+    with _pytest.raises(ValueError, match="was built with"):
+        curate_ingest_batch(batch, 0, idx, acc, min_words=10)
+    # (b) the correct-method restart proceeds and completes the build
+    curate_ingest_batch(batch, 0, idx, acc, min_words=10, method="simhash")
+    assert os.path.exists(f"{idx}/tables/_SUCCESS")
+    assert _accepted_ids(spark, acc) == {1}
