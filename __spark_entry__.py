@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 _ARTIFACT_NAMES = (
-    "entries", "simhash_sigs", "lsh_buckets", "ivf_cells",
+    "entries", "simhash_sigs", "minhash_sigs", "lsh_buckets", "ivf_cells",
     "minhash_index", "simhash_index", "minhash_pairs", "jaccard_pairs",
     "pq_index", "ivfpq_index", "ivfpq_res_index",
 )
@@ -169,6 +169,7 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
                 spark, sf_dir, sigs=sig_fut.result()
             ),
             lambda: _dedup_pairs_parquets(spark, sf_dir, sigs=sig_fut.result()),
+            lambda: _minhash_sigs_parquet(spark, sf_dir, sigs=sig_fut.result()),
         )
         for fut in [ex.submit(g) for g in groups]:
             fut.result()
@@ -457,6 +458,27 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     ev = d.filter(F.col("doc_id") % 50 == 0)
     return contamination_report(d, ev, n=5).select("doc_id", "n_hits")
+
+
+def _fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination (textops.fuzzy_contamination_report): eval
+    set = every 50th document; report = (doc_id, eval_id, word-3-gram
+    Jaccard) for corpus docs clearing 0.5 exact Jaccard against an eval
+    doc, candidates from cross-table MinHash-LSH banding with an
+    estimated-Jaccard prefilter. The oracle recomputes band slicing,
+    the estimate threshold, and the exact 3-gram Jaccard in SQL from the
+    materialized full-corpus signature table — every stage is inside the
+    value hash."""
+    from slowspark.textops import fuzzy_contamination_report
+
+    d = _read(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    sigs = spark.read.parquet(_minhash_sigs_parquet(spark, sf_dir))
+    return fuzzy_contamination_report(
+        d, ev, jaccard_threshold=0.5, ngram_n=3, corpus_sigs=sigs
+    ).select(
+        "doc_id", "eval_id", F.round("jaccard", 4).alias("jaccard")
+    )
 
 
 def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,6 +828,28 @@ def _simhash_sigs_parquet(spark: SparkSession, sf_dir: str) -> str:
     if path not in _ENTRIES_WRITTEN:
         d = _read(spark, sf_dir, "documents")
         simhash_signatures(d).write.mode("overwrite").parquet(path)
+        _ENTRIES_WRITTEN.add(path)
+    return path
+
+
+def _minhash_sigs_parquet(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> str:
+    """Materialize the full-corpus MinHash signature table once per
+    process (shares the signature pass with the dedup pairs / incremental
+    index when called from _ensure_oracle_artifacts). DuckDB recomputes
+    LSH banding, estimated Jaccard, and the exact-verify stage of
+    fuzzy_contamination_report from the SAME signatures."""
+    import os
+
+    from slowspark.textops import minhash_signatures
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_ORACLE_ENTRIES_BASE}/{base}/minhash_sigs"
+    if path not in _ENTRIES_WRITTEN:
+        if sigs is None:
+            sigs = minhash_signatures(_read(spark, sf_dir, "documents"))
+        sigs.write.mode("overwrite").parquet(path)
         _ENTRIES_WRITTEN.add(path)
     return path
 
@@ -1888,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_percentiles": _latency_percentiles,
         "hourly_events": _hourly_events,
         "contamination": _contamination,
+        "fuzzy_contamination": _fuzzy_contamination,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -2094,6 +2139,60 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
         "contamination": _CONTAMINATION_ORACLE,
+        # fuzzy decontamination: banding (band SLICE equality, like the
+        # incremental_near_dups oracle), the estimated-Jaccard prefilter,
+        # AND the exact word-3-gram verify are all recomputed in SQL from
+        # the materialized full-corpus signature table + documents text
+        "fuzzy_contamination": f"""
+            WITH cs AS (
+                SELECT doc_id, signature
+                FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/minhash_sigs/*.parquet')
+            ), es AS (
+                SELECT doc_id AS eval_id, signature FROM cs
+                WHERE doc_id % 50 = 0
+            ), cb AS (
+                SELECT doc_id, i, signature[(i*4+1):(i*4+4)] AS band
+                FROM cs, (SELECT unnest(range(16)) AS i)
+            ), eb AS (
+                SELECT eval_id, i, signature[(i*4+1):(i*4+4)] AS band
+                FROM es, (SELECT unnest(range(16)) AS i)
+            ), cand AS (
+                SELECT DISTINCT cb.doc_id, eb.eval_id
+                FROM cb JOIN eb ON cb.i = eb.i AND cb.band = eb.band
+            ), est AS (
+                SELECT c.doc_id, c.eval_id
+                FROM cand c
+                JOIN cs ON cs.doc_id = c.doc_id
+                JOIN es ON es.eval_id = c.eval_id
+                WHERE length(list_filter(range(1, 65),
+                      i -> cs.signature[i] = es.signature[i])) / 64.0 >= 0.25
+            ), toks AS (
+                SELECT doc_id, list_filter(
+                           regexp_split_to_array(trim(lower(text)),
+                                                 '[ \\t\\n\\x0B\\f\\r]+'),
+                           t -> t != ''
+                       ) AS tk
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, CASE WHEN length(tk) >= 3 THEN
+                    list_distinct(list_transform(range(1, length(tk) - 1),
+                        i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))
+                    ELSE [array_to_string(tk, ' ')] END AS gs
+                FROM toks
+            ), pair_j AS (
+                SELECT e.doc_id, e.eval_id,
+                       length(list_intersect(gc.gs, gv.gs)) AS inter,
+                       length(gc.gs) + length(gv.gs)
+                           - length(list_intersect(gc.gs, gv.gs)) AS uni
+                FROM est e
+                JOIN grams gc ON gc.doc_id = e.doc_id
+                JOIN grams gv ON gv.doc_id = e.eval_id
+            )
+            SELECT doc_id, eval_id,
+                   round(inter / greatest(uni, 1), 4) AS jaccard
+            FROM pair_j
+            WHERE inter / greatest(uni, 1) >= 0.5
+        """,
         "pii_scrub": _pii_scrub_oracle(),
         "term_stats": """
             WITH toks AS (

@@ -63,6 +63,8 @@ def run_curation(
     seq_len: int = 4096,
     eval_df: DataFrame | None = None,
     decontaminate_ngram: int = 13,
+    fuzzy_decontaminate_threshold: float | None = None,
+    fuzzy_decontaminate_ngram: int = 3,
     langs: list[str] | None = None,
     scrub_pii: bool = False,
     substring_dedup_n: int | None = None,
@@ -94,6 +96,15 @@ def run_curation(
         includes a content hash of eval_df (count + xxhash64 sum), so
         swapping the eval set invalidates the decontaminated/sampled/
         packed manifests even when every other knob matches.
+      - `fuzzy_decontaminate_threshold` (requires `eval_df`) adds a FUZZY
+        decontamination stage after the exact one: corpus docs whose word
+        `fuzzy_decontaminate_ngram`-gram Jaccard against some eval doc
+        clears the threshold are dropped
+        (textops.decontaminate_fuzzy — cross-table MinHash-LSH
+        candidates, estimate prefilter, exact verify). Catches the
+        paraphrased / lightly-edited benchmark copies that share no
+        verbatim 13-gram. Both knobs join the eval content hash in the
+        resume signature.
       - `scrub_pii`: mask emails / IPs / phone numbers (textops.scrub_pii)
         after the passage scrub — the text that reaches sampling/packing
         is the scrubbed rendition.
@@ -145,6 +156,10 @@ def run_curation(
         raise ValueError(
             "run_curation: mixture_upsample requires a mixture"
         )
+    if fuzzy_decontaminate_threshold is not None and eval_df is None:
+        raise ValueError(
+            "run_curation: fuzzy_decontaminate_threshold requires eval_df"
+        )
     cat = Catalog(warehouse)
     if eval_df is not None:
         # sum in decimal(38,0): a long sum of xxhash64 values overflows
@@ -156,7 +171,11 @@ def run_curation(
                 F.sum(F.xxhash64("text").cast("decimal(38,0)")), F.lit(0)
             ).alias("h"),
         ).first()
-        eval_sig = f"{decontaminate_ngram}:{ev['n']}:{ev['h']}"
+        fz = (
+            f"{fuzzy_decontaminate_threshold}:{fuzzy_decontaminate_ngram}"
+            if fuzzy_decontaminate_threshold is not None else "off"
+        )
+        eval_sig = f"{decontaminate_ngram}:{fz}:{ev['n']}:{ev['h']}"
     else:
         eval_sig = "0"
     rates_sig = ",".join(
@@ -326,6 +345,28 @@ def run_curation(
         )
         out["decontaminated"] = scrubbed
 
+    if fuzzy_decontaminate_threshold is not None:
+        from slowspark.textops import decontaminate_fuzzy
+
+        # the eval side needs an id column for the cross-table band join;
+        # an eval parquet that carries none gets a deterministic
+        # content-derived one (identity is irrelevant — only corpus
+        # doc_ids are dropped)
+        ev_df = (
+            eval_df if "doc_id" in eval_df.columns
+            else eval_df.withColumn("doc_id", F.xxhash64("text"))
+        )
+
+        def _fuzzy() -> DataFrame:
+            return decontaminate_fuzzy(
+                scrubbed, ev_df,
+                jaccard_threshold=fuzzy_decontaminate_threshold,
+                ngram_n=fuzzy_decontaminate_ngram,
+            )
+
+        scrubbed = run_stage(spark, cat, "fuzzy_decontaminated", sig, _fuzzy)
+        out["fuzzy_decontaminated"] = scrubbed
+
     if mixture and mixture_upsample:
         from slowspark.corpus import mixture_rates, repeat_sample
 
@@ -404,6 +445,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="eval/benchmark parquet with a text column: enables "
                    "the n-gram decontamination stage")
     p.add_argument("--decontaminate-ngram", type=int, default=13)
+    p.add_argument("--fuzzy-decontaminate-threshold", type=float,
+                   default=None,
+                   help="word-n-gram Jaccard threshold for FUZZY "
+                   "decontamination against --eval-set (catches "
+                   "paraphrased eval copies exact n-gram overlap misses); "
+                   "runs after the exact stage")
+    p.add_argument("--fuzzy-decontaminate-ngram", type=int, default=3)
     p.add_argument("--langs", default=None,
                    help="comma-separated language allowlist (lang column); "
                    "filters BEFORE the quality rules")
@@ -441,6 +489,8 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--mixture and --sample-rates are mutually exclusive")
     if args.mixture_upsample and not args.mixture:
         p.error("--mixture-upsample requires --mixture")
+    if args.fuzzy_decontaminate_threshold is not None and not args.eval_set:
+        p.error("--fuzzy-decontaminate-threshold requires --eval-set")
     sample_rates = None
     if args.sample_rates:
         sample_rates = {
@@ -471,6 +521,8 @@ def main(argv: list[str] | None = None) -> int:
             seq_len=args.seq_len,
             eval_df=eval_df,
             decontaminate_ngram=args.decontaminate_ngram,
+            fuzzy_decontaminate_threshold=args.fuzzy_decontaminate_threshold,
+            fuzzy_decontaminate_ngram=args.fuzzy_decontaminate_ngram,
             langs=args.langs.split(",") if args.langs else None,
             scrub_pii=args.scrub_pii,
             substring_dedup_n=args.substring_dedup_n,
@@ -492,8 +544,8 @@ def main(argv: list[str] | None = None) -> int:
             for name in ("lang_filtered", "filtered", "deduped_exact",
                          "deduped_near", "semantic_deduped",
                          "substring_deduped", "scrubbed",
-                         "pii_scrubbed", "decontaminated", "sampled",
-                         "packed")
+                         "pii_scrubbed", "decontaminated",
+                         "fuzzy_decontaminated", "sampled", "packed")
             if name in tables
         }
         n_seq = tables["packed"].agg(

@@ -1629,6 +1629,130 @@ def decontaminate(
     return corpus.join(hits.select(id_col), on=id_col, how="left_anti")
 
 
+def fuzzy_contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    jaccard_threshold: float = 0.5,
+    ngram_n: int = 3,
+    n_perm: int = _N_PERM_DEFAULT,
+    bands: int = 16,
+    shingle_k: int = 5,
+    est_margin: float = 0.25,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """FUZZY train/test overlap: (doc_id, eval_id, jaccard) for every
+    corpus document whose exact word-n-gram Jaccard against some eval
+    document clears ``jaccard_threshold``. Catches the paraphrased /
+    lightly-edited benchmark copies that exact 13-gram decontamination
+    (contamination_report) misses — a doc sharing no single verbatim
+    13-gram can still be 60% 3-gram-identical to an eval item.
+
+    The cross-TABLE estimate-then-verify shape (jaccard_verified_pairs'
+    trunk, without the self-join):
+
+      1. MinHash signatures for both sides — the corpus pass is the only
+         all-corpus UDF stage (shareable via ``corpus_sigs``); the eval
+         side is benchmark-sized, its band-key table and signature table
+         are BROADCAST;
+      2. candidates: corpus band keys ⋈ broadcast(eval band keys) on
+         (band_id, band_hash) — the corpus is never shuffled, never
+         self-joined; fan-out is |contaminated-ish docs|, not |corpus|²;
+      3. estimated-Jaccard prefilter at threshold − est_margin (zip_with
+         over the two signatures, eval side broadcast again);
+      4. EXACT word-n-gram Jaccard on the survivors: corpus gram sets are
+         computed only for candidate docs (semi-join fan-in), eval gram
+         sets broadcast.
+
+    A corpus row that IS an eval document (identical text) reports
+    jaccard 1.0 — exactly what decontamination wants removed. Scale
+    shape at 100 TB: one corpus signature pass + one broadcast hash join
+    per stage; nothing shuffles on corpus size."""
+    if corpus_sigs is None:
+        corpus_sigs = _materialize(
+            minhash_signatures(corpus, text_col, id_col, n_perm, shingle_k)
+        )
+    eval_ids = eval_df.select(F.col(id_col).alias(eval_id_col), text_col)
+    eval_sigs = minhash_signatures(
+        eval_ids, text_col, eval_id_col, n_perm, shingle_k
+    )
+    rows_per_band = n_perm // bands
+    cb = band_keys(corpus_sigs, id_col, bands, rows_per_band)
+    eb = band_keys(eval_sigs, eval_id_col, bands, rows_per_band)
+    cands = (
+        cb.join(F.broadcast(eb), ["band_id", "band_hash"])
+        .select(id_col, eval_id_col)
+        .distinct()
+    )
+    est = (
+        cands.join(
+            corpus_sigs.select(id_col, F.col("signature").alias("sig_c")),
+            id_col,
+        )
+        .join(
+            F.broadcast(
+                eval_sigs.select(eval_id_col, F.col("signature").alias("sig_e"))
+            ),
+            eval_id_col,
+        )
+        .filter(
+            F.expr(
+                "size(filter(zip_with(sig_c, sig_e, (x, y) -> x = y), v -> v))"
+                f" / cast(size(sig_c) as double) >= "
+                f"{jaccard_threshold - est_margin}"
+            )
+        )
+        .select(id_col, eval_id_col)
+    )
+    gc = (
+        with_ngram_set(
+            corpus.join(est.select(id_col).distinct(), id_col, "left_semi"),
+            text_col, "grams_c", ngram_n,
+        ).select(id_col, "grams_c")
+    )
+    ge = with_ngram_set(eval_ids, text_col, "grams_e", ngram_n).select(
+        eval_id_col, "grams_e"
+    )
+    return (
+        est.join(gc, id_col)
+        .join(F.broadcast(ge), eval_id_col)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("grams_c", "grams_e"))
+            / F.greatest(F.size(F.array_union("grams_c", "grams_e")), F.lit(1)),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(id_col, eval_id_col, "jaccard")
+    )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    ngram_n: int = 3,
+    n_perm: int = _N_PERM_DEFAULT,
+    bands: int = 16,
+    shingle_k: int = 5,
+    est_margin: float = 0.25,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Drop corpus documents fuzzy-contaminated against the eval set
+    (fuzzy_contamination_report above the threshold). left_anti against
+    the (small) hit report — the corpus fact table is never shuffled."""
+    hits = fuzzy_contamination_report(
+        corpus, eval_df, text_col, id_col, "eval_id", jaccard_threshold,
+        ngram_n, n_perm, bands, shingle_k, est_margin, corpus_sigs,
+    )
+    return corpus.join(
+        hits.select(id_col).distinct(), on=id_col, how="left_anti"
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing — regex masking, pure JVM
 # ---------------------------------------------------------------------------

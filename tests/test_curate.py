@@ -574,6 +574,51 @@ def test_curation_decontamination_stage(spark, tmp_path):
     assert packed == decon
 
 
+def test_curation_fuzzy_decontamination_stage(spark, tmp_path):
+    """--fuzzy-decontaminate-threshold: a PARAPHRASED eval copy (one word
+    swapped every 10 tokens — no shared 13-gram, but word-3-gram Jaccard
+    0.45: the periodic 21-token body keeps the distinct-gram set small,
+    so each swap injects proportionally many new grams) is dropped at
+    exactly the fuzzy stage; the exact stage alone
+    keeps it. Also pins the content-hash id synthesis for eval sets
+    without a doc_id column and resume invalidation on the threshold."""
+    docs = _corpus(spark)
+    dup_text = (
+        f"{GOOD_TAIL} alpha beta gamma delta epsilon zeta eta theta " * 3
+    ).strip()
+    words = dup_text.split()
+    for i in range(0, len(words), 10):
+        words[i] = f"swapped{i}word"
+    # eval set WITHOUT a doc_id column: exercises the xxhash64(text) path
+    eval_df = spark.createDataFrame(
+        [(" ".join(words),)], "text string"
+    )
+    wh = str(tmp_path / "wh")
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+        eval_df=eval_df, fuzzy_decontaminate_threshold=0.4,
+    )
+    decon = {r["doc_id"] for r in tables["decontaminated"].collect()}
+    fuzzy = {r["doc_id"] for r in tables["fuzzy_decontaminated"].collect()}
+    assert 10 in decon            # exact 13-gram stage misses the paraphrase
+    assert fuzzy == decon - {10}  # the fuzzy stage catches exactly it
+    packed = {r["doc_id"] for r in tables["packed"].collect()}
+    assert packed == fuzzy
+    # identical re-run resumes; a different threshold invalidates
+    packed_dir = os.path.join(wh, "packed")
+    m1 = os.path.getmtime(packed_dir)
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 eval_df=eval_df, fuzzy_decontaminate_threshold=0.4)
+    assert os.path.getmtime(packed_dir) == m1
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 eval_df=eval_df, fuzzy_decontaminate_threshold=0.9)
+    assert os.path.getmtime(packed_dir) != m1
+    # the knob without an eval set fails loudly
+    with pytest.raises(ValueError, match="requires eval_df"):
+        run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                     fuzzy_decontaminate_threshold=0.5)
+
+
 def test_curation_mixture_sampling_stage(spark, tmp_path):
     """--mixture replaces flat sampling with token-budget domain mixing at
     exactly the sampled stage: rates derive from the SCRUBBED corpus's

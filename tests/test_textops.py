@@ -809,6 +809,64 @@ def test_decontaminate_drops_overlapping_docs(spark):
     assert kept2 == {2, 3}
 
 
+def test_fuzzy_contamination_catches_paraphrase(spark):
+    """The fuzzy report flags a lightly-edited eval copy that EXACT
+    13-gram decontamination misses: one word swapped every 12 tokens
+    leaves no shared 13-gram, but word-3-gram Jaccard stays > 0.5.
+    Pins the operator's reason to exist, both report and dropper, plus
+    the pure-Python Jaccard value and the broadcast shape (the corpus is
+    never shuffled for the probe)."""
+    import hashlib
+
+    letters = str.maketrans("0123456789", "ghijklmnop")
+    base = [
+        hashlib.md5(f"fz:{j}".encode()).hexdigest()[:8].translate(letters)
+        for j in range(60)
+    ]
+    eval_text = " ".join(base)
+    para = list(base)
+    for i in range(0, 60, 12):
+        para[i] = f"swapword{i}x"
+    para_text = " ".join(para)
+    corpus = spark.createDataFrame(
+        [(1, para_text),
+         (2, "completely unrelated text about spark shuffle partitions "
+             "and broadcast joins running on the cluster tonight")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    )
+    # exact 13-gram decontamination keeps the paraphrase (the gap)
+    kept_exact = {r["doc_id"] for r in
+                  textops.decontaminate(corpus, eval_df, n=13)
+                  .select("doc_id").collect()}
+    assert kept_exact == {1, 2}
+    report = textops.fuzzy_contamination_report(
+        corpus, eval_df, jaccard_threshold=0.5, ngram_n=3
+    )
+    rows = report.collect()
+    assert {(r["doc_id"], r["eval_id"]) for r in rows} == {(1, 100)}
+    # pure-Python oracle for the exact-verify stage
+    def grams(ws):
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+    ga, gb = grams(para), grams(base)
+    want = len(ga & gb) / len(ga | gb)
+    assert abs(rows[0]["jaccard"] - want) < 1e-9
+    assert want > 0.5
+    kept = {r["doc_id"] for r in
+            textops.decontaminate_fuzzy(corpus, eval_df,
+                                        jaccard_threshold=0.5)
+            .select("doc_id").collect()}
+    assert kept == {2}
+    # final (AQE) plan only — toString appends the pre-AQE initial plan,
+    # whose provisional SortMergeJoins AQE demotes to broadcast
+    plan = report._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_scrub_pii_masks_and_counts(spark):
     df = spark.createDataFrame(
         [
