@@ -481,6 +481,123 @@ def _fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKLIST_DOMAINS = (
+    "domain0001.example.com", "domain0003.example.com", "example.org",
+)
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically decorate the entries' clean URLs into the messy
+    equivalence classes a real crawl serves (tracking params, scheme/host
+    case, default port + slash runs, fragments) keyed on abs(entry_id)%4
+    — the oracle rebuilds the SAME decoration in SQL, so the
+    canonicalization itself is inside the value hash."""
+    e = spark.read.parquet(_entries_parquet(spark, sf_dir)).select(
+        "entry_id", "url"
+    )
+    v = F.abs(F.col("entry_id")) % 4
+    return e.withColumn(
+        "url",
+        F.when(v == 1, F.concat("url", F.lit("?b=2&utm_source=feed&a=1")))
+        .when(v == 2, F.concat(F.expr("replace(url, 'https://', 'HTTPS://')"),
+                               F.lit("#frag")))
+        .when(v == 3, F.expr(
+            "replace(url, '.example.com/', '.EXAMPLE.com:443//')"))
+        .otherwise(F.col("url")),
+    )
+
+
+def _url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (weburl.canonicalize + url_dedup): messy
+    variants of the same page (case, default port, slash runs, fragment,
+    tracking params, param order) collapse to one canonical string; the
+    keeper is min(entry_id) exactly (min-struct, safe for negative
+    xxhash64 ids). The oracle recomputes the full canonicalization —
+    scheme/authority lowering, port stripping, path normalization, query
+    split/filter/sort/rejoin — in SQL."""
+    from slowspark.weburl import url_dedup
+
+    return url_dedup(
+        _messy_urls(spark, sf_dir), url_col="url", id_col="entry_id"
+    ).select("canonical_url", "entry_id", "n_url_dups")
+
+
+def _url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering (weburl.url_blocklist_filter): drop
+    every entry whose host equals OR falls under a blocklisted domain
+    (suffix explode + broadcast semi-join), then roll surviving traffic
+    up per host. The oracle applies the same label-boundary suffix rule
+    with EXISTS (host = d OR host LIKE '%.' || d)."""
+    from slowspark.weburl import host_expr, url_blocklist_filter
+
+    e = spark.read.parquet(_entries_parquet(spark, sf_dir)).select(
+        "entry_id", "url"
+    )
+    bl = spark.createDataFrame(
+        [(d,) for d in _BLOCKLIST_DOMAINS], "domain string"
+    )
+    kept = url_blocklist_filter(e, bl, url_col="url", id_col="entry_id")
+    return kept.groupBy(host_expr("url").alias("host")).agg(
+        F.count("*").alias("n_entries")
+    )
+
+
+def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (textops.line_boilerplate_dedup,
+    RefinedWeb recipe): documents get a deterministic multi-line shape —
+    a per-source banner line (df=25 in its source group), the original
+    text, a global footer, and a rare line on doc_id%7==0 (df 3-4 per
+    group, below threshold) — then lines recurring in >= 5 distinct docs
+    of the same source are removed. The oracle rebuilds the synthetic
+    lines, the distinct-doc frequency, and the '\\n'-reassembly md5 in
+    SQL."""
+    from slowspark.textops import line_boilerplate_dedup
+
+    d = _read(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("banner-"), F.col("source"), F.lit("\n"),
+            F.col("text"),
+            F.lit("\nfooter-global"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\nrare-line"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return line_boilerplate_dedup(
+        synth, group_col="source", min_df=5
+    ).select("doc_id", "source", "n_lines", "n_lines_removed", "kept_md5")
+
+
+def _ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (corpus.perplexity_buckets): corpus-
+    unigram LM score ranked per language via the two-phase distributed
+    rank (no per-language single-task sort), cut into 3 equal-population
+    buckets by integer rank arithmetic. The oracle recomputes the LM and
+    the rank formula with a window."""
+    from slowspark.corpus import perplexity_buckets
+
+    d = _read(spark, sf_dir, "documents")
+    return perplexity_buckets(d, n_buckets=3).select(
+        "doc_id", "lang", "n_tokens", "avg_neg_logprob", "ppl_bucket"
+    )
+
+
+def _training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (corpus.training_shuffle): global
+    0-based position in md5('r6:' || doc_id) order through the two-phase
+    distributed rank — reproducible across engines, so the oracle's
+    row_number over the same md5 key must produce the identical
+    permutation."""
+    from slowspark.corpus import training_shuffle
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    return training_shuffle(d, id_col="doc_id", seed="r6").select(
+        "doc_id", "shuffle_pos"
+    )
+
+
 def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics (textops.term_stats): top 100 terms by
     document frequency with full deterministic tie-break."""
@@ -1933,6 +2050,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_events": _hourly_events,
         "contamination": _contamination,
         "fuzzy_contamination": _fuzzy_contamination,
+        "url_canonical_dedup": _url_canonical_dedup,
+        "url_blocklist": _url_blocklist,
+        "line_dedup": _line_dedup,
+        "ppl_buckets": _ppl_buckets,
+        "training_shuffle": _training_shuffle,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -2139,6 +2261,196 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
         "contamination": _CONTAMINATION_ORACLE,
+        # canonical-URL dedup: the messy decoration AND every
+        # canonicalization step (scheme/auth lowering, default-port strip,
+        # slash-run/trailing-slash path rules, query split -> tracking
+        # filter -> sort -> rejoin) recomputed in SQL; note DuckDB
+        # regexp_replace needs the 'g' flag where Spark's is global
+        "url_canonical_dedup": f"""
+            WITH e AS (
+                SELECT entry_id, url
+                FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/entries/*.parquet')
+            ), messy AS (
+                SELECT entry_id,
+                       CASE abs(entry_id) % 4
+                           WHEN 1 THEN url || '?b=2&utm_source=feed&a=1'
+                           WHEN 2 THEN replace(url, 'https://', 'HTTPS://')
+                                       || '#frag'
+                           WHEN 3 THEN replace(url, '.example.com/',
+                                               '.EXAMPLE.com:443//')
+                           ELSE url
+                       END AS url
+                FROM e
+            ), parts AS (
+                SELECT entry_id, url,
+                       regexp_replace(url, '#.*$', '') AS nofrag
+                FROM messy
+            ), split4 AS (
+                SELECT entry_id, url,
+                       lower(regexp_extract(nofrag,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 1))
+                           AS scheme,
+                       lower(regexp_extract(nofrag,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 2))
+                           AS auth,
+                       regexp_extract(nofrag,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 3)
+                           AS rawpath,
+                       regexp_replace(regexp_extract(nofrag,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$', 4),
+                           '^\\?', '') AS rawq
+                FROM parts
+            ), norm AS (
+                SELECT entry_id, url, scheme,
+                       CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                                THEN auth[1:length(auth) - 3]
+                            WHEN scheme = 'https' AND auth LIKE '%:443'
+                                THEN auth[1:length(auth) - 4]
+                            ELSE auth END AS auth,
+                       CASE WHEN p2 = '' THEN '/'
+                            WHEN length(p2) > 1
+                                THEN regexp_replace(p2, '/$', '')
+                            ELSE p2 END AS path,
+                       coalesce(array_to_string(list_sort(list_filter(
+                           str_split(rawq, '&'),
+                           p -> p != '' AND NOT regexp_matches(p,
+                               '^(utm_[a-z]+|fbclid|gclid|gclsrc|msclkid|mc_eid|igshid|yclid|_hsenc|_hsmi|ref|ref_src)=')
+                       )), '&'), '') AS q
+                FROM (
+                    SELECT *, regexp_replace(rawpath, '/{{2,}}', '/', 'g') AS p2
+                    FROM split4
+                )
+            ), canon AS (
+                SELECT entry_id,
+                       CASE WHEN scheme = '' THEN url
+                            ELSE scheme || '://' || auth || path ||
+                                 CASE WHEN q = '' THEN ''
+                                      ELSE '?' || q END
+                       END AS canonical_url
+                FROM norm
+            )
+            SELECT canonical_url,
+                   min(entry_id) AS entry_id,
+                   count(*) AS n_url_dups
+            FROM canon GROUP BY canonical_url
+        """,
+        # blocklist: label-boundary suffix semantics (exact host or
+        # '.'-suffix) via EXISTS, then per-host rollup of survivors
+        "url_blocklist": f"""
+            WITH e AS (
+                SELECT entry_id,
+                       regexp_replace(regexp_replace(
+                           lower(regexp_extract(url,
+                               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$',
+                               2)),
+                           '^[^@]*@', ''), ':[0-9]*$', '') AS host
+                FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/entries/*.parquet')
+            )
+            SELECT host, count(*) AS n_entries
+            FROM e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM (VALUES
+                    ('domain0001.example.com'),
+                    ('domain0003.example.com'),
+                    ('example.org')) b(d)
+                WHERE e.host = b.d OR e.host LIKE '%.' || b.d
+            )
+            GROUP BY host
+        """,
+        # line-level boilerplate: synthetic line decoration, TRIMMED-line
+        # distinct-doc frequency per source, >=5 -> removed, '\n'
+        # reassembly in position order, md5 of the survivors
+        "line_dedup": """
+            WITH synth AS (
+                SELECT doc_id, source,
+                       'banner-' || source || chr(10) || text || chr(10)
+                       || 'footer-global'
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN chr(10) || 'rare-line' ELSE '' END
+                           AS text
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, source, u.pos AS pos, u.l AS l FROM (
+                    SELECT doc_id, source,
+                           unnest(list_transform(range(1, length(ls) + 1),
+                               i -> struct_pack(pos := i, l := ls[i]))) AS u
+                    FROM (
+                        SELECT doc_id, source,
+                               str_split(text, chr(10)) AS ls
+                        FROM synth
+                    )
+                )
+            ), occ AS (
+                SELECT doc_id, source, pos, l, trim(l) AS k FROM lines
+            ), freq AS (
+                SELECT source, k FROM occ
+                WHERE length(k) >= 1
+                GROUP BY source, k
+                HAVING count(DISTINCT doc_id) >= 5
+            ), kept AS (
+                SELECT o.doc_id, o.source, o.pos, o.l
+                FROM occ o
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM freq f
+                    WHERE f.source = o.source AND f.k = o.k
+                )
+            ), agg AS (
+                SELECT doc_id, source,
+                       string_agg(l, chr(10) ORDER BY pos) AS kt,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id, source
+            ), tot AS (
+                SELECT doc_id, source, count(*) AS n_lines
+                FROM occ GROUP BY doc_id, source
+            )
+            SELECT t.doc_id, t.source, t.n_lines,
+                   t.n_lines - coalesce(a.n_kept, 0) AS n_lines_removed,
+                   md5(coalesce(a.kt, '')) AS kept_md5
+            FROM tot t LEFT JOIN agg a
+                ON a.doc_id = t.doc_id AND a.source = t.source
+        """,
+        # perplexity buckets: the unigram_scores LM verbatim, then the
+        # integer rank-arithmetic bucket formula per language
+        "ppl_buckets": """
+            WITH toks AS (
+                SELECT doc_id, unnest(
+                    list_filter(
+                        regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+                        t -> t != ''
+                    )
+                ) AS term
+                FROM documents
+            ), tf AS (
+                SELECT term, count(*) AS tf FROM toks GROUP BY term
+            ), tot AS (
+                SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf
+            ), scored AS (
+                SELECT doc_id,
+                       count(*) AS n_tokens,
+                       round(ln((SELECT total FROM tot)) - avg(ln(tf)), 4)
+                           AS avg_neg_logprob
+                FROM toks JOIN tf USING (term)
+                GROUP BY doc_id
+            ), ranked AS (
+                SELECT s.doc_id, d.lang, s.n_tokens, s.avg_neg_logprob,
+                       row_number() OVER (PARTITION BY d.lang
+                           ORDER BY s.avg_neg_logprob, s.doc_id) - 1 AS r,
+                       count(*) OVER (PARTITION BY d.lang) AS n
+                FROM scored s JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, lang, n_tokens, avg_neg_logprob,
+                   CAST((r * 3) // n AS INTEGER) AS ppl_bucket
+            FROM ranked
+        """,
+        # deterministic epoch shuffle: md5 is md5 in both engines, so the
+        # permutation must match bit-for-bit
+        "training_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5('r6:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) - 1 AS shuffle_pos
+            FROM documents
+        """,
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from

@@ -771,3 +771,147 @@ def tfidf_similar_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def _distributed_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    group_cols: list[str] | None = None,
+    rank_col: str = "__rank",
+    n_col: str = "__n",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """0-based dense position of each row in (group_cols, order_cols)
+    order, plus the group's row count — WITHOUT a global window. The
+    naive `row_number() OVER (PARTITION BY group ORDER BY ...)` shuffles
+    every row of a group into ONE task; at 10^12 rows per group that task
+    is the job. Same two-phase shape as pack_sequences' prefix sum:
+
+      1. repartitionByRange(group + order) — partition p's key range is
+         wholly below p+1's (MATERIALIZED: spark_partition_id() must be
+         pinned, see pack_sequences);
+      2. intra-partition row_number over a window PARTITIONED BY
+         (partition id, group) — parallel across partitions;
+      3. per-(partition, group) counts (one row per partition per group
+         present) -> per-group exclusive prefix over that TINY table ->
+         broadcast back. rank = offset + intra - 1.
+
+    Ties among order_cols are real ties in both phases, so callers pass a
+    unique final column (the id) for determinism. All integer arithmetic."""
+    from pyspark.sql import Window
+
+    from slowspark.util import materialize
+
+    group_cols = list(group_cols or [])
+    keys = group_cols + order_cols
+    ranged = (
+        df.repartitionByRange(n_partitions, *keys)
+        if n_partitions
+        else df.repartitionByRange(*keys)
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = materialize(ranged)
+    w_intra = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    intra = ranged.withColumn("__intra", F.row_number().over(w_intra))
+    counts = ranged.groupBy("__pid", *group_cols).agg(
+        F.count("*").cast("long").alias("__pn")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    offsets = (
+        counts.withColumn(
+            "__offset",
+            F.coalesce(F.sum("__pn").over(w_off), F.lit(0)).cast("long"),
+        )
+        .withColumn(n_col, F.sum("__pn").over(w_tot).cast("long"))
+        .select("__pid", *group_cols, "__offset", n_col)
+    )
+    return (
+        intra.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(
+            rank_col, (F.col("__offset") + F.col("__intra") - 1).cast("long")
+        )
+        .drop("__pid", "__intra", "__offset")
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
+    documents by LM score WITHIN each language and cut the ranking into
+    `n_buckets` equal-population buckets — bucket 0 = most stereotypical
+    ("head", what CCNet keeps), last = rare-token-heavy tail. The LM is
+    the corpus-unigram model (unigram_logprob); the bucket boundary is a
+    RANK, not a score threshold, so it is integer-exact — no float
+    percentile boundary for a document to flip across between engines.
+
+    Returns (id [, lang], n_tokens, avg_neg_logprob, ppl_bucket) where
+    ppl_bucket = (rank * n_buckets) div n_lang over the (score, id)
+    ordering — deterministic under score ties.
+
+    Scale shape: unigram_logprob's explode/agg/join, then the two-phase
+    distributed per-group rank (_distributed_rank — no per-language
+    single-task sort; a 10^12-doc language ranks in parallel across its
+    range partitions)."""
+    if n_buckets < 1:
+        raise ValueError(f"perplexity_buckets: n_buckets must be >= 1, got {n_buckets}")
+    scored = unigram_logprob(df, text_col, id_col)
+    gcols = [lang_col] if lang_col else []
+    if lang_col:
+        scored = scored.join(df.select(id_col, lang_col), id_col)
+    ranked = _distributed_rank(
+        scored, order_cols=["avg_neg_logprob", id_col], group_cols=gcols
+    )
+    return ranked.select(
+        id_col,
+        *gcols,
+        "n_tokens",
+        "avg_neg_logprob",
+        F.expr(f"(__rank * {int(n_buckets)}) div __n")
+        .cast("int")
+        .alias("ppl_bucket"),
+    )
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "0",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    0-based `shuffle_pos` in the order of md5(seed || ':' || id) — the
+    epoch-reshuffle primitive of a pretraining data loader. Seeded hash
+    order means (a) reproducible across runs and engines (md5 is md5
+    everywhere — no rand(), which Spark re-draws per task retry), (b) a
+    new epoch is just a new seed, (c) adjacent source documents (same
+    crawl, same domain) land far apart, the decorrelation shuffling is
+    for.
+
+    Returns the input columns plus shuffle_pos. Writing the corpus
+    sorted by shuffle_pos IS the shuffled epoch; downstream pack_sequences
+    on shuffle_pos packs in shuffled order.
+
+    Scale shape: one narrow projection for the hash key, then the
+    two-phase distributed rank (_distributed_rank) — a range exchange on
+    (key, id) plus a broadcast of per-partition offsets; never a global
+    single-task window."""
+    keyed = df.withColumn(
+        "__shufkey",
+        F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))),
+    )
+    ranked = _distributed_rank(
+        keyed,
+        order_cols=["__shufkey", id_col],
+        rank_col="shuffle_pos",
+        n_partitions=n_partitions,
+    )
+    return ranked.drop("__shufkey", "__n")

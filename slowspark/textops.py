@@ -1371,6 +1371,94 @@ def exact_substring_dedup(
     return out
 
 
+def line_boilerplate_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    min_df: int = 2,
+    min_chars: int = 1,
+    with_text: bool = False,
+) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb §Line-wise filtering /
+    the CCNet observation): a LINE that recurs across >= `min_df`
+    DISTINCT documents — navigation chrome, cookie banners, "subscribe to
+    our newsletter" — is template, not content; remove every occurrence
+    and keep the rest of each document intact. Complements
+    exact_substring_dedup (token-window granularity, first occurrence
+    kept) with line granularity and NO survivor: template lines carry no
+    training signal, so none is kept.
+
+    Matching is on the TRIMMED line; lines whose trimmed form is shorter
+    than `min_chars` (blank separators, lone punctuation) are never
+    flagged — removing every empty line because empties are "frequent"
+    would mangle paragraph structure. With `group_col` (e.g. the
+    registrable domain) frequency is counted within the group, the
+    RefinedWeb recipe — site chrome recurs within a site; across sites
+    the same line is usually legitimate prose.
+
+    Returns one row per input document:
+    (id [, group], n_lines, n_lines_removed, kept_md5 [, kept_text]),
+    kept_md5 = md5 of surviving lines '\\n'-joined in original order
+    (md5('') when everything was boilerplate).
+
+    Scale shape: one posexplode to (doc, pos, line) rows; the
+    distinct-document line frequency is a two-level aggregate keyed on
+    (group, line) — partial-aggregated map-side, so a line recurring
+    10^6 times in a partition contributes one row to the shuffle; the
+    flagged-line table joins back on the same key (broadcast-eligible:
+    flagged boilerplate is tiny relative to the corpus); reassembly is
+    one groupBy(id) of kept lines. No window over the corpus, no UDF,
+    no driver state."""
+    if min_df < 2:
+        raise ValueError(f"line_boilerplate_dedup: min_df must be >= 2, got {min_df}")
+    gcols = [group_col] if group_col else []
+    occ = (
+        df.select(id_col, *gcols, text_col)
+        .select(
+            id_col,
+            *gcols,
+            F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "__line"),
+        )
+        .withColumn("__key", F.trim("__line"))
+    )
+    occ = _materialize(occ)
+    freq = (
+        occ.filter(F.length("__key") >= min_chars)
+        .groupBy(*gcols, "__key")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select(*gcols, "__key")
+    )
+    kept = occ.join(freq, [*gcols, "__key"], "left_anti")
+    agg_keep = kept.groupBy(id_col, *gcols).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__kept_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    totals = occ.groupBy(id_col, *gcols).agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(agg_keep, [id_col, *gcols], "left")
+        .select(
+            id_col,
+            *gcols,
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
+            .alias("n_lines_removed"),
+            F.md5(F.coalesce("__kept_text", F.lit(""))).alias("kept_md5"),
+            *(
+                [F.coalesce("__kept_text", F.lit("")).alias("kept_text")]
+                if with_text else []
+            ),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1,0 +1,180 @@
+"""Web-URL operators for crawl curation: URL canonicalization,
+canonical-URL dedup, and domain-suffix blocklist filtering.
+
+Common-Crawl-style corpora key everything on `url` (the reference
+pipeline's entries carry one per page — see `src/parser.rs` URI handling
+for the header grammar; these operators have no reference analog and
+follow the standard crawl-curation recipes instead): the same page is
+fetched as `http://WWW.Example.com/a//b?utm_source=x&id=1#frag` and
+`https://www.example.com/a/b?id=1`, and a training pipeline that dedups
+on the raw string keeps both. Canonicalization maps the equivalence
+class to one representative string; URL dedup then keeps exactly one
+page per class; blocklist filtering drops whole registrable-domain
+subtrees (the UT1/adult-blocklist step every public web corpus applies).
+
+Everything here is pure `pyspark.sql.functions` — regex/array lambdas
+inside whole-stage codegen, no UDFs, no shuffle except where the
+operator's semantics require one (the dedup groupBy). Every operator is
+value-hash-checked against a DuckDB oracle through the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+# Tracking parameters stripped by canonicalize_url: the de-facto standard
+# list (utm_* campaign tags plus the per-platform click ids). Anchored
+# regex over the `key=` prefix of each query parameter.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|fbclid|gclid|gclsrc|msclkid|mc_eid|igshid|yclid|"
+    r"_hsenc|_hsmi|ref|ref_src)="
+)
+
+_URL_PARTS_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$"
+
+
+def canonical_url_expr(url: Column | str) -> Column:
+    """Column expression computing the canonical form of a URL:
+
+      1. fragment dropped (`#...` never reaches the server);
+      2. scheme and authority lowercased; default ports (`:80` on http,
+         `:443` on https) stripped;
+      3. path: runs of `/` collapsed, trailing `/` dropped (root stays
+         `/`), empty path becomes `/`;
+      4. query: parameters split on `&`, empties and tracking params
+         (TRACKING_PARAM_RE) dropped, the rest SORTED lexicographically
+         and rejoined — `?b=2&a=1` and `?a=1&b=2` canonicalize equal;
+         a query that empties out drops its `?`.
+
+    Percent-encoding is NOT normalized (decoding reserved characters
+    changes meaning; the safe subset buys little on real crawls) — two
+    URLs differing only in escape case stay distinct, documented.
+
+    Pure codegen (regexp_extract / array lambdas); non-URL strings (no
+    `scheme://`) pass through unchanged so the expression is total.
+
+    Scale shape: narrow projection, no shuffle, no UDF."""
+    u = F.col(url) if isinstance(url, str) else url
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _URL_PARTS_RE, 1))
+    auth = F.lower(F.regexp_extract(nofrag, _URL_PARTS_RE, 2))
+    auth = F.when(
+        (scheme == "http") & auth.endswith(":80"),
+        F.substring(auth, 1, F.length(auth) - 3),
+    ).when(
+        (scheme == "https") & auth.endswith(":443"),
+        F.substring(auth, 1, F.length(auth) - 4),
+    ).otherwise(auth)
+    rawpath = F.regexp_extract(nofrag, _URL_PARTS_RE, 3)
+    path = F.regexp_replace(rawpath, r"/{2,}", "/")
+    path = F.when(
+        (F.length(path) > 1), F.regexp_replace(path, r"/$", "")
+    ).otherwise(path)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(nofrag, _URL_PARTS_RE, 4)  # includes '?'
+    params = F.filter(
+        F.split(F.regexp_replace(rawq, r"^\?", ""), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), auth, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    # total function: a string with no scheme://authority is not a URL we
+    # understand — pass it through rather than emitting '://'
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Attach the canonical URL column (canonical_url_expr)."""
+    return df.withColumn(out_col, canonical_url_expr(url_col))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """One row per canonical URL: the keeper is the EARLIEST fetch
+    (min ts_col) with min id_col as the deterministic tie-break — the
+    exact_dedup keeper policy lifted from text content to URL identity.
+    With ts_col=None the keeper is min id alone.
+
+    Returns the input columns plus `canonical_url` and `n_url_dups`
+    (class size, >= 1) on the surviving rows.
+
+    Scale shape: one shuffle on canonical_url into min(struct(...)) +
+    count (map-side combined — a hot URL fetched 10^6 times contributes
+    one partial row per partition), then a broadcast-eligible join of the
+    keeper table back to the input; no window over the full corpus, no
+    driver state. min(struct) is exact for any id/ts domain (negative
+    xxhash64 longs included) — the substring-dedup keeper lesson."""
+    keyed = with_canonical_url(df, url_col)
+    key_cols = ([ts_col] if ts_col else []) + [id_col]
+    keeper = keyed.groupBy("canonical_url").agg(
+        F.min(F.struct(*key_cols)).alias("__k"),
+        F.count("*").alias("n_url_dups"),
+    ).select(
+        "canonical_url",
+        F.col(f"__k.{id_col}").alias(id_col),
+        "n_url_dups",
+    )
+    return keyed.join(keeper, ["canonical_url", id_col], "inner")
+
+
+def host_expr(url: Column | str) -> Column:
+    """Lowercased host of a URL (authority minus userinfo and port)."""
+    u = F.col(url) if isinstance(url, str) else url
+    auth = F.lower(F.regexp_extract(u, _URL_PARTS_RE, 2))
+    auth = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.regexp_replace(auth, r":[0-9]*$", "")
+
+
+def host_suffixes_expr(url: Column | str) -> Column:
+    """Array of every dot-suffix of the URL's host, most-specific first:
+    `a.b.example.com` -> [a.b.example.com, b.example.com, example.com,
+    com]. This is how a registrable-domain blocklist matches subdomains
+    with an EQUI-join instead of a per-row prefix scan."""
+    parts = F.split(host_expr(url), r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+    )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose URL host falls under any blocklisted domain
+    (exact host OR any parent suffix: blocking `example.com` blocks
+    `a.b.example.com`) — the UT1-style domain-blocklist step of a crawl
+    curation pipeline.
+
+    Scale shape: the corpus side explodes each row into its O(host
+    labels) suffixes (a handful per row, narrow), then a BROADCAST
+    left-semi join against the blocklist (blocklists are 10^6-ish rows —
+    megabytes) marks hits; the final step is a left_anti of the input
+    against the hit-id set. The corpus is never shuffled on a key; no
+    per-row Python; no prefix LIKE scan."""
+    hits = (
+        df.select(id_col, F.explode(host_suffixes_expr(url_col)).alias("__sfx"))
+        .join(
+            F.broadcast(
+                blocklist.select(F.lower(F.col(domain_col)).alias("__sfx"))
+            ),
+            "__sfx",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")

@@ -427,3 +427,102 @@ def test_repeat_sample_upsampling_and_hash_sample_equivalence(spark):
     # without allow_upsample the same budget raises, naming the regime
     with pytest.raises(ValueError, match="allow_upsample=True"):
         mixture_rates(df, {"en": 0.5, "de": 0.5}, target_tokens=3600)
+
+
+# ---------------------------------------------------------------------------
+# distributed rank / perplexity buckets / training shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_rank_matches_global_window(spark):
+    """Two-phase rank == row_number over a global window, per group,
+    regardless of how many range partitions the input lands in."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from slowspark.corpus import _distributed_rank
+
+    rows = [(i, f"g{i % 3}", (i * 37) % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, score long").repartition(7)
+    got = _distributed_rank(
+        df, order_cols=["score", "id"], group_cols=["g"], n_partitions=5
+    )
+    w = Window.partitionBy("g").orderBy("score", "id")
+    want = df.withColumn("__rank", F.row_number().over(w) - 1)
+    diffs = (
+        got.select("id", "__rank")
+        .join(want.select("id", F.col("__rank").alias("w")), "id")
+        .filter(F.col("__rank") != F.col("w"))
+        .count()
+    )
+    assert diffs == 0
+    # group count column
+    assert got.filter(F.col("__n") != 67).filter(F.col("g") == "g0").count() in (0, 67)
+
+
+def test_perplexity_buckets_equal_population_and_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from slowspark.corpus import perplexity_buckets
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pb = perplexity_buckets(df, n_buckets=4).cache()
+    # partition: every doc bucketed exactly once
+    assert pb.count() == df.count()
+    # equal population per lang within 1
+    sizes = pb.groupBy("lang", "ppl_bucket").count()
+    spread = (
+        sizes.groupBy("lang")
+        .agg((F.max("count") - F.min("count")).alias("d"), F.count("*").alias("nb"))
+        .collect()
+    )
+    for r in spread:
+        assert r.d <= 1 and r.nb == 4
+    # monotone: max score in bucket b <= min score in bucket b+1 (per lang)
+    b = pb.groupBy("lang", "ppl_bucket").agg(
+        F.min("avg_neg_logprob").alias("lo"), F.max("avg_neg_logprob").alias("hi")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    bad = (
+        a.join(c, (F.col("a.lang") == F.col("c.lang"))
+               & (F.col("a.ppl_bucket") + 1 == F.col("c.ppl_bucket")))
+        .filter(F.col("a.hi") > F.col("c.lo"))
+        .count()
+    )
+    assert bad == 0
+    pb.unpersist()
+
+
+def test_training_shuffle_permutation_deterministic_and_seed_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from slowspark.corpus import training_shuffle
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = df.count()
+    s1 = training_shuffle(df, seed="e1", n_partitions=5)
+    stats = s1.agg(
+        F.count("*").alias("n"),
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+        F.count_distinct("shuffle_pos").alias("d"),
+    ).first()
+    assert (stats.n, stats.lo, stats.hi, stats.d) == (n, 0, n - 1, n)
+    # deterministic: same seed -> identical assignment
+    s1b = training_shuffle(df, seed="e1", n_partitions=3)
+    assert (
+        s1.select("doc_id", "shuffle_pos")
+        .exceptAll(s1b.select("doc_id", "shuffle_pos"))
+        .count()
+        == 0
+    )
+    # a different seed is a different permutation
+    s2 = training_shuffle(df, seed="e2", n_partitions=5)
+    moved = (
+        s1.select("doc_id", "shuffle_pos")
+        .join(s2.select("doc_id", F.col("shuffle_pos").alias("p2")), "doc_id")
+        .filter(F.col("shuffle_pos") != F.col("p2"))
+        .count()
+    )
+    assert moved > n // 2

@@ -944,3 +944,72 @@ def test_bucket_cap_reachable_from_public_dedup_apis(spark, caplog):
     pairs_j = {(r["id_a"], r["id_b"]) for r in
                textops.jaccard_verified_pairs(df, max_bucket_size=10).collect()}
     assert pairs_j == {(100, 101)}
+
+
+def test_line_boilerplate_dedup_grouped_and_global(spark):
+    from pyspark.sql import functions as F
+
+    from slowspark.textops import line_boilerplate_dedup
+
+    rows = [
+        (1, "Cookie banner\nreal content one\n\nmore prose", "a.com"),
+        (2, "Cookie banner\nother text here", "a.com"),
+        (3, "Cookie banner\nthird doc", "b.com"),
+        (4, "unique only\n\nsolo", "b.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, domain string")
+    # grouped: banner frequent only within a.com; b.com's single copy kept
+    g = {
+        r.doc_id: r
+        for r in line_boilerplate_dedup(
+            df, group_col="domain", with_text=True
+        ).collect()
+    }
+    assert g[1].kept_text == "real content one\n\nmore prose"
+    assert g[2].kept_text == "other text here"
+    assert g[3].kept_text == "Cookie banner\nthird doc"
+    assert (g[1].n_lines, g[1].n_lines_removed) == (4, 1)
+    # blank lines are protected even though they recur across documents
+    assert "\n\n" in g[1].kept_text and "\n\n" in g[4].kept_text
+    # ungrouped: 3 distinct docs share the banner -> removed everywhere
+    u = {
+        r.doc_id: r
+        for r in line_boilerplate_dedup(df, with_text=True).collect()
+    }
+    assert u[3].kept_text == "third doc"
+    # md5 contract
+    import hashlib
+
+    assert g[1].kept_md5 == hashlib.md5(g[1].kept_text.encode()).hexdigest()
+
+
+def test_line_boilerplate_dedup_trim_matching_and_repeat_within_doc(spark):
+    from slowspark.textops import line_boilerplate_dedup
+
+    rows = [
+        # trailing-space variant matches the trimmed form; a line repeated
+        # inside ONE doc is df=1 -> not boilerplate
+        (1, "nav bar  \nbody text\nbody text", None),
+        (2, "nav bar\nsomething else", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, domain string")
+    out = {
+        r.doc_id: r
+        for r in line_boilerplate_dedup(df, with_text=True).collect()
+    }
+    assert out[1].kept_text == "body text\nbody text"
+    assert out[2].kept_text == "something else"
+
+
+def test_line_boilerplate_dedup_everything_removed(spark):
+    import hashlib
+
+    from slowspark.textops import line_boilerplate_dedup
+
+    rows = [(1, "x y z"), (2, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r for r in line_boilerplate_dedup(df, with_text=True).collect()
+    }
+    assert out[1].kept_text == "" and out[1].n_lines_removed == 1
+    assert out[1].kept_md5 == hashlib.md5(b"").hexdigest()

@@ -1,0 +1,122 @@
+"""weburl operators: canonicalization equivalence classes, dedup keeper
+policy, blocklist suffix matching."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from slowspark.weburl import (
+    host_suffixes_expr,
+    url_blocklist_filter,
+    url_dedup,
+    with_canonical_url,
+)
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return with_canonical_url(df).first().canonical_url
+
+
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        # scheme/host case, default port, fragment
+        ("HTTP://WWW.Example.COM:80/Path#frag", "http://www.example.com/Path"),
+        ("https://example.com:443/", "https://example.com/"),
+        # non-default port survives
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("ftp://Host.net:21/f", "ftp://host.net:21/f"),
+        # path normalization: slash runs, trailing slash, empty path
+        ("https://e.com//a///b//", "https://e.com/a/b"),
+        ("https://e.com", "https://e.com/"),
+        ("https://e.com/", "https://e.com/"),
+        # query: tracking params out, rest sorted, empty segments dropped
+        (
+            "https://e.com/p?utm_source=x&b=2&fbclid=1&a=1",
+            "https://e.com/p?a=1&b=2",
+        ),
+        ("https://e.com/p?b=2&a=1", "https://e.com/p?a=1&b=2"),
+        ("https://e.com/p?utm_campaign=z", "https://e.com/p"),
+        ("https://e.com/p?&&a=1&", "https://e.com/p?a=1"),
+        # empty-VALUED param is kept (meaningful), empty SEGMENT is not
+        ("https://e.com/p?a=", "https://e.com/p?a="),
+        # ref is a tracking param; refine is not (anchored key match)
+        ("https://e.com/p?ref=nav&refine=1", "https://e.com/p?refine=1"),
+        # non-URL strings pass through untouched
+        ("not a url", "not a url"),
+        ("", ""),
+    ],
+)
+def test_canonical_url_cases(spark, raw, expect):
+    assert _canon(spark, raw) == expect
+
+
+def test_canonicalization_merges_equivalent_fetches(spark):
+    variants = [
+        "http://WWW.site.org:80/a//b/?utm_source=x&id=1#top",
+        "http://www.site.org/a/b?id=1",
+        "http://www.site.org/a/b/?id=1&utm_medium=email",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    assert (
+        with_canonical_url(df).select("canonical_url").distinct().count() == 1
+    )
+
+
+def test_url_dedup_keeper_earliest_ts_then_min_id(spark):
+    rows = [
+        (10, "https://e.com/x", "2024-01-02"),
+        (3, "https://E.com/x/", "2024-01-01"),   # earliest -> keeper
+        (7, "https://e.com/x?utm_source=a", "2024-01-01"),  # tie ts, id 7 > 3
+        (5, "https://e.com/other", "2024-01-05"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts string")
+    out = {r.doc_id: r for r in url_dedup(df, ts_col="ts").collect()}
+    assert set(out) == {3, 5}
+    assert out[3].n_url_dups == 3
+    assert out[5].n_url_dups == 1
+
+
+def test_url_dedup_min_id_for_negative_hash_ids(spark):
+    # the substring-dedup lesson: keeper must be exact for xxhash64-style
+    # negative 64-bit ids
+    rows = [(-(2**62) - 5, "https://e.com/x"), (2**61, "https://e.com/x/")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = url_dedup(df).collect()
+    assert len(out) == 1 and out[0].doc_id == -(2**62) - 5
+
+
+def test_host_suffixes(spark):
+    df = spark.createDataFrame(
+        [("https://User:pw@A.B.Example.com:8080/x",)], "url string"
+    )
+    assert df.select(host_suffixes_expr("url").alias("s")).first().s == [
+        "a.b.example.com", "b.example.com", "example.com", "com",
+    ]
+
+
+def test_blocklist_blocks_subdomains_not_substrings(spark):
+    rows = [
+        (1, "https://blocked.org/"),
+        (2, "https://a.b.blocked.org/x"),      # subdomain -> blocked
+        (3, "https://notblocked.org/"),        # substring only -> kept
+        (4, "https://fine.com/"),
+        (5, "https://ORG.example.com/"),       # 'org' is a LABEL here -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("blocked.org",), ("Other.net",)], "domain string")
+    kept = sorted(r.doc_id for r in url_blocklist_filter(df, bl).collect())
+    assert kept == [3, 4, 5]
+
+
+def test_blocklist_plan_broadcasts(spark):
+    """The suffix ⋈ blocklist semi-join must be a broadcast hash join —
+    a sort-merge there would shuffle the exploded corpus on the suffix."""
+    df = spark.createDataFrame([(1, "https://x.com/")], "doc_id long, url string")
+    bl = spark.createDataFrame([("y.com",)], "domain string")
+    plan = url_blocklist_filter(df, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the final anti-join's strategy is left to AQE (hit-set size is
+    # data-dependent); only the suffix semi-join must never sort-merge
+    semi_region = plan.split("LeftAnti")[1]
+    assert "SortMergeJoin" not in semi_region
