@@ -598,6 +598,26 @@ def _training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023; dsir.dsir_topk):
+    target corpus = every 25th document (the held-out "quality" set, the
+    contamination query's modulo convention), raw = the rest. Hashed
+    unigram+bigram bag models at 2000 buckets / alpha 0.5 (target gram
+    mass >> smoothing mass at sf0.01 — the conditioning the module
+    docstring requires), log-likelihood-ratio weights, deterministic
+    Gumbel top-100 without replacement. The oracle recomputes the whole
+    chain in SQL: gram explode, md5 buckets, smoothed count models,
+    per-doc sums, the seeded Gumbel draw, and the (score desc, id) rank
+    cut — every float rounded at 6 decimals on both sides before the
+    cut, so the selected set is engine-stable."""
+    from slowspark.dsir import dsir_topk
+
+    d = _read(spark, sf_dir, "documents")
+    raw = d.filter(F.col("doc_id") % 25 != 0)
+    tgt = d.filter(F.col("doc_id") % 25 == 0)
+    return dsir_topk(raw, tgt, k=100, n_buckets=2000, alpha=0.5, seed="dsir")
+
+
 def _term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics (textops.term_stats): top 100 terms by
     document frequency with full deterministic tie-break."""
@@ -2055,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _line_dedup,
         "ppl_buckets": _ppl_buckets,
         "training_shuffle": _training_shuffle,
+        "dsir_select": _dsir_select,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -2450,6 +2471,67 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5('r6:' || CAST(doc_id AS VARCHAR)), doc_id
                    ) - 1 AS shuffle_pos
             FROM documents
+        """,
+        # dsir_select recomputes the full DSIR chain: unigram+bigram
+        # explode, md5 gram buckets (mod 2000), add-0.5-smoothed target
+        # and raw bag models, per-doc log-likelihood-ratio sums, the
+        # deterministic Gumbel('dsir:' || id) draw, and the Gumbel top-100
+        # cut ranked by (rounded score desc, id).
+        "dsir_select": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+                    t -> t != '') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, unnest(list_concat(tk,
+                    list_transform(range(1, length(tk)),
+                                   i -> tk[i] || ' ' || tk[i + 1]))) AS gram
+                FROM toks
+            ), bux AS (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT)
+                            % 2000 AS BIGINT) AS bucket
+                FROM grams
+            ),
+            craw AS (SELECT bucket, count(*) AS c FROM bux
+                     WHERE doc_id % 25 != 0 GROUP BY bucket),
+            ctgt AS (SELECT bucket, count(*) AS c FROM bux
+                     WHERE doc_id % 25 = 0 GROUP BY bucket),
+            traw AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM craw),
+            ttgt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM ctgt),
+            ratio AS (
+                SELECT craw.bucket,
+                       ln((coalesce(ctgt.c, 0) + 0.5)
+                          / ((SELECT t FROM ttgt) + 1000.0))
+                     - ln((craw.c + 0.5)
+                          / ((SELECT t FROM traw) + 1000.0)) AS lr
+                FROM craw LEFT JOIN ctgt USING (bucket)
+            ), w AS (
+                SELECT b.doc_id, count(*) AS n_grams, sum(r.lr) AS lw
+                FROM bux b JOIN ratio r USING (bucket)
+                WHERE b.doc_id % 25 != 0
+                GROUP BY b.doc_id
+            ), allraw AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+                       coalesce(w.lw, 0.0) AS lw
+                FROM documents d LEFT JOIN w USING (doc_id)
+                WHERE d.doc_id % 25 != 0
+            ), scored AS (
+                SELECT doc_id, n_grams, round(lw, 6) AS log_weight,
+                       round(lw + -ln(-ln(
+                           (CAST(('0x' || substr(md5('dsir:'
+                                || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                            + 0.5) / 4294967296.0)), 6) AS dsir_score
+                FROM allraw
+            ), ranked AS (
+                SELECT *, row_number() OVER (ORDER BY dsir_score DESC, doc_id)
+                          - 1 AS dsir_rank
+                FROM scored
+            )
+            SELECT doc_id, n_grams, log_weight, dsir_score, dsir_rank
+            FROM ranked WHERE dsir_rank < 100
         """,
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
