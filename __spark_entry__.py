@@ -1740,6 +1740,185 @@ def _pii_scrub_oracle() -> str:
     """
 
 
+_GOPHER_BOILER = "subscribe to our newsletter for daily updates"
+
+
+def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher Table A1 repetition suite (gopherrep): every 5th doc
+    gets a 4x-repeated boilerplate line appended (deterministic
+    decoration, rebuilt identically by the oracle — the _messy_urls
+    convention) so line-dup AND duplicated-n-gram coverage signals fire
+    on the word-salad corpus. Returns all 13 signals (rounded 6; the
+    unrounded values are identical IEEE divisions of identical integers
+    in both engines) plus the Table-A1 `keep` conjunction computed from
+    the UNROUNDED values. The oracle recomputes lines/paragraphs, gram
+    run counts, top-gram tie-breaks, and the char-interval union
+    (gaps-and-islands) relationally in DuckDB."""
+    from slowspark.gopherrep import _STAT_COLS, gopher_repetition_flags
+
+    d = _read(spark, sf_dir, "documents")
+    decorated = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(("\n" + _GOPHER_BOILER) * 4)),
+        ).otherwise(F.col("text")),
+    )
+    out = gopher_repetition_flags(decorated)
+    cols = [F.col("doc_id")]
+    for c in _STAT_COLS:
+        cols.append(
+            F.col(c) if c in ("n_lines", "n_paras") else F.round(c, 6).alias(c)
+        )
+    return out.select(*cols, "keep")
+
+
+def _gopher_oracle() -> str:
+    """DuckDB SQL mirroring _gopher_repetition end to end; per-n CTEs are
+    generated (the PQ-oracle convention for shape-parameterized SQL)."""
+    from slowspark.gopherrep import GOPHER_REPETITION_THRESHOLDS
+
+    ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    ctes = []
+    for tag, arr in (
+        ("line", "string_split(text, chr(10))"),
+        ("para", "regexp_split_to_array(text, chr(10) || '{2,}')"),
+    ):
+        ctes.append(f"""
+            {tag}_grp AS (
+                SELECT doc_id, item, count(*) AS c
+                FROM (SELECT doc_id, trim(raw, {ws}) AS item
+                      FROM (SELECT doc_id, unnest({arr}) AS raw FROM dec))
+                WHERE item != ''
+                GROUP BY doc_id, item
+            ),
+            {tag}_stats AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS INTEGER) AS n_{tag}s,
+                       sum(c - 1) / CAST(sum(c) AS DOUBLE) AS dup_{tag}_frac,
+                       sum((c - 1) * length(item))
+                           / CAST(sum(c * length(item)) AS DOUBLE)
+                           AS dup_{tag}_char_frac
+                FROM {tag}_grp GROUP BY doc_id
+            )""")
+    for n in (2, 3, 4):
+        ctes.append(f"""
+            g{n} AS (
+                SELECT doc_id, array_to_string(tk[i : i + {n} - 1], ' ') AS gram
+                FROM (SELECT doc_id, tk,
+                             unnest(CASE WHEN length(tk) >= {n}
+                                    THEN range(1, length(tk) - {n} + 2)
+                                    ELSE [] END) AS i
+                      FROM base)
+            ),
+            top{n} AS (
+                SELECT doc_id, c * length(gram) AS mass
+                FROM (SELECT doc_id, gram, count(*) AS c,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY count(*) DESC, gram) AS rn
+                      FROM g{n} GROUP BY doc_id, gram)
+                WHERE rn = 1
+            )""")
+    for n in range(5, 11):
+        ctes.append(f"""
+            g{n} AS (
+                SELECT doc_id, i,
+                       length(array_to_string(tk[1 : i - 1], ' '))
+                           + CASE WHEN i > 1 THEN 1 ELSE 0 END AS s,
+                       array_to_string(tk[i : i + {n} - 1], ' ') AS gram
+                FROM (SELECT doc_id, tk,
+                             unnest(CASE WHEN length(tk) >= {n}
+                                    THEN range(1, length(tk) - {n} + 2)
+                                    ELSE [] END) AS i
+                      FROM base)
+            ),
+            f{n} AS (
+                SELECT g.doc_id, g.s, g.s + length(g.gram) - 1 AS e
+                FROM g{n} g
+                JOIN (SELECT doc_id, gram FROM g{n}
+                      GROUP BY doc_id, gram HAVING count(*) >= 2) d
+                  USING (doc_id, gram)
+            ),
+            i{n} AS (
+                SELECT doc_id, s, e,
+                       sum(CASE WHEN s > coalesce(pmax, -1) THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY s
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+                FROM (SELECT doc_id, s, e,
+                             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pmax
+                      FROM f{n})
+            ),
+            c{n} AS (
+                SELECT doc_id, sum(mx - mn + 1) AS covered
+                FROM (SELECT doc_id, isl, min(s) AS mn, max(e) AS mx
+                      FROM i{n} GROUP BY doc_id, isl)
+                GROUP BY doc_id
+            )""")
+    top_sel = ",\n".join(
+        f"CASE WHEN jl.jl > 0 THEN coalesce(t{n}.mass, 0)"
+        f" / CAST(jl.jl AS DOUBLE) ELSE 0.0 END AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    cov_sel = ",\n".join(
+        f"CASE WHEN jl.jl > 0 THEN coalesce(c{n}.covered, 0)"
+        f" / CAST(jl.jl AS DOUBLE) ELSE 0.0 END AS dup_{n}gram_char_frac"
+        for n in range(5, 11)
+    )
+    joins = "\n".join(
+        [f"LEFT JOIN top{n} t{n} USING (doc_id)" for n in (2, 3, 4)]
+        + [f"LEFT JOIN c{n} USING (doc_id)" for n in range(5, 11)]
+    )
+    keep = " AND ".join(
+        f"{name} <= {thr}"
+        for name, thr in sorted(GOPHER_REPETITION_THRESHOLDS.items())
+    )
+    frac_cols = [
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac",
+    ] + [f"dup_{n}gram_char_frac" for n in range(5, 11)]
+    final = ",\n".join(f"round({c}, 6) AS {c}" for c in frac_cols)
+    return f"""
+        WITH dec AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN text || repeat(chr(10) || '{_GOPHER_BOILER}', 4)
+                        ELSE text END AS text
+            FROM documents
+        ), base AS (
+            SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                t -> t != '') AS tk
+            FROM dec
+        ), jl AS (
+            SELECT doc_id, length(array_to_string(tk, ' ')) AS jl FROM base
+        ),
+        {",".join(ctes)},
+        stats AS (
+            SELECT b.doc_id,
+                   coalesce(ls.n_lines, 0) AS n_lines,
+                   coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+                   coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+                   coalesce(ps.n_paras, 0) AS n_paras,
+                   coalesce(ps.dup_para_frac, 0.0) AS dup_para_frac,
+                   coalesce(ps.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+                   {top_sel},
+                   {cov_sel}
+            FROM base b
+            JOIN jl USING (doc_id)
+            LEFT JOIN line_stats ls USING (doc_id)
+            LEFT JOIN para_stats ps USING (doc_id)
+            {joins}
+        )
+        SELECT doc_id, n_lines, n_paras,
+               {final},
+               ({keep}) AS keep
+        FROM stats
+    """
+
+
 _CONTAMINATION_ORACLE = """
     WITH toks AS (
         SELECT doc_id, list_filter(
@@ -2076,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": _ppl_buckets,
         "training_shuffle": _training_shuffle,
         "dsir_select": _dsir_select,
+        "gopher_repetition": _gopher_repetition,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -2533,6 +2713,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_grams, log_weight, dsir_score, dsir_rank
             FROM ranked WHERE dsir_rank < 100
         """,
+        "gopher_repetition": _gopher_oracle(),
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from
