@@ -61,6 +61,7 @@ _ARTIFACT_NAMES = (
     "entries", "simhash_sigs", "minhash_sigs", "lsh_buckets", "ivf_cells",
     "minhash_index", "simhash_index", "minhash_pairs", "jaccard_pairs",
     "pq_index", "ivfpq_index", "ivfpq_res_index",
+    "qualityclf_features", "qualityclf_coeffs",
 )
 
 
@@ -170,6 +171,7 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
             ),
             lambda: _dedup_pairs_parquets(spark, sf_dir, sigs=sig_fut.result()),
             lambda: _minhash_sigs_parquet(spark, sf_dir, sigs=sig_fut.result()),
+            lambda: _qualityclf_parquet(spark, sf_dir),
         )
         for fut in [ex.submit(g) for g in groups]:
             fut.result()
@@ -967,6 +969,64 @@ def _simhash_sigs_parquet(spark: SparkSession, sf_dir: str) -> str:
         simhash_signatures(d).write.mode("overwrite").parquet(path)
         _ENTRIES_WRITTEN.add(path)
     return path
+
+
+_QCLF_BUCKETS = 1 << 15
+# "trusted corpus" stylistic marker — the word-salad documents share ONE
+# vocabulary across langs (lang is unlearnable from tokens by design), so
+# the positive class gets a deterministic style decoration instead, the
+# _messy_urls/_gopher_repetition convention. Six tokens appended twice is
+# ~20% of a typical doc's gram mass — learnable but not degenerate.
+_QCLF_MARKER = " peer reviewed citation encyclopedia reference bibliography"
+
+
+def _qualityclf_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the quality-classifier fixtures once per process: the
+    hashed-ngram feature table (qualityclf.hashed_text_features — id,
+    bucket, tf) over ALL documents with the _QCLF_MARKER decoration on
+    doc_id % 3 == 0 (the positive class), and the coefficient table from
+    training logistic regression on the EVEN doc_ids against that label
+    (odd ids are the held-out test split the driver query exposes),
+    intercept stored as the bucket = -1 row. Training is iterative (not
+    SQL-expressible) and is pinned by tests/test_qualityclf.py; the
+    oracle recomputes the SCORING pass — join, margin sum, sigmoid — in
+    SQL from these two parquets, so the full-corpus inference path is
+    inside the value hash. Returns the artifact dir holding both
+    tables."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from slowspark.qualityclf import hashed_text_features, train_logreg
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    abase = f"{_ORACLE_ENTRIES_BASE}/{base}"
+    fpath, cpath = f"{abase}/qualityclf_features", f"{abase}/qualityclf_coeffs"
+    if fpath not in _ENTRIES_WRITTEN or cpath not in _ENTRIES_WRITTEN:
+        d = _read(spark, sf_dir, "documents").withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(_QCLF_MARKER * 2)),
+            ).otherwise(F.col("text")),
+        )
+        feats = hashed_text_features(d, n_buckets=_QCLF_BUCKETS).persist()
+        feats.write.mode("overwrite").parquet(fpath)
+        labels = d.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("id"), (F.col("doc_id") % 3 == 0).alias("label")
+        )
+        train_feats = feats.join(labels.select("id"), "id")
+        coeffs, intercept, _ = train_logreg(
+            train_feats, labels, n_buckets=_QCLF_BUCKETS, epochs=25, lr=6.0
+        )
+        coeffs.unionByName(
+            spark.createDataFrame(
+                [(-1, float(intercept))], "bucket int, weight double"
+            )
+        ).coalesce(1).write.mode("overwrite").parquet(cpath)
+        feats.unpersist()
+        _ENTRIES_WRITTEN.update((fpath, cpath))
+    return abase
 
 
 def _minhash_sigs_parquet(
@@ -1919,6 +1979,61 @@ def _gopher_oracle() -> str:
     """
 
 
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus quality-classifier inference (qualityclf.
+    score_documents) from the materialized feature + coefficient
+    artifacts (_qualityclf_parquet): score = sigmoid(intercept +
+    sum tf*weight), pred compares the ROUNDED score to 0.5 (both engines
+    compare the identical rounded value, so the boolean can never
+    diverge on sum-order low bits), label = the doc_id % 3 == 0 marker
+    target (trained on even ids only — odd rows show held-out
+    generalization). The oracle recomputes the entire scoring pass in
+    SQL from the same parquets."""
+    from slowspark.qualityclf import score_documents
+
+    abase = _qualityclf_parquet(spark, sf_dir)
+    feats = spark.read.parquet(f"{abase}/qualityclf_features")
+    co = spark.read.parquet(f"{abase}/qualityclf_coeffs")
+    intercept = co.filter(F.col("bucket") == -1).collect()[0]["weight"]
+    scores = score_documents(
+        feats, co.filter(F.col("bucket") >= 0), float(intercept)
+    )
+    return scores.select(
+        F.col("id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        (F.round("score", 6) >= 0.5).alias("pred"),
+        (F.col("id") % 3 == 0).alias("label"),
+    )
+
+
+def _quality_classifier_oracle(sf_dir_base: str = "sf0.01") -> str:
+    abase = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}"
+    return f"""
+        WITH feats AS (
+            SELECT * FROM read_parquet('{abase}/qualityclf_features/*.parquet')
+        ), co AS (
+            SELECT bucket, weight
+            FROM read_parquet('{abase}/qualityclf_coeffs/*.parquet')
+            WHERE bucket >= 0
+        ), b AS (
+            SELECT weight AS b
+            FROM read_parquet('{abase}/qualityclf_coeffs/*.parquet')
+            WHERE bucket = -1
+        ), m AS (
+            SELECT f.id,
+                   sum(f.tf * coalesce(co.weight, 0.0)) + (SELECT b FROM b)
+                       AS m
+            FROM feats f LEFT JOIN co USING (bucket)
+            GROUP BY f.id
+        )
+        SELECT m.id AS doc_id,
+               round(1.0 / (1.0 + exp(-m.m)), 6) AS score,
+               round(1.0 / (1.0 + exp(-m.m)), 6) >= 0.5 AS pred,
+               m.id % 3 = 0 AS label
+        FROM m
+    """
+
+
 _CONTAMINATION_ORACLE = """
     WITH toks AS (
         SELECT doc_id, list_filter(
@@ -2256,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shuffle": _training_shuffle,
         "dsir_select": _dsir_select,
         "gopher_repetition": _gopher_repetition,
+        "quality_classifier": _quality_classifier,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -2714,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE dsir_rank < 100
         """,
         "gopher_repetition": _gopher_oracle(),
+        "quality_classifier": _quality_classifier_oracle(),
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from
