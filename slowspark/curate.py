@@ -75,6 +75,13 @@ def run_curation(
     mixture: dict[str, float] | None = None,
     target_tokens: int | None = None,
     mixture_upsample: bool = False,
+    gopher_repetition: bool = False,
+    line_dedup_min_df: int | None = None,
+    ppl_keep_buckets: list[int] | None = None,
+    ppl_n_buckets: int = 3,
+    quality_coeffs_df: DataFrame | None = None,
+    quality_threshold: float = 0.5,
+    quality_n_buckets: int = 1 << 15,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -147,7 +154,32 @@ def run_curation(
         default budget = the corpus's own token mass): the sampled table
         gains a repeat_ix column and packing keys on
         (doc_id, repeat_ix) so repeated copies pack as distinct
-        documents — deterministically, the same copies in every run."""
+        documents — deterministically, the same copies in every run.
+      - `gopher_repetition`: the full Rae et al. Table A1 within-document
+        repetition rules (gopherrep.gopher_repetition_flags) directly
+        after the quality filter — the sanctioned pairing: the
+        min-word-count rule has already run, so the short-doc top-n-gram
+        caveat (gopherrep docs) does not bite.
+      - `line_dedup_min_df`: RefinedWeb line-wise boilerplate removal
+        (textops.line_boilerplate_dedup) BEFORE exact dedup — lines
+        recurring across >= min_df documents are template chrome; with
+        it stripped, docs differing only by chrome become byte-identical
+        and the exact stage collapses them. A doc emptied by it is
+        dropped.
+      - `ppl_keep_buckets` (+ `ppl_n_buckets`): CCNet perplexity-bucket
+        filter (corpus.perplexity_buckets — corpus-unigram LM, per-lang
+        rank cut into equal-population buckets) after the dedup family,
+        the CCNet order (dedup first so duplicate mass cannot skew the
+        LM); keeps only docs whose bucket is in the list.
+      - `quality_coeffs_df` (+ `quality_threshold`, `quality_n_buckets`):
+        model-based quality filter — score every doc with a PRETRAINED
+        linear classifier (qualityclf.score_documents; coefficient table
+        (bucket, weight) with the intercept as the bucket = -1 row, the
+        _qualityclf_parquet layout) and keep score >= threshold.
+        `quality_n_buckets` must match the trainer's feature hashing.
+        The coefficients' CONTENT is hashed into the resume signature —
+        retraining the model invalidates downstream manifests even when
+        every knob matches."""
     if mixture and sample_rates:
         raise ValueError(
             "run_curation: mixture and sample_rates are mutually exclusive"
@@ -208,6 +240,24 @@ def run_curation(
         )
     else:
         sem_sig = "0"
+    if quality_coeffs_df is not None:
+        qh = quality_coeffs_df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.xxhash64(
+                        F.col("bucket").cast("string"),
+                        F.col("weight").cast("string"),
+                    ).cast("decimal(38,0)")
+                ),
+                F.lit(0),
+            ).alias("h"),
+        ).first()
+        qc_sig = (
+            f"{quality_threshold}:{quality_n_buckets}:{qh['n']}:{qh['h']}"
+        )
+    else:
+        qc_sig = "0"
     sig = (
         f"{input_signature}|mw={min_words}|pw={passage_words}"
         f"|mdp={max_docs_per_passage}|sr={sample_rate}|srates={rates_sig}"
@@ -218,6 +268,9 @@ def run_curation(
         f"|sem={sem_sig}"
         f"|mix={','.join(f'{k}={v}' for k, v in sorted((mixture or {}).items()))}"
         f"|tt={target_tokens or 0}|mup={int(mixture_upsample)}"
+        f"|gop={int(gopher_repetition)}|ldf={line_dedup_min_df or 0}"
+        f"|ppl={','.join(map(str, sorted(ppl_keep_buckets))) if ppl_keep_buckets else 'off'}"
+        f":{ppl_n_buckets}|qc={qc_sig}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -248,6 +301,38 @@ def run_curation(
         lambda: flagged.filter(F.col("keep")).select(*docs.columns),
     )
     out["filtered"] = filtered
+
+    if gopher_repetition:
+        from slowspark.gopherrep import gopher_repetition_flags
+
+        def _gopher() -> DataFrame:
+            keep_ids = (
+                gopher_repetition_flags(filtered)
+                .filter(F.col("keep"))
+                .select("doc_id")
+            )
+            return filtered.join(keep_ids, "doc_id", "left_semi")
+
+        filtered = run_stage(spark, cat, "gopher_filtered", sig, _gopher)
+        out["gopher_filtered"] = filtered
+
+    if line_dedup_min_df is not None:
+        from slowspark.textops import line_boilerplate_dedup
+
+        def _linededup() -> DataFrame:
+            ld = line_boilerplate_dedup(
+                filtered, min_df=line_dedup_min_df, with_text=True
+            )
+            return (
+                filtered.drop("text")
+                .join(ld.select("doc_id", "kept_text"), "doc_id")
+                .filter(F.col("kept_text") != "")
+                .withColumnRenamed("kept_text", "text")
+                .select(*filtered.columns)
+            )
+
+        filtered = run_stage(spark, cat, "line_deduped", sig, _linededup)
+        out["line_deduped"] = filtered
 
     deduped_exact = run_stage(
         spark, cat, "deduped_exact", sig, lambda: exact_dedup(filtered)
@@ -299,6 +384,43 @@ def run_curation(
 
         deduped = run_stage(spark, cat, "substring_deduped", sig, _substr)
         out["substring_deduped"] = deduped
+
+    if ppl_keep_buckets is not None:
+        from slowspark.corpus import perplexity_buckets
+
+        def _ppl() -> DataFrame:
+            lang_col = "lang" if "lang" in deduped.columns else None
+            keep_ids = (
+                perplexity_buckets(
+                    deduped, lang_col=lang_col, n_buckets=ppl_n_buckets
+                )
+                .filter(F.col("ppl_bucket").isin([int(b) for b in ppl_keep_buckets]))
+                .select("doc_id")
+            )
+            return deduped.join(keep_ids, "doc_id", "left_semi")
+
+        deduped = run_stage(spark, cat, "ppl_filtered", sig, _ppl)
+        out["ppl_filtered"] = deduped
+
+    if quality_coeffs_df is not None:
+        from slowspark.qualityclf import hashed_text_features, score_documents
+
+        def _qclf() -> DataFrame:
+            feats = hashed_text_features(deduped, n_buckets=quality_n_buckets)
+            intercept = quality_coeffs_df.filter(
+                F.col("bucket") == -1
+            ).collect()
+            b = float(intercept[0]["weight"]) if intercept else 0.0
+            scores = score_documents(
+                feats, quality_coeffs_df.filter(F.col("bucket") >= 0), b
+            )
+            keep_ids = scores.filter(
+                F.col("score") >= float(quality_threshold)
+            ).select(F.col("id").alias("doc_id"))
+            return deduped.join(keep_ids, "doc_id", "left_semi")
+
+        deduped = run_stage(spark, cat, "quality_filtered", sig, _qclf)
+        out["quality_filtered"] = deduped
 
     def _scrub() -> DataFrame:
         scrubbed = passage_dedup(
@@ -477,6 +599,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-tokens", type=int, default=None,
                    help="explicit mixture token budget (default: largest "
                    "achievable; infeasible budgets fail loudly)")
+    p.add_argument("--gopher-repetition", action="store_true",
+                   help="apply the full Gopher Table A1 within-document "
+                   "repetition rules after the quality filter")
+    p.add_argument("--line-dedup-min-df", type=int, default=None,
+                   help="RefinedWeb line-wise boilerplate removal before "
+                   "exact dedup: lines recurring across >= N docs are cut")
+    p.add_argument("--ppl-keep-buckets", default=None,
+                   help="CCNet perplexity filter after dedup: keep only "
+                   "these buckets, e.g. '0,1' (0 = most stereotypical)")
+    p.add_argument("--ppl-n-buckets", type=int, default=3)
+    p.add_argument("--quality-classifier-coeffs", default=None,
+                   help="coefficient parquet (bucket, weight; intercept at "
+                   "bucket=-1) from qualityclf.train_logreg: score every "
+                   "doc after dedup and keep score >= threshold")
+    p.add_argument("--quality-threshold", type=float, default=0.5)
+    p.add_argument("--quality-classifier-buckets", type=int,
+                   default=1 << 15,
+                   help="feature-hash bucket count; must match training")
     p.add_argument("--mixture-upsample", action="store_true",
                    help="repetition regime for --mixture: scarce strata "
                    "repeat (per-row repeat_ix; packing keys on doc_id + "
@@ -510,6 +650,10 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.semantic_dedup_cells)
             if args.semantic_dedup_cells else None
         )
+        qc_df = (
+            spark.read.parquet(args.quality_classifier_coeffs)
+            if args.quality_classifier_coeffs else None
+        )
         tables = run_curation(
             spark, docs, args.warehouse, f"path:{args.input}",
             min_words=args.min_words,
@@ -537,13 +681,25 @@ def main(argv: list[str] | None = None) -> int:
             } if args.mixture else None,
             target_tokens=args.target_tokens,
             mixture_upsample=args.mixture_upsample,
+            gopher_repetition=args.gopher_repetition,
+            line_dedup_min_df=args.line_dedup_min_df,
+            ppl_keep_buckets=(
+                [int(b) for b in args.ppl_keep_buckets.split(",")]
+                if args.ppl_keep_buckets else None
+            ),
+            ppl_n_buckets=args.ppl_n_buckets,
+            quality_coeffs_df=qc_df,
+            quality_threshold=args.quality_threshold,
+            quality_n_buckets=args.quality_classifier_buckets,
         )
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {
             name: tables[name].count()
-            for name in ("lang_filtered", "filtered", "deduped_exact",
+            for name in ("lang_filtered", "filtered", "gopher_filtered",
+                         "line_deduped", "deduped_exact",
                          "deduped_near", "semantic_deduped",
-                         "substring_deduped", "scrubbed",
+                         "substring_deduped", "ppl_filtered",
+                         "quality_filtered", "scrubbed",
                          "pii_scrubbed", "decontaminated",
                          "fuzzy_decontaminated", "sampled", "packed")
             if name in tables

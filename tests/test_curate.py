@@ -786,3 +786,117 @@ def test_curate_ingest_method_stamp_written_before_build(spark, tmp_path):
     curate_ingest_batch(batch, 0, idx, acc, min_words=10, method="simhash")
     assert os.path.exists(f"{idx}/tables/_SUCCESS")
     assert _accepted_ids(spark, acc) == {1}
+
+
+def _salad_doc(tag, n=60, stop=True):
+    import hashlib
+
+    letters = str.maketrans("0123456789", "ghijklmnop")
+    words = " ".join(
+        hashlib.md5(f"{tag}:{j}".encode()).hexdigest()[:8].translate(letters)
+        for j in range(n)
+    )
+    return f"{words} and in that with the a of to is for" if stop else words
+
+
+def test_curation_gopher_repetition_stage(spark, tmp_path):
+    """--gopher-repetition drops a duplicate-line-heavy doc at exactly the
+    gopher_filtered stage; clean word-salad docs pass every Table A1 rule.
+    The knob participates in the resume signature."""
+    import os
+
+    rep_line = "the quick brown fox jumps over the lazy dog again today"
+    spam = "\n".join([rep_line] * 6 + [_salad_doc(f"u{i}", 10) for i in range(4)])
+    rows = [(1, _salad_doc("a"), "en"), (2, _salad_doc("b"), "en"),
+            (9, spam, "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    wh = str(tmp_path / "wh")
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+        gopher_repetition=True,
+    )
+    assert {r["doc_id"] for r in tables["filtered"].collect()} == {1, 2, 9}
+    assert {r["doc_id"] for r in tables["gopher_filtered"].collect()} == {1, 2}
+    assert {r["doc_id"] for r in tables["packed"].collect()} == {1, 2}
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32)
+    assert os.path.getmtime(os.path.join(wh, "packed")) != m0
+
+
+def test_curation_line_dedup_stage(spark, tmp_path):
+    """--line-dedup-min-df strips cross-document template lines before
+    exact dedup — two docs identical except for chrome placement collapse
+    at deduped_exact once the chrome is gone."""
+    chrome = "subscribe to our newsletter for daily updates today"
+    shared_tail = _salad_doc("shared")
+    rows = [
+        (1, f"{chrome}\n{shared_tail}", "en"),
+        (2, f"{shared_tail}\n{chrome}", "en"),
+        (3, f"{chrome}\n{_salad_doc('c')}", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1", min_words=10,
+        seq_len=32, line_dedup_min_df=3,
+    )
+    ld = {r["doc_id"]: r["text"] for r in tables["line_deduped"].collect()}
+    assert set(ld) == {1, 2, 3}
+    assert all("subscribe" not in t for t in ld.values())
+    assert ld[1] == ld[2] == shared_tail  # chrome gone, now byte-identical
+    exact = {r["doc_id"] for r in tables["deduped_exact"].collect()}
+    assert exact == {1, 3}  # 2 collapsed into 1 post-chrome-removal
+
+
+def test_curation_ppl_bucket_stage(spark, tmp_path):
+    """--ppl-keep-buckets keeps only the chosen CCNet perplexity buckets
+    (equal-population rank cut) at exactly the ppl_filtered stage."""
+    rows = [(i, _salad_doc(f"d{i}"), "en") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1", min_words=10,
+        seq_len=32, ppl_keep_buckets=[0], ppl_n_buckets=3,
+    )
+    near = {r["doc_id"] for r in tables["deduped_near"].collect()}
+    assert len(near) == 6
+    kept = {r["doc_id"] for r in tables["ppl_filtered"].collect()}
+    assert len(kept) == 2 and kept <= near  # 6 docs / 3 buckets -> 2 in head
+    assert {r["doc_id"] for r in tables["packed"].collect()} == kept
+
+
+def test_curation_quality_classifier_stage(spark, tmp_path):
+    """--quality-classifier-coeffs scores docs with a pretrained linear
+    model and drops below-threshold docs at exactly the quality_filtered
+    stage; retrained coefficients (content hash) invalidate resume."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, _salad_doc("good1"), "en"),
+        (2, _salad_doc("good2"), "en"),
+        (3, f"{_salad_doc('bad')} badword", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bucket = (
+        spark.createDataFrame([("badword",)], "g string")
+        .select(F.pmod(F.xxhash64("g"), F.lit(1 << 15)).alias("b"))
+        .collect()[0]["b"]
+    )
+    coeffs = spark.createDataFrame(
+        [(int(bucket), -100.0), (-1, 2.0)], "bucket int, weight double"
+    )
+    wh = str(tmp_path / "wh")
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+        quality_coeffs_df=coeffs,
+    )
+    assert {r["doc_id"] for r in tables["deduped_near"].collect()} == {1, 2, 3}
+    assert {r["doc_id"] for r in tables["quality_filtered"].collect()} == {1, 2}
+    # retraining (different weights) misses every downstream manifest
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    coeffs2 = spark.createDataFrame(
+        [(int(bucket), -90.0), (-1, 2.0)], "bucket int, weight double"
+    )
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 quality_coeffs_df=coeffs2)
+    assert os.path.getmtime(os.path.join(wh, "packed")) != m0
