@@ -191,3 +191,45 @@ def test_incremental_simhash_probe_prunes_index_columns(spark, tmp_path):
     ]
     assert len(sigs_scans) == 1
     assert len(scans) == 2  # and nothing else scans the index
+
+
+def test_gopher_repetition_single_python_stage_no_shuffle(spark):
+    """gopherrep: all 13 signals in one narrow mapInPandas pass — the plan
+    must contain exactly one Python stage and ZERO exchanges (a gram
+    explode/shuffle formulation would move O(6x tokens) rows per doc)."""
+    from slowspark.gopherrep import gopher_repetition_flags
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(gopher_repetition_flags(docs))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_qualityclf_scoring_broadcast_join_single_exchange(spark):
+    """score_documents: the coefficient table must broadcast (never
+    shuffle the corpus-sized feature table for the join) and the per-doc
+    margin agg must be partial+final with ONE exchange."""
+    from slowspark.qualityclf import score_documents
+
+    feats = spark.createDataFrame(
+        [(1, 5, 0.5), (1, 9, 0.5)], "id long, bucket int, tf double"
+    )
+    coeffs = spark.createDataFrame([(5, 1.0)], "bucket int, weight double")
+    plan = _plan(score_documents(feats, coeffs, 0.0))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_qualityclf_features_pushdown_and_two_narrow_shuffles(spark):
+    """hashed_text_features: explode + groupBy(id,bucket) + window norm —
+    the exploded gram stream partial-aggregates map-side (the shuffle
+    carries distinct (id,bucket) rows, not raw grams), then one window
+    re-partition by id; no more than 2 exchanges, no Python stage."""
+    from slowspark.qualityclf import hashed_text_features
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(hashed_text_features(docs))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
