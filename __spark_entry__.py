@@ -61,7 +61,7 @@ _ARTIFACT_NAMES = (
     "entries", "simhash_sigs", "minhash_sigs", "lsh_buckets", "ivf_cells",
     "minhash_index", "simhash_index", "minhash_pairs", "jaccard_pairs",
     "pq_index", "ivfpq_index", "ivfpq_res_index",
-    "qualityclf_features", "qualityclf_coeffs",
+    "qualityclf_features", "qualityclf_coeffs", "bloom_positions",
 )
 
 
@@ -172,6 +172,7 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
             lambda: _dedup_pairs_parquets(spark, sf_dir, sigs=sig_fut.result()),
             lambda: _minhash_sigs_parquet(spark, sf_dir, sigs=sig_fut.result()),
             lambda: _qualityclf_parquet(spark, sf_dir),
+            lambda: _bloom_positions_parquet(spark, sf_dir),
         )
         for fut in [ex.submit(g) for g in groups]:
             fut.result()
@@ -969,6 +970,139 @@ def _simhash_sigs_parquet(spark: SparkSession, sf_dir: str) -> str:
         simhash_signatures(d).write.mode("overwrite").parquet(path)
         _ENTRIES_WRITTEN.add(path)
     return path
+
+
+# deliberately crowded filter at sf0.01 (250-doc corpus, ~0.46 load):
+# a ~2% fp rate makes the verify stage demonstrably remove real false
+# positives inside the hash-checked result, not just in unit tests
+_BLOOM_BITS, _BLOOM_K = 2048, 5
+
+
+def _bloom_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with every doc_id % 10 == 1 doc's text replaced by the
+    text of doc_id - 1 (an even, i.e. corpus-side, doc) — deterministic
+    decoration both engines rebuild identically, planting true exact
+    duplicates across the even/odd snapshot split."""
+    d = _read(spark, sf_dir, "documents")
+    donors = d.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("__donor")
+    )
+    return (
+        d.join(F.broadcast(donors), "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 10 == 1) & F.col("__donor").isNotNull(),
+                F.col("__donor"),
+            ).otherwise(F.col("text")),
+        )
+        .drop("__donor")
+    )
+
+
+def _bloom_positions_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the Bloom position table (id, j, pos) over the
+    DECORATED documents' sha2 text hashes — the one Spark-specific
+    primitive (xxhash64) in the family; DuckDB rebuilds the filter
+    blocks, the k-bit membership test, and the exact verify from it in
+    plain integer SQL."""
+    import os
+
+    from slowspark.bloomdedup import bloom_positions
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_ORACLE_ENTRIES_BASE}/{base}/bloom_positions"
+    if path not in _ENTRIES_WRITTEN:
+        hashed = _bloom_decorated(spark, sf_dir).withColumn(
+            "text_hash", F.sha2(F.col("text"), 256)
+        )
+        bloom_positions(
+            hashed, "text_hash", "doc_id", _BLOOM_BITS, _BLOOM_K
+        ).write.mode("overwrite").parquet(path)
+        _ENTRIES_WRITTEN.add(path)
+    return path
+
+
+def _bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned incremental exact dedup (bloomdedup): even-id docs
+    are the corpus snapshot, odd-id docs the incoming batch, and the
+    decoration (_bloom_decorated) plants true cross-split duplicates.
+    Returns per batch doc (doc_id, maybe = Bloom positive, is_new = not
+    an exact duplicate after the verify join) — `maybe` pins the filter
+    itself (the oracle rebuilds blocks + the all-k bit test from the
+    materialized position table), `is_new` pins end-to-end exactness
+    (the oracle recomputes it independently via sha256 membership, so a
+    false positive surviving the verify, or a true duplicate slipping
+    the probe, both break the hash)."""
+    from slowspark.bloomdedup import bloom_probe, build_bloom
+
+    _bloom_positions_parquet(spark, sf_dir)  # for the DuckDB side
+    dec = _bloom_decorated(spark, sf_dir).withColumn(
+        "text_hash", F.sha2(F.col("text"), 256)
+    )
+    corpus = dec.filter(F.col("doc_id") % 2 == 0)
+    batch = dec.filter(F.col("doc_id") % 2 == 1)
+    blocks = build_bloom(corpus, "text_hash", "doc_id", _BLOOM_BITS, _BLOOM_K)
+    probed = bloom_probe(
+        batch, blocks, "text_hash", "doc_id", _BLOOM_BITS, _BLOOM_K
+    ).withColumnRenamed("id", "doc_id")
+    verified_dup = (
+        batch.join(
+            corpus.select("text_hash").distinct(), "text_hash", "left_semi"
+        )
+        .select("doc_id")
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(probed, "doc_id")
+        .join(verified_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("maybe_present").alias("maybe"),
+            (~F.coalesce(F.col("__dup"), F.lit(False))).alias("is_new"),
+        )
+    )
+
+
+def _bloom_incremental_dedup_oracle(sf_dir_base: str = "sf0.01") -> str:
+    pos = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/bloom_positions"
+    return f"""
+        WITH dec AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 10 = 1 AND don.text IS NOT NULL
+                        THEN don.text ELSE d.text END AS text
+            FROM documents d
+            LEFT JOIN documents don ON don.doc_id = d.doc_id - 1
+        ), pos AS (
+            SELECT * FROM read_parquet('{pos}/*.parquet')
+        ), masked AS (
+            -- DuckDB raises on 1::BIGINT << 63 (checked overflow); bit 63
+            -- is the two's-complement minimum, spelled out explicitly
+            SELECT id, pos // 64 AS block_id,
+                   CASE WHEN pos % 64 = 63 THEN -9223372036854775808
+                        ELSE 1::BIGINT << CAST(pos % 64 AS INTEGER)
+                   END AS mask
+            FROM pos
+        ), blocks AS (
+            SELECT block_id, bit_or(mask) AS bits
+            FROM masked WHERE id % 2 = 0
+            GROUP BY 1
+        ), probe AS (
+            SELECT m.id,
+                   min(CASE WHEN (coalesce(b.bits, 0) & m.mask) != 0
+                            THEN 1 ELSE 0 END) = 1 AS maybe
+            FROM masked m LEFT JOIN blocks b USING (block_id)
+            WHERE m.id % 2 = 1
+            GROUP BY m.id
+        ), hashes AS (
+            SELECT doc_id, sha256(text) AS h FROM dec
+        )
+        SELECT p.id AS doc_id, p.maybe,
+               h.h NOT IN (SELECT h FROM hashes WHERE doc_id % 2 = 0)
+                   AS is_new
+        FROM probe p JOIN hashes h ON h.doc_id = p.id
+    """
 
 
 _QCLF_BUCKETS = 1 << 15
@@ -2372,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _dsir_select,
         "gopher_repetition": _gopher_repetition,
         "quality_classifier": _quality_classifier,
+        "bloom_incremental_dedup": _bloom_incremental_dedup,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -2831,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_repetition": _gopher_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
+        "bloom_incremental_dedup": _bloom_incremental_dedup_oracle(),
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from
