@@ -2168,6 +2168,158 @@ def _quality_classifier_oracle(sf_dir_base: str = "sf0.01") -> str:
     """
 
 
+_BPE_MERGES = 8
+_BPE_CACHE: dict[str, list] = {}
+
+
+def _bpe_learned(spark: SparkSession, sf_dir: str) -> list:
+    """Per-process memo of the 8-merge BPE training run over the sf
+    dir's documents — bpe_merges and bpe_segment_counts share one
+    training loop instead of re-running the 8 argmax rounds."""
+    import os
+
+    from slowspark.bpe import bpe_learn
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base not in _BPE_CACHE:
+        _BPE_CACHE[base] = bpe_learn(
+            _read(spark, sf_dir, "documents"), _BPE_MERGES
+        )
+    return _BPE_CACHE[base]
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (bpe.bpe_learn): the learned
+    8-row merge table itself — each row pins a full corpus-wide
+    iteration (weighted pair count, deterministic argmax, merge
+    application). The oracle UNROLLS the training loop into 8 generated
+    SQL stages over the identical sentinel-string representation, so a
+    divergence in ANY round's counts, tie-break, or replace semantics
+    breaks the hash."""
+    merges = _bpe_learned(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (m["merge_ix"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "merge_ix int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def _bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference (bpe.bpe_segment) with the merges learned at this
+    sf dir: per-document subword token counts. The oracle re-learns the
+    merges in SQL (same unrolled stages) and replays the replace chain
+    per word — training AND inference are inside one value hash."""
+    from slowspark.bpe import bpe_segment
+
+    merges = _bpe_learned(spark, sf_dir)
+    return bpe_segment(_read(spark, sf_dir, "documents"), merges).select(
+        "doc_id", "n_tokens"
+    )
+
+
+_BPE_W0 = """
+        w0 AS MATERIALIZED (
+            SELECT concat(chr(31),
+                          array_to_string(string_split(word, ''),
+                                          chr(31) || chr(31)),
+                          chr(31)) AS s,
+                   cnt
+            FROM (
+                SELECT word, count(*) AS cnt
+                FROM (
+                    SELECT unnest(list_filter(
+                        regexp_split_to_array(lower(text),
+                                              '[ \\t\\n\\x0B\\f\\r]+'),
+                        t -> t != '')) AS word
+                    FROM documents
+                )
+                WHERE NOT contains(word, chr(31))
+                GROUP BY word
+            )
+        )"""
+
+
+def _bpe_stage_ctes(n: int) -> str:
+    """The unrolled training rounds: per stage, pair counts from the
+    current sentinel strings, the (count desc, pair asc) argmax, and the
+    merged rewrite via one replace()."""
+    parts = []
+    for k in range(n):
+        a, b = f"(SELECT a FROM m{k})", f"(SELECT b FROM m{k})"
+        parts.append(f"""
+        p{k} AS MATERIALIZED (
+            SELECT sym[i] AS a, sym[i + 1] AS b, sum(cnt) AS c
+            FROM (
+                SELECT sym, cnt,
+                       unnest(CASE WHEN length(sym) >= 2
+                              THEN range(1, length(sym)) ELSE [] END) AS i
+                FROM (SELECT string_split(trim(s, chr(31)),
+                                          chr(31) || chr(31)) AS sym, cnt
+                      FROM w{k})
+            )
+            GROUP BY 1, 2 HAVING sum(cnt) >= 2
+        ),
+        m{k} AS MATERIALIZED (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
+        w{k + 1} AS MATERIALIZED (
+            SELECT replace(s,
+                           chr(31) || {a} || chr(31) || chr(31) || {b}
+                               || chr(31),
+                           chr(31) || {a} || {b} || chr(31)) AS s,
+                   cnt
+            FROM w{k}
+        )""")
+    return ",".join(parts)
+
+
+def _bpe_merges_oracle() -> str:
+    rows = "\n            UNION ALL ".join(
+        f"SELECT {k} AS merge_ix, a AS lhs, b AS rhs, a || b AS merged,"
+        f" c AS pair_count FROM m{k}"
+        for k in range(_BPE_MERGES)
+    )
+    return f"""
+        WITH {_BPE_W0},
+        {_bpe_stage_ctes(_BPE_MERGES)}
+        {rows}
+    """
+
+
+def _bpe_segment_counts_oracle() -> str:
+    expr = "s"
+    for k in range(_BPE_MERGES):
+        a, b = f"(SELECT a FROM m{k})", f"(SELECT b FROM m{k})"
+        expr = (
+            f"replace({expr}, chr(31) || {a} || chr(31) || chr(31) || {b}"
+            f" || chr(31), chr(31) || {a} || {b} || chr(31))"
+        )
+    return f"""
+        WITH {_BPE_W0},
+        {_bpe_stage_ctes(_BPE_MERGES)},
+        docw AS (
+            SELECT doc_id,
+                   concat(chr(31),
+                          array_to_string(string_split(word, ''),
+                                          chr(31) || chr(31)),
+                          chr(31)) AS s
+            FROM (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text),
+                                          '[ \\t\\n\\x0B\\f\\r]+'),
+                    t -> t != '')) AS word
+                FROM documents
+            )
+        )
+        SELECT doc_id,
+               CAST(sum(length(string_split(trim({expr}, chr(31)),
+                                            chr(31) || chr(31))))
+                    AS INTEGER) AS n_tokens
+        FROM docw
+        GROUP BY doc_id
+    """
+
+
 _CONTAMINATION_ORACLE = """
     WITH toks AS (
         SELECT doc_id, list_filter(
@@ -2507,6 +2659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _gopher_repetition,
         "quality_classifier": _quality_classifier,
         "bloom_incremental_dedup": _bloom_incremental_dedup,
+        "bpe_merges": _bpe_merges,
+        "bpe_segment_counts": _bpe_segment_counts,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -2967,6 +3121,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _gopher_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
         "bloom_incremental_dedup": _bloom_incremental_dedup_oracle(),
+        "bpe_merges": _bpe_merges_oracle(),
+        "bpe_segment_counts": _bpe_segment_counts_oracle(),
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from
