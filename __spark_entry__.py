@@ -2320,6 +2320,43 @@ def _bpe_segment_counts_oracle() -> str:
     """
 
 
+def _bpe_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing in TOKENIZER units: pack_sequences with
+    n_tokens_col from bpe_segment over the merges learned at this sf
+    dir — the layout a training loader actually consumes. The oracle
+    re-learns the merges (unrolled stages), replays segmentation, and
+    runs the single-window prefix-sum cut — training, inference, AND
+    the distributed two-phase prefix sum are all inside one hash."""
+    from slowspark.bpe import bpe_segment
+    from slowspark.corpus import pack_sequences
+
+    d = _read(spark, sf_dir, "documents")
+    merges = _bpe_learned(spark, sf_dir)
+    seg = bpe_segment(d, merges).select("doc_id", "n_tokens")
+    return pack_sequences(
+        d.select("doc_id").join(seg, "doc_id"),
+        seq_len=512,
+        n_tokens_col="n_tokens",
+    )
+
+
+def _bpe_packed_oracle() -> str:
+    seg = _bpe_segment_counts_oracle()
+    return f"""
+        WITH t AS ({seg}), c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS BIGINT) AS s
+            FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               s // 512 AS seq_id,
+               s % 512 AS seq_offset
+        FROM c
+    """
+
+
 _CONTAMINATION_ORACLE = """
     WITH toks AS (
         SELECT doc_id, list_filter(
@@ -2661,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_incremental_dedup": _bloom_incremental_dedup,
         "bpe_merges": _bpe_merges,
         "bpe_segment_counts": _bpe_segment_counts,
+        "bpe_packed": _bpe_packed,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -3123,6 +3161,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_incremental_dedup": _bloom_incremental_dedup_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
         "bpe_segment_counts": _bpe_segment_counts_oracle(),
+        "bpe_packed": _bpe_packed_oracle(),
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from

@@ -611,6 +611,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_partitions: int | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing (GPT-style pretraining layout):
     documents are concatenated in `id_col` order and cut into fixed
@@ -635,13 +636,22 @@ def pack_sequences(
     All integer arithmetic (token counts, div/mod) — no float rounding at
     any corpus size (double-precision floor() would silently misplace
     sequences past 2^53 total tokens; ~10^14 tokens is a realistic
-    pretraining corpus)."""
+    pretraining corpus).
+
+    `n_tokens_col` switches the unit from whitespace tokens (computed
+    here from text_col) to a PRECOMPUTED per-row count — e.g.
+    bpe.bpe_segment's n_tokens, so the packed layout is in tokenizer
+    subwords, the unit the training loader actually consumes."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     from pyspark.sql import Window
 
-    n_tokens = F.size(
-        F.array_remove(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), "")
+    n_tokens = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else F.size(
+            F.array_remove(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), "")
+        )
     )
     base = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
     from slowspark.util import materialize

@@ -82,6 +82,7 @@ def run_curation(
     quality_coeffs_df: DataFrame | None = None,
     quality_threshold: float = 0.5,
     quality_n_buckets: int = 1 << 15,
+    bpe_merges_n: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -179,7 +180,15 @@ def run_curation(
         `quality_n_buckets` must match the trainer's feature hashing.
         The coefficients' CONTENT is hashed into the resume signature —
         retraining the model invalidates downstream manifests even when
-        every knob matches."""
+        every knob matches.
+      - `bpe_merges_n`: learn a BPE vocabulary of that many merges ON
+        THE SAMPLED CORPUS (bpe.bpe_learn — the tokenizer is trained on
+        what will actually be packed), persist the merge table as the
+        `bpe_vocab` stage, and pack in TOKENIZER subword counts
+        (bpe.bpe_segment → pack_sequences n_tokens_col) instead of
+        whitespace tokens — the unit the training loader consumes.
+        Composes with the repetition regime (repeated copies pack by
+        their subword counts too)."""
     if mixture and sample_rates:
         raise ValueError(
             "run_curation: mixture and sample_rates are mutually exclusive"
@@ -270,7 +279,7 @@ def run_curation(
         f"|tt={target_tokens or 0}|mup={int(mixture_upsample)}"
         f"|gop={int(gopher_repetition)}|ldf={line_dedup_min_df or 0}"
         f"|ppl={','.join(map(str, sorted(ppl_keep_buckets))) if ppl_keep_buckets else 'off'}"
-        f":{ppl_n_buckets}|qc={qc_sig}"
+        f":{ppl_n_buckets}|qc={qc_sig}|bpe={bpe_merges_n or 0}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -520,6 +529,40 @@ def run_curation(
         )
     out["sampled"] = sampled
 
+    pack_tokens_col = None
+    if bpe_merges_n is not None:
+        from slowspark.bpe import bpe_learn, bpe_segment
+
+        def _vocab() -> DataFrame:
+            merges = bpe_learn(sampled, bpe_merges_n)
+            return spark.createDataFrame(
+                [
+                    (m["merge_ix"], m["left"], m["right"], m["merged"],
+                     m["pair_count"])
+                    for m in merges
+                ],
+                "merge_ix int, lhs string, rhs string, merged string,"
+                " pair_count long",
+            )
+
+        vocab = run_stage(spark, cat, "bpe_vocab", sig, _vocab)
+        out["bpe_vocab"] = vocab
+        merges = [
+            {"left": r["lhs"], "right": r["rhs"], "merged": r["merged"]}
+            for r in vocab.orderBy("merge_ix").collect()
+        ]
+
+        def _counts() -> DataFrame:
+            # one count per distinct doc; upsample repeats join by doc_id
+            return bpe_segment(
+                sampled.select("doc_id", "text").dropDuplicates(["doc_id"]),
+                merges,
+            ).select("doc_id", F.col("n_tokens").alias("bpe_n_tokens"))
+
+        counts = run_stage(spark, cat, "bpe_counts", sig, _counts)
+        sampled = sampled.join(counts, "doc_id")
+        pack_tokens_col = "bpe_n_tokens"
+
     if mixture_upsample:
         # repeated copies are distinct documents to the packer: key the
         # global concat order on (doc_id, repeat_ix), then flatten back
@@ -532,6 +575,7 @@ def run_curation(
                 ),
                 seq_len=seq_len,
                 id_col="__packkey",
+                n_tokens_col=pack_tokens_col,
             )
             return p.select(
                 F.col("__packkey.doc_id").alias("doc_id"),
@@ -543,7 +587,9 @@ def run_curation(
     else:
         out["packed"] = run_stage(
             spark, cat, "packed", sig,
-            lambda: pack_sequences(sampled, seq_len=seq_len),
+            lambda: pack_sequences(
+                sampled, seq_len=seq_len, n_tokens_col=pack_tokens_col
+            ),
         )
     return out
 
@@ -614,6 +660,11 @@ def main(argv: list[str] | None = None) -> int:
                    "bucket=-1) from qualityclf.train_logreg: score every "
                    "doc after dedup and keep score >= threshold")
     p.add_argument("--quality-threshold", type=float, default=0.5)
+    p.add_argument("--bpe-merges", type=int, default=None,
+                   help="learn a BPE vocab of N merges on the sampled "
+                   "corpus (persisted as the bpe_vocab stage) and pack "
+                   "in tokenizer subword counts instead of whitespace "
+                   "tokens")
     p.add_argument("--quality-classifier-buckets", type=int,
                    default=1 << 15,
                    help="feature-hash bucket count; must match training")
@@ -691,6 +742,7 @@ def main(argv: list[str] | None = None) -> int:
             quality_coeffs_df=qc_df,
             quality_threshold=args.quality_threshold,
             quality_n_buckets=args.quality_classifier_buckets,
+            bpe_merges_n=args.bpe_merges,
         )
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {

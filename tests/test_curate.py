@@ -900,3 +900,39 @@ def test_curation_quality_classifier_stage(spark, tmp_path):
     run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
                  quality_coeffs_df=coeffs2)
     assert os.path.getmtime(os.path.join(wh, "packed")) != m0
+
+
+def test_curation_bpe_packing_stage(spark, tmp_path):
+    """--bpe-merges learns a vocab on the sampled corpus (bpe_vocab
+    stage) and packs in SUBWORD counts: packed n_tokens must equal the
+    BPE segmentation length, not the whitespace count."""
+    from slowspark.bpe import bpe_segment
+
+    rows = [(i, _salad_doc(f"d{i}", 30), "en") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1", min_words=10,
+        seq_len=64, bpe_merges_n=6,
+    )
+    vocab = tables["bpe_vocab"].orderBy("merge_ix").collect()
+    assert len(vocab) == 6 and [r["merge_ix"] for r in vocab] == list(range(6))
+    merges = [
+        {"left": r["lhs"], "right": r["rhs"], "merged": r["merged"]}
+        for r in vocab
+    ]
+    seg = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_segment(docs, merges).collect()
+    }
+    packed = {r["doc_id"]: r for r in tables["packed"].collect()}
+    ws_counts = {i: len(t.split()) for i, t, _ in rows}
+    for i in packed:
+        assert packed[i]["n_tokens"] == seg[i]
+        assert packed[i]["n_tokens"] != ws_counts[i]  # subwords, not words
+    # offsets are consistent prefix sums of the subword counts
+    order = sorted(packed)
+    run = 0
+    for i in order:
+        assert packed[i]["seq_id"] == run // 64
+        assert packed[i]["seq_offset"] == run % 64
+        run += packed[i]["n_tokens"]
