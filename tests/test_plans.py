@@ -233,3 +233,33 @@ def test_qualityclf_features_pushdown_and_two_narrow_shuffles(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_broadcasts_blocks(spark):
+    """bloom_probe: the block table must broadcast — the batch is never
+    shuffled for the membership join; the fold-back agg is partial+final
+    with one exchange."""
+    from slowspark.bloomdedup import bloom_probe, build_bloom
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "doc_id long, v string"
+    )
+    blocks = build_bloom(df, "v", "doc_id", 1024, 4)
+    plan = _plan(bloom_probe(df, blocks, "v", "doc_id", 1024, 4))
+    assert "BroadcastHashJoin" in plan
+    # one exchange for the per-id agg; blocks build has its own agg
+    # exchange feeding the broadcast — none on the probe side stream
+    assert "partial_min" in plan
+
+
+def test_bpe_pair_counts_stay_jvm_side(spark):
+    """The BPE round primitive (pair counts) is pure built-ins — no
+    Python stage — and partial-aggregates before its one exchange."""
+    from slowspark import bpe as bpemod
+
+    words = spark.createDataFrame(
+        [("\x1fa\x1f\x1fb\x1f", 3)], "s string, count long"
+    ).withColumnRenamed("count", "cnt")
+    plan = _plan(bpemod._pair_counts(words.withColumnRenamed("cnt", "count")))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "partial_sum" in plan
