@@ -936,3 +936,36 @@ def test_curation_bpe_packing_stage(spark, tmp_path):
         assert packed[i]["seq_id"] == run // 64
         assert packed[i]["seq_offset"] == run % 64
         run += packed[i]["n_tokens"]
+
+
+def test_curation_bpe_packing_with_upsample(spark, tmp_path):
+    """--bpe-merges composes with the repetition regime: repeated copies
+    pack as distinct documents BY THEIR SUBWORD COUNTS."""
+    from slowspark.bpe import bpe_segment
+
+    rows = [
+        (1, _salad_doc("en1", 40), "en"),
+        (2, _salad_doc("en2", 40), "en"),
+        (3, _salad_doc("de1", 10), "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1", min_words=5,
+        seq_len=64, bpe_merges_n=4,
+        mixture={"en": 0.5, "de": 0.5}, mixture_upsample=True,
+    )
+    packed = [
+        (r["doc_id"], r["repeat_ix"], r["n_tokens"])
+        for r in tables["packed"].orderBy("doc_id", "repeat_ix").collect()
+    ]
+    assert any(rix > 0 for _, rix, _ in packed)  # de stratum upsampled
+    vocab = tables["bpe_vocab"].orderBy("merge_ix").collect()
+    merges = [
+        {"left": r["lhs"], "right": r["rhs"], "merged": r["merged"]}
+        for r in vocab
+    ]
+    seg = {
+        r["doc_id"]: r["n_tokens"] for r in bpe_segment(docs, merges).collect()
+    }
+    for doc_id, _rix, n in packed:
+        assert n == seg[doc_id]  # every copy carries the subword count
