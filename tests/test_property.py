@@ -141,3 +141,109 @@ def test_quality_filter_matches_python_reference(spark, texts):
         want = _ref_quality_row(t)
         for k, v in want.items():
             assert got[i][k] == v, (k, repr(t), got[i][k], v)
+
+
+# ---- Gopher repetition signals vs an independent reference ----------------
+
+_GOPHER_WS = " \t\n\x0b\f\r"
+
+
+def _ref_gopher_row(text):
+    """Independent recompute of all 13 signals: Counter + explicit
+    covered-index SETS (the implementation uses a difference array)."""
+    import re as _re
+    from collections import Counter as _C
+
+    def dup(items):
+        n = len(items)
+        if n == 0:
+            return 0, 0.0, 0.0
+        c = _C(items)
+        dn = sum(v - 1 for v in c.values())
+        dch = sum((v - 1) * len(k) for k, v in c.items())
+        tot = sum(len(x) for x in items)
+        return n, dn / n, (dch / tot) if tot else 0.0
+
+    lines = [x for x in (l.strip(_GOPHER_WS) for l in text.split("\n")) if x]
+    paras = [
+        x for x in (p.strip(_GOPHER_WS) for p in _re.split(r"\n{2,}", text)) if x
+    ]
+    toks = [t for t in _re.split(r"[ \t\n\x0B\f\r]+", text.lower()) if t]
+    joined = " ".join(toks)
+    row = {}
+    row["n_lines"], row["dup_line_frac"], row["dup_line_char_frac"] = dup(lines)
+    row["n_paras"], row["dup_para_frac"], row["dup_para_char_frac"] = dup(paras)
+    starts = []
+    off = 0
+    for t in toks:
+        starts.append(off)
+        off += len(t) + 1
+    for n in (2, 3, 4):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams or not joined:
+            row[f"top_{n}gram_char_frac"] = 0.0
+            continue
+        c = _C(grams)
+        mx = max(c.values())
+        top = min(g for g, v in c.items() if v == mx)
+        row[f"top_{n}gram_char_frac"] = mx * len(top) / len(joined)
+    for n in range(5, 11):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams or not joined:
+            row[f"dup_{n}gram_char_frac"] = 0.0
+            continue
+        c = _C(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if c[g] >= 2:
+                covered.update(range(starts[i], starts[i] + len(g)))
+        row[f"dup_{n}gram_char_frac"] = len(covered) / len(joined)
+    return row
+
+
+@given(
+    st.lists(
+        st.text(alphabet=list("ab c\n"), max_size=150), min_size=1, max_size=8
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_gopher_repetition_matches_python_reference(spark, texts):
+    from slowspark.gopherrep import gopher_repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in gopher_repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        want = _ref_gopher_row(t)
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert abs(got[i][k] - v) < 1e-12, (k, repr(t), got[i][k], v)
+            else:
+                assert got[i][k] == v, (k, repr(t), got[i][k], v)
+
+
+# ---- BPE trainer vs the pure-Python reference -----------------------------
+
+@given(
+    st.lists(
+        st.text(alphabet=list("abcd "), min_size=1, max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 6),
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_learn_property_matches_reference(spark, texts, n_merges):
+    from slowspark.bpe import bpe_learn, word_frequencies
+    from tests.test_bpe import _ref_bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wf = {r["word"]: r["count"] for r in word_frequencies(df).collect()}
+    got = bpe_learn(df, n_merges=n_merges)
+    ref = _ref_bpe(wf, n_merges)
+    assert [
+        (m["left"], m["right"], m["merged"], m["pair_count"]) for m in got
+    ] == [(m["left"], m["right"], m["merged"], m["pair_count"]) for m in ref]
