@@ -241,6 +241,7 @@ def curate_ingest_batch(
     max_bucket_size: int | None = None,
     method: str = "minhash",
     max_hamming: int = 3,
+    extra_filter=None,
 ) -> None:
     """One epoch of the continuous-ingest curation flow (the foreachBatch
     body of start_curate_ingest, factored out so tests and backfills can
@@ -354,6 +355,15 @@ def curate_ingest_batch(
             .filter(F.col("keep"))
             .select(*batch_df.columns)
         )
+        if extra_filter is not None:
+            # model/repetition filters (gopher_repetition_flags keep,
+            # classifier score cut, ppl buckets...) slot in here, after
+            # the hard rules and before any dedup — MUST be a
+            # deterministic function of the batch rows: on epoch replay
+            # the accepted sink is reread, not recomputed, so a
+            # nondeterministic filter would make replayed and fresh
+            # epochs disagree about the same input
+            kept = extra_filter(kept)
         kept = exact_dedup(kept)
         if index_exists:
             accepted = _incremental(kept)
@@ -405,6 +415,7 @@ def start_curate_ingest(
     max_bucket_size: int | None = None,
     method: str = "minhash",
     max_hamming: int = 3,
+    extra_filter=None,
 ):
     """Continuous-ingest curation: the streaming front door of the batch
     slowspark.curate pipeline. Each micro-batch of new documents is
@@ -418,13 +429,16 @@ def start_curate_ingest(
 
     State lives in storage (the index), not in Spark streaming state —
     unbounded corpus growth with bounded executor memory; the streaming
-    checkpoint only tracks source offsets."""
+    checkpoint only tracks source offsets. `extra_filter` (DataFrame ->
+    DataFrame, deterministic) runs after the hard quality rules in each
+    epoch — the hook for the model/repetition stages (gopher flags,
+    classifier score, ppl buckets) in the streaming path."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         curate_ingest_batch(
             batch_df, epoch_id, index_path, accepted_path,
             min_words, jaccard_threshold, max_bucket_size,
-            method, max_hamming,
+            method, max_hamming, extra_filter,
         )
 
     return (

@@ -969,3 +969,32 @@ def test_curation_bpe_packing_with_upsample(spark, tmp_path):
     }
     for doc_id, _rix, n in packed:
         assert n == seg[doc_id]  # every copy carries the subword count
+
+
+def test_curate_ingest_extra_filter_gopher(spark, tmp_path):
+    """The streaming ingest's extra_filter hook drops a repetition-heavy
+    doc in the same epoch that accepts a clean one."""
+    from pyspark.sql import functions as F
+
+    from slowspark.gopherrep import gopher_repetition_flags
+    from slowspark.streaming import curate_ingest_batch
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    rep_line = "the quick brown fox jumps over the lazy dog again today"
+    spam = "\n".join([rep_line] * 6 + [_salad_doc(f"s{i}", 10) for i in range(4)])
+    batch = spark.createDataFrame(
+        [(1, _salad_doc("clean"), "en"), (2, spam, "en")],
+        "doc_id long, text string, lang string",
+    )
+
+    def gopher_gate(df):
+        keep = (
+            gopher_repetition_flags(df)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        return df.join(keep, "doc_id", "left_semi")
+
+    curate_ingest_batch(batch, 0, idx, acc, min_words=10,
+                        extra_filter=gopher_gate)
+    assert _accepted_ids(spark, acc) == {1}
