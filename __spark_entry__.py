@@ -62,6 +62,7 @@ _ARTIFACT_NAMES = (
     "minhash_index", "simhash_index", "minhash_pairs", "jaccard_pairs",
     "pq_index", "ivfpq_index", "ivfpq_res_index",
     "qualityclf_features", "qualityclf_coeffs", "bloom_positions",
+    "cms_positions",
 )
 
 
@@ -173,6 +174,7 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
             lambda: _minhash_sigs_parquet(spark, sf_dir, sigs=sig_fut.result()),
             lambda: _qualityclf_parquet(spark, sf_dir),
             lambda: _bloom_positions_parquet(spark, sf_dir),
+            lambda: _cms_positions_parquet(spark, sf_dir),
         )
         for fut in [ex.submit(g) for g in groups]:
             fut.result()
@@ -1102,6 +1104,85 @@ def _bloom_incremental_dedup_oracle(sf_dir_base: str = "sf0.01") -> str:
                h.h NOT IN (SELECT h FROM hashes WHERE doc_id % 2 = 0)
                    AS is_new
         FROM probe p JOIN hashes h ON h.doc_id = p.id
+    """
+
+
+# deliberately NARROW sketch at sf0.01 (the word-salad vocab is ~31
+# terms; 16 columns force collisions in every row): real overestimates
+# land inside the hash-checked result, so the min-over-rows estimator is
+# exercised, not just an identity count
+_CMS_DEPTH, _CMS_WIDTH = 4, 16
+
+
+def _cms_positions_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the CMS hash-position table (term, j, col) over the
+    documents' distinct whitespace tokens — the one Spark primitive
+    (xxhash64) in the sketch family; DuckDB rebuilds the cell grid, the
+    min-estimator, and the exact side from it in integer SQL."""
+    import os
+
+    from slowspark.sketch import cms_positions
+    from slowspark.textops import ws_token_array
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_ORACLE_ENTRIES_BASE}/{base}/cms_positions"
+    if path not in _ENTRIES_WRITTEN:
+        terms = (
+            _read(spark, sf_dir, "documents")
+            .select(F.explode(ws_token_array("text")).alias("term"))
+            .distinct()
+        )
+        cms_positions(terms, "term", _CMS_DEPTH, _CMS_WIDTH).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _ENTRIES_WRITTEN.add(path)
+    return path
+
+
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter audit (sketch): build the cell grid over
+    every token occurrence, point-estimate every distinct term, and
+    return (term, exact, cms_est) — the deliberately narrow width makes
+    real collisions land in the hashed result, and the CMS guarantee
+    (cms_est >= exact, always) is checkable row by row. The oracle
+    rebuilds cells, min-estimates, and exact counts from the
+    materialized position table."""
+    from slowspark.sketch import build_cms, cms_heavy_hitters
+    from slowspark.textops import ws_token_array
+
+    _cms_positions_parquet(spark, sf_dir)  # for the DuckDB side
+    toks = (
+        _read(spark, sf_dir, "documents")
+        .select(F.explode(ws_token_array("text")).alias("term"))
+    )
+    cms = build_cms(toks, "term", _CMS_DEPTH, _CMS_WIDTH)
+    return cms_heavy_hitters(
+        toks, "term", cms, toks.distinct(), _CMS_DEPTH, _CMS_WIDTH
+    )
+
+
+def _cms_heavy_hitters_oracle(sf_dir_base: str = "sf0.01") -> str:
+    pos = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/cms_positions"
+    return f"""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                t -> t != '')) AS term
+            FROM documents
+        ), pos AS (
+            SELECT * FROM read_parquet('{pos}/*.parquet')
+        ), cells AS (
+            SELECT p.j, p.col, count(*) AS c
+            FROM toks t JOIN pos p USING (term)
+            GROUP BY p.j, p.col
+        ), est AS (
+            SELECT p.term, min(coalesce(cells.c, 0)) AS cms_est
+            FROM pos p LEFT JOIN cells USING (j, col)
+            GROUP BY p.term
+        ), exact AS (
+            SELECT term, count(*) AS exact FROM toks GROUP BY term
+        )
+        SELECT term, exact, cms_est FROM exact JOIN est USING (term)
     """
 
 
@@ -2699,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "bpe_segment_counts": _bpe_segment_counts,
         "bpe_packed": _bpe_packed,
+        "cms_heavy_hitters": _cms_heavy_hitters,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -3162,6 +3244,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle(),
         "bpe_segment_counts": _bpe_segment_counts_oracle(),
         "bpe_packed": _bpe_packed_oracle(),
+        "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from
