@@ -62,7 +62,7 @@ _ARTIFACT_NAMES = (
     "minhash_index", "simhash_index", "minhash_pairs", "jaccard_pairs",
     "pq_index", "ivfpq_index", "ivfpq_res_index",
     "qualityclf_features", "qualityclf_coeffs", "bloom_positions",
-    "cms_positions",
+    "cms_positions", "kmv_hashes",
 )
 
 
@@ -175,6 +175,7 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
             lambda: _qualityclf_parquet(spark, sf_dir),
             lambda: _bloom_positions_parquet(spark, sf_dir),
             lambda: _cms_positions_parquet(spark, sf_dir),
+            lambda: _kmv_hashes_parquet(spark, sf_dir),
         )
         for fut in [ex.submit(g) for g in groups]:
             fut.result()
@@ -1183,6 +1184,110 @@ def _cms_heavy_hitters_oracle(sf_dir_base: str = "sf0.01") -> str:
             SELECT term, count(*) AS exact FROM toks GROUP BY term
         )
         SELECT term, exact, cms_est FROM exact JOIN est USING (term)
+    """
+
+
+_KMV_K = 64
+
+
+def _kmv_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, bg): per-lang token bigrams — ~900 distincts per lang at
+    sf0.01, enough above k=64 that the KMV estimator genuinely
+    estimates instead of degenerating to the exact small-set path."""
+    from slowspark.textops import ws_token_array
+
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("lang", ws_token_array("text").alias("tk"))
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                    " (t, i) -> concat(t, ' ', tk[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+    )
+
+
+def _kmv_hashes_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (lang, h) — xxhash64 of each distinct per-lang bigram,
+    the one Spark primitive in the KMV family; DuckDB recomputes the
+    bottom-k, the estimator, and the exact distinct side (which needs no
+    hash at all) from here."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_ORACLE_ENTRIES_BASE}/{base}/kmv_hashes"
+    if path not in _ENTRIES_WRITTEN:
+        (
+            _kmv_bigrams(spark, sf_dir)
+            .distinct()
+            .select("lang", F.xxhash64("bg").alias("h"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _ENTRIES_WRITTEN.add(path)
+    return path
+
+
+def _kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang KMV distinct-count (sketch.kmv_sketch/kmv_estimate) over
+    token bigrams, next to the exact answer: (lang, exact_distinct,
+    kmv_est). KMV with a fixed hash is fully deterministic — the
+    property that makes a DISTINCT sketch value-hash verifiable where
+    HLL-style approx_count_distinct is not. The oracle rebuilds
+    bottom-64 and the (k-1)/u_(k) estimator from the materialized hash
+    table and the exact side relationally."""
+    from slowspark.sketch import kmv_estimate, kmv_sketch
+
+    _kmv_hashes_parquet(spark, sf_dir)  # for the DuckDB side
+    bg = _kmv_bigrams(spark, sf_dir)
+    sk = kmv_sketch(bg, "bg", _KMV_K, group_cols=("lang",))
+    est = kmv_estimate(sk, _KMV_K, group_cols=("lang",))
+    exact = bg.groupBy("lang").agg(
+        F.count_distinct("bg").alias("exact_distinct")
+    )
+    return exact.join(est, "lang").select(
+        "lang", "exact_distinct", F.round("n_distinct_est", 4).alias("kmv_est")
+    )
+
+
+def _kmv_distinct_oracle(sf_dir_base: str = "sf0.01") -> str:
+    h = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/kmv_hashes"
+    return f"""
+        WITH t AS (
+            SELECT lang, list_filter(
+                regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                x -> x != '') AS tk
+            FROM documents
+        ), bg AS (
+            SELECT lang, tk[i] || ' ' || tk[i + 1] AS bg
+            FROM (SELECT lang, tk,
+                         unnest(CASE WHEN length(tk) >= 2
+                                THEN range(1, length(tk)) ELSE [] END) AS i
+                  FROM t)
+        ), exact AS (
+            SELECT lang, count(DISTINCT bg) AS exact_distinct
+            FROM bg GROUP BY lang
+        ), botk AS (
+            SELECT lang, h,
+                   row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+            FROM read_parquet('{h}/*.parquet')
+        ), est AS (
+            SELECT lang, count(*) AS n, max(h) AS hk
+            FROM botk WHERE rk <= {_KMV_K}
+            GROUP BY lang
+        )
+        SELECT e.lang, e.exact_distinct,
+               round(CASE WHEN est.n < {_KMV_K} THEN CAST(est.n AS DOUBLE)
+                          ELSE {_KMV_K - 1}.0
+                               / ((CAST(est.hk AS DOUBLE)
+                                   - (-9223372036854775808.0))
+                                  / 18446744073709551616.0)
+                     END, 4) AS kmv_est
+        FROM exact e JOIN est USING (lang)
     """
 
 
@@ -2781,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment_counts": _bpe_segment_counts,
         "bpe_packed": _bpe_packed,
         "cms_heavy_hitters": _cms_heavy_hitters,
+        "kmv_distinct": _kmv_distinct,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -3245,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment_counts": _bpe_segment_counts_oracle(),
         "bpe_packed": _bpe_packed_oracle(),
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
+        "kmv_distinct": _kmv_distinct_oracle(),
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from

@@ -108,6 +108,88 @@ def cms_query(
     )
 
 
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002) per
+    group: the k smallest xxhash64 values over the DISTINCT inputs —
+    (group..., h, rk) rows, rk 1-based. Unlike HLL, KMV with a fixed
+    hash is fully DETERMINISTIC, so two engines (or two runs) produce
+    the identical sketch — the property that makes it value-hash
+    verifiable where approx_count_distinct is not.
+
+    Scale shape: distinct (one map-side-combined shuffle), then a
+    per-group window bottom-k — parallel across groups; for ONE
+    giant group prefer the two-phase rank (corpus._distributed_rank)
+    to avoid a single-partition sort, the standard window caveat."""
+    if k < 2:
+        raise ValueError(f"kmv_sketch: k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    hashed = (
+        df.select(*gcols, F.col(value_col).alias("__v"))
+        .distinct()
+        .select(*gcols, F.xxhash64("__v").alias("h"))
+    )
+    w = Window.partitionBy(*gcols).orderBy("h") if gcols else Window.orderBy("h")
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*gcols, "h", "rk")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(group..., n_distinct_est): (k-1) / u_(k) where u_(k) maps the
+    k-th smallest signed-64 hash onto (0, 1). A group holding FEWER than
+    k hashes has every distinct value in the sketch — its count is
+    exact, by definition of bottom-k, and is returned as such. All
+    arithmetic is reproducible double math over the sketch rows — the
+    oracle recomputes it from the same materialized hashes."""
+    gcols = list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count("*").alias("__n"), F.max("h").alias("__hk")
+    )
+    u = (F.col("__hk").cast("double") - F.lit(float(-(2 ** 63)))) / F.lit(
+        float(2 ** 64)
+    )
+    return agg.select(
+        *gcols,
+        F.when(F.col("__n") < k, F.col("__n").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / u)
+        .alias("n_distinct_est"),
+    )
+
+
+def merge_kmv(
+    k: int, *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Union per-batch sketches and keep the bottom-k again — the KMV
+    merge law (hash values are values, so distinct-union then bottom-k
+    equals the whole-stream sketch exactly)."""
+    if not sketches:
+        raise ValueError("merge_kmv: need at least one sketch")
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    out = sketches[0].select(*gcols, "h")
+    for s in sketches[1:]:
+        out = out.unionByName(s.select(*gcols, "h"))
+    w = Window.partitionBy(*gcols).orderBy("h") if gcols else Window.orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*gcols, "h", "rk")
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     value_col: str,

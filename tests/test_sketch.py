@@ -95,3 +95,57 @@ def test_cms_weighted_build(spark):
         ).collect()
     }
     assert est["x"] == 15 and est["y"] == 2
+
+
+def test_kmv_exact_below_k_and_deterministic(spark):
+    from slowspark.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame(
+        [(f"v{i % 7}",) for i in range(100)], "term string"
+    )
+    sk = kmv_sketch(df, "term", k=16)
+    rows = sk.collect()
+    assert len(rows) == 7  # fewer distincts than k: all present
+    est = kmv_estimate(sk, 16).collect()[0]["n_distinct_est"]
+    assert est == 7.0  # exact below k
+    # determinism: rebuild matches hash-for-hash
+    again = {(r["h"], r["rk"]) for r in kmv_sketch(df, "term", k=16).collect()}
+    assert again == {(r["h"], r["rk"]) for r in rows}
+
+
+def test_kmv_estimate_accuracy_and_groups(spark):
+    from slowspark.sketch import kmv_estimate, kmv_sketch
+
+    rows = [(f"g{j}", f"val-{j}-{i}") for j in range(2) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, term string")
+    k = 64
+    sk = kmv_sketch(df, "term", k, group_cols=("g",))
+    est = {
+        r["g"]: r["n_distinct_est"]
+        for r in kmv_estimate(sk, k, group_cols=("g",)).collect()
+    }
+    for g in ("g0", "g1"):
+        assert 350 <= est[g] <= 700  # ~1/sqrt(k) ≈ 12.5% rel error, loose x3
+
+
+def test_kmv_merge_equals_whole(spark):
+    from slowspark.sketch import kmv_sketch, merge_kmv
+
+    rows = [(f"val{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "term string")
+    a = spark.createDataFrame(rows[:150], "term string")
+    b = spark.createDataFrame(rows[100:], "term string")  # overlapping
+    k = 32
+    merged = merge_kmv(k, kmv_sketch(a, "term", k), kmv_sketch(b, "term", k))
+    whole = kmv_sketch(df, "term", k)
+    assert {(r["h"], r["rk"]) for r in merged.collect()} == {
+        (r["h"], r["rk"]) for r in whole.collect()
+    }
+
+
+def test_kmv_bad_k(spark):
+    from slowspark.sketch import kmv_sketch
+
+    df = spark.createDataFrame([("a",)], "term string")
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_sketch(df, "term", 1)
