@@ -1187,6 +1187,65 @@ def _cms_heavy_hitters_oracle(sf_dir_base: str = "sf0.01") -> str:
     """
 
 
+def _stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff bigram LM filter (corpus.stupid_backoff_logprob,
+    Brants 2007): model counts from the EVEN docs, every doc scored —
+    odd docs hit unseen bigrams so the backoff and unseen-word floor
+    paths are inside the hashed result, not just the seen-bigram ratio.
+    The oracle recomputes both count tables, the three-way scoring
+    join, and the floor entirely relationally."""
+    from slowspark.corpus import stupid_backoff_logprob
+
+    d = _read(spark, sf_dir, "documents")
+    return stupid_backoff_logprob(
+        d, model_df=d.filter(F.col("doc_id") % 2 == 0)
+    ).select("doc_id", "n_bigrams", "avg_neg_logprob")
+
+
+_SB_ORACLE = """
+    WITH tk AS (
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            x -> x != '') AS tk
+        FROM documents
+    ), pairs AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT doc_id, tk,
+                     unnest(CASE WHEN length(tk) >= 2
+                            THEN range(1, length(tk)) ELSE [] END) AS i
+              FROM tk)
+    ), uni AS (
+        SELECT w, count(*) AS cu
+        FROM (SELECT unnest(tk) AS w FROM tk WHERE doc_id % 2 = 0)
+        GROUP BY w
+    ), tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS N FROM uni),
+    big AS (
+        SELECT w1, w2, count(*) AS cb
+        FROM pairs WHERE doc_id % 2 = 0
+        GROUP BY w1, w2
+    ), scored AS (
+        SELECT p.doc_id,
+               CASE WHEN big.cb IS NOT NULL
+                    THEN CAST(big.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)
+                    ELSE 0.4 * CAST(coalesce(u2.cu, 1) AS DOUBLE)
+                         / (SELECT N FROM tot)
+               END AS s
+        FROM pairs p
+        LEFT JOIN big USING (w1, w2)
+        LEFT JOIN uni u1 ON u1.w = p.w1
+        LEFT JOIN uni u2 ON u2.w = p.w2
+    ), agg AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(-ln(s)), 6) AS avg_neg_logprob
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_neg_logprob FROM agg
+    UNION ALL
+    SELECT doc_id, 0 AS n_bigrams, 0.0 AS avg_neg_logprob
+    FROM tk WHERE length(tk) < 2
+"""
+
+
 _KMV_K = 64
 
 
@@ -2887,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_packed": _bpe_packed,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "kmv_distinct": _kmv_distinct,
+        "stupid_backoff_scores": _stupid_backoff_scores,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -3352,6 +3412,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_packed": _bpe_packed_oracle(),
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
         "kmv_distinct": _kmv_distinct_oracle(),
+        "stupid_backoff_scores": _SB_ORACLE,
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from

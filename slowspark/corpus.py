@@ -237,6 +237,132 @@ def passage_dedup(
     return out
 
 
+def stupid_backoff_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    model_df: DataFrame | None = None,
+) -> DataFrame:
+    """Stupid Backoff bigram LM scoring (Brants et al. 2007 — the
+    web-scale choice: no discount mass bookkeeping, just backoff with a
+    fixed penalty, designed exactly for MapReduce-style distributed
+    count tables). Per bigram position: S(w2|w1) = count(w1 w2) /
+    count(w1) when the bigram was seen, else alpha * count(w2) / N —
+    and the document score is avg over its bigram positions of
+    -ln S. Upgrades the unigram CCNet signal (unigram_logprob): word
+    ORDER now matters, so shuffled or templated text scores worse than
+    fluent text with the same token bag.
+
+    The count tables come from `model_df` — the REFERENCE corpus (CCNet
+    trains on Wikipedia and scores the crawl); default None self-scores
+    like unigram_logprob (then every bigram is in its own table and the
+    backoff path never fires — fine as a repetition/stereotypy signal,
+    but pass a model corpus for the real LM-filter shape). A word the
+    model never saw floors at S = alpha / N (the simple unseen-token
+    epsilon; Brants' chain stops at the unigram level).
+
+    Returns (id, n_bigrams, avg_neg_logprob rounded to 6); documents
+    with < 2 tokens have no bigram positions and are returned with
+    n_bigrams = 0, avg_neg_logprob = 0.0 (nothing to judge — route them
+    by the word-count quality rule instead).
+
+    Scale shape: bigrams come from a transform/slice expression (no
+    self-join); the count tables are one map-side-combined groupBy each;
+    scoring is one join of the bigram stream against the bigram table
+    (the wide one — shuffle join keyed on the pair; bucket the persisted
+    table on the pair at 10^12 tokens) plus two vocabulary-sized unigram
+    joins Spark broadcasts when stats allow; then one groupBy(doc).
+    S is a ratio of exact integer counts — engine-reproducible; only
+    the final avg carries float sum-order jitter, under the round-6
+    grain."""
+    toks = df.select(
+        F.col(id_col),
+        F.array_remove(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), ""
+        ).alias("tk"),
+    )
+    pairs = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                    " (t, i) -> struct(t AS w1, tk[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    mtoks = (
+        (df if model_df is None else model_df)
+        .select(
+            F.array_remove(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), ""
+            ).alias("tk")
+        )
+    )
+    uni = (
+        mtoks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").cast("double").alias("N"))
+    big = (
+        mtoks.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                    " (t, i) -> struct(t AS w1, tk[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")),
+            "w1", "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")),
+            "w2", "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.when(
+                F.col("cb").isNotNull(),
+                F.col("cb").cast("double") / F.col("cu1").cast("double"),
+            )
+            .otherwise(
+                F.lit(float(alpha))
+                * F.coalesce(F.col("cu2"), F.lit(1)).cast("double")
+                / F.col("N")
+            )
+            .alias("s"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(-F.log("s")), 6).alias("avg_neg_logprob"),
+    )
+    short = (
+        toks.filter(F.size("tk") < 2)
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(0.0).alias("avg_neg_logprob"),
+        )
+    )
+    return per_doc.unionByName(short)
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -526,3 +526,49 @@ def test_training_shuffle_permutation_deterministic_and_seed_sensitive(spark):
         .count()
     )
     assert moved > n // 2
+
+
+def test_stupid_backoff_hand_example(spark):
+    from slowspark.corpus import stupid_backoff_logprob
+    import math
+
+    model = spark.createDataFrame(
+        [(100, "a b a b c")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame([(1, "a b x")], "doc_id long, text string")
+    r = stupid_backoff_logprob(docs, model_df=model).collect()[0]
+    # (a,b): cb=2 / cu(a)=2 -> S=1; (b,x): unseen bigram, x unseen word
+    # -> S = 0.4 * 1 / 5
+    want = (0.0 + -math.log(0.4 / 5)) / 2
+    assert r["n_bigrams"] == 2
+    assert r["avg_neg_logprob"] == round(want, 6)
+
+
+def test_stupid_backoff_self_score_no_backoff_and_short(spark):
+    from slowspark.corpus import stupid_backoff_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in stupid_backoff_logprob(docs).collect()}
+    # self-scored unique bigrams: S = 1 everywhere -> 0.0
+    assert got[1]["n_bigrams"] == 2 and got[1]["avg_neg_logprob"] == 0.0
+    assert got[2]["n_bigrams"] == 0 and got[2]["avg_neg_logprob"] == 0.0
+
+
+def test_stupid_backoff_word_order_matters(spark):
+    from slowspark.corpus import stupid_backoff_logprob
+
+    model = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "sat cat the")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in stupid_backoff_logprob(docs, model_df=model).collect()
+    }
+    assert got[1] < got[2]  # fluent order beats shuffled SAME bag
