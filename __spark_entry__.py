@@ -1246,6 +1246,46 @@ _SB_ORACLE = """
 """
 
 
+def _sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attention-mask manifest (corpus.sequence_spans): per-sequence
+    document spans over the pack_sequences layout at seq_len 512 — the
+    cross-document masking metadata a pretraining loader consumes. The
+    oracle recomputes the prefix sum AND the span split relationally
+    (generate_series over each doc's sequence range)."""
+    from slowspark.corpus import pack_sequences, sequence_spans
+
+    d = _read(spark, sf_dir, "documents")
+    return sequence_spans(pack_sequences(d, seq_len=512), 512)
+
+
+_SEQ_MANIFEST_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               length(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+                   x -> x != '')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS BIGINT) AS s
+        FROM t
+    ), spans AS (
+        SELECT q AS seq_id, doc_id,
+               greatest(s, q * 512) - q * 512 AS start_in_seq,
+               least(s + n_tokens - 1, q * 512 + 511) - q * 512 AS end_in_seq
+        FROM c, LATERAL unnest(
+            range(s // 512, (s + n_tokens - 1) // 512 + 1)
+        ) AS u(q)
+        WHERE n_tokens > 0
+    )
+    SELECT seq_id, doc_id, start_in_seq, end_in_seq,
+           end_in_seq - start_in_seq + 1 AS n_span_tokens
+    FROM spans
+"""
+
+
 _KMV_K = 64
 
 
@@ -2947,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         "kmv_distinct": _kmv_distinct,
         "stupid_backoff_scores": _stupid_backoff_scores,
+        "sequence_manifest": _sequence_manifest,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -3413,6 +3454,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
         "kmv_distinct": _kmv_distinct_oracle(),
         "stupid_backoff_scores": _SB_ORACLE,
+        "sequence_manifest": _SEQ_MANIFEST_ORACLE,
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from

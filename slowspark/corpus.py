@@ -824,6 +824,68 @@ def pack_sequences(
     )
 
 
+def sequence_spans(
+    packed: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sequence document spans from a pack_sequences layout — the
+    manifest a training loader consumes for cross-document attention
+    masking: every training sequence needs to know which token ranges
+    belong to which document so attention does not bleed across
+    concatenation boundaries (the "document masking" in Llama-style
+    pretraining).
+
+    Input: (id, n_tokens, seq_id, seq_offset) — pack_sequences output.
+    Output: one row per (sequence, document) overlap: (seq_id, id,
+    start_in_seq, end_in_seq inclusive, n_span_tokens). A document
+    spanning k sequences emits k rows; sum(n_span_tokens) over a doc's
+    rows equals its n_tokens, and over a seq_id equals seq_len for
+    every full sequence (invariants the tests pin).
+
+    Scale shape: pure integer arithmetic + one explode of the per-doc
+    sequence range — total output rows = total_tokens/seq_len + n_docs,
+    no shuffle at all (narrow map over the packed table); zero-token
+    docs emit nothing."""
+    if seq_len < 1:
+        raise ValueError(f"sequence_spans: seq_len must be >= 1, got {seq_len}")
+    L = int(seq_len)
+    s = F.col("seq_id") * L + F.col("seq_offset")
+    e = s + F.col("n_tokens") - 1
+    return (
+        packed.filter(F.col("n_tokens") > 0)
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            s.alias("__s"),
+            e.alias("__e"),
+        )
+        .select(
+            id_col,
+            "__s",
+            "__e",
+            # div, not float division+cast: integer-exact at any corpus
+            # size (the pack_sequences 2^53 discipline)
+            F.explode(
+                F.sequence(
+                    F.expr(f"__s div {L}"), F.expr(f"__e div {L}")
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "seq_id",
+            id_col,
+            (F.greatest(F.col("__s"), F.col("seq_id") * L) - F.col("seq_id") * L)
+            .alias("start_in_seq"),
+            (F.least(F.col("__e"), F.col("seq_id") * L + L - 1) - F.col("seq_id") * L)
+            .alias("end_in_seq"),
+        )
+        .withColumn(
+            "n_span_tokens", F.col("end_in_seq") - F.col("start_in_seq") + 1
+        )
+    )
+
+
 def tfidf_similar_pairs(
     df: DataFrame,
     text_col: str = "text",

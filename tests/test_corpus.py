@@ -572,3 +572,51 @@ def test_stupid_backoff_word_order_matters(spark):
         for r in stupid_backoff_logprob(docs, model_df=model).collect()
     }
     assert got[1] < got[2]  # fluent order beats shuffled SAME bag
+
+
+def test_sequence_spans_invariants(spark):
+    from slowspark.corpus import pack_sequences, sequence_spans
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(7 + 5 * i))) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 16
+    packed = pack_sequences(docs, seq_len=L)
+    spans = sequence_spans(packed, L).collect()
+    n_tok = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+    total = sum(n_tok.values())
+    # per-doc token mass conserved
+    by_doc = {}
+    for r in spans:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["n_span_tokens"]
+    assert by_doc == n_tok
+    # every full sequence is exactly covered, in-range, non-overlapping
+    by_seq = {}
+    for r in spans:
+        assert 0 <= r["start_in_seq"] <= r["end_in_seq"] < L
+        by_seq.setdefault(r["seq_id"], []).append(
+            (r["start_in_seq"], r["end_in_seq"])
+        )
+    n_full = total // L
+    for q, ivs in by_seq.items():
+        ivs.sort()
+        for (a1, b1), (a2, b2) in zip(ivs, ivs[1:]):
+            assert b1 + 1 == a2  # contiguous, no overlap, no gap
+        assert ivs[0][0] == 0
+        if q < n_full:
+            assert ivs[-1][1] == L - 1  # full sequence fully covered
+    assert set(by_seq) == set(range(max(by_seq) + 1))
+
+
+def test_sequence_spans_zero_token_and_bad_args(spark):
+    from slowspark.corpus import sequence_spans
+
+    packed = spark.createDataFrame(
+        [(1, 0, 0, 0), (2, 3, 0, 0)],
+        "doc_id long, n_tokens long, seq_id long, seq_offset long",
+    )
+    out = sequence_spans(packed, 8).collect()
+    assert {r["doc_id"] for r in out} == {2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seq_len"):
+        sequence_spans(packed, 0)
