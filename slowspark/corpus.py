@@ -1042,6 +1042,7 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     lang_col: str | None = "lang",
     n_buckets: int = 3,
+    scored_df: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
     documents by LM score WITHIN each language and cut the ranking into
@@ -1053,7 +1054,11 @@ def perplexity_buckets(
 
     Returns (id [, lang], n_tokens, avg_neg_logprob, ppl_bucket) where
     ppl_bucket = (rank * n_buckets) div n_lang over the (score, id)
-    ordering — deterministic under score ties.
+    ordering — deterministic under score ties. `scored_df` swaps the LM:
+    pass stupid_backoff_logprob's output (trained on a reference corpus
+    via model_df) for the real CCNet shape — its id + avg_neg_logprob
+    drive the ranking and its other columns pass through in place of
+    n_tokens.
 
     Scale shape: unigram_logprob's explode/agg/join, then the two-phase
     distributed per-group rank (_distributed_rank — no per-language
@@ -1061,9 +1066,20 @@ def perplexity_buckets(
     range partitions)."""
     if n_buckets < 1:
         raise ValueError(f"perplexity_buckets: n_buckets must be >= 1, got {n_buckets}")
-    scored = unigram_logprob(df, text_col, id_col)
+    if scored_df is None:
+        scored = unigram_logprob(df, text_col, id_col)
+        extra = ["n_tokens"]
+    else:
+        # caller-supplied LM scores (e.g. stupid_backoff_logprob with a
+        # reference model corpus — the real CCNet shape); only the score
+        # column is contracted, extra columns are passed through
+        scored = scored_df
+        extra = [
+            c for c in scored_df.columns
+            if c not in (id_col, "avg_neg_logprob", lang_col)
+        ]
     gcols = [lang_col] if lang_col else []
-    if lang_col:
+    if lang_col and lang_col not in scored.columns:
         scored = scored.join(df.select(id_col, lang_col), id_col)
     ranked = _distributed_rank(
         scored, order_cols=["avg_neg_logprob", id_col], group_cols=gcols
@@ -1071,7 +1087,7 @@ def perplexity_buckets(
     return ranked.select(
         id_col,
         *gcols,
-        "n_tokens",
+        *extra,
         "avg_neg_logprob",
         F.expr(f"(__rank * {int(n_buckets)}) div __n")
         .cast("int")

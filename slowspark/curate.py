@@ -79,6 +79,8 @@ def run_curation(
     line_dedup_min_df: int | None = None,
     ppl_keep_buckets: list[int] | None = None,
     ppl_n_buckets: int = 3,
+    ppl_scorer: str = "unigram",
+    ppl_model_df: DataFrame | None = None,
     quality_coeffs_df: DataFrame | None = None,
     quality_threshold: float = 0.5,
     quality_n_buckets: int = 1 << 15,
@@ -168,10 +170,15 @@ def run_curation(
         and the exact stage collapses them. A doc emptied by it is
         dropped.
       - `ppl_keep_buckets` (+ `ppl_n_buckets`): CCNet perplexity-bucket
-        filter (corpus.perplexity_buckets — corpus-unigram LM, per-lang
-        rank cut into equal-population buckets) after the dedup family,
-        the CCNet order (dedup first so duplicate mass cannot skew the
-        LM); keeps only docs whose bucket is in the list.
+        filter (corpus.perplexity_buckets — per-lang rank cut into
+        equal-population buckets) after the dedup family, the CCNet
+        order (dedup first so duplicate mass cannot skew the LM); keeps
+        only docs whose bucket is in the list. `ppl_scorer='bigram'`
+        swaps the corpus-unigram LM for Stupid Backoff
+        (corpus.stupid_backoff_logprob); with `ppl_model_df` the counts
+        come from that REFERENCE corpus — the published CCNet shape
+        (train on trusted text, score the crawl). The model corpus's
+        CONTENT is hashed into the resume signature.
       - `quality_coeffs_df` (+ `quality_threshold`, `quality_n_buckets`):
         model-based quality filter — score every doc with a PRETRAINED
         linear classifier (qualityclf.score_documents; coefficient table
@@ -267,6 +274,21 @@ def run_curation(
         )
     else:
         qc_sig = "0"
+    if ppl_scorer not in ("unigram", "bigram"):
+        raise ValueError(
+            f"run_curation: ppl_scorer must be 'unigram' or 'bigram',"
+            f" got {ppl_scorer!r}"
+        )
+    if ppl_model_df is not None:
+        pm = ppl_model_df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("text").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        ppl_model_sig = f"{pm['n']}:{pm['h']}"
+    else:
+        ppl_model_sig = "self"
     sig = (
         f"{input_signature}|mw={min_words}|pw={passage_words}"
         f"|mdp={max_docs_per_passage}|sr={sample_rate}|srates={rates_sig}"
@@ -279,7 +301,8 @@ def run_curation(
         f"|tt={target_tokens or 0}|mup={int(mixture_upsample)}"
         f"|gop={int(gopher_repetition)}|ldf={line_dedup_min_df or 0}"
         f"|ppl={','.join(map(str, sorted(ppl_keep_buckets))) if ppl_keep_buckets else 'off'}"
-        f":{ppl_n_buckets}|qc={qc_sig}|bpe={bpe_merges_n or 0}"
+        f":{ppl_n_buckets}:{ppl_scorer}:{ppl_model_sig}"
+        f"|qc={qc_sig}|bpe={bpe_merges_n or 0}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -399,9 +422,17 @@ def run_curation(
 
         def _ppl() -> DataFrame:
             lang_col = "lang" if "lang" in deduped.columns else None
+            scored = None
+            if ppl_scorer == "bigram":
+                from slowspark.corpus import stupid_backoff_logprob
+
+                scored = stupid_backoff_logprob(
+                    deduped, model_df=ppl_model_df
+                )
             keep_ids = (
                 perplexity_buckets(
-                    deduped, lang_col=lang_col, n_buckets=ppl_n_buckets
+                    deduped, lang_col=lang_col, n_buckets=ppl_n_buckets,
+                    scored_df=scored,
                 )
                 .filter(F.col("ppl_bucket").isin([int(b) for b in ppl_keep_buckets]))
                 .select("doc_id")
@@ -655,6 +686,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="CCNet perplexity filter after dedup: keep only "
                    "these buckets, e.g. '0,1' (0 = most stereotypical)")
     p.add_argument("--ppl-n-buckets", type=int, default=3)
+    p.add_argument("--ppl-scorer", default="unigram",
+                   choices=("unigram", "bigram"),
+                   help="LM behind the perplexity filter: corpus-unigram "
+                   "or Stupid Backoff bigram")
+    p.add_argument("--ppl-model", default=None,
+                   help="reference-corpus parquet for the bigram scorer "
+                   "(CCNet shape: train on trusted text, score the "
+                   "crawl); default scores against the corpus itself")
     p.add_argument("--quality-classifier-coeffs", default=None,
                    help="coefficient parquet (bucket, weight; intercept at "
                    "bucket=-1) from qualityclf.train_logreg: score every "
@@ -739,6 +778,10 @@ def main(argv: list[str] | None = None) -> int:
                 if args.ppl_keep_buckets else None
             ),
             ppl_n_buckets=args.ppl_n_buckets,
+            ppl_scorer=args.ppl_scorer,
+            ppl_model_df=(
+                spark.read.parquet(args.ppl_model) if args.ppl_model else None
+            ),
             quality_coeffs_df=qc_df,
             quality_threshold=args.quality_threshold,
             quality_n_buckets=args.quality_classifier_buckets,

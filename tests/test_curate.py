@@ -998,3 +998,44 @@ def test_curate_ingest_extra_filter_gopher(spark, tmp_path):
     curate_ingest_batch(batch, 0, idx, acc, min_words=10,
                         extra_filter=gopher_gate)
     assert _accepted_ids(spark, acc) == {1}
+
+
+def test_curation_ppl_bigram_scorer_with_model(spark, tmp_path):
+    """--ppl-scorer bigram with a reference model corpus: the filter
+    ranks by Stupid Backoff score against the MODEL — a doc fluent in
+    the model's phrasing lands in the head bucket while a
+    scrambled-order doc of the same vocabulary lands in the tail; the
+    model content participates in the resume signature."""
+    import os
+
+    fluent = "the cat sat on the mat and the dog ran to the old mill"
+    model = spark.createDataFrame(
+        [(100 + i, fluent, "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    scrambled = "mill old the to ran dog the and mat the on sat cat the"
+    rows = [
+        (1, fluent, "en"),
+        (2, scrambled, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    wh = str(tmp_path / "wh")
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=5, seq_len=32,
+        ppl_keep_buckets=[0], ppl_n_buckets=2,
+        ppl_scorer="bigram", ppl_model_df=model,
+    )
+    kept = {r["doc_id"] for r in tables["ppl_filtered"].collect()}
+    assert kept == {1}  # fluent head bucket; scrambled tail dropped
+    # swapping the model invalidates downstream manifests
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    model2 = spark.createDataFrame(
+        [(100, "completely different reference text here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    run_curation(
+        spark, docs, wh, "test:v1", min_words=5, seq_len=32,
+        ppl_keep_buckets=[0], ppl_n_buckets=2,
+        ppl_scorer="bigram", ppl_model_df=model2,
+    )
+    assert os.path.getmtime(os.path.join(wh, "packed")) != m0

@@ -263,3 +263,29 @@ def test_bpe_pair_counts_stay_jvm_side(spark):
     plan = _plan(bpemod._pair_counts(words.withColumnRenamed("cnt", "count")))
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "partial_sum" in plan
+
+
+def test_sequence_spans_no_shuffle_after_pack(spark):
+    """sequence_spans is a narrow map over the packed table: zero
+    exchanges of its own (only pack_sequences' two-phase machinery may
+    shuffle upstream of the provided input)."""
+    from slowspark.corpus import sequence_spans
+
+    packed = spark.createDataFrame(
+        [(1, 10, 0, 0), (2, 30, 0, 10)],
+        "doc_id long, n_tokens long, seq_id long, seq_offset long",
+    )
+    plan = _plan(sequence_spans(packed, 16))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cms_build_partial_aggregates(spark):
+    """build_cms: the cell-grid shuffle must be map-side combined so it
+    carries at most depth*width cell rows per partition."""
+    from slowspark.sketch import build_cms
+
+    df = spark.createDataFrame([("a",), ("b",)], "term string")
+    plan = _plan(build_cms(df, "term", 4, 64))
+    assert "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
