@@ -75,6 +75,7 @@ def run_curation(
     mixture: dict[str, float] | None = None,
     target_tokens: int | None = None,
     mixture_upsample: bool = False,
+    url_dedup: bool = False,
     gopher_repetition: bool = False,
     line_dedup_min_df: int | None = None,
     ppl_keep_buckets: list[int] | None = None,
@@ -158,6 +159,12 @@ def run_curation(
         gains a repeat_ix column and packing keys on
         (doc_id, repeat_ix) so repeated copies pack as distinct
         documents — deterministically, the same copies in every run.
+      - `url_dedup`: URL-canonical dedup (weburl.url_dedup — tracking
+        params/case/ports/fragments collapse; min-id keeper per
+        canonical class) as the FIRST stage, before even the quality
+        rules — the real-crawl order: a re-fetched URL is the cheapest
+        duplicate to drop, and it never reaches the text stages.
+        Requires a `url` column; raises without one.
       - `gopher_repetition`: the full Rae et al. Table A1 within-document
         repetition rules (gopherrep.gopher_repetition_flags) directly
         after the quality filter — the sanctioned pairing: the
@@ -299,12 +306,28 @@ def run_curation(
         f"|sem={sem_sig}"
         f"|mix={','.join(f'{k}={v}' for k, v in sorted((mixture or {}).items()))}"
         f"|tt={target_tokens or 0}|mup={int(mixture_upsample)}"
+        f"|ud={int(url_dedup)}"
         f"|gop={int(gopher_repetition)}|ldf={line_dedup_min_df or 0}"
         f"|ppl={','.join(map(str, sorted(ppl_keep_buckets))) if ppl_keep_buckets else 'off'}"
         f":{ppl_n_buckets}:{ppl_scorer}:{ppl_model_sig}"
         f"|qc={qc_sig}|bpe={bpe_merges_n or 0}"
     )
     out: dict[str, DataFrame] = {}
+
+    if url_dedup:
+        if "url" not in docs.columns:
+            raise ValueError(
+                "run_curation: url_dedup=True requires a 'url' column"
+            )
+        from slowspark.weburl import url_dedup as _url_dedup_fn
+
+        cols = docs.columns
+
+        def _udedup() -> DataFrame:
+            return _url_dedup_fn(docs).select(*cols)
+
+        docs = run_stage(spark, cat, "url_deduped", sig, _udedup)
+        out["url_deduped"] = docs
 
     if langs is not None:
         docs = run_stage(
@@ -676,6 +699,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-tokens", type=int, default=None,
                    help="explicit mixture token budget (default: largest "
                    "achievable; infeasible budgets fail loudly)")
+    p.add_argument("--url-dedup", action="store_true",
+                   help="URL-canonical dedup as the first stage "
+                   "(requires a url column)")
     p.add_argument("--gopher-repetition", action="store_true",
                    help="apply the full Gopher Table A1 within-document "
                    "repetition rules after the quality filter")
@@ -771,6 +797,7 @@ def main(argv: list[str] | None = None) -> int:
             } if args.mixture else None,
             target_tokens=args.target_tokens,
             mixture_upsample=args.mixture_upsample,
+            url_dedup=args.url_dedup,
             gopher_repetition=args.gopher_repetition,
             line_dedup_min_df=args.line_dedup_min_df,
             ppl_keep_buckets=(
@@ -790,7 +817,8 @@ def main(argv: list[str] | None = None) -> int:
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {
             name: tables[name].count()
-            for name in ("lang_filtered", "filtered", "gopher_filtered",
+            for name in ("url_deduped", "lang_filtered", "filtered",
+                         "gopher_filtered",
                          "line_deduped", "deduped_exact",
                          "deduped_near", "semantic_deduped",
                          "substring_deduped", "ppl_filtered",

@@ -1039,3 +1039,30 @@ def test_curation_ppl_bigram_scorer_with_model(spark, tmp_path):
         ppl_scorer="bigram", ppl_model_df=model2,
     )
     assert os.path.getmtime(os.path.join(wh, "packed")) != m0
+
+
+def test_curation_url_dedup_stage(spark, tmp_path):
+    """--url-dedup runs FIRST: two fetches of the same canonical URL
+    (tracking params, host case, fragment) collapse before the text
+    stages even see them; a url-less input raises."""
+    rows = [
+        (1, _salad_doc("a"), "en", "https://Example.com/page?utm_source=x"),
+        (2, _salad_doc("b"), "en", "https://example.com:443/page#frag"),
+        (3, _salad_doc("c"), "en", "https://example.com/other"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    )
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1", min_words=10,
+        seq_len=32, url_dedup=True,
+    )
+    assert {r["doc_id"] for r in tables["url_deduped"].collect()} == {1, 3}
+    assert {r["doc_id"] for r in tables["packed"].collect()} == {1, 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires a 'url' column"):
+        run_curation(
+            spark, docs.drop("url"), str(tmp_path / "wh2"), "test:v1",
+            min_words=10, seq_len=32, url_dedup=True,
+        )
