@@ -247,3 +247,66 @@ def test_bpe_learn_property_matches_reference(spark, texts, n_merges):
     assert [
         (m["left"], m["right"], m["merged"], m["pair_count"]) for m in got
     ] == [(m["left"], m["right"], m["merged"], m["pair_count"]) for m in ref]
+
+
+# ---- Stupid Backoff scoring vs a pure-Python reference --------------------
+
+def _ref_sb(doc_texts, model_texts, alpha=0.4):
+    import math
+    from collections import Counter as _C
+
+    def toks(t):
+        return [x for x in t.lower().split() if x]
+
+    uni = _C()
+    big = _C()
+    for t in model_texts:
+        tk = toks(t)
+        uni.update(tk)
+        big.update(zip(tk, tk[1:]))
+    N = sum(uni.values())
+    out = {}
+    for i, t in enumerate(doc_texts):
+        tk = toks(t)
+        pairs = list(zip(tk, tk[1:]))
+        if not pairs:
+            out[i] = (0, 0.0)
+            continue
+        ss = []
+        for w1, w2 in pairs:
+            if (w1, w2) in big:
+                ss.append(big[(w1, w2)] / uni[w1])
+            else:
+                ss.append(alpha * max(uni.get(w2, 0), 1) / N)
+        out[i] = (
+            len(pairs),
+            round(sum(-math.log(s) for s in ss) / len(pairs), 6),
+        )
+    return out
+
+
+@given(
+    st.lists(st.text(alphabet=list("ab c"), max_size=60), min_size=1, max_size=6),
+    st.lists(st.text(alphabet=list("ab c"), min_size=3, max_size=60),
+             min_size=1, max_size=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_stupid_backoff_matches_python_reference(spark, texts, model_texts):
+    from hypothesis import assume
+
+    from slowspark.corpus import stupid_backoff_logprob
+
+    assume(any(len(t.split()) >= 1 for t in model_texts))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    mdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(model_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob"])
+        for r in stupid_backoff_logprob(df, model_df=mdf).collect()
+    }
+    want = _ref_sb(texts, model_texts)
+    assert got == want
