@@ -1246,6 +1246,41 @@ _SB_ORACLE = """
 """
 
 
+_BADWORDS = ("slow", "big", "merge")
+
+
+def _badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 word-blocklist filter (textops.badword_filter) with stand-in
+    blocklist words drawn from the corpus vocabulary so both branches
+    (hit counts and clean keeps) are populated. Whole-token matching —
+    the oracle recomputes hits with the same token split."""
+    from slowspark.textops import badword_filter
+
+    d = _read(spark, sf_dir, "documents")
+    return badword_filter(d, list(_BADWORDS)).select(
+        "doc_id", "n_badwords", "keep"
+    )
+
+
+def _badword_oracle() -> str:
+    words = ", ".join(f"'{w}'" for w in _BADWORDS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                t -> t != '')) AS t
+            FROM documents
+        ), hits AS (
+            SELECT doc_id, count(*) AS n
+            FROM toks WHERE t IN ({words})
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(h.n, 0) AS n_badwords,
+               coalesce(h.n, 0) = 0 AS keep
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
 def _sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attention-mask manifest (corpus.sequence_spans): per-sequence
     document spans over the pack_sequences layout at seq_len 512 — the
@@ -2988,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _kmv_distinct,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "sequence_manifest": _sequence_manifest,
+        "badword_filter": _badword_filter,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -3455,6 +3491,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _kmv_distinct_oracle(),
         "stupid_backoff_scores": _SB_ORACLE,
         "sequence_manifest": _SEQ_MANIFEST_ORACLE,
+        "badword_filter": _badword_oracle(),
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from

@@ -76,6 +76,7 @@ def run_curation(
     target_tokens: int | None = None,
     mixture_upsample: bool = False,
     url_dedup: bool = False,
+    badwords: list[str] | None = None,
     gopher_repetition: bool = False,
     line_dedup_min_df: int | None = None,
     ppl_keep_buckets: list[int] | None = None,
@@ -165,6 +166,9 @@ def run_curation(
         rules — the real-crawl order: a re-fetched URL is the cheapest
         duplicate to drop, and it never reaches the text stages.
         Requires a `url` column; raises without one.
+      - `badwords`: C4 word-blocklist filter (textops.badword_filter —
+        whole-token matching, never substrings) directly after the hard
+        quality rules; a doc containing ANY listed word is dropped.
       - `gopher_repetition`: the full Rae et al. Table A1 within-document
         repetition rules (gopherrep.gopher_repetition_flags) directly
         after the quality filter — the sanctioned pairing: the
@@ -307,6 +311,7 @@ def run_curation(
         f"|mix={','.join(f'{k}={v}' for k, v in sorted((mixture or {}).items()))}"
         f"|tt={target_tokens or 0}|mup={int(mixture_upsample)}"
         f"|ud={int(url_dedup)}"
+        f"|bw={','.join(sorted(w.lower() for w in badwords)) if badwords else 'off'}"
         f"|gop={int(gopher_repetition)}|ldf={line_dedup_min_df or 0}"
         f"|ppl={','.join(map(str, sorted(ppl_keep_buckets))) if ppl_keep_buckets else 'off'}"
         f":{ppl_n_buckets}:{ppl_scorer}:{ppl_model_sig}"
@@ -356,6 +361,19 @@ def run_curation(
         lambda: flagged.filter(F.col("keep")).select(*docs.columns),
     )
     out["filtered"] = filtered
+
+    if badwords:
+        from slowspark.textops import badword_filter
+
+        def _badwords() -> DataFrame:
+            return (
+                badword_filter(filtered, list(badwords))
+                .filter(F.col("keep"))
+                .select(*filtered.columns)
+            )
+
+        filtered = run_stage(spark, cat, "badword_filtered", sig, _badwords)
+        out["badword_filtered"] = filtered
 
     if gopher_repetition:
         from slowspark.gopherrep import gopher_repetition_flags
@@ -702,6 +720,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--url-dedup", action="store_true",
                    help="URL-canonical dedup as the first stage "
                    "(requires a url column)")
+    p.add_argument("--badwords", default=None,
+                   help="comma-separated word blocklist (C4 style, "
+                   "whole-token matching): any hit drops the doc")
     p.add_argument("--gopher-repetition", action="store_true",
                    help="apply the full Gopher Table A1 within-document "
                    "repetition rules after the quality filter")
@@ -798,6 +819,7 @@ def main(argv: list[str] | None = None) -> int:
             target_tokens=args.target_tokens,
             mixture_upsample=args.mixture_upsample,
             url_dedup=args.url_dedup,
+            badwords=args.badwords.split(",") if args.badwords else None,
             gopher_repetition=args.gopher_repetition,
             line_dedup_min_df=args.line_dedup_min_df,
             ppl_keep_buckets=(
@@ -818,7 +840,7 @@ def main(argv: list[str] | None = None) -> int:
         stages = {
             name: tables[name].count()
             for name in ("url_deduped", "lang_filtered", "filtered",
-                         "gopher_filtered",
+                         "badword_filtered", "gopher_filtered",
                          "line_deduped", "deduped_exact",
                          "deduped_near", "semantic_deduped",
                          "substring_deduped", "ppl_filtered",

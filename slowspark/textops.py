@@ -1371,6 +1371,45 @@ def exact_substring_dedup(
     return out
 
 
+def badword_filter(
+    df: DataFrame,
+    words,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style word-blocklist filter (Raffel et al. 2020 drop pages
+    containing any word from a blocklist): per doc, the count of
+    lowered whitespace tokens that appear in `words` and `keep` = no
+    hits. Matching is on whole tokens — "class" never matches a
+    blocklisted "ass", the classic naive-substring false positive the
+    token join avoids by construction.
+
+    `words` is an iterable of lowercase words (the real lists are
+    10^2-10^3 entries — broadcast-sized by orders of magnitude).
+
+    Returns the input columns plus (n_badwords, keep).
+
+    Scale shape: one explode to (id, token) rows, one broadcast
+    left-semi-shaped join against the word list, one map-side-combined
+    per-doc count, one join back — the corpus text is never shuffled."""
+    wl = list(dict.fromkeys(w.lower() for w in words))
+    if not wl:
+        raise ValueError("badword_filter: empty word list")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame([(w,) for w in wl], "__bw string")
+    hits = (
+        df.select(id_col, F.explode(ws_token_array(text_col)).alias("__t"))
+        .join(F.broadcast(wdf), F.col("__t") == F.col("__bw"), "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_badwords"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn("n_badwords", F.coalesce("n_badwords", F.lit(0)))
+        .withColumn("keep", F.col("n_badwords") == 0)
+    )
+
+
 def line_boilerplate_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -1066,3 +1066,21 @@ def test_curation_url_dedup_stage(spark, tmp_path):
             spark, docs.drop("url"), str(tmp_path / "wh2"), "test:v1",
             min_words=10, seq_len=32, url_dedup=True,
         )
+
+
+def test_curation_badword_stage(spark, tmp_path):
+    """--badwords drops any doc containing a blocklisted whole token at
+    exactly the badword_filtered stage; substrings never match."""
+    rows = [
+        (1, _salad_doc("clean"), "en"),
+        (2, f"{_salad_doc('dirty')} spamword", "en"),
+        (3, f"{_salad_doc('sub')} spamwordy", "en"),  # substring: survives
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1", min_words=10,
+        seq_len=32, badwords=["spamword"],
+    )
+    assert {r["doc_id"] for r in tables["filtered"].collect()} == {1, 2, 3}
+    assert {r["doc_id"] for r in tables["badword_filtered"].collect()} == {1, 3}
+    assert {r["doc_id"] for r in tables["packed"].collect()} == {1, 3}

@@ -1013,3 +1013,25 @@ def test_line_boilerplate_dedup_everything_removed(spark):
     }
     assert out[1].kept_text == "" and out[1].n_lines_removed == 1
     assert out[1].kept_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_badword_filter_whole_token_only(spark):
+    from slowspark.textops import badword_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a clean document about classes and assets"),
+            (2, "contains ass right here"),
+            (3, "ASS uppercase and ass again"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in badword_filter(docs, ["ass"]).collect()}
+    # substrings inside "classes"/"assets" never match
+    assert got[1]["keep"] and got[1]["n_badwords"] == 0
+    assert not got[2]["keep"] and got[2]["n_badwords"] == 1
+    assert not got[3]["keep"] and got[3]["n_badwords"] == 2  # case-folded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty word list"):
+        badword_filter(docs, [])
