@@ -1084,3 +1084,69 @@ def test_curation_badword_stage(spark, tmp_path):
     assert {r["doc_id"] for r in tables["filtered"].collect()} == {1, 2, 3}
     assert {r["doc_id"] for r in tables["badword_filtered"].collect()} == {1, 3}
     assert {r["doc_id"] for r in tables["packed"].collect()} == {1, 3}
+
+
+def test_curation_kitchen_sink_stage_graph(spark, tmp_path):
+    """Every optional stage enabled at once: the full stage graph runs
+    in the documented order, each stage's table is present, attrition
+    is monotone, and the run resumes cleanly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rep_line = "the quick brown fox jumps over the lazy dog again today"
+    spam = "\n".join([rep_line] * 6 + [_salad_doc(f"g{i}", 10) for i in range(4)])
+    chrome = "subscribe to our newsletter for daily updates today"
+    rows = [
+        (1, f"{chrome}\n{_salad_doc('a')}", "en",
+         "https://example.com/a?utm_source=x"),
+        (2, f"{chrome}\n{_salad_doc('b')}", "en", "https://example.com/b"),
+        (3, f"{chrome}\n{_salad_doc('c')}", "en", "https://example.com/c"),
+        # url-dup of 1 (tracking param only)
+        (4, f"{chrome}\n{_salad_doc('d')}", "en", "https://Example.com/a"),
+        # badword doc
+        (5, f"{_salad_doc('e')} spamword", "en", "https://example.com/e"),
+        # gopher repetition doc
+        (9, spam, "en", "https://example.com/i"),
+        # wrong language
+        (6, _salad_doc("f"), "de", "https://example.com/f"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    )
+    wh = str(tmp_path / "wh")
+    kwargs = dict(
+        min_words=10, seq_len=32,
+        url_dedup=True, langs=["en"], badwords=["spamword"],
+        gopher_repetition=True, line_dedup_min_df=3,
+        ppl_keep_buckets=[0, 1], ppl_n_buckets=2, ppl_scorer="bigram",
+        bpe_merges_n=4,
+    )
+    tables = run_curation(spark, docs, wh, "test:v1", **kwargs)
+    expect_order = [
+        "url_deduped", "lang_filtered", "filtered", "badword_filtered",
+        "gopher_filtered", "line_deduped", "deduped_exact", "deduped_near",
+        "ppl_filtered", "scrubbed", "sampled", "packed",
+    ]
+    for name in expect_order:
+        assert name in tables, name
+    assert "bpe_vocab" in tables
+    # attrition: url dedup drops 4; lang drops 6; badwords drops 5;
+    # gopher drops 9; everything monotone from there
+    assert {r["doc_id"] for r in tables["url_deduped"].collect()} == {1, 2, 3, 5, 6, 9}
+    assert {r["doc_id"] for r in tables["lang_filtered"].collect()} == {1, 2, 3, 5, 9}
+    assert {r["doc_id"] for r in tables["badword_filtered"].collect()} == {1, 2, 3, 9}
+    assert {r["doc_id"] for r in tables["gopher_filtered"].collect()} == {1, 2, 3}
+    ld = {r["doc_id"]: r["text"] for r in tables["line_deduped"].collect()}
+    assert all("subscribe" not in t for t in ld.values())
+    counts = [
+        tables[n].count()
+        for n in ("deduped_exact", "deduped_near", "ppl_filtered",
+                  "scrubbed", "sampled", "packed")
+    ]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[0] == 3
+    # resume: identical rerun reuses every manifest (packed mtime stable)
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    run_curation(spark, docs, wh, "test:v1", **kwargs)
+    assert os.path.getmtime(os.path.join(wh, "packed")) == m0
