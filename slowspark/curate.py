@@ -1,6 +1,13 @@
 """spark-submit entry point for the training-data CURATION pipeline:
 filter -> exact dedup -> near dedup -> passage scrub -> sample -> pack,
 with the same checkpoint-resumable stage manifests as slowspark.job.
+The full optional graph (every stage resumable, every knob in the
+signature): url dedup -> lang routing -> hard quality rules -> badword
+blocklist -> gopher repetition -> line boilerplate -> exact dedup ->
+minhash near-dup -> semantic dedup -> substring dedup -> perplexity
+buckets (unigram or Stupid Backoff) -> classifier filter -> passage
+scrub -> PII scrub -> exact+fuzzy decontamination -> sampling/mixture/
+upsample -> BPE vocab + subword packing.
 
 This is the corpus-side counterpart of the log pipeline: where job.py
 turns raw pages into routed/aggregated entry tables, curate.py turns a
