@@ -1246,6 +1246,38 @@ _SB_ORACLE = """
 """
 
 
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (corpus.weighted_sample_k,
+    Efraimidis-Spirakis via Gumbel-max): 100 docs drawn proportional to
+    n_chars, seeded 'ws6'. The oracle recomputes ln(weight) + the md5
+    Gumbel draw and the top-k cut in SQL — selection set, keys, and
+    ranks all inside the hash."""
+    from slowspark.corpus import weighted_sample_k
+
+    d = _read(spark, sf_dir, "documents")
+    return weighted_sample_k(d, "n_chars", 100, seed="ws6").select(
+        "doc_id", "n_chars", "sample_key", "sample_rank"
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(ln(CAST(n_chars AS DOUBLE)) + -ln(-ln(
+                   (CAST(('0x' || substr(md5('ws6:'
+                        || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    + 0.5) / 4294967296.0)), 6) AS sample_key
+        FROM documents
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) - 1
+                  AS sample_rank
+        FROM keyed
+    )
+    SELECT doc_id, n_chars, sample_key, sample_rank
+    FROM ranked WHERE sample_rank < 100
+"""
+
+
 _BADWORDS = ("slow", "big", "merge")
 
 
@@ -3024,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff_scores": _stupid_backoff_scores,
         "sequence_manifest": _sequence_manifest,
         "badword_filter": _badword_filter,
+        "weighted_sample": _weighted_sample,
         "pii_scrub": _pii_scrub,
         "html_extract": _html_extract,
         "normalize_unicode": _normalize_unicode,
@@ -3492,6 +3525,7 @@ def oracle_sql() -> dict[str, str]:
         "stupid_backoff_scores": _SB_ORACLE,
         "sequence_manifest": _SEQ_MANIFEST_ORACLE,
         "badword_filter": _badword_oracle(),
+        "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         # fuzzy decontamination: banding (band SLICE equality, like the
         # incremental_near_dups oracle), the estimated-Jaccard prefilter,
         # AND the exact word-3-gram verify are all recomputed in SQL from

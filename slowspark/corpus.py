@@ -824,6 +824,55 @@ def pack_sequences(
     )
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, probabilities proportional
+    to `weight_col` — Efraimidis & Spirakis 2006 via the Gumbel-max
+    equivalence: key_i = ln(w_i) + Gumbel_i, take the top k keys. One
+    distributed-rank pass — no sequential draws, no rejection loop, the
+    one-shot formulation that parallelizes (drawing k times from a
+    10^12-row distribution is inherently serial; ranking a per-row key
+    is not). The Gumbel is the repo's deterministic md5 draw
+    (dsir.gumbel_noise): same seed, same sample, every engine — a new
+    seed is a fresh independent sample (the epoch convention of
+    training_shuffle).
+
+    Rows with weight <= 0 can never be selected (they raise — a silent
+    zero-probability row in a sampler is the hash_sample silent-drop
+    lesson). Returns the selected rows + (sample_key rounded 6,
+    sample_rank 0-based); ranking uses the ROUNDED key with id
+    tie-break, so the selected SET is engine-stable (the dsir_topk
+    rounding discipline)."""
+    if k < 1:
+        raise ValueError(f"weighted_sample_k: k must be >= 1, got {k}")
+    from slowspark.dsir import gumbel_noise
+
+    bad = df.filter(F.col(weight_col) <= 0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            "weighted_sample_k: non-positive weight for id "
+            f"{bad[0][id_col]!r} — zero-probability rows must be "
+            "filtered explicitly, not silently never-sampled"
+        )
+    keyed = df.withColumn(
+        "sample_key",
+        F.round(
+            F.log(F.col(weight_col).cast("double"))
+            + gumbel_noise(id_col, seed),
+            6,
+        ),
+    ).withColumn("__neg_key", -F.col("sample_key"))
+    ranked = _distributed_rank(
+        keyed, order_cols=["__neg_key", id_col], rank_col="sample_rank"
+    )
+    return ranked.filter(F.col("sample_rank") < k).drop("__neg_key")
+
+
 def sequence_spans(
     packed: DataFrame,
     seq_len: int,

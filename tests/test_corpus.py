@@ -620,3 +620,27 @@ def test_sequence_spans_zero_token_and_bad_args(spark):
 
     with _pytest.raises(ValueError, match="seq_len"):
         sequence_spans(packed, 0)
+
+
+def test_weighted_sample_k_basics(spark):
+    from slowspark.corpus import weighted_sample_k
+
+    rows = [(i, 1.0 if i else 1e9) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample_k(df, "w", 10, seed="s1").collect()
+    assert len(out) == 10
+    ids = {r["doc_id"] for r in out}
+    assert 0 in ids  # ln(1e9) ~ +20.7 over every rival: always selected
+    assert sorted(r["sample_rank"] for r in out) == list(range(10))
+    # same seed -> same set; new seed -> an independent draw
+    again = {r["doc_id"] for r in weighted_sample_k(df, "w", 10, seed="s1").collect()}
+    assert again == ids
+    other = {r["doc_id"] for r in weighted_sample_k(df, "w", 10, seed="s2").collect()}
+    assert 0 in other  # the heavy row survives any seed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        weighted_sample_k(df, "w", 0)
+    bad = spark.createDataFrame([(1, 0.0)], "doc_id long, w double")
+    with _pytest.raises(ValueError, match="non-positive weight"):
+        weighted_sample_k(bad, "w", 1)
