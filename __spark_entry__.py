@@ -2628,7 +2628,7 @@ def _bpe_stage_ctes(n: int) -> str:
 def _bpe_merges_oracle() -> str:
     rows = "\n            UNION ALL ".join(
         f"SELECT {k} AS merge_ix, a AS lhs, b AS rhs, a || b AS merged,"
-        f" c AS pair_count FROM m{k}"
+        f" CAST(c AS BIGINT) AS pair_count FROM m{k}"
         for k in range(_BPE_MERGES)
     )
     return f"""
@@ -3019,9 +3019,62 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, seq_len=512)
 
 
+# The driver verifies only the FIRST 50 queries() entries per round
+# (observed cap, r6 verdict). To guarantee every query gets a driver
+# correctness row at least every ~2 rounds, queries() emits a PRIORITY
+# block first (never-driver-checked + changed-this-round entries), then
+# the stable registry rotated by a per-round offset. Bump _ROUND each
+# round; the offset advances 25 slots/round, so a 69-entry stable tail
+# fully cycles through the ~45-slot window in 3 rounds.
+_ROUND = 7
+
+_PRIORITY_QUERIES: "list[str]" = [
+    # never driver-checked before r7 (were past the 50-cap in r6):
+    "incremental_simhash_near_dups",
+    "ivfpq_batch_ann_topk",
+    # changed this round (oracle cast fix r6 verdict #1):
+    "bpe_merges",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    stable = _stable_queries()
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _PRIORITY_QUERIES:
+        out[name] = stable.pop(name)
+    names = list(stable)
+    off = ((_ROUND - 7) * 25) % len(names)
+    for name in names[off:] + names[:off]:
+        out[name] = stable[name]
+    return out
+
+
+def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so that at _ROUND=7 (offset 0) the 20 queries the r6
+    # driver run never reached sit at the FRONT of the rotation.
     return {
-        # oracle-checked
+        # unchecked in r6 (were entries 51-72) — front of the r7 window
+        "fingerprint_rollup": _fingerprint_rollup_pipeline,
+        "admin_histogram": _admin_histogram_pipeline,
+        "log_meta_census": _log_meta_census,
+        "domain_rollup": _domain_rollup,
+        "object_usage": _object_usage,
+        "topk_slowest": _topk_slowest,
+        "minhash_dedup": _minhash_dedup,
+        "jaccard_dedup": _jaccard_dedup,
+        "simhash_candidates": _simhash_candidates,
+        "simhash_dedup": _simhash_dedup,
+        "embedding_near_dup": _embedding_near_dup,
+        "semdedup_pairs": _semdedup_pairs,
+        "substring_dedup": _substring_dedup,
+        "incremental_near_dups": _incremental_near_dups,
+        "language_id": _language_id,
+        "lsh_ann_topk": _lsh_ann_topk,
+        "ivf_ann_topk": _ivf_ann_topk,
+        "pq_ann_topk": _pq_ann_topk,
+        "ivfpq_ann_topk": _ivfpq_ann_topk,
+        "ivfpq_residual_ann_topk": _ivfpq_residual_ann_topk,
+        # r6-checked (all hash-green in CORRECTNESS_r06)
         "fingerprint_agg": _fingerprint_agg,
         "broadcast_enrich": _broadcast_enrich,
         "rollup_sinks": _rollup_sinks,
@@ -3048,7 +3101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _gopher_repetition,
         "quality_classifier": _quality_classifier,
         "bloom_incremental_dedup": _bloom_incremental_dedup,
-        "bpe_merges": _bpe_merges,
         "bpe_segment_counts": _bpe_segment_counts,
         "bpe_packed": _bpe_packed,
         "cms_heavy_hitters": _cms_heavy_hitters,
@@ -3071,31 +3123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_k_sample": _exact_k_sample,
         "pack_sequences": _pack_sequences,
         "tfidf_pairs": _tfidf_pairs,
-        # parse-path, hash-checked via the materialized entries parquet
         "kind_census": _kind_census,
-        "fingerprint_rollup": _fingerprint_rollup_pipeline,
-        "admin_histogram": _admin_histogram_pipeline,
-        "log_meta_census": _log_meta_census,
-        "domain_rollup": _domain_rollup,
-        "object_usage": _object_usage,
-        "topk_slowest": _topk_slowest,
-        # hash-checked via materialized signature / pair / index parquets
-        "minhash_dedup": _minhash_dedup,
-        "jaccard_dedup": _jaccard_dedup,
-        "simhash_candidates": _simhash_candidates,
-        "simhash_dedup": _simhash_dedup,
-        "embedding_near_dup": _embedding_near_dup,
-        "semdedup_pairs": _semdedup_pairs,
-        "substring_dedup": _substring_dedup,
-        "incremental_near_dups": _incremental_near_dups,
+        # priority-block members (popped into the front by queries())
         "incremental_simhash_near_dups": _incremental_simhash_near_dups,
-        "language_id": _language_id,
-        "lsh_ann_topk": _lsh_ann_topk,
-        "ivf_ann_topk": _ivf_ann_topk,
-        "pq_ann_topk": _pq_ann_topk,
-        "ivfpq_ann_topk": _ivfpq_ann_topk,
         "ivfpq_batch_ann_topk": _ivfpq_batch_ann_topk,
-        "ivfpq_residual_ann_topk": _ivfpq_residual_ann_topk,
+        "bpe_merges": _bpe_merges,
     }
 
 
