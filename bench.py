@@ -688,6 +688,30 @@ if __name__ == "__main__":
     if args.scaling:
         print(json.dumps(main_scaling(args.sf_dir, args.reps)))
     else:
-        print(json.dumps(main_single(
+        report = main_single(
             args.sf_dir, args.cpus, args.pipeline_only, args.shard, args.n_pages,
-            args.inner_reps, args.exact_cpus)))
+            args.inner_reps, args.exact_cpus)
+        print(json.dumps(report))
+        # The driver captures a bounded-size stdout tail; the full report
+        # above (72 per-query timings) overflows it and truncates mid-line
+        # (BENCH_r06 "parsed": null). Emit a compact summary as the FINAL
+        # line so the tail always contains one complete, parseable record
+        # carrying the contention flag.
+        canary = report.get("contention_canary") or {}
+        compact = {
+            "metric": report["metric"],
+            "value": report["value"],
+            "unit": report["unit"],
+            "sf": report["sf"],
+            "cpus": report["cpus"],
+            "contended": report["contended"],
+            "canary_ratio": canary.get("ratio"),
+            "pages_per_sec": report["pages_per_sec"],
+            "n_queries": len(report["queries"]),
+            "queries": {
+                k: report["queries"][k]
+                for k in ("pipeline_parse_route_agg",)
+                if k in report["queries"]
+            },
+        }
+        print(json.dumps(compact))

@@ -844,28 +844,39 @@ def weighted_sample_k(
 
     Rows with weight <= 0 can never be selected (they raise — a silent
     zero-probability row in a sampler is the hash_sample silent-drop
-    lesson). Returns the selected rows + (sample_key rounded 6,
-    sample_rank 0-based); ranking uses the ROUNDED key with id
-    tie-break, so the selected SET is engine-stable (the dsir_topk
-    rounding discipline)."""
+    lesson). The guard is FUSED into the keyed projection as a
+    raise_error CASE rather than a separate pre-scan: a standalone
+    driver-side first-bad-row probe costs a full extra corpus pass on
+    the normal all-positive input (and a full recompute when the
+    weight column is derived, e.g. dsir_log_weights) — 2x sampler cost
+    at 100 TB for a validation that can ride the ranking pass for free.
+    Returns the selected rows + (sample_key rounded 6, sample_rank
+    0-based); ranking uses the ROUNDED key with id tie-break, so the
+    selected SET is engine-stable (the dsir_topk rounding
+    discipline)."""
     if k < 1:
         raise ValueError(f"weighted_sample_k: k must be >= 1, got {k}")
     from slowspark.dsir import gumbel_noise
 
-    bad = df.filter(F.col(weight_col) <= 0).limit(1).collect()
-    if bad:
-        raise ValueError(
-            "weighted_sample_k: non-positive weight for id "
-            f"{bad[0][id_col]!r} — zero-probability rows must be "
-            "filtered explicitly, not silently never-sampled"
-        )
+    w = F.col(weight_col).cast("double")
+    checked_w = F.when(
+        w <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "weighted_sample_k: non-positive weight for id "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    " — zero-probability rows must be filtered "
+                    "explicitly, not silently never-sampled"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(w)
     keyed = df.withColumn(
         "sample_key",
-        F.round(
-            F.log(F.col(weight_col).cast("double"))
-            + gumbel_noise(id_col, seed),
-            6,
-        ),
+        F.round(F.log(checked_w) + gumbel_noise(id_col, seed), 6),
     ).withColumn("__neg_key", -F.col("sample_key"))
     ranked = _distributed_rank(
         keyed, order_cols=["__neg_key", id_col], rank_col="sample_rank"

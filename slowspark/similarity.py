@@ -1117,6 +1117,7 @@ def ivfpq_topk_batch(
     k: int = 10,
     probe_cells: int = 4,
     rerank: int = 100,
+    max_batch_queries: int = 100_000,
 ) -> DataFrame:
     """Batch IVF-PQ ANN: top-k for EVERY query row of `queries` against a
     persisted index (ivfpq_build_index), returning (query_id, id, cosine,
@@ -1159,9 +1160,35 @@ def ivfpq_topk_batch(
     Per-query IO is identical to ivfpq_topk's (probed fraction x code
     bytes + rerank raw vectors); the batch amortizes the scan across all
     queries that probe the same cells. Zero query vectors are rejected
-    the same way as the single-query path."""
+    the same way as the single-query path.
+
+    DRIVER-MEMORY BOUND: the query vectors travel as ONE Spark broadcast
+    variable built on the driver (stage 2's payload-inflation argument),
+    so the query batch is bounded by driver memory — `max_batch_queries`
+    rows (default 100k; at dim=768 float64 that is ~0.6 GB). Exceeding
+    it raises up front with the chunked-batch recipe (RUNBOOK §8):
+    split the query table into id-hash chunks, call ivfpq_topk_batch per
+    chunk, union the results — per-query output is independent, so
+    chunking is exact."""
     if rerank < k:
         raise ValueError(f"ivfpq_topk_batch: rerank={rerank} < k={k}")
+    if max_batch_queries < 1:
+        raise ValueError(
+            f"ivfpq_topk_batch: max_batch_queries must be >= 1, "
+            f"got {max_batch_queries}"
+        )
+    # bounded probe (limit stops the scan early): never toPandas an
+    # unbounded query table onto the driver
+    n_probe = queries.limit(max_batch_queries + 1).count()
+    if n_probe > max_batch_queries:
+        raise ValueError(
+            f"ivfpq_topk_batch: query batch exceeds max_batch_queries="
+            f"{max_batch_queries} (the query vectors are broadcast from "
+            "the driver, so the batch is driver-memory bound). Chunk the "
+            "query table by id hash and union per-chunk results — exact, "
+            "see RUNBOOK §8 — or raise max_batch_queries if the driver "
+            "has headroom."
+        )
     cmat, books, vec_col, id_col, residual = _ivfpq_meta(spark, index_path)
     from slowspark.util import materialize
 

@@ -641,6 +641,24 @@ def test_weighted_sample_k_basics(spark):
 
     with _pytest.raises(ValueError, match="k must be >= 1"):
         weighted_sample_k(df, "w", 0)
+    # the positivity guard is FUSED into the ranking pass (raise_error
+    # CASE in the sample_key projection — no separate validation scan),
+    # so it surfaces at action time as a Spark execution error
     bad = spark.createDataFrame([(1, 0.0)], "doc_id long, w double")
-    with _pytest.raises(ValueError, match="non-positive weight"):
-        weighted_sample_k(bad, "w", 1)
+    with _pytest.raises(Exception, match="non-positive weight"):
+        weighted_sample_k(bad, "w", 1).collect()
+
+
+def test_weighted_sample_k_single_source_pass():
+    """Pin the r6 verdict #4 fix: no standalone pre-scan validation —
+    the guard must be a raise_error CASE inside the keyed projection so
+    validation rides the one ranking pass (2x sampler cost at 100 TB
+    otherwise, worse when the weight column is derived)."""
+    import inspect
+
+    from slowspark.corpus import weighted_sample_k
+
+    src = inspect.getsource(weighted_sample_k)
+    assert "raise_error" in src
+    assert ".limit(1).collect()" not in src
+    assert ".collect()" not in src  # no driver pass at all

@@ -644,3 +644,33 @@ def test_ivfpq_topk_batch_matches_single_query_path(spark, emb, tmp_path):
             assert sorted(got[qid]) == single, f"{name} query {qid}"
     with pytest.raises(ValueError, match="rerank"):
         similarity.ivfpq_topk_batch(spark, idx, queries, k=10, rerank=5)
+
+
+def test_ivfpq_topk_batch_driver_broadcast_bound(spark, emb, tmp_path):
+    """The query batch is driver-memory bound (vectors broadcast from the
+    driver): max_batch_queries must reject an over-limit batch up front
+    with the chunking recipe, and admit a batch exactly AT the limit."""
+    idx = str(tmp_path / "ivfpq_bound")
+    similarity.ivfpq_build_index(
+        emb, idx, n_centroids=8, ivf_lloyd_iters=1
+    )
+    queries = (
+        emb.filter("vec_id < 4")
+        .selectExpr("vec_id AS query_id", "embedding")
+    )
+    # over the bound: 4 queries, limit 3 -> raise naming the knob
+    with pytest.raises(ValueError, match="max_batch_queries"):
+        similarity.ivfpq_topk_batch(
+            spark, idx, queries, k=3, probe_cells=2, rerank=10,
+            max_batch_queries=3,
+        )
+    # exactly at the bound: runs
+    out = similarity.ivfpq_topk_batch(
+        spark, idx, queries, k=3, probe_cells=2, rerank=10,
+        max_batch_queries=4,
+    )
+    assert {r["query_id"] for r in out.collect()} == {0, 1, 2, 3}
+    with pytest.raises(ValueError, match="must be >= 1"):
+        similarity.ivfpq_topk_batch(
+            spark, idx, queries, max_batch_queries=0
+        )
