@@ -88,6 +88,7 @@ def bpe_learn(
     n_merges: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    rounds_per_pass: int = 1,
 ) -> list[dict]:
     """Learn `n_merges` BPE merges. Returns the ordered merge table:
     [{merge_ix, left, right, merged, pair_count}] — left/right are the
@@ -97,48 +98,102 @@ def bpe_learn(
     occurs twice.
 
     Scale: the loop runs on the distinct-word table; each round is one
-    explode+count over it, a 1-ROW collect, and one replace() map. The
-    corpus is touched exactly once (word_frequencies)."""
+    explode+count over it, a small bounded collect, and one replace()
+    map. The corpus is touched exactly once (word_frequencies).
+
+    `rounds_per_pass=k` is the production-trainer batching (RUNBOOK
+    §11): a 32k-merge vocabulary at k=1 is 32k driver-scheduled
+    rounds; at k=256 it is ~125. Each pass counts pairs ONCE and
+    accepts up to k pairs that are mutually SYMBOL-DISJOINT (no symbol
+    shared between any two accepted pairs), greedily in (count desc,
+    left, right) order from a bounded top-(8k) collect. Disjoint merges
+    are order-independent and do not perturb each other's counts, so
+    every accepted pair's recorded pair_count equals what the
+    one-at-a-time trainer would have recorded had it picked the same
+    pair. DIVERGENCE SEMANTICS: counts are frozen for the duration of a
+    pass — a symbol created mid-pass (e.g. 'ab' from merge (a,b)) only
+    becomes mergeable in the NEXT pass, so if a newly-created pair
+    would have out-ranked a later same-pass pick, k=1 and k>1 learn
+    different (both valid greedy-BPE) orders. k=1 is exact Sennrich;
+    the differential test pins equality on a corpus where no
+    cross-rank creation occurs."""
     if n_merges < 1:
         raise ValueError(f"bpe_learn: n_merges must be >= 1, got {n_merges}")
+    if rounds_per_pass < 1:
+        raise ValueError(
+            f"bpe_learn: rounds_per_pass must be >= 1, got {rounds_per_pass}"
+        )
     words = (
         word_frequencies(df, text_col, id_col)
         .select(_encode(F.col("word")).alias("s"), "count")
         .localCheckpoint()
     )
     merges: list[dict] = []
-    for ix in range(n_merges):
+    while len(merges) < n_merges:
+        k = min(rounds_per_pass, n_merges - len(merges))
         top = (
             _pair_counts(words)
             .filter(F.col("c") >= 2)
             .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
+            .limit(8 * k)
             .collect()
         )
         if not top:
             break
-        a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
-        merges.append(
-            {
-                "merge_ix": ix,
-                "left": a,
-                "right": b,
-                "merged": a + b,
-                "pair_count": int(c),
-            }
-        )
-        prev = words
-        words = words.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
+        # greedy symbol-disjoint selection: candidate rejected if either
+        # symbol already participates in an accepted pair this pass
+        used: set[str] = set()
+        accepted: list = []
+        for row in top:
+            if len(accepted) == k:
+                break
+            if row["a"] in used or row["b"] in used:
+                continue
+            used.update((row["a"], row["b"]))
+            accepted.append(row)
+        state = F.col("s")
+        for row in accepted:
+            a, b = row["a"], row["b"]
+            merges.append(
+                {
+                    "merge_ix": len(merges),
+                    "left": a,
+                    "right": b,
+                    "merged": a + b,
+                    "pair_count": int(row["c"]),
+                }
+            )
+            state = F.replace(
+                state,
                 F.lit(f"{SENT}{a}{SENT}{SENT}{b}{SENT}"),
                 F.lit(f"{SENT}{a}{b}{SENT}"),
-            ),
-        ).localCheckpoint()
+            )
+        prev = words
+        words = words.withColumn("s", state).localCheckpoint()
         prev.unpersist()
+        # the first candidate is always accepted, so every pass makes
+        # progress and the loop terminates
     words.unpersist()
     return merges
+
+
+def _reassemble(toks: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, sym array) word rows -> (id, tokens, n_tokens) docs."""
+    return (
+        toks.groupBy("id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "sym"))
+                ).getField("sym")
+            ).alias("tokens")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "tokens",
+            F.size("tokens").alias("n_tokens"),
+        )
+    )
 
 
 def bpe_segment(
@@ -146,6 +201,7 @@ def bpe_segment(
     merges: list[dict],
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_expr_merges: int = 256,
 ) -> DataFrame:
     """Apply a learned merge table: (id, tokens array<string>, n_tokens)
     where each word is segmented by replaying the merges IN ORDER — the
@@ -155,7 +211,20 @@ def bpe_segment(
 
     Scale: one explode to words, |merges| chained replace() expressions
     (a single codegen'd projection — no per-merge pass), one groupBy(id)
-    reassembly."""
+    reassembly. The chain is the right plan up to a few hundred merges;
+    beyond that expression-tree size degrades Catalyst (a 32k-deep
+    replace chain is a 32k-node projection to analyze, codegen falls
+    back to interpreted, and every WORD OCCURRENCE pays all 32k scans).
+    `max_expr_merges` (default 256) rejects larger tables and points to
+    bpe_segment_udf — the broadcast merge-rank production path, pinned
+    token-identical by tests/test_bpe.py differentials."""
+    if len(merges) > max_expr_merges:
+        raise ValueError(
+            f"bpe_segment: {len(merges)} merges exceeds max_expr_merges="
+            f"{max_expr_merges} for the replace-chain expression path — "
+            "use bpe_segment_udf (broadcast merge-rank pandas UDF; "
+            "token-identical, built for production vocabularies)"
+        )
     from slowspark.textops import ws_token_array
 
     state = _encode(F.col("word"))
@@ -173,18 +242,102 @@ def bpe_segment(
         .select("id", "pos", state.alias("s"))
         .select("id", "pos", _symbols("s").alias("sym"))
     )
-    return (
-        toks.groupBy("id")
-        .agg(
-            F.flatten(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "sym"))
-                ).getField("sym")
-            ).alias("tokens")
-        )
-        .select(
-            F.col("id").alias(id_col),
-            "tokens",
-            F.size("tokens").alias("n_tokens"),
-        )
+    return _reassemble(toks, id_col)
+
+
+def _merge_word(word: str, ranks: dict) -> list[str]:
+    """Segment one word by greedy lowest-merge-rank application — the
+    classic BPE inference loop (GPT-2 bpe()). Equivalent to replaying
+    the merges in learned order: a merge can only CREATE pairs that
+    involve its new symbol, and any pair containing that symbol was
+    necessarily learned later, so 'always apply the earliest applicable
+    merge' never misses an earlier one. Within one merge, occurrences
+    are merged left-to-right non-overlapping — exactly replace()'s
+    scan, so 'a a a' under (a,a) becomes ['aa','a'] on both paths."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_segment_udf(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-vocabulary segmentation: same contract and output as
+    bpe_segment, any number of merges. The merge table travels ONCE per
+    executor as a Spark broadcast of the {(left, right): rank} dict; an
+    Arrow-batched pandas UDF segments each DISTINCT word once with the
+    greedy lowest-rank loop (see _merge_word for the equivalence
+    argument vs the in-order replace chain), and the per-word result
+    joins back to the exploded occurrences.
+
+    Scale shape: the Python work is O(distinct words) — 10^7-ish at web
+    scale — NOT O(word occurrences) (10^11+); the occurrence-side cost
+    is one shuffle join of (id, pos, word) against the segmented
+    distinct-word table plus the same groupBy reassembly as the
+    expression path. Per word the loop is O(len^2 * log-ish) on ~10-char
+    strings regardless of vocabulary size, vs the replace chain's
+    O(len * n_merges) — at 32k merges the UDF path is ~3 orders of
+    magnitude less string scanning."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from slowspark.textops import ws_token_array
+
+    ranks = {(m["left"], m["right"]): m["merge_ix"] for m in merges}
+    sc = df.sparkSession.sparkContext
+    bc_ranks = sc.broadcast(ranks)
+
+    def seg_fn(batches):
+        r = bc_ranks.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "sym": [_merge_word(w, r) for w in pdf["word"]],
+                }
+            )
+
+    # no sentinel filter: bpe_segment doesn't filter either, and the two
+    # paths must stay token-identical. Words containing \x1f (absent
+    # from real text; word_frequencies never learns from them) have
+    # undefined segmentation on BOTH paths.
+    occurrences = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ws_token_array(text_col)).alias("pos", "word"),
     )
+    seg_schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("sym", T.ArrayType(T.StringType())),
+        ]
+    )
+    segmented = (
+        occurrences.select("word")
+        .distinct()
+        .mapInPandas(seg_fn, schema=seg_schema)
+    )
+    toks = occurrences.join(segmented, "word").select("id", "pos", "sym")
+    return _reassemble(toks, id_col)

@@ -94,6 +94,11 @@ def run_curation(
     quality_threshold: float = 0.5,
     quality_n_buckets: int = 1 << 15,
     bpe_merges_n: int | None = None,
+    dsir_target_df: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_buckets: int = 10_000,
+    dsir_alpha: float = 1.0,
+    dsir_length_normalize: bool = False,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -213,10 +218,40 @@ def run_curation(
         (bpe.bpe_segment → pack_sequences n_tokens_col) instead of
         whitespace tokens — the unit the training loader consumes.
         Composes with the repetition regime (repeated copies pack by
-        their subword counts too)."""
+        their subword counts too).
+      - `dsir_target_df` (+ required `dsir_k`, optional `dsir_buckets`):
+        DSIR importance resampling (Xie et al. 2023, dsir.dsir_topk) AS
+        the sampling stage — the quality-targeting sampler: keep the
+        dsir_k scrubbed documents whose hashed-n-gram likelihood ratio
+        against the target corpus wins the Gumbel top-k, seeded by
+        sample_salt. Default scoring is the paper's RAW log-ratio sum
+        (selection is then sharply proportional to the likelihood
+        ratio; the paper length-chunks documents first) —
+        `dsir_length_normalize=True` switches to the mean-per-gram
+        score for unchunked mixed-length corpora, at the cost of the
+        Gumbel noise dominating when per-gram domain separation is
+        small (dsir_log_weights docstring). MUTUALLY EXCLUSIVE with `mixture`
+        and `sample_rates`: all three answer the same question — which
+        rows survive the sampling slot — and composing two samplers
+        would make the attrition at the `sampled` stage unattributable
+        to a single policy (run two curations, or pre-mix the DSIR
+        target, instead). The target corpus's CONTENT (count + xxhash64
+        sum of text) joins the resume signature like the eval set:
+        swapping the target invalidates sampled/packed manifests even
+        when every knob matches. The attrition row is the standard
+        `sampled` stage_rows entry: scrubbed -> dsir_k rows."""
     if mixture and sample_rates:
         raise ValueError(
             "run_curation: mixture and sample_rates are mutually exclusive"
+        )
+    if (dsir_target_df is None) != (dsir_k is None):
+        raise ValueError(
+            "run_curation: dsir_target_df and dsir_k go together"
+        )
+    if dsir_target_df is not None and (mixture or sample_rates):
+        raise ValueError(
+            "run_curation: dsir_target_df is mutually exclusive with "
+            "mixture and sample_rates (one sampling policy per run)"
         )
     if mixture_upsample and not mixture:
         raise ValueError(
@@ -307,6 +342,19 @@ def run_curation(
         ppl_model_sig = f"{pm['n']}:{pm['h']}"
     else:
         ppl_model_sig = "self"
+    if dsir_target_df is not None:
+        dt = dsir_target_df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("text").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        dsir_sig = (
+            f"{dsir_k}:{dsir_buckets}:{dsir_alpha}"
+            f":{int(dsir_length_normalize)}:{dt['n']}:{dt['h']}"
+        )
+    else:
+        dsir_sig = "off"
     sig = (
         f"{input_signature}|mw={min_words}|pw={passage_words}"
         f"|mdp={max_docs_per_passage}|sr={sample_rate}|srates={rates_sig}"
@@ -322,7 +370,7 @@ def run_curation(
         f"|gop={int(gopher_repetition)}|ldf={line_dedup_min_df or 0}"
         f"|ppl={','.join(map(str, sorted(ppl_keep_buckets))) if ppl_keep_buckets else 'off'}"
         f":{ppl_n_buckets}:{ppl_scorer}:{ppl_model_sig}"
-        f"|qc={qc_sig}|bpe={bpe_merges_n or 0}"
+        f"|qc={qc_sig}|bpe={bpe_merges_n or 0}|dsir={dsir_sig}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -577,7 +625,24 @@ def run_curation(
         scrubbed = run_stage(spark, cat, "fuzzy_decontaminated", sig, _fuzzy)
         out["fuzzy_decontaminated"] = scrubbed
 
-    if mixture and mixture_upsample:
+    if dsir_target_df is not None:
+        from slowspark.dsir import dsir_topk
+
+        cols = scrubbed.columns
+
+        def _dsir() -> DataFrame:
+            picked = dsir_topk(
+                scrubbed, dsir_target_df, k=int(dsir_k),
+                n_buckets=dsir_buckets, alpha=dsir_alpha,
+                seed=sample_salt,
+                length_normalize=dsir_length_normalize,
+            ).select("doc_id")
+            # inner join back: keep the scrubbed schema (the dsir score
+            # columns stay in the dsir stage, not the training corpus)
+            return scrubbed.join(picked, "doc_id").select(*cols)
+
+        sampled = run_stage(spark, cat, "sampled", sig, _dsir)
+    elif mixture and mixture_upsample:
         from slowspark.corpus import mixture_rates, repeat_sample
 
         def _upsampled() -> DataFrame:
@@ -765,7 +830,32 @@ def main(argv: list[str] | None = None) -> int:
                    help="repetition regime for --mixture: scarce strata "
                    "repeat (per-row repeat_ix; packing keys on doc_id + "
                    "repeat_ix); default budget = the corpus's token mass")
+    p.add_argument("--dsir-target", default=None,
+                   help="target-corpus parquet (text column): DSIR "
+                   "importance resampling as the sampling stage — keep "
+                   "the --dsir-k docs most target-like by hashed-n-gram "
+                   "likelihood ratio (Gumbel top-k, seeded by "
+                   "--sample-salt); target content joins the resume "
+                   "signature; mutually exclusive with --mixture and "
+                   "--sample-rates")
+    p.add_argument("--dsir-k", type=int, default=None,
+                   help="number of documents DSIR keeps (required with "
+                   "--dsir-target)")
+    p.add_argument("--dsir-buckets", type=int, default=10_000,
+                   help="hashed n-gram bucket count for the DSIR model")
+    p.add_argument("--dsir-alpha", type=float, default=1.0,
+                   help="additive smoothing for the DSIR bucket models; "
+                   "keep alpha*buckets well under the target's gram "
+                   "count or the ratio degenerates (dsir docstring)")
+    p.add_argument("--dsir-length-normalize", action="store_true",
+                   help="score by mean per-gram log ratio instead of the "
+                   "paper's raw sum — for unchunked mixed-length corpora")
     args = p.parse_args(argv)
+    if (args.dsir_target is None) != (args.dsir_k is None):
+        p.error("--dsir-target and --dsir-k go together")
+    if args.dsir_target and (args.mixture or args.sample_rates):
+        p.error("--dsir-target is mutually exclusive with --mixture "
+                "and --sample-rates")
     if args.semantic_dedup_embeddings and args.semantic_dedup_cells:
         p.error("--semantic-dedup-embeddings and --semantic-dedup-cells "
                 "are mutually exclusive")
@@ -842,6 +932,14 @@ def main(argv: list[str] | None = None) -> int:
             quality_threshold=args.quality_threshold,
             quality_n_buckets=args.quality_classifier_buckets,
             bpe_merges_n=args.bpe_merges,
+            dsir_target_df=(
+                spark.read.parquet(args.dsir_target)
+                if args.dsir_target else None
+            ),
+            dsir_k=args.dsir_k,
+            dsir_buckets=args.dsir_buckets,
+            dsir_alpha=args.dsir_alpha,
+            dsir_length_normalize=args.dsir_length_normalize,
         )
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {

@@ -127,3 +127,111 @@ def test_bpe_segment_matches_reference(spark):
             exp.extend(_ref_segment(w, merges))
         assert seg[doc_id]["tokens"] == exp
         assert seg[doc_id]["n_tokens"] == len(exp)
+
+
+def test_bpe_segment_udf_matches_expression_path_small(spark):
+    """Token-identity differential at 8 merges: the broadcast merge-rank
+    UDF segmenter must reproduce the replace-chain path exactly."""
+    from slowspark.bpe import bpe_segment_udf
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges = bpe_learn(df, n_merges=8)
+    assert len(merges) >= 6
+    expr = {r["doc_id"]: r for r in bpe_segment(df, merges).collect()}
+    udf = {r["doc_id"]: r for r in bpe_segment_udf(df, merges).collect()}
+    assert set(expr) == set(udf)
+    for d in expr:
+        assert udf[d]["tokens"] == expr[d]["tokens"], d
+        assert udf[d]["n_tokens"] == expr[d]["n_tokens"]
+
+
+def test_bpe_segment_udf_matches_expression_path_200_merges(spark):
+    """Token-identity differential at ~200 merges (the production-side
+    regime the expression path tops out at). The sf testdata's synthetic
+    vocabulary exhausts its count>=2 pairs at 89 merges, so this builds
+    a deterministic richer corpus (md5-hex words, Zipf-ish counts) that
+    supports a full 200-merge table."""
+    import hashlib
+
+    from slowspark.bpe import bpe_segment_udf
+
+    words = [
+        hashlib.md5(f"w{i}".encode()).hexdigest()[: 5 + i % 8]
+        for i in range(1500)
+    ]
+    toks = [w for i, w in enumerate(words) for _ in range(1 + 400 // (i + 1))]
+    docs = [
+        (d, " ".join(toks[d * 60 : (d + 1) * 60]))
+        for d in range(len(toks) // 60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe_learn(df, n_merges=200, rounds_per_pass=32)
+    assert len(merges) == 200, len(merges)
+    expr = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_segment(df, merges, max_expr_merges=300).collect()
+    }
+    udf = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_segment_udf(df, merges).collect()
+    }
+    assert expr == udf
+
+
+def test_bpe_learn_batched_matches_one_at_a_time(spark):
+    """rounds_per_pass=k must learn the SAME ordered merge table as k=1
+    on a corpus where batched picks are symbol-disjoint and no
+    mid-pass-created pair can out-rank a same-pass pick (two-char words
+    over disjoint alphabets: each merge collapses its word to one
+    symbol, creating no new pairs at all)."""
+    rows = [
+        (1, " ".join(["aa"] * 50 + ["bb"] * 40 + ["cc"] * 30 + ["dd"] * 20)),
+        (2, " ".join(["ee"] * 10 + ["ff"] * 6 + ["gg"] * 4)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = bpe_learn(df, n_merges=7, rounds_per_pass=1)
+    for k in (3, 4, 7, 100):
+        batched = bpe_learn(df, n_merges=7, rounds_per_pass=k)
+        assert batched == one, k
+    with pytest.raises(ValueError, match="rounds_per_pass"):
+        bpe_learn(df, 5, rounds_per_pass=0)
+
+
+def test_bpe_learn_batched_skips_conflicting_pairs(spark):
+    """Within a pass only symbol-disjoint pairs are accepted: with
+    (a,b) and (b,c) both frequent, one pass must take (a,b) (count
+    order), DEFER (b,c) (shares 'b'), and pick it up next pass after
+    recounting — never apply two same-symbol merges on frozen counts."""
+    # (a,b) count 7 > (b,c) count 5 (the 2 xbc + 5 abc... construct)
+    text = " ".join(["abq"] * 7 + ["xbc"] * 5)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    one = bpe_learn(df, n_merges=4, rounds_per_pass=1)
+    batched = bpe_learn(df, n_merges=4, rounds_per_pass=4)
+    got = [(m["left"], m["right"]) for m in batched]
+    # first pass: (a,b) then (x,?)/(b,c)... every adjacent duplicate-symbol
+    # candidate deferred; all four merges still learned, orders may differ
+    assert len(batched) == len(one) == 4
+    assert set(got) == {(m["left"], m["right"]) for m in one}
+    # within each pass, accepted pairs are mutually symbol-disjoint: no
+    # pair's left/right equals another same-pass pair's left/right —
+    # verified indirectly: (a,b) and (b,c) not both in the first pass
+    # (they share 'b'); since pass 1 had capacity 4 but (b,c) conflicts,
+    # (b,c)'s merge_ix must come after a recount round
+    ab_ix = got.index(("a", "b"))
+    bc_ix = got.index(("b", "c")) if ("b", "c") in got else None
+    if bc_ix is not None:
+        assert bc_ix > ab_ix
+
+
+def test_bpe_segment_guard_rejects_large_merge_tables(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    fake = [
+        {"merge_ix": i, "left": f"l{i}", "right": f"r{i}", "merged": f"l{i}r{i}",
+         "pair_count": 2}
+        for i in range(257)
+    ]
+    with pytest.raises(ValueError, match="bpe_segment_udf"):
+        bpe_segment(df, fake)
+    # raising the knob admits the same table
+    out = bpe_segment(df, fake, max_expr_merges=300)
+    assert out.count() == len(CORPUS)

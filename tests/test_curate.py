@@ -1150,3 +1150,111 @@ def test_curation_kitchen_sink_stage_graph(spark, tmp_path):
     m0 = os.path.getmtime(os.path.join(wh, "packed"))
     run_curation(spark, docs, wh, "test:v1", **kwargs)
     assert os.path.getmtime(os.path.join(wh, "packed")) == m0
+
+
+def _dsir_corpora(spark):
+    """10 filter-surviving docs in two domain vocabularies + a
+    cooking-domain target corpus: DSIR must prefer the cooking docs.
+    Each doc draws a mostly-DISTINCT 12-word subset of its 40-word
+    domain vocabulary (so in-domain docs are not near-dups of each
+    other), and the model is run well-conditioned (alpha*buckets far
+    under the target gram mass) so the domain log-ratio dominates the
+    Gumbel noise."""
+    cook = [
+        "simmer", "butter", "garlic", "onion", "roast", "flour",
+        "saucepan", "season", "tender", "golden", "basil", "thyme",
+        "oven", "whisk", "dough", "yeast", "glaze", "braise", "stock",
+        "fillet", "sear", "marinade", "zest", "crumb", "batter",
+        "skillet", "parsley", "nutmeg", "vinegar", "honey", "caramel",
+        "roux", "poach", "truffle", "saffron", "fennel", "leek",
+        "shallot", "paprika", "cumin",
+    ]
+    legal = [
+        "plaintiff", "statute", "verdict", "appeal", "tort", "counsel",
+        "damages", "clause", "hearing", "motion", "affidavit", "brief",
+        "docket", "estoppel", "felony", "grievance", "indemnity",
+        "jurisdiction", "lien", "mandamus", "negligence", "oath",
+        "parole", "quorum", "remand", "subpoena", "testimony",
+        "usury", "venue", "waiver", "injunction", "covenant",
+        "easement", "fiduciary", "garnish", "habeas", "larceny",
+        "malfeasance", "novation", "probate",
+    ]
+
+    def doc(words, i):
+        # 12 domain words per doc, stride-rotated so consecutive docs
+        # share few words; stopword scaffold keeps the quality rules
+        # happy without creating cross-doc shingle mass
+        w = [words[(i * 12 + j) % len(words)] for j in range(12)]
+        return (
+            f"the {w[0]} and the {w[1]} with a {w[2]} in the {w[3]} "
+            f"of a {w[4]} and some {w[5]} for the {w[6]} near a {w[7]} "
+            f"over the {w[8]} by the {w[9]} into a {w[10]} at the {w[11]}"
+        )
+
+    rows = [(i, doc(cook, i), "en") for i in range(5)]
+    rows += [(100 + i, doc(legal, i), "en") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = spark.createDataFrame(
+        [(200 + i, doc(cook, i + 5)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    return docs, target
+
+
+def test_curation_dsir_sampling_stage(spark, tmp_path):
+    """DSIR as the sampling stage: target-like (cooking) docs are
+    preferentially selected, attrition shows at the sampled stage, and
+    the output schema matches the other samplers' (packing runs)."""
+    docs, target = _dsir_corpora(spark)
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1",
+        min_words=10, seq_len=32,
+        dsir_target_df=target, dsir_k=4, dsir_buckets=256,
+        dsir_alpha=0.05,
+    )
+    scrubbed = {r["doc_id"] for r in tables["scrubbed"].collect()}
+    assert len(scrubbed) == 10  # all survive the upstream stages
+    sampled = {r["doc_id"] for r in tables["sampled"].collect()}
+    assert len(sampled) == 4  # exact-k attrition at the sampled stage
+    assert sampled <= {0, 1, 2, 3, 4}, sampled  # all picks are cooking docs
+    assert set(tables["sampled"].columns) == set(docs.columns)
+    packed = {r["doc_id"] for r in tables["packed"].collect()}
+    assert packed == sampled
+
+    # one sampling policy per run
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_curation(
+            spark, docs, str(tmp_path / "wh2"), "test:v1",
+            dsir_target_df=target, dsir_k=4, mixture={"en": 1.0},
+        )
+    with pytest.raises(ValueError, match="go together"):
+        run_curation(
+            spark, docs, str(tmp_path / "wh3"), "test:v1",
+            dsir_target_df=target,
+        )
+
+
+def test_curation_dsir_target_swap_invalidates_resume(spark, tmp_path):
+    """Same knobs + same target content -> resume (manifest mtime
+    unchanged); swapping the TARGET corpus -> recompute with a different
+    selection (the content hash, not the path, drives the signature)."""
+    docs, target = _dsir_corpora(spark)
+    wh = str(tmp_path / "wh")
+    kw = dict(min_words=10, seq_len=32, dsir_k=4, dsir_buckets=256,
+              dsir_alpha=0.05)
+    t1 = run_curation(spark, docs, wh, "test:v1",
+                      dsir_target_df=target, **kw)
+    first = {r["doc_id"] for r in t1["sampled"].collect()}
+    sampled_dir = os.path.join(wh, "sampled")
+    mtime = os.path.getmtime(sampled_dir)
+    t2 = run_curation(spark, docs, wh, "test:v1",
+                      dsir_target_df=target, **kw)
+    assert {r["doc_id"] for r in t2["sampled"].collect()} == first
+    assert os.path.getmtime(sampled_dir) == mtime  # resumed
+    # swap the target to the LEGAL domain: invalidates + reselects
+    legal_target = docs.filter("doc_id >= 100").select("doc_id", "text")
+    t3 = run_curation(spark, docs, wh, "test:v1",
+                      dsir_target_df=legal_target, **kw)
+    assert os.path.getmtime(sampled_dir) != mtime
+    third = {r["doc_id"] for r in t3["sampled"].collect()}
+    assert third <= {100, 101, 102, 103, 104}, third
