@@ -2968,6 +2968,39 @@ def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (corpus.temperature_mixture_props
+    at T=2 composed with mixture_sample): proportions ~ sqrt(token
+    share) — the multilingual-T5 sampling rule — then the derived
+    keep-rates and md5-bucket selection. DuckDB recomputes token counts,
+    the temperature scaling (pow(x, 0.5) mirroring Python's ** 0.5), the
+    ORDERED normalization sum, the binding-stratum budget, thresholds,
+    and the bucket filter — the whole temperature derivation is inside
+    the value hash."""
+    from slowspark.corpus import mixture_sample, temperature_mixture_props
+
+    d = _read(spark, sf_dir, "documents")
+    props = temperature_mixture_props(d, 2.0)
+    return mixture_sample(d, props).select("doc_id", "lang")
+
+
+def _unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (corpus.unimax_sample, Chung et al.
+    2023): a 45k-token budget at max_epochs=2 water-filled across the
+    five languages — at sf0.01 every scarce language lands at its
+    2-epoch cap (rate exactly 2.0, deterministic repeats) while English
+    absorbs the remainder at a fractional >1 rate. DuckDB recomputes
+    the count table, the ascending-capacity window prefix, the break
+    index, the constant post-break water level, the floor/fractional
+    repeat split, and the per-row copy expansion."""
+    from slowspark.corpus import unimax_sample
+
+    d = _read(spark, sf_dir, "documents")
+    return unimax_sample(d, total_budget=45_000, max_epochs=2.0).select(
+        "doc_id", "lang", "repeat_ix"
+    )
+
+
 def _repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-regime domain mixing (corpus.mixture_rates with
     allow_upsample + corpus.repeat_sample): a 25/25/50 en/de/zh TOKEN
@@ -3034,6 +3067,9 @@ _PRIORITY_QUERIES: "list[str]" = [
     "ivfpq_batch_ann_topk",
     # changed this round (oracle cast fix r6 verdict #1):
     "bpe_merges",
+    # new this round:
+    "temperature_mixture",
+    "unimax_sample",
 ]
 
 
@@ -3128,6 +3164,8 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_simhash_near_dups": _incremental_simhash_near_dups,
         "ivfpq_batch_ann_topk": _ivfpq_batch_ann_topk,
         "bpe_merges": _bpe_merges,
+        "temperature_mixture": _temperature_mixture,
+        "unimax_sample": _unimax_sample,
     }
 
 
@@ -3773,6 +3811,96 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN thr ON d.lang = thr.lang
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) % 10000 < thr.thr
+        """,
+        "temperature_mixture": """
+            WITH tok AS (
+                SELECT lang,
+                       CAST(sum(length(regexp_extract_all(text, '\\S+')))
+                            AS DOUBLE) AS t
+                FROM documents WHERE lang IS NOT NULL
+                GROUP BY lang
+                HAVING sum(length(regexp_extract_all(text, '\\S+'))) > 0
+            ), tot AS (
+                SELECT sum(t) AS tt FROM tok  -- integral doubles: exact
+            ), scaled AS (
+                SELECT lang, t,
+                       pow(t / (SELECT tt FROM tot), 0.5) AS sc
+                FROM tok
+            ), z AS (
+                -- ORDERED float sum, mirroring Python's sorted-key loop
+                SELECT sum(sc ORDER BY lang) AS z FROM scaled
+            ), p0 AS (
+                SELECT lang, t, sc / (SELECT z FROM z) AS p FROM scaled
+            ), p1 AS (
+                -- mixture_rates renormalizes its input props (ordered)
+                SELECT lang, t,
+                       p / (SELECT sum(p ORDER BY lang) FROM p0) AS p
+                FROM p0
+            ), tmax AS (
+                SELECT min(t / p) AS big_t FROM p1
+            ), thr AS (
+                SELECT lang,
+                       CAST(floor(least(p * (SELECT big_t FROM tmax) / t,
+                                        1.0) * 10000 + 0.5) AS BIGINT)
+                           AS thr
+                FROM p1
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 10000 < thr.thr
+        """,
+        "unimax_sample": """
+            WITH tok AS (
+                SELECT lang,
+                       CAST(sum(length(regexp_extract_all(text, '\\S+')))
+                            AS DOUBLE) AS t
+                FROM documents WHERE lang IS NOT NULL
+                GROUP BY lang
+                HAVING sum(length(regexp_extract_all(text, '\\S+'))) > 0
+            ), caps AS (
+                SELECT lang, t, t * 2.0 AS cap,
+                       row_number() OVER (ORDER BY t * 2.0, lang) AS i,
+                       coalesce(sum(t * 2.0) OVER (
+                           ORDER BY t * 2.0, lang
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0.0) AS cum_prev,
+                       count(*) OVER () AS nl
+                FROM tok
+            ), lvl AS (
+                SELECT *, (45000.0 - cum_prev) / (nl - i + 1) AS lvl_i
+                FROM caps
+            ), brk AS (
+                SELECT min(i) AS k FROM lvl WHERE cap > lvl_i
+            ), alloc AS (
+                SELECT lang, t,
+                       CASE WHEN (SELECT k FROM brk) IS NULL
+                                 OR i < (SELECT k FROM brk)
+                            THEN cap
+                            ELSE (SELECT lvl_i FROM lvl
+                                  WHERE i = (SELECT k FROM brk))
+                       END AS b
+                FROM lvl
+            ), parts AS (
+                SELECT lang,
+                       CAST(floor(b / t) AS BIGINT) AS n_full,
+                       CAST(floor((b / t - floor(b / t)) * 10000 + 0.5)
+                            AS BIGINT) AS thr
+                FROM alloc
+            ), copied AS (
+                SELECT d.doc_id, d.lang,
+                       parts.n_full
+                       + CASE WHEN CAST(('0x' || substr(
+                                  md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                                  AS UBIGINT) % 10000 < parts.thr
+                              THEN 1 ELSE 0 END AS copies
+                FROM documents d JOIN parts USING (lang)
+            )
+            SELECT doc_id, lang, CAST(u AS INTEGER) AS repeat_ix
+            FROM (
+                SELECT doc_id, lang, unnest(range(copies)) AS u
+                FROM copied WHERE copies > 0
+            )
         """,
         "repeat_upsample": """
             WITH tok AS (

@@ -701,6 +701,165 @@ def repeat_sample(
     )
 
 
+def _stratum_token_counts(
+    df: DataFrame, stratum_col: str, text_col: str
+) -> dict[str, int]:
+    """(stratum -> whitespace-token count) — ONE aggregate over the
+    corpus, result bounded by the stratum cardinality (the
+    mixture_rates discipline). NULL strata are excluded (a sampler
+    cannot name a rate for them; route or fill the column first)."""
+    return {
+        r["s"]: int(r["t"] or 0)
+        for r in df.filter(F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("s"))
+        .agg(
+            F.sum(
+                F.size(F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)"))
+            ).alias("t")
+        )
+        .collect()
+    }
+
+
+def temperature_mixture_props(
+    df: DataFrame,
+    temperature: float,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Temperature-scaled domain proportions (the multilingual-T5 /
+    XLM-R sampling rule): p_s proportional to (token share)^(1/T).
+    T=1 reproduces the corpus's natural proportions; T -> infinity
+    flattens toward uniform — the standard knob for boosting
+    low-resource domains without hand-writing a mixture. Feed the
+    result to mixture_rates / mixture_sample (which then derive
+    keep-rates and the achievable token budget from the SAME measured
+    counts).
+
+    Scale shape: one stratum-cardinality aggregate + driver arithmetic
+    on that tiny table — identical cost to mixture_rates' own count
+    pass."""
+    if temperature <= 0:
+        raise ValueError(
+            f"temperature_mixture_props: temperature must be > 0, "
+            f"got {temperature}"
+        )
+    counts = _stratum_token_counts(df, stratum_col, text_col)
+    counts = {s: t for s, t in counts.items() if t > 0}
+    if not counts:
+        raise ValueError(
+            "temperature_mixture_props: no stratum has any tokens"
+        )
+    total = float(sum(counts.values()))  # integer counts: exact any order
+    scaled = {
+        s: (t / total) ** (1.0 / float(temperature))
+        for s, t in sorted(counts.items())
+    }
+    # float sum in SORTED-stratum order: engine-reproducible (the DuckDB
+    # oracle mirrors it with sum(... ORDER BY stratum))
+    z = 0.0
+    for s in sorted(scaled):
+        z += scaled[s]
+    return {s: v / z for s, v in sorted(scaled.items())}
+
+
+def unimax_rates(
+    df: DataFrame,
+    total_budget: int,
+    max_epochs: float = 1.0,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> tuple[dict[str, float], dict[str, float]]:
+    """UniMax budget allocation (Chung et al. 2023): split a total
+    token budget across strata as UNIFORMLY as possible subject to a
+    per-stratum epoch cap (no stratum repeats more than `max_epochs`
+    times) — the principled alternative to temperature tuning for
+    multilingual budgets. Water-filling over the stratum-cardinality
+    count table: visit strata by ascending capacity (tokens *
+    max_epochs); each receives min(capacity, remaining/strata_left).
+    Returns (rates, budgets): rates = allocated/available tokens per
+    stratum (may exceed 1 when max_epochs > 1 — feed repeat_sample,
+    which unimax_sample does), budgets = the allocated token counts.
+
+    Raises when total_budget exceeds the total capacity (an allocation that
+    silently under-delivers is the mixture_rates failure mode), and on
+    non-positive budget/epochs.
+
+    Scale shape: one aggregate bounded by stratum cardinality + driver
+    arithmetic over that table (sorted once) — no second corpus pass."""
+    if total_budget <= 0:
+        raise ValueError(
+            f"unimax_rates: total_budget must be > 0, got {total_budget}"
+        )
+    if max_epochs <= 0:
+        raise ValueError(
+            f"unimax_rates: max_epochs must be > 0, got {max_epochs}"
+        )
+    counts = _stratum_token_counts(df, stratum_col, text_col)
+    counts = {s: t for s, t in counts.items() if t > 0}
+    if not counts:
+        raise ValueError("unimax_rates: no stratum has any tokens")
+    caps = {s: float(t) * float(max_epochs) for s, t in counts.items()}
+    cap_total = sum(caps.values())
+    if total_budget > cap_total:
+        raise ValueError(
+            f"unimax_rates: total_budget={total_budget} exceeds the "
+            f"capacity {cap_total:.0f} at max_epochs={max_epochs} "
+            f"(raise max_epochs or shrink the budget)"
+        )
+    # closed-form water level (engine-reproducible arithmetic: the level
+    # is computed ONCE from the capped prefix, never by sequential
+    # subtraction — (B - c1) - c2 and B - (c1 + c2) round differently,
+    # and the DuckDB oracle recomputes this with a window prefix sum):
+    # visit caps ascending; strata are capped while cap <= level_i =
+    # (B - cap_prefix_{i-1}) / strata_left; after the first uncapped
+    # stratum the level is CONSTANT and everyone remaining shares it.
+    budgets: dict[str, float] = {}
+    ordered = sorted(counts, key=lambda s: (caps[s], s))
+    cap_prefix = 0.0
+    level: float | None = None
+    for i, s in enumerate(ordered):
+        if level is None:
+            lvl = (float(total_budget) - cap_prefix) / (len(ordered) - i)
+            if caps[s] <= lvl:
+                budgets[s] = caps[s]
+                cap_prefix += caps[s]
+                continue
+            level = lvl
+        budgets[s] = level
+    rates = {s: budgets[s] / counts[s] for s in counts}
+    return dict(sorted(rates.items())), dict(sorted(budgets.items()))
+
+
+def unimax_sample(
+    df: DataFrame,
+    total_budget: int,
+    max_epochs: float = 1.0,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 10_000,
+    out_col: str = "repeat_ix",
+) -> DataFrame:
+    """unimax_rates composed with repeat_sample: deterministically
+    realize the UniMax allocation. Always emits `out_col` (0-based
+    repeat index) — for rates <= 1 (max_epochs=1) every row appears at
+    most once with out_col=0 and the selected set is IDENTICAL to
+    hash_sample's at the same rates (repeat_sample's documented
+    selection identity); with max_epochs > 1 scarce strata repeat
+    deterministically. Two jobs total: one token-count aggregate, one
+    narrow filtered scan."""
+    rates, _budgets = unimax_rates(
+        df, total_budget, max_epochs, stratum_col, text_col
+    )
+    return repeat_sample(
+        df, rates, default_rate=0.0, id_col=id_col,
+        stratum_col=stratum_col, salt=salt, buckets=buckets,
+        out_col=out_col,
+    )
+
+
 def exact_k_sample(
     df: DataFrame,
     k: int,

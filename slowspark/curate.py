@@ -99,6 +99,9 @@ def run_curation(
     dsir_buckets: int = 10_000,
     dsir_alpha: float = 1.0,
     dsir_length_normalize: bool = False,
+    mixture_temperature: float | None = None,
+    unimax_budget: int | None = None,
+    unimax_epochs: float = 1.0,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -239,7 +242,19 @@ def run_curation(
         sum of text) joins the resume signature like the eval set:
         swapping the target invalidates sampled/packed manifests even
         when every knob matches. The attrition row is the standard
-        `sampled` stage_rows entry: scrubbed -> dsir_k rows."""
+        `sampled` stage_rows entry: scrubbed -> dsir_k rows.
+      - `mixture_temperature` (T): temperature-scaled domain mixing —
+        target proportions derived as (token share)^(1/T)
+        (corpus.temperature_mixture_props, the multilingual-T5 rule)
+        then the standard mixture_sample path; composes with
+        `target_tokens`. Mutually exclusive with the other sampling
+        policies (same one-policy rule as DSIR).
+      - `unimax_budget` (+ `unimax_epochs`): UniMax water-filled token
+        budgets (corpus.unimax_sample) — as uniform as possible subject
+        to the per-stratum epoch cap; output always carries repeat_ix
+        (epochs > 1 repeat scarce strata deterministically) and packing
+        keys on (doc_id, repeat_ix) like the upsample regime. Mutually
+        exclusive with the other sampling policies."""
     if mixture and sample_rates:
         raise ValueError(
             "run_curation: mixture and sample_rates are mutually exclusive"
@@ -252,6 +267,23 @@ def run_curation(
         raise ValueError(
             "run_curation: dsir_target_df is mutually exclusive with "
             "mixture and sample_rates (one sampling policy per run)"
+        )
+    n_policies = sum(
+        x is not None and x is not False and x != {}
+        for x in (
+            sample_rates or None, mixture or None, dsir_target_df,
+            mixture_temperature, unimax_budget,
+        )
+    )
+    if n_policies > 1:
+        raise ValueError(
+            "run_curation: sample_rates / mixture / dsir_target_df / "
+            "mixture_temperature / unimax_budget are mutually exclusive "
+            "(one sampling policy per run)"
+        )
+    if unimax_epochs != 1.0 and unimax_budget is None:
+        raise ValueError(
+            "run_curation: unimax_epochs requires unimax_budget"
         )
     if mixture_upsample and not mixture:
         raise ValueError(
@@ -371,6 +403,8 @@ def run_curation(
         f"|ppl={','.join(map(str, sorted(ppl_keep_buckets))) if ppl_keep_buckets else 'off'}"
         f":{ppl_n_buckets}:{ppl_scorer}:{ppl_model_sig}"
         f"|qc={qc_sig}|bpe={bpe_merges_n or 0}|dsir={dsir_sig}"
+        f"|mtemp={mixture_temperature if mixture_temperature is not None else 'off'}"
+        f"|umax={unimax_budget or 0}:{unimax_epochs}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -642,6 +676,26 @@ def run_curation(
             return scrubbed.join(picked, "doc_id").select(*cols)
 
         sampled = run_stage(spark, cat, "sampled", sig, _dsir)
+    elif mixture_temperature is not None:
+        from slowspark.corpus import mixture_sample, temperature_mixture_props
+
+        def _tempmix() -> DataFrame:
+            props = temperature_mixture_props(scrubbed, mixture_temperature)
+            return mixture_sample(
+                scrubbed, props, target_tokens=target_tokens,
+                salt=sample_salt,
+            )
+
+        sampled = run_stage(spark, cat, "sampled", sig, _tempmix)
+    elif unimax_budget is not None:
+        from slowspark.corpus import unimax_sample
+
+        sampled = run_stage(
+            spark, cat, "sampled", sig,
+            lambda: unimax_sample(
+                scrubbed, unimax_budget, unimax_epochs, salt=sample_salt
+            ),
+        )
     elif mixture and mixture_upsample:
         from slowspark.corpus import mixture_rates, repeat_sample
 
@@ -707,7 +761,7 @@ def run_curation(
         sampled = sampled.join(counts, "doc_id")
         pack_tokens_col = "bpe_n_tokens"
 
-    if mixture_upsample:
+    if mixture_upsample or unimax_budget is not None:
         # repeated copies are distinct documents to the packer: key the
         # global concat order on (doc_id, repeat_ix), then flatten back
         def _packed() -> DataFrame:
@@ -850,12 +904,34 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dsir-length-normalize", action="store_true",
                    help="score by mean per-gram log ratio instead of the "
                    "paper's raw sum — for unchunked mixed-length corpora")
+    p.add_argument("--mixture-temperature", type=float, default=None,
+                   help="temperature-scaled domain mixing: proportions ~ "
+                   "(token share)^(1/T), then the mixture sampler; "
+                   "composes with --target-tokens; mutually exclusive "
+                   "with the other sampling policies")
+    p.add_argument("--unimax-budget", type=int, default=None,
+                   help="UniMax water-filled token budget: as uniform as "
+                   "possible subject to --unimax-epochs per stratum; "
+                   "output carries repeat_ix; mutually exclusive with "
+                   "the other sampling policies")
+    p.add_argument("--unimax-epochs", type=float, default=1.0,
+                   help="per-stratum epoch cap for --unimax-budget")
     args = p.parse_args(argv)
     if (args.dsir_target is None) != (args.dsir_k is None):
         p.error("--dsir-target and --dsir-k go together")
     if args.dsir_target and (args.mixture or args.sample_rates):
         p.error("--dsir-target is mutually exclusive with --mixture "
                 "and --sample-rates")
+    n_pol = sum(bool(x) for x in (
+        args.sample_rates, args.mixture, args.dsir_target,
+        args.mixture_temperature, args.unimax_budget,
+    ))
+    if n_pol > 1:
+        p.error("--sample-rates/--mixture/--dsir-target/"
+                "--mixture-temperature/--unimax-budget are mutually "
+                "exclusive (one sampling policy per run)")
+    if args.unimax_epochs != 1.0 and not args.unimax_budget:
+        p.error("--unimax-epochs requires --unimax-budget")
     if args.semantic_dedup_embeddings and args.semantic_dedup_cells:
         p.error("--semantic-dedup-embeddings and --semantic-dedup-cells "
                 "are mutually exclusive")
@@ -940,6 +1016,9 @@ def main(argv: list[str] | None = None) -> int:
             dsir_buckets=args.dsir_buckets,
             dsir_alpha=args.dsir_alpha,
             dsir_length_normalize=args.dsir_length_normalize,
+            mixture_temperature=args.mixture_temperature,
+            unimax_budget=args.unimax_budget,
+            unimax_epochs=args.unimax_epochs,
         )
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {

@@ -662,3 +662,91 @@ def test_weighted_sample_k_single_source_pass():
     assert "raise_error" in src
     assert ".limit(1).collect()" not in src
     assert ".collect()" not in src  # no driver pass at all
+
+
+def _mix_docs(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, "the quick brown fox " * 5, "en"))       # 20 tok
+    for i in range(100, 110):
+        rows.append((i, "der schnelle braune fuchs " * 5, "de"))  # 20 tok
+    for i in range(200, 202):
+        rows.append((i, "le renard brun rapide " * 5, "fr"))      # 20 tok
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_temperature_mixture_props(spark):
+    """T=1 -> natural shares; large T -> near-uniform; always sums to 1
+    and composes with mixture_sample."""
+    from slowspark.corpus import mixture_sample, temperature_mixture_props
+
+    df = _mix_docs(spark)  # token shares en/de/fr = 800/200/40 -> ~.77/.19/.04
+    import pytest as _pytest
+
+    nat = temperature_mixture_props(df, 1.0)
+    assert abs(sum(nat.values()) - 1.0) < 1e-12
+    assert abs(nat["en"] - 800 / 1040) < 1e-9
+    assert abs(nat["fr"] - 40 / 1040) < 1e-9
+    flat = temperature_mixture_props(df, 100.0)
+    assert max(flat.values()) - min(flat.values()) < 0.02  # ~uniform
+    # monotone: higher T raises the scarce stratum's share
+    t2 = temperature_mixture_props(df, 2.0)
+    assert nat["fr"] < t2["fr"] < flat["fr"]
+    # the props plug straight into the mixture sampler
+    out = mixture_sample(df, t2)
+    assert out.count() > 0
+    with _pytest.raises(ValueError, match="temperature"):
+        temperature_mixture_props(df, 0.0)
+
+
+def test_unimax_rates_waterfilling(spark):
+    """Water-filling: small strata are capped at max_epochs x their
+    tokens, the rest split the remainder evenly; budget == capacity
+    degenerates to everyone-at-cap; over-capacity raises."""
+    from slowspark.corpus import unimax_rates
+
+    df = _mix_docs(spark)  # tokens: en 800, de 200, fr 40
+    import pytest as _pytest
+
+    # budget 300 at 1 epoch: fr capped at 40; en/de split 260 -> 130 each
+    # (de's cap is 200 >= 130, en's 800 >= 130)
+    rates, budgets = unimax_rates(df, 300, max_epochs=1.0)
+    assert budgets == {"de": 130.0, "en": 130.0, "fr": 40.0}
+    assert abs(rates["fr"] - 1.0) < 1e-12
+    assert abs(rates["de"] - 130 / 200) < 1e-12
+    # epochs > 1: fr capped at 2 x 40 = 80; en/de split the 220 left
+    rates2, budgets2 = unimax_rates(df, 300, max_epochs=2.0)
+    assert budgets2 == {"de": 110.0, "en": 110.0, "fr": 80.0}
+    assert abs(rates2["fr"] - 2.0) < 1e-12  # at its epoch cap
+    # full capacity: everyone at cap
+    _, b3 = unimax_rates(df, 1040, max_epochs=1.0)
+    assert b3 == {"en": 800.0, "de": 200.0, "fr": 40.0}
+    with _pytest.raises(ValueError, match="capacity"):
+        unimax_rates(df, 1041, max_epochs=1.0)
+    with _pytest.raises(ValueError, match="total_budget"):
+        unimax_rates(df, 0)
+    with _pytest.raises(ValueError, match="max_epochs"):
+        unimax_rates(df, 10, max_epochs=0)
+
+
+def test_unimax_sample_realizes_allocation(spark):
+    """The sampled token mass per stratum tracks the allocated budgets
+    (within hash-bucket granularity) and repeats appear exactly for
+    over-1 rates with distinct repeat_ix."""
+    from slowspark.corpus import unimax_sample
+
+    df = _mix_docs(spark)
+    out = unimax_sample(df, 300, max_epochs=2.0, salt="s").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["repeat_ix"]))
+    # fr: rate 2.0 -> every fr doc exactly twice (repeat_ix 0 and 1)
+    assert sorted(by_lang["fr"]) == sorted(
+        [(d, i) for d in (200, 201) for i in (0, 1)]
+    )
+    # en: rate 0.125 over 40 docs -> about 5 docs, each once
+    assert all(ix == 0 for _, ix in by_lang["en"])
+    assert 1 <= len(by_lang["en"]) <= 10
+    # determinism
+    again = unimax_sample(df, 300, max_epochs=2.0, salt="s").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

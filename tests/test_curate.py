@@ -1258,3 +1258,93 @@ def test_curation_dsir_target_swap_invalidates_resume(spark, tmp_path):
     assert os.path.getmtime(sampled_dir) != mtime
     third = {r["doc_id"] for r in t3["sampled"].collect()}
     assert third <= {100, 101, 102, 103, 104}, third
+
+
+def _strata_corpus(spark):
+    import hashlib
+
+    letters = str.maketrans("0123456789", "ghijklmnop")
+
+    def salad(tag, n):
+        return " ".join(
+            hashlib.md5(f"{tag}:{j}".encode()).hexdigest()[:8].translate(letters)
+            for j in range(n)
+        )
+
+    stop = "the a of and in that with for to is"
+    rows = (
+        [(i, f"{salad(f'en{i}', 30)} {stop}", "en") for i in range(40)]
+        + [(100 + i, f"{salad(f'de{i}', 30)} {stop}", "de") for i in range(10)]
+        + [(200 + i, f"{salad(f'fr{i}', 30)} {stop}", "fr") for i in range(2)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_curation_temperature_mixture_stage(spark, tmp_path):
+    """--mixture-temperature derives the mixture from token shares: at a
+    high temperature the scarce stratum's share rises toward uniform, so
+    it binds (all kept) while the abundant one downsamples hard; the
+    knob participates in the resume signature and is mutually exclusive
+    with the other policies."""
+    import os
+
+    docs = _strata_corpus(spark)
+    wh = str(tmp_path / "wh")
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+        mixture_temperature=8.0,
+    )
+    sampled = [(r["doc_id"], r["lang"]) for r in tables["sampled"].collect()]
+    by = {}
+    for d, l in sampled:
+        by.setdefault(l, set()).add(d)
+    # near-uniform target on 40/10/2-doc strata: fr binds (all 2 kept),
+    # en cut to roughly fr's token mass
+    assert by["fr"] == {200, 201}
+    assert len(by["en"]) <= 10
+    packed = {r["doc_id"] for r in tables["packed"].collect()}
+    assert packed == {d for d, _ in sampled}
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 mixture_temperature=1.0)
+    assert os.path.getmtime(os.path.join(wh, "packed")) != m0  # knob invalidates
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_curation(spark, docs, wh, "test:v1",
+                     mixture_temperature=2.0, mixture={"en": 1.0})
+
+
+def test_curation_unimax_stage(spark, tmp_path):
+    """--unimax-budget water-fills the token budget: scarce strata land
+    at their epoch cap (repeating when epochs > 1, with repeat_ix
+    carried through packing), abundant strata absorb the rest; epoch
+    knob changes invalidate."""
+    import os
+
+    docs = _strata_corpus(spark)
+    wh = str(tmp_path / "wh")
+    # budget 1000 over en/de/fr token masses 1600/400/80 at 2 epochs:
+    # fr caps at 160 (every fr doc twice), de/en split 840 -> 420 each
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+        unimax_budget=1000, unimax_epochs=2.0,
+    )
+    sampled = [
+        (r["doc_id"], r["lang"], r["repeat_ix"])
+        for r in tables["sampled"].collect()
+    ]
+    fr = sorted((d, ix) for d, l, ix in sampled if l == "fr")
+    assert fr == [(200, 0), (200, 1), (201, 0), (201, 1)]  # rate exactly 2
+    n_de = len({d for d, l, _ in sampled if l == "de"})
+    assert 6 <= n_de <= 10  # ~420/400 tokens -> rate ~1.05 -> most/all kept
+    packed = tables["packed"].collect()
+    assert {"doc_id", "repeat_ix", "seq_id"} <= set(packed[0].asDict())
+    # repeated fr copies pack as distinct documents
+    fr_packed = {(r["doc_id"], r["repeat_ix"]) for r in packed
+                 if r["doc_id"] in (200, 201)}
+    assert fr_packed == set(fr)
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 unimax_budget=1000, unimax_epochs=1.0)
+    assert os.path.getmtime(os.path.join(wh, "packed")) != m0
+    with pytest.raises(ValueError, match="unimax_epochs"):
+        run_curation(spark, docs, wh, "test:v1", unimax_epochs=2.0)
