@@ -1337,6 +1337,51 @@ def ivfpq_topk_batch(
     )
 
 
+def ivfpq_topk_batch_chunked(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    n_chunks: int,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 10,
+    probe_cells: int = 4,
+    rerank: int = 100,
+    max_batch_queries: int = 100_000,
+) -> DataFrame:
+    """The RUNBOOK §8 chunk-and-union recipe as a function: split the
+    query table into `n_chunks` deterministic xxhash64(query_id) chunks,
+    run ivfpq_topk_batch per chunk, union the results. Per-query output
+    is independent of its batch-mates (identical arithmetic, pinned by
+    a differential test), so chunking is EXACT — use it when the query
+    set exceeds the single-batch driver-broadcast bound
+    (`max_batch_queries` still guards each chunk; size n_chunks so
+    |queries|/n_chunks clears it). Each chunk's probe join dynamically
+    prunes to that chunk's cells, so the scan cost grows sublinearly in
+    n_chunks."""
+    if n_chunks < 1:
+        raise ValueError(
+            f"ivfpq_topk_batch_chunked: n_chunks must be >= 1, "
+            f"got {n_chunks}"
+        )
+    import functools
+
+    chunked = queries.withColumn(
+        "__chunk", F.pmod(F.xxhash64(query_id), F.lit(n_chunks))
+    )
+    parts = [
+        ivfpq_topk_batch(
+            spark, index_path,
+            chunked.filter(F.col("__chunk") == i).drop("__chunk"),
+            query_id=query_id, query_vec=query_vec, k=k,
+            probe_cells=probe_cells, rerank=rerank,
+            max_batch_queries=max_batch_queries,
+        )
+        for i in range(n_chunks)
+    ]
+    return functools.reduce(DataFrame.unionByName, parts)
+
+
 def pq_topk_rerank(
     corpus: DataFrame,
     codes_df: DataFrame,

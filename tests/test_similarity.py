@@ -674,3 +674,32 @@ def test_ivfpq_topk_batch_driver_broadcast_bound(spark, emb, tmp_path):
         similarity.ivfpq_topk_batch(
             spark, idx, queries, max_batch_queries=0
         )
+
+
+def test_ivfpq_topk_batch_chunked_matches_single_batch(spark, emb, tmp_path):
+    """Chunk-and-union exactness: per-query output is independent of
+    batch-mates, so n_chunks=3 must reproduce the one-batch result
+    row-for-row (and lets each chunk clear a max_batch_queries bound the
+    whole set would violate)."""
+    idx = str(tmp_path / "ivfpq_chunked")
+    similarity.ivfpq_build_index(
+        emb, idx, n_centroids=8, ivf_lloyd_iters=1
+    )
+    queries = (
+        emb.filter("vec_id < 6")
+        .selectExpr("vec_id AS query_id", "embedding")
+    )
+    one = sorted(
+        map(tuple, similarity.ivfpq_topk_batch(
+            spark, idx, queries, k=4, probe_cells=2, rerank=12
+        ).collect())
+    )
+    chunked = sorted(
+        map(tuple, similarity.ivfpq_topk_batch_chunked(
+            spark, idx, queries, n_chunks=3, k=4, probe_cells=2, rerank=12,
+            max_batch_queries=4,  # < 6 queries total: only valid chunked
+        ).collect())
+    )
+    assert chunked == one
+    with pytest.raises(ValueError, match="n_chunks"):
+        similarity.ivfpq_topk_batch_chunked(spark, idx, queries, n_chunks=0)
