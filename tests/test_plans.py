@@ -289,3 +289,59 @@ def test_cms_build_partial_aggregates(spark):
     plan = _plan(build_cms(df, "term", 4, 64))
     assert "partial_sum" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bpe_segment_udf_python_runs_over_distinct_words(spark):
+    """The production segmenter's scale contract: the Python stage
+    (mapInPandas) must sit downstream of the DISTINCT-word aggregate —
+    O(distinct words) Python work — never over the exploded occurrence
+    table (O(word occurrences), 4+ orders of magnitude more rows at web
+    scale); the occurrence side rejoins the segmented words by key."""
+    from slowspark.bpe import bpe_learn, bpe_segment_udf
+
+    df = spark.createDataFrame(
+        [(i, "low lower lowest newest " * 4) for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn(df, n_merges=4)
+    plan = _plan(bpe_segment_udf(df, merges))
+    # exactly one Python stage
+    assert plan.count("MapInPandas") == 1
+    # the Python stage's subtree contains the distinct aggregate
+    # (HashAggregate on word), i.e. Python consumes the deduped words
+    python_subtree = plan.split("MapInPandas")[1]
+    assert "HashAggregate" in python_subtree
+    # and the occurrences come back via a key join, not a re-parse
+    assert "Join" in plan
+
+
+def test_unimax_sample_selection_scan_is_narrow(spark):
+    """After the (eager, strata-bounded) count aggregate, the UniMax
+    selection itself must be a narrow scan: literal thresholds, no
+    Exchange, no join — the hash_sample discipline carried over to the
+    repeat path."""
+    from slowspark.corpus import unimax_sample
+
+    df = spark.createDataFrame(
+        [(i, "tok " * 10, "en" if i % 2 else "de") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    out = unimax_sample(df, total_budget=100, max_epochs=2.0)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_temperature_mixture_selection_scan_is_narrow(spark):
+    """temperature_mixture_props + mixture_sample: rates become literal
+    CASE thresholds — the selection plan is one narrow filtered scan."""
+    from slowspark.corpus import mixture_sample, temperature_mixture_props
+
+    df = spark.createDataFrame(
+        [(i, "tok " * 10, "en" if i % 2 else "de") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    props = temperature_mixture_props(df, 2.0)
+    plan = _plan(mixture_sample(df, props))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
