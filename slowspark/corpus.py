@@ -807,28 +807,36 @@ def unimax_rates(
             f"capacity {cap_total:.0f} at max_epochs={max_epochs} "
             f"(raise max_epochs or shrink the budget)"
         )
-    # closed-form water level (engine-reproducible arithmetic: the level
-    # is computed ONCE from the capped prefix, never by sequential
-    # subtraction — (B - c1) - c2 and B - (c1 + c2) round differently,
-    # and the DuckDB oracle recomputes this with a window prefix sum):
-    # visit caps ascending; strata are capped while cap <= level_i =
-    # (B - cap_prefix_{i-1}) / strata_left; after the first uncapped
-    # stratum the level is CONSTANT and everyone remaining shares it.
+    budgets = _waterfill(caps, float(total_budget))
+    rates = {s: budgets[s] / counts[s] for s in counts}
+    return dict(sorted(rates.items())), dict(sorted(budgets.items()))
+
+
+def _waterfill(caps: dict[str, float], budget: float) -> dict[str, float]:
+    """Max-min fair allocation of `budget` under per-key caps — the
+    UniMax core, pure so the property tests can hammer it without a
+    SparkSession. Closed-form water level (engine-reproducible
+    arithmetic: the level is computed ONCE from the capped prefix, never
+    by sequential subtraction — (B - c1) - c2 and B - (c1 + c2) round
+    differently, and the DuckDB oracle recomputes this with a window
+    prefix sum): visit caps ascending; keys are capped while cap <=
+    level_i = (B - cap_prefix_{i-1}) / keys_left; after the first
+    uncapped key the level is CONSTANT and everyone remaining shares
+    it."""
     budgets: dict[str, float] = {}
-    ordered = sorted(counts, key=lambda s: (caps[s], s))
+    ordered = sorted(caps, key=lambda s: (caps[s], s))
     cap_prefix = 0.0
     level: float | None = None
     for i, s in enumerate(ordered):
         if level is None:
-            lvl = (float(total_budget) - cap_prefix) / (len(ordered) - i)
+            lvl = (budget - cap_prefix) / (len(ordered) - i)
             if caps[s] <= lvl:
                 budgets[s] = caps[s]
                 cap_prefix += caps[s]
                 continue
             level = lvl
         budgets[s] = level
-    rates = {s: budgets[s] / counts[s] for s in counts}
-    return dict(sorted(rates.items())), dict(sorted(budgets.items()))
+    return budgets
 
 
 def unimax_sample(

@@ -310,3 +310,47 @@ def test_stupid_backoff_matches_python_reference(spark, texts, model_texts):
     }
     want = _ref_sb(texts, model_texts)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# UniMax waterfill (pure core, no Spark)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.floats(min_value=1.0, max_value=1e9,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=8,
+    ),
+    st.floats(min_value=0.5, max_value=1.0),
+)
+@settings(deadline=None, max_examples=200)
+def test_waterfill_is_maxmin_fair(caps, frac):
+    """Properties of the UniMax core on random caps/budgets:
+    (1) budget conservation: allocations sum to the budget (<= capacity
+        by construction here);
+    (2) feasibility: no allocation exceeds its cap (tolerance 1 ulp-ish);
+    (3) max-min fairness: every UNCAPPED key's allocation is >= every
+        other allocation (you cannot raise the minimum by taking from
+        anyone) — the defining property of water-filling;
+    (4) uncapped keys all share one level."""
+    import pytest
+
+    from slowspark.corpus import _waterfill
+
+    budget = frac * sum(caps.values())
+    alloc = _waterfill(caps, budget)
+    assert set(alloc) == set(caps)
+    total = sum(alloc[s] for s in sorted(alloc))
+    assert total == pytest.approx(budget, rel=1e-9)
+    eps = 1e-9 * max(caps.values())
+    for s, a in alloc.items():
+        assert a <= caps[s] + eps
+    uncapped = [s for s in alloc if alloc[s] < caps[s] - eps]
+    if uncapped:
+        level = max(alloc[s] for s in uncapped)
+        for s, a in alloc.items():
+            assert a <= level + eps  # nobody exceeds the shared level
+        for s in uncapped:
+            assert alloc[s] == pytest.approx(level, rel=1e-9)
