@@ -2968,6 +2968,38 @@ def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC export/import round trip (sources.write_warc + read_warc —
+    the Common Crawl interchange format): documents serialize to
+    CC-style per-record-gzip WARC files (deterministic bucketing,
+    sorted records, pinned gzip mtime), read back through the ISO 28500
+    parser, and re-key on the round-tripped X-Slowspark headers. The
+    value hash covers the full framing: any byte lost or reordered in
+    either direction changes md5(payload) or drops a row vs the oracle
+    reading the parquet directly."""
+    import os as _os
+
+    from slowspark.sources import read_warc, write_warc
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.encode("text", "UTF-8").alias("payload"),
+        "lang",
+        "doc_id",
+    )
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    out = f"{_ORACLE_ENTRIES_BASE}/{base}/warc_export"
+    write_warc(d, out, n_files=4, header_cols=("lang", "doc_id"))
+    back = read_warc(spark, out + "/*.warc.gz")
+    return back.select(
+        F.col("headers")["X-Slowspark-doc_id"].cast("long").alias("doc_id"),
+        F.col("headers")["X-Slowspark-lang"].alias("lang"),
+        F.md5("payload").alias("text_md5"),
+    )
+
+
 def _temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain mixing (corpus.temperature_mixture_props
     at T=2 composed with mixture_sample): proportions ~ sqrt(token
@@ -3070,6 +3102,7 @@ _PRIORITY_QUERIES: "list[str]" = [
     # new this round:
     "temperature_mixture",
     "unimax_sample",
+    "warc_roundtrip",
 ]
 
 
@@ -3166,6 +3199,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "temperature_mixture": _temperature_mixture,
         "unimax_sample": _unimax_sample,
+        "warc_roundtrip": _warc_roundtrip,
     }
 
 
@@ -3811,6 +3845,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN thr ON d.lang = thr.lang
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) % 10000 < thr.thr
+        """,
+        "warc_roundtrip": """
+            SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
         """,
         "temperature_mixture": """
             WITH tok AS (

@@ -65,6 +65,224 @@ def compact_pages(
     return n_files
 
 
+_WARC_SCHEMA = (
+    "warc_path string, record_ix int, warc_type string, url string, "
+    "warc_ts timestamp, headers map<string,string>, payload binary"
+)
+
+
+def _parse_warc_blob(blob: bytes, path: str):
+    """Yield (record_ix, warc_type, url, warc_ts, headers, payload) from
+    one WARC file's bytes (ISO 28500 framing: version line, CRLF header
+    block, blank line, Content-Length payload bytes, CRLF CRLF). Raises
+    on torn framing — a truncated crawl file must fail loudly, not yield
+    a silently short corpus."""
+    from datetime import datetime, timezone
+
+    pos, ix = 0, 0
+    n = len(blob)
+    while pos < n:
+        # tolerate record separators
+        while pos < n and blob[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            return
+        if not blob.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"read_warc: {path}: expected 'WARC/' at byte {pos}"
+            )
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError(
+                f"read_warc: {path}: unterminated header block at {pos}"
+            )
+        lines = blob[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+        headers: dict = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip()] = v.strip()
+        try:
+            length = int(headers["Content-Length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"read_warc: {path}: record at {pos} lacks a numeric "
+                f"Content-Length"
+            ) from None
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            raise ValueError(
+                f"read_warc: {path}: truncated payload at {pos} "
+                f"(wants {length} bytes, {n - body_start} left)"
+            )
+        ts = None
+        if headers.get("WARC-Date"):
+            try:
+                ts = datetime.strptime(
+                    headers["WARC-Date"], "%Y-%m-%dT%H:%M:%SZ"
+                ).replace(tzinfo=timezone.utc)
+            except ValueError:
+                ts = None
+        yield (
+            ix,
+            headers.get("WARC-Type"),
+            headers.get("WARC-Target-URI"),
+            ts,
+            headers,
+            blob[body_start : body_start + length],
+        )
+        ix += 1
+        pos = body_start + length
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC files (the Common Crawl interchange format, ISO 28500) ->
+    one row per record: (warc_path, record_ix, warc_type, url, warc_ts,
+    headers, payload). `.gz` files are decompressed as concatenated
+    gzip members — the CC layout (one member per record), which plain
+    multi-member `gzip.decompress` handles.
+
+    Scale shape: binaryFile source, whole files as the unit of
+    parallelism — exactly how CC ships (thousands of ~1 GB segment
+    files fan out across executors; a file must fit worker memory,
+    which CC's 1 GB segmenting guarantees). The parse itself is one
+    mapInPandas, no shuffle; downstream projections prune the payload
+    column unless asked for."""
+    import gzip
+
+    import pandas as pd
+
+    def parse_fn(batches):
+        for pdf in batches:
+            out = {
+                "warc_path": [], "record_ix": [], "warc_type": [],
+                "url": [], "warc_ts": [], "headers": [], "payload": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                if path.endswith(".gz"):
+                    blob = gzip.decompress(blob)
+                for ix, wt, url, ts, hdrs, payload in _parse_warc_blob(
+                    blob, path
+                ):
+                    out["warc_path"].append(path)
+                    out["record_ix"].append(ix)
+                    out["warc_type"].append(wt)
+                    out["url"].append(url)
+                    out["warc_ts"].append(ts)
+                    out["headers"].append(hdrs)
+                    out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    raw = spark.read.format("binaryFile").load(path_glob)
+    return raw.select("path", "content").mapInPandas(
+        parse_fn, schema=_WARC_SCHEMA
+    )
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    n_files: int = 8,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    ts_col: str | None = None,
+    header_cols: tuple[str, ...] = (),
+    compress: bool = True,
+) -> list[dict]:
+    """Export a DataFrame as WARC response records — the interchange
+    artifact other crawl tooling consumes. Fully deterministic: rows
+    land in file pmod(xxhash64(url), n_files), each file written sorted
+    by url, record ids derived from md5(url) (no uuid/now()); rerunning
+    produces byte-identical files. `header_cols` ride along as
+    X-Slowspark-<col> headers (round-trip metadata). With
+    `compress=True` each record is its own gzip member (the CC layout).
+
+    Scale shape: one shuffle (groupBy file bucket), one applyInPandas
+    writer per file, driver collects only the n_files-row manifest
+    (returned). Executors write with plain open(), so `path` must be a
+    filesystem mount (file://, NFS, FUSE); for object storage write to
+    local scratch and upload, or raise n_files and distcp — noted in
+    RUNBOOK."""
+    import gzip
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    if n_files < 1:
+        raise ValueError(f"write_warc: n_files must be >= 1, got {n_files}")
+    os.makedirs(path, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+    # a previous export with MORE files would leave stale part files a
+    # glob reader would pick up next to the fresh ones — clear both
+    # extensions up front (driver-side; same file:// scope as the write)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(path, "part-*.warc")) + _glob.glob(
+        os.path.join(path, "part-*.warc.gz")
+    ):
+        os.remove(stale)
+    cols = [url_col, payload_col] + list(header_cols)
+    if ts_col:
+        cols.append(ts_col)
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ix = int(key[0])
+        pdf = pdf.sort_values(url_col, kind="mergesort")
+        fpath = os.path.join(path, f"part-{ix:05d}{ext}")
+        chunks = []
+        for _, row in pdf.iterrows():
+            payload = bytes(row[payload_col])
+            url = str(row[url_col])
+            ts = (
+                pd.Timestamp(row[ts_col]).strftime("%Y-%m-%dT%H:%M:%SZ")
+                if ts_col else "1970-01-01T00:00:00Z"
+            )
+            rid = hashlib.md5(url.encode()).hexdigest()
+            hdrs = [
+                "WARC/1.0",
+                "WARC-Type: response",
+                f"WARC-Target-URI: {url}",
+                f"WARC-Date: {ts}",
+                f"WARC-Record-ID: <urn:slowspark:{rid}>",
+                "Content-Type: application/octet-stream",
+                f"Content-Length: {len(payload)}",
+            ]
+            for hc in header_cols:
+                hdrs.append(f"X-Slowspark-{hc}: {row[hc]}")
+            rec = (
+                "\r\n".join(hdrs).encode() + b"\r\n\r\n"
+                + payload + b"\r\n\r\n"
+            )
+            # mtime=0: gzip embeds a timestamp at header byte 4 —
+            # byte-identical reruns require pinning it
+            chunks.append(
+                gzip.compress(rec, 9, mtime=0) if compress else rec
+            )
+        blob = b"".join(chunks)
+        tmp = fpath + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, fpath)
+        return pd.DataFrame(
+            {"file_ix": [ix], "warc_path": [fpath],
+             "n_records": [len(pdf)], "n_bytes": [len(blob)]}
+        )
+
+    manifest = (
+        df.select(*cols)
+        .withColumn("__f", F.pmod(F.xxhash64(url_col), F.lit(n_files)))
+        .groupBy("__f")
+        .applyInPandas(
+            write_group,
+            schema="file_ix int, warc_path string, n_records long,"
+                   " n_bytes long",
+        )
+        .collect()
+    )
+    return [r.asDict() for r in manifest]
+
+
 def read_slow_logs(spark: SparkSession, path_glob: str) -> DataFrame:
     """Raw slow-log files -> pages-shaped DataFrame (url = file path,
     text = whole file decoded lossily, the String::from_utf8_lossy analog

@@ -1,0 +1,116 @@
+"""WARC source/sink: ISO 28500 framing, CC-style per-record gzip
+members, deterministic export, byte-exact round trip."""
+
+import glob
+import gzip
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from slowspark.sources import read_warc, write_warc
+
+
+def _docs(spark, n=12):
+    rows = [
+        (
+            f"https://example.org/doc/{i}",
+            (f"payload {i} é中 " * (i + 1)).encode("utf-8"),
+            f"lang{i % 3}",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "url string, payload binary, lang string"
+    )
+
+
+def test_warc_round_trip_byte_exact(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "warc")
+    manifest = write_warc(
+        docs, out, n_files=3, header_cols=("lang",), compress=True
+    )
+    assert sum(m["n_records"] for m in manifest) == 12
+    assert len(manifest) <= 3
+    back = read_warc(spark, out + "/*.warc.gz").collect()
+    assert len(back) == 12
+    want = {r["url"]: (bytes(r["payload"]), r["lang"])
+            for r in docs.collect()}
+    for r in back:
+        payload, lang = want[r["url"]]
+        assert bytes(r["payload"]) == payload  # byte-exact through gzip
+        assert r["headers"]["X-Slowspark-lang"] == lang
+        assert r["warc_type"] == "response"
+        assert r["warc_ts"] is not None  # epoch default parses
+
+
+def test_warc_write_is_deterministic(spark, tmp_path):
+    docs = _docs(spark, n=8)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc(docs, a, n_files=2)
+    write_warc(docs, b, n_files=2)
+    fa = sorted(glob.glob(a + "/*"))
+    fb = sorted(glob.glob(b + "/*"))
+    assert [os.path.basename(p) for p in fa] == [
+        os.path.basename(p) for p in fb
+    ]
+    for pa, pb in zip(fa, fb):
+        assert open(pa, "rb").read() == open(pb, "rb").read()
+
+
+def test_warc_uncompressed_and_validation(spark, tmp_path):
+    docs = _docs(spark, n=4)
+    out = str(tmp_path / "plain")
+    write_warc(docs, out, n_files=1, compress=False)
+    files = glob.glob(out + "/*.warc")
+    assert len(files) == 1
+    blob = open(files[0], "rb").read()
+    assert blob.startswith(b"WARC/1.0\r\n")
+    back = read_warc(spark, files[0]).collect()
+    assert len(back) == 4
+    with pytest.raises(ValueError, match="n_files"):
+        write_warc(docs, out, n_files=0)
+
+
+def test_warc_reader_rejects_torn_files(spark, tmp_path):
+    # truncated payload must raise, not silently shorten the corpus
+    p = tmp_path / "bad.warc"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/1\r\nContent-Length: 100\r\n\r\n"
+        b"only-20-bytes-here!!"
+    )
+    p.write_bytes(rec)
+    with pytest.raises(Exception, match="truncated"):
+        read_warc(spark, str(p)).collect()
+    q = tmp_path / "notwarc.warc"
+    q.write_bytes(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(Exception, match="expected 'WARC/'"):
+        read_warc(spark, str(q)).collect()
+
+
+def test_warc_cc_multi_member_gzip_layout(spark, tmp_path):
+    """A hand-built CC-style file (one gzip member per record) reads
+    back record-exact — the layout real Common Crawl segments use."""
+    recs = []
+    for i in range(3):
+        payload = f"body {i}".encode()
+        rec = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: https://cc/{i}\r\n"
+            f"WARC-Date: 2024-01-0{i + 1}T00:00:00Z\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload + b"\r\n\r\n"
+        recs.append(gzip.compress(rec))
+    p = tmp_path / "cc.warc.gz"
+    p.write_bytes(b"".join(recs))
+    back = sorted(
+        read_warc(spark, str(p)).collect(), key=lambda r: r["record_ix"]
+    )
+    assert [r["url"] for r in back] == [f"https://cc/{i}" for i in range(3)]
+    assert [bytes(r["payload"]) for r in back] == [
+        f"body {i}".encode() for i in range(3)
+    ]
+    assert back[1]["warc_ts"].day == 2
