@@ -794,7 +794,15 @@ def run_curation(
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--input", required=True,
+                   help="documents parquet path (or WARC glob with "
+                   "--input-format warc)")
+    p.add_argument("--input-format", default="parquet",
+                   choices=("parquet", "warc"),
+                   help="'warc' reads Common-Crawl-style WARC files "
+                   "(sources.read_warc): doc_id = xxhash64(url), text = "
+                   "UTF-8-decoded payload, lang detected with "
+                   "textops.language_id — the real crawl entry point")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--master", default=None)
     p.add_argument("--min-words", type=int, default=20)
@@ -950,7 +958,23 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("slowspark-curate", master=args.master)
     try:
-        docs = spark.read.parquet(args.input)
+        if args.input_format == "warc":
+            from slowspark.sources import read_warc
+            from slowspark.textops import language_id
+
+            recs = read_warc(spark, args.input).filter(
+                F.col("warc_type") == "response"
+            )
+            docs = language_id(
+                recs.select(
+                    F.xxhash64("url").alias("doc_id"),
+                    "url",
+                    F.col("warc_ts"),
+                    F.decode("payload", "UTF-8").alias("text"),
+                )
+            ).withColumnRenamed("lang_pred", "lang").drop("lang_score")
+        else:
+            docs = spark.read.parquet(args.input)
         eval_df = spark.read.parquet(args.eval_set) if args.eval_set else None
         emb_df = (
             spark.read.parquet(args.semantic_dedup_embeddings)
@@ -965,7 +989,8 @@ def main(argv: list[str] | None = None) -> int:
             if args.quality_classifier_coeffs else None
         )
         tables = run_curation(
-            spark, docs, args.warehouse, f"path:{args.input}",
+            spark, docs, args.warehouse,
+            f"path:{args.input}:{args.input_format}",
             min_words=args.min_words,
             passage_words=args.passage_words,
             max_docs_per_passage=args.max_docs_per_passage,

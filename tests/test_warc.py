@@ -114,3 +114,36 @@ def test_warc_cc_multi_member_gzip_layout(spark, tmp_path):
         f"body {i}".encode() for i in range(3)
     ]
     assert back[1]["warc_ts"].day == 2
+
+
+def test_curate_cli_reads_warc_input(spark, tmp_path, capsys):
+    """--input-format warc: curation runs straight off WARC files with
+    doc_id = xxhash64(url), decoded text, detected lang — and produces
+    the same attrition as the equivalent parquet input."""
+    import json
+
+    from slowspark.curate import main
+
+    rows = [
+        (
+            f"https://example.org/d/{i}",
+            (
+                "the quick brown fox jumps over a lazy dog near the "
+                f"old mill u{i} " + " ".join(f"w{i}x{j}" for j in range(20))
+            ).encode(),
+        )
+        for i in range(6)
+    ] + [(f"https://example.org/bad/{i}", b"too short") for i in range(2)]
+    docs = spark.createDataFrame(rows, "url string, payload binary")
+    src = str(tmp_path / "in")
+    write_warc(docs, src, n_files=2)
+    rc = main([
+        "--input", src + "/*.warc.gz", "--input-format", "warc",
+        "--warehouse", str(tmp_path / "wh"), "--min-words", "10",
+        "--seq-len", "32",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["filter_audit"]["n_docs"] == 8
+    assert out["stage_rows"]["filtered"] == 6  # the 2 short docs dropped
+    assert out["stage_rows"]["packed"] == 6
