@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -924,6 +925,10 @@ def main(argv: list[str] | None = None) -> int:
                    "the other sampling policies")
     p.add_argument("--unimax-epochs", type=float, default=1.0,
                    help="per-stratum epoch cap for --unimax-budget")
+    p.add_argument("--export-warc", type=int, default=None, metavar="N_FILES",
+                   help="after packing, export the sampled corpus as N "
+                   "deterministic WARC files under <warehouse>/warc_export "
+                   "(sources.write_warc; crawl-tool interchange)")
     args = p.parse_args(argv)
     if (args.dsir_target is None) != (args.dsir_k is None):
         p.error("--dsir-target and --dsir-k go together")
@@ -1045,6 +1050,29 @@ def main(argv: list[str] | None = None) -> int:
             unimax_budget=args.unimax_budget,
             unimax_epochs=args.unimax_epochs,
         )
+        if args.export_warc:
+            from slowspark.sources import write_warc
+
+            sampled = tables["sampled"]
+            if "url" not in sampled.columns:
+                sampled = sampled.withColumn(
+                    "url",
+                    F.concat(F.lit("urn:slowspark:doc:"),
+                             F.col("doc_id").cast("string")),
+                )
+            warc_manifest = write_warc(
+                sampled.select(
+                    "url", F.encode("text", "UTF-8").alias("payload"),
+                    *(c for c in ("lang", "doc_id") if c in sampled.columns),
+                ).dropDuplicates(["url"]),
+                os.path.join(args.warehouse, "warc_export"),
+                n_files=args.export_warc,
+                header_cols=tuple(
+                    c for c in ("lang", "doc_id") if c in sampled.columns
+                ),
+            )
+        else:
+            warc_manifest = None
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {
             name: tables[name].count()
@@ -1061,11 +1089,18 @@ def main(argv: list[str] | None = None) -> int:
         n_seq = tables["packed"].agg(
             (F.max("seq_id") + 1).alias("n")
         ).collect()[0]["n"]
-        print(json.dumps({
+        summary = {
             "filter_audit": audit,
             "stage_rows": stages,
             "n_sequences": int(n_seq or 0),
-        }))
+        }
+        if warc_manifest is not None:
+            summary["warc_export"] = {
+                "n_files": len(warc_manifest),
+                "n_records": sum(m["n_records"] for m in warc_manifest),
+                "n_bytes": sum(m["n_bytes"] for m in warc_manifest),
+            }
+        print(json.dumps(summary))
         return 0
     finally:
         spark.stop()

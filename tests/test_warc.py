@@ -116,14 +116,30 @@ def test_warc_cc_multi_member_gzip_layout(spark, tmp_path):
     assert back[1]["warc_ts"].day == 2
 
 
-def test_curate_cli_reads_warc_input(spark, tmp_path, capsys):
+def _run_curate_cli(args: list) -> dict:
+    """Drive the CLI in a subprocess: main() owns (and stops) its
+    SparkSession, which would kill the shared test fixture in-process."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "slowspark.curate", "--master", "local[4]",
+         *args],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [
+        ln for ln in r.stdout.replace("\r", "\n").splitlines()
+        if ln.strip().startswith("{")
+    ]
+    return json.loads(lines[-1])
+
+
+def test_curate_cli_reads_warc_input(spark, tmp_path):
     """--input-format warc: curation runs straight off WARC files with
     doc_id = xxhash64(url), decoded text, detected lang — and produces
     the same attrition as the equivalent parquet input."""
-    import json
-
-    from slowspark.curate import main
-
     rows = [
         (
             f"https://example.org/d/{i}",
@@ -137,13 +153,43 @@ def test_curate_cli_reads_warc_input(spark, tmp_path, capsys):
     docs = spark.createDataFrame(rows, "url string, payload binary")
     src = str(tmp_path / "in")
     write_warc(docs, src, n_files=2)
-    rc = main([
+    out = _run_curate_cli([
         "--input", src + "/*.warc.gz", "--input-format", "warc",
         "--warehouse", str(tmp_path / "wh"), "--min-words", "10",
         "--seq-len", "32",
     ])
-    assert rc == 0
-    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["filter_audit"]["n_docs"] == 8
     assert out["stage_rows"]["filtered"] == 6  # the 2 short docs dropped
     assert out["stage_rows"]["packed"] == 6
+
+
+def test_curate_cli_export_warc_round_trips(spark, tmp_path):
+    """--export-warc writes the sampled corpus as WARC under the
+    warehouse; reading it back yields exactly the sampled docs with
+    byte-exact text."""
+    rows = [
+        (
+            i,
+            "the quick brown fox jumps over a lazy dog near the old "
+            f"mill u{i} " + " ".join(f"w{i}x{j}" for j in range(20)),
+            "en",
+        )
+        for i in range(5)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(src)
+    wh = str(tmp_path / "wh")
+    out = _run_curate_cli([
+        "--input", src, "--warehouse", wh, "--min-words", "10",
+        "--seq-len", "32", "--export-warc", "2",
+    ])
+    assert out["warc_export"]["n_records"] == out["stage_rows"]["sampled"] == 5
+    back = read_warc(spark, wh + "/warc_export/*.warc.gz").collect()
+    got = {
+        int(r["headers"]["X-Slowspark-doc_id"]):
+            bytes(r["payload"]).decode()
+        for r in back
+    }
+    assert got == {i: t for i, t, _ in rows}
