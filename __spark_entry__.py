@@ -2952,6 +2952,20 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout (corpus.holdout_split): split assigned at
+    SOURCE granularity — md5(source) bucket < 2000/10000 -> 'val' — so
+    every doc of a source lands on one side and within-source near-dups
+    cannot straddle train/val. The assignment is the hash check: DuckDB
+    recomputes the group buckets and must label the identical rows."""
+    from slowspark.corpus import holdout_split
+
+    d = _read(spark, sf_dir, "documents")
+    return holdout_split(d, val_frac=0.2, group_col="source").select(
+        "doc_id", "source", "split"
+    )
+
+
 def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mix token budgeting (corpus.mixture_sample): per-stratum
     keep-rates derived from measured token counts so the sampled corpus
@@ -3103,6 +3117,7 @@ _PRIORITY_QUERIES: "list[str]" = [
     "temperature_mixture",
     "unimax_sample",
     "warc_roundtrip",
+    "holdout_split",
 ]
 
 
@@ -3187,6 +3202,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": _passage_dedup,
         "unigram_scores": _unigram_scores,
         "stratified_sample": _stratified_sample,
+        "holdout_split": _holdout_split,
         "mixture_sample": _mixture_sample,
         "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
@@ -3823,6 +3839,15 @@ def oracle_sql() -> dict[str, str]:
                        AS UBIGINT) % 10000
                   < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
                                WHEN 'zh' THEN 2500 ELSE 1000 END)
+        """,
+        # group-level split: the CASE recomputes corpus.holdout_split's
+        # md5(source) bucket and integer threshold exactly
+        "holdout_split": """
+            SELECT doc_id, source,
+                   CASE WHEN CAST(('0x' || substr(md5(source), 1, 8))
+                             AS UBIGINT) % 10000 < 2000
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
         """,
         "mixture_sample": """
             WITH tok AS (

@@ -500,6 +500,57 @@ def hash_sample(
     )
 
 
+def holdout_split(
+    df: DataFrame,
+    val_frac: float,
+    group_col: str,
+    salt: str = "",
+    buckets: int = 10_000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val holdout: adds `out_col` ('val'/'train') as
+    a pure function of md5(group || salt) — every row of a GROUP (a URL
+    host, a source, a repo) lands on the same side, so near-duplicates
+    that cluster within a group can never straddle the split and leak
+    eval content into training. Splitting on the row id instead (what
+    df.randomSplit does) puts page 1 of a boilerplate-heavy site in val
+    and its 99%-identical page 2 in train — the classic silently-inflated
+    eval. Group-level assignment is the published fix (e.g. URL-level
+    splits in C4/The Pile eval hygiene).
+
+    Same determinism contract as hash_sample: the identical salt carves
+    the identical holdout out of next month's crawl, across runs, stage
+    retries, and engines. Same integer-threshold arithmetic (half-up, no
+    double rate*buckets), same raise-below-granularity rule. A NULL group
+    key raises inside the projection (raise_error CASE — no extra
+    validation pass, no silent misrouting to a 'null' group).
+
+    Scale shape: a single codegen'd projection — no shuffle, no join; the
+    split column is computed where the row already lives. val share is
+    val_frac of GROUPS (by hash mass), not of rows: a skewed group (one
+    giant domain) moves wholesale, which is exactly the point."""
+    if not (0.0 < val_frac < 1.0):
+        raise ValueError(f"val_frac must be in (0, 1), got {val_frac}")
+    thr = _half_up_threshold(val_frac, buckets)
+    if thr == 0:
+        raise ValueError(
+            f"holdout_split: val_frac {val_frac} is below half-bucket "
+            f"granularity at buckets={buckets} (threshold 0 would make "
+            f"the holdout empty); raise buckets"
+        )
+    bucket = _md5_bucket(group_col, salt, buckets)
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(group_col).isNull(),
+            F.raise_error(F.lit(
+                f"holdout_split: NULL {group_col} — a null group key "
+                f"cannot be assigned a leakage-safe side"
+            )),
+        ).when(bucket < thr, F.lit("val")).otherwise(F.lit("train")),
+    )
+
+
 def mixture_rates(
     df: DataFrame,
     target_props: dict[str, float],

@@ -204,6 +204,87 @@ def test_hash_sample_half_up_threshold_never_silently_zero(spark):
 
 
 # ---------------------------------------------------------------------------
+# holdout_split
+# ---------------------------------------------------------------------------
+
+def _sourced(spark, n_sources=50, docs_per_source=8):
+    rows = [
+        (s * 100 + i, f"text {s} {i}", f"host{s}.example")
+        for s in range(n_sources)
+        for i in range(docs_per_source)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_holdout_split_group_atomic_and_deterministic(spark):
+    from slowspark.corpus import holdout_split
+
+    df = _sourced(spark)
+    out = holdout_split(df, val_frac=0.2, group_col="source")
+    # every doc of a source lands on ONE side — the leakage-safety claim
+    sides = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_sides")
+    ).collect()
+    assert all(r["n_sides"] == 1 for r in sides)
+    # deterministic across runs
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in holdout_split(df, 0.2, "source").collect()
+    )
+    assert a == b
+    # val share of GROUPS is ~val_frac (hash mass), both sides non-empty
+    by_side = {r["split"]: r["cnt"] for r in out.select("source", "split")
+               .distinct().groupBy("split").agg(F.count("*").alias("cnt"))
+               .collect()}
+    assert 0 < by_side.get("val", 0) < 50
+    assert by_side["val"] + by_side["train"] == 50
+
+
+def test_holdout_split_salt_and_nesting(spark):
+    from slowspark.corpus import holdout_split
+
+    df = _sourced(spark, n_sources=200, docs_per_source=1)
+    v1 = {r["source"] for r in holdout_split(df, 0.3, "source")
+          .filter("split = 'val'").collect()}
+    v2 = {r["source"] for r in holdout_split(df, 0.3, "source", salt="v2")
+          .filter("split = 'val'").collect()}
+    assert v1 != v2  # a different salt carves a different holdout
+    # growing val_frac only GROWS the val side (same salt): no group that
+    # was val at 0.1 becomes train at 0.3 — eval sets stay frozen
+    v_small = {r["source"] for r in holdout_split(df, 0.1, "source")
+               .filter("split = 'val'").collect()}
+    assert v_small <= v1
+
+
+def test_holdout_split_no_shuffle_and_validation(spark):
+    from slowspark.corpus import holdout_split
+
+    df = _sourced(spark, n_sources=3, docs_per_source=2)
+    plan = (
+        holdout_split(df, 0.2, "source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure projection, no shuffle
+    with pytest.raises(ValueError, match="val_frac"):
+        holdout_split(df, 0.0, "source")
+    with pytest.raises(ValueError, match="val_frac"):
+        holdout_split(df, 1.0, "source")
+    with pytest.raises(ValueError, match="half-bucket granularity"):
+        holdout_split(df, 0.00001, "source")
+    # NULL group key raises inside the projection (no silent misrouting)
+    nulls = spark.createDataFrame(
+        [(1, "t", None)], "doc_id long, text string, source string"
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="NULL source"):
+        holdout_split(nulls, 0.2, "source").collect()
+
+
+# ---------------------------------------------------------------------------
 # exact_k_sample / pack_sequences
 # ---------------------------------------------------------------------------
 
