@@ -2966,6 +2966,91 @@ def _holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta (weburl.latest_capture + crawl_delta): two crawl
+    snapshots are derived deterministically from `documents` — the OLD
+    crawl misses doc_id%17==3 pages ('new' later), carries a SECOND,
+    later capture with different content for doc_id%5==0 (so
+    latest_capture's max-struct keeper choice is inside the hash), and
+    the NEW crawl misses doc_id%19==7 ('gone') and rewrites content for
+    doc_id%13==2 ('changed'). Output: per-URL status + both
+    fingerprints after consolidating old captures to latest. The oracle
+    rebuilds both snapshots and the full-outer status CASE; on the old
+    side it encodes the cap-2-wins consolidation directly (the capture
+    table construction makes the keeper provable), while Spark runs the
+    real max-struct latest_capture over the 2-capture table."""
+    from slowspark.weburl import crawl_delta, latest_capture
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "doc_id",
+        "text",
+    )
+    old_base = base.filter(F.col("doc_id") % 17 != 3)
+    cap1 = old_base.select(
+        "url", F.lit(1).alias("warc_ts"), "doc_id",
+        F.md5("text").alias("fingerprint"),
+    )
+    cap2 = old_base.filter(F.col("doc_id") % 5 == 0).select(
+        "url", F.lit(2).alias("warc_ts"), "doc_id",
+        F.md5(F.concat("text", F.lit("cap2"))).alias("fingerprint"),
+    )
+    old = latest_capture(cap1.unionByName(cap2)).select("url", "fingerprint")
+    new = base.filter(F.col("doc_id") % 19 != 7).select(
+        "url",
+        F.when(
+            F.col("doc_id") % 13 == 2,
+            F.md5(F.concat("text", F.lit("v2"))),
+        ).otherwise(F.md5("text")).alias("fingerprint"),
+    )
+    return crawl_delta(old, new)
+
+
+def _link_edges(spark: SparkSession, sf_dir: str):
+    """Deterministic link graph over `documents`: every page doc_id with
+    doc_id%10 != 0 links to (doc_id*7+1)%N and (doc_id*13+5)%N (N = doc
+    count; self-loops dropped). Pages ≡0 mod 10 emit nothing — they are
+    dangling when linked to. Same integer arithmetic in the oracles."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()  # one bounded scalar (table row count)
+    linkers = d.filter(F.col("doc_id") % 10 != 0)
+    e1 = linkers.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % n).alias("dst"),
+    )
+    e2 = linkers.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13 + 5) % n).alias("dst"),
+    )
+    return e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+
+
+def _link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph degrees (graph.degrees): per-node out/in degree over
+    the deterministic edge list, zero-filled via full outer join. The
+    oracle recomputes both groupBys and the join."""
+    from slowspark.graph import degrees
+
+    return degrees(_link_edges(spark, sf_dir))
+
+
+def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (graph.pagerank): 3 iterations, damping 0.85, uniform
+    dangling-mass redistribution, over the deterministic edge list. The
+    oracle unrolls the same three iterations as chained CTEs (same IEEE
+    double ops: contributions rank/outdeg summed per dst, dangling mass
+    over non-source nodes, base (1-d)/|V|); both sides round to 6dp —
+    the established float-oracle contract (summation-order low bits)."""
+    from slowspark.graph import pagerank
+
+    r = pagerank(_link_edges(spark, sf_dir), n_iter=3, damping=0.85)
+    return r.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mix token budgeting (corpus.mixture_sample): per-stratum
     keep-rates derived from measured token counts so the sampled corpus
@@ -3118,6 +3203,9 @@ _PRIORITY_QUERIES: "list[str]" = [
     "unimax_sample",
     "warc_roundtrip",
     "holdout_split",
+    "crawl_delta",
+    "link_degrees",
+    "pagerank",
 ]
 
 
@@ -3203,6 +3291,9 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_scores": _unigram_scores,
         "stratified_sample": _stratified_sample,
         "holdout_split": _holdout_split,
+        "crawl_delta": _crawl_delta,
+        "link_degrees": _link_degrees,
+        "pagerank": _pagerank,
         "mixture_sample": _mixture_sample,
         "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
@@ -3217,6 +3308,61 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_sample": _unimax_sample,
         "warc_roundtrip": _warc_roundtrip,
     }
+
+
+# shared CTE prefix for the link-graph oracles: the same integer edge
+# synthesis _link_edges runs on Spark (N = doc count; self-loops dropped)
+_LINK_EDGES_SQL = """
+            nv AS (SELECT COUNT(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id AS src,
+                       (doc_id*7+1) % (SELECT n FROM nv) AS dst
+                FROM documents
+                WHERE doc_id % 10 <> 0
+                  AND doc_id <> (doc_id*7+1) % (SELECT n FROM nv)
+                UNION ALL
+                SELECT doc_id AS src,
+                       (doc_id*13+5) % (SELECT n FROM nv) AS dst
+                FROM documents
+                WHERE doc_id % 10 <> 0
+                  AND doc_id <> (doc_id*13+5) % (SELECT n FROM nv)
+            )"""
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    """Unrolled PageRank CTE chain mirroring graph.pagerank's IEEE double
+    ops exactly: r0 = 1/|V|; each iteration computes the dangling mass
+    (sum of rank on non-source nodes), per-dst sum(rank/outdeg), and
+    rank' = (1-d)/|V| + d*(contrib + dm/|V|) with d = 0.85 cast to
+    DOUBLE on both engines. Output rounded to 6dp (the float-oracle
+    contract: summation-order low bits are below the rounding)."""
+    d85 = "CAST(0.85 AS DOUBLE)"
+    nd = "(SELECT nd FROM nvd)"
+    iters = []
+    for k in range(n_iter):
+        iters.append(f"""
+            d{k} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm
+                     FROM r{k} WHERE node NOT IN (SELECT src FROM e)),
+            c{k} AS (SELECT e.dst AS node, SUM(r.rank / od.c) AS c
+                     FROM e JOIN od ON e.src = od.node
+                            JOIN r{k} r ON r.node = e.src
+                     GROUP BY e.dst),
+            r{k + 1} AS (SELECT v.node,
+                     (CAST(1 AS DOUBLE) - {d85}) / {nd}
+                     + {d85} * (COALESCE(c.c, CAST(0 AS DOUBLE))
+                                + (SELECT dm FROM d{k}) / {nd}) AS rank
+                     FROM v LEFT JOIN c{k} c ON v.node = c.node)""")
+    return f"""
+            WITH {_LINK_EDGES_SQL},
+            v AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e)),
+            nvd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM v),
+            od AS (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY src),
+            r0 AS (SELECT node, CAST(1 AS DOUBLE) / {nd} AS rank FROM v),
+            {",".join(iters)}
+            SELECT node, round(rank, 6) AS rank FROM r{n_iter}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3849,6 +3995,48 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
         """,
+        # two snapshots rebuilt from documents; the old side encodes the
+        # cap-2-wins consolidation latest_capture computes via max-struct
+        "crawl_delta": """
+            WITH base AS (
+                SELECT 'https://' || source || '.example.com/p/'
+                       || CAST(doc_id AS VARCHAR) AS url, doc_id, text
+                FROM documents
+            ),
+            old_l AS (
+                SELECT url,
+                       CASE WHEN doc_id % 5 = 0 THEN md5(text || 'cap2')
+                            ELSE md5(text) END AS old_fp
+                FROM base WHERE doc_id % 17 <> 3
+            ),
+            new_l AS (
+                SELECT url,
+                       CASE WHEN doc_id % 13 = 2 THEN md5(text || 'v2')
+                            ELSE md5(text) END AS new_fp
+                FROM base WHERE doc_id % 19 <> 7
+            )
+            SELECT COALESCE(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'new'
+                        WHEN n.url IS NULL THEN 'gone'
+                        WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.old_fp AS old_fp, n.new_fp AS new_fp
+            FROM old_l o FULL OUTER JOIN new_l n ON o.url = n.url
+        """,
+        "link_degrees": f"""
+            WITH {_LINK_EDGES_SQL},
+            v AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e)),
+            od AS (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY src),
+            idg AS (SELECT dst AS node, COUNT(*) AS c FROM e GROUP BY dst)
+            SELECT v.node,
+                   CAST(COALESCE(od.c, 0) AS BIGINT) AS out_deg,
+                   CAST(COALESCE(idg.c, 0) AS BIGINT) AS in_deg
+            FROM v LEFT JOIN od ON v.node = od.node
+                   LEFT JOIN idg ON v.node = idg.node
+        """,
+        "pagerank": _pagerank_oracle(),
         "mixture_sample": """
             WITH tok AS (
                 SELECT lang,

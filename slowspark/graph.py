@@ -1,0 +1,160 @@
+"""Link-graph operators over crawled pages: degree statistics and
+dangling-aware PageRank as iterative DataFrame joins.
+
+A web corpus is a graph before it is a corpus: hyperlinks carry the
+quality signal every crawl-curation stack uses upstream of text filters
+(seed-list expansion, spam-farm demotion, crawl prioritization — the
+original use case of Page et al. 1999). The reference pipeline has no
+graph analog (its entries are independent log lines); these operators
+follow the published formulation directly.
+
+Design notes for 10^12-edge scale:
+
+- Edges are the big table; vertices and degrees derive from it with one
+  map-side-combined groupBy each. The out-degree table is joined to the
+  edge list ONCE before iterating and persisted — the join inside the
+  loop is then always `static edges+outdeg  x  current ranks` on the
+  src key.
+- Each PageRank iteration is exactly one shuffle pair: contributions
+  groupBy(dst), then a left join of vertices to contributions. Ranks
+  are persisted per iteration and the previous iteration unpersisted;
+  every few iterations the rank table is localCheckpoint'ed so the
+  lineage (and the risk of a cache-evicted recompute cascading through
+  all prior iterations) stays bounded.
+- Dangling mass (rank sitting on nodes with no out-links — deleted
+  pages, PDFs, crawl frontier edges) is redistributed uniformly each
+  iteration, per the standard formulation. It is ONE scalar: a 1-row
+  collect per iteration (the repo's bounded-collect idiom), never a
+  per-node broadcast join.
+- Skew: a celebrity page with 10^8 in-links is a groupBy(dst) hot key —
+  partial aggregation combines map-side, and AQE's skew-join handling
+  covers the contribution join. No windows, no UDFs, no driver-side
+  graph state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def degrees(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node out/in degree over an edge list: (node, out_deg,
+    in_deg), zero-filled — a node appears if it occurs on either side
+    of any edge. The first question asked of any crawl graph (hub/spam
+    detection thresholds, dangling share, frontier size).
+
+    Scale shape: two map-side-combined groupBys (one per endpoint) and
+    one full outer join on the node key — each output row is O(1) state
+    regardless of how hot the node is."""
+    out_d = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col(dst_col).alias("node")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return out_d.join(in_d, "node", "full_outer").fillna(
+        0, ["out_deg", "in_deg"]
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """PageRank (Page et al. 1999) with uniform dangling-mass
+    redistribution, as n_iter rounds of DataFrame joins:
+
+        rank'(v) = (1-d)/N  +  d * ( sum_{u->v} rank(u)/outdeg(u)
+                                      +  dangling_mass / N )
+
+    where dangling_mass is the total rank on nodes with no out-edges.
+    Total rank is conserved at 1.0 every iteration (pinned in tests).
+    Returns (node, rank) for every node that appears in the edge list.
+
+    n_iter is a fixed iteration count, not a convergence test — the
+    batch-pipeline formulation (a convergence check would be one extra
+    agg per iteration; at crawl scale fixed 10-20 rounds is standard
+    practice and keeps the run deterministic).
+
+    Scale shape: see module docstring — one shuffle pair per iteration
+    over a persisted edges+outdeg table, a 1-row dangling-mass collect,
+    rank lineage truncated by localCheckpoint every checkpoint_every
+    iterations.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+
+    src = F.col(src_col)
+    dst = F.col(dst_col)
+    vertices = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = vertices.count()  # bounded: one scalar
+
+    out_deg = edges.groupBy(src_col).agg(F.count("*").alias("__od"))
+    # static across iterations: every edge annotated with its source's
+    # out-degree; the per-iteration join touches only this + ranks
+    edges_w = (
+        edges.select(src_col, dst_col)
+        .join(out_deg, src_col)
+        .persist()
+    )
+    # dangling node set is static too (no out-edges at all)
+    dangling = vertices.join(
+        edges.select(src.alias("node")).distinct(), "node", "left_anti"
+    ).persist()
+
+    d = F.lit(damping)
+    base = (F.lit(1.0) - d) / F.lit(float(n))
+    ranks = vertices.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
+    ranks.persist().count()
+
+    for i in range(n_iter):
+        dm = (
+            ranks.join(dangling, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .collect()[0]["dm"]
+        )
+        contrib = (
+            edges_w.join(ranks, edges_w[src_col] == ranks["node"])
+            .groupBy(dst_col)
+            .agg(F.sum(F.col("rank") / F.col("__od")).alias("__c"))
+        )
+        new_ranks = (
+            vertices.join(
+                contrib, vertices["node"] == contrib[dst_col], "left"
+            )
+            .select(
+                "node",
+                (
+                    base
+                    + d
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.lit(float(dm)) / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks.persist().count()
+        ranks.unpersist()
+        ranks = new_ranks
+
+    vertices.unpersist()
+    edges_w.unpersist()
+    dangling.unpersist()
+    return ranks

@@ -126,6 +126,87 @@ def url_dedup(
     return keyed.join(keeper, ["canonical_url", id_col], "inner")
 
 
+def latest_capture(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per URL: the NEWEST capture (max ts_col, max id_col as the
+    deterministic tie-break) — the Common-Crawl snapshot-consolidation
+    step (a URL refetched across monthly crawls keeps its latest
+    content; training on every capture of a news homepage is duplication
+    by another name). Complements url_dedup, whose keeper policy is the
+    EARLIEST fetch within one crawl.
+
+    Returns the input columns plus `n_captures` (>= 1) on survivors.
+
+    Scale shape: one shuffle on url into max(struct(ts,id)) + count —
+    map-side combined, so a URL captured in 100 monthly snapshots
+    contributes one partial row per partition — then a join of the
+    keeper keys back to the input (sort-merge on the same url key the
+    aggregate just partitioned by; AQE plans it without a second full
+    exchange of the aggregate side). No window over the corpus, exact
+    for any ts/id domain (max-struct, the substring-dedup keeper
+    lesson)."""
+    keeper = df.groupBy(url_col).agg(
+        F.max(F.struct(ts_col, id_col)).alias("__k"),
+        F.count("*").alias("n_captures"),
+    ).select(
+        url_col,
+        F.col(f"__k.{ts_col}").alias(ts_col),
+        F.col(f"__k.{id_col}").alias(id_col),
+        "n_captures",
+    )
+    # join back on (url, ts, id) — ts included because capture ids need
+    # not be unique per url across snapshots (a refetch can reuse the
+    # page's stable doc id); exactly one input row matches the keeper
+    return df.join(keeper, [url_col, ts_col, id_col], "inner")
+
+
+def crawl_delta(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Per-URL delta between two crawl snapshots, each already
+    consolidated to one row per URL (latest_capture): status `new`
+    (URL only in the new crawl), `gone` (only in the old), `changed`
+    (both sides, content fingerprint differs), `unchanged` (fingerprint
+    equal). The incremental-recrawl primitive: downstream curation
+    reprocesses `new` + `changed` only, instead of re-ingesting the
+    full 10^12-page snapshot.
+
+    Returns (url, status, old_fp, new_fp). Content identity is whatever
+    fingerprint the caller computed (xxhash64(text), a MinHash band, a
+    normalized-text md5) — delta semantics are fingerprint-agnostic.
+
+    Scale shape: one full outer join on url — both sides are unique per
+    url by contract, so this is a co-partitioned sort-merge join with no
+    fan-out and no skew (url is the unique key; hot HOSTS do not
+    concentrate because the key is the full url). Status is a narrow
+    codegen CASE over null-ness + fingerprint equality; no UDF, no
+    window, no driver state."""
+    o = old_df.select(
+        F.col(url_col).alias("url"), F.col(fp_col).alias("old_fp")
+    )
+    n = new_df.select(
+        F.col(url_col).alias("url"), F.col(fp_col).alias("new_fp")
+    )
+    j = o.join(n, "url", "full_outer")
+    return j.select(
+        "url",
+        F.when(F.col("old_fp").isNull(), F.lit("new"))
+        .when(F.col("new_fp").isNull(), F.lit("gone"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_fp",
+        "new_fp",
+    )
+
+
 def host_expr(url: Column | str) -> Column:
     """Lowercased host of a URL (authority minus userinfo and port)."""
     u = F.col(url) if isinstance(url, str) else url

@@ -1,0 +1,106 @@
+"""Link-graph operators: degrees and dangling-aware PageRank.
+
+Hand-computed values on a 4-node graph, rank-mass conservation,
+partition-layout independence, and a numpy power-iteration differential
+on a larger deterministic graph.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from slowspark.graph import degrees, pagerank
+
+
+def _edges(spark, pairs, n_parts=None):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.repartition(n_parts) if n_parts else df
+
+
+# A->B, A->C, B->C, C->D; D dangling. N=4.
+FOUR = [(1, 2), (1, 3), (2, 3), (3, 4)]
+
+
+def test_degrees_zero_filled(spark):
+    out = {r["node"]: (r["out_deg"], r["in_deg"])
+           for r in degrees(_edges(spark, FOUR)).collect()}
+    assert out == {1: (2, 0), 2: (1, 1), 3: (1, 2), 4: (0, 1)}
+
+
+def test_pagerank_one_iteration_hand_computed(spark):
+    # r0 = 1/4 each; dangling mass = r(D) = 0.25; base = 0.15/4
+    # r1(A)=0.090625  r1(B)=0.196875  r1(C)=0.409375  r1(D)=0.303125
+    r = {row["node"]: row["rank"]
+         for row in pagerank(_edges(spark, FOUR), n_iter=1).collect()}
+    assert r[1] == pytest.approx(0.090625)
+    assert r[2] == pytest.approx(0.196875)
+    assert r[3] == pytest.approx(0.409375)
+    assert r[4] == pytest.approx(0.303125)
+
+
+def test_pagerank_conserves_mass_and_partition_independent(spark):
+    pairs = [(i, (i * 7 + 1) % 60) for i in range(60) if i % 10 != 0]
+    pairs += [(i, (i * 13 + 5) % 60) for i in range(60) if i % 10 != 0]
+    pairs = [(s, d) for s, d in pairs if s != d]
+    for it in (1, 4):
+        total = (pagerank(_edges(spark, pairs), n_iter=it)
+                 .agg(F.sum("rank")).collect()[0][0])
+        assert total == pytest.approx(1.0, abs=1e-9)
+    a = sorted(
+        (r["node"], round(r["rank"], 9))
+        for r in pagerank(_edges(spark, pairs, n_parts=1), n_iter=3).collect()
+    )
+    b = sorted(
+        (r["node"], round(r["rank"], 9))
+        for r in pagerank(_edges(spark, pairs, n_parts=13), n_iter=3).collect()
+    )
+    assert a == b  # partition layout cannot leak into the result
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    n = 40
+    pairs = sorted({(i, (i * 7 + 1) % n) for i in range(n) if i % 10 != 0}
+                   | {(i, (i * 13 + 5) % n) for i in range(n) if i % 10 != 0})
+    pairs = [(s, d) for s, d in pairs if s != d]
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    ix = {v: k for k, v in enumerate(nodes)}
+    N = len(nodes)
+    outdeg = {}
+    for s, _ in pairs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(5):
+        dm = sum(r[ix[v]] for v in nodes if v not in outdeg)
+        nxt = np.full(N, 0.15 / N + 0.85 * dm / N)
+        for s, d in pairs:
+            nxt[ix[d]] += 0.85 * r[ix[s]] / outdeg[s]
+        r = nxt
+    got = {row["node"]: row["rank"]
+           for row in pagerank(_edges(spark, pairs), n_iter=5).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(r[ix[v]], rel=1e-9)
+
+
+def test_pagerank_checkpoint_path_same_result(spark):
+    pairs = [(s, d) for s, d in
+             [(i, (i * 7 + 1) % 30) for i in range(30)] if s != d]
+    a = sorted((r["node"], round(r["rank"], 9)) for r in
+               pagerank(_edges(spark, pairs), n_iter=4,
+                        checkpoint_every=2).collect())
+    b = sorted((r["node"], round(r["rank"], 9)) for r in
+               pagerank(_edges(spark, pairs), n_iter=4,
+                        checkpoint_every=100).collect())
+    assert a == b
+
+
+def test_pagerank_validation(spark):
+    e = _edges(spark, FOUR)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(e, n_iter=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.0)

@@ -120,3 +120,61 @@ def test_blocklist_plan_broadcasts(spark):
     # data-dependent); only the suffix semi-join must never sort-merge
     semi_region = plan.split("LeftAnti")[1]
     assert "SortMergeJoin" not in semi_region
+
+
+# ---------------------------------------------------------------------------
+# latest_capture / crawl_delta
+# ---------------------------------------------------------------------------
+
+def test_latest_capture_keeps_newest_then_max_id(spark):
+    from slowspark.weburl import latest_capture
+
+    df = spark.createDataFrame(
+        [
+            # url A: three captures, newest ts wins
+            ("a", 1, 10), ("a", 3, 11), ("a", 2, 12),
+            # url B: ts tie -> max doc_id wins
+            ("b", 5, 20), ("b", 5, 21),
+            # url C: single capture
+            ("c", 7, 30),
+        ],
+        "url string, warc_ts long, doc_id long",
+    )
+    out = {r["url"]: (r["warc_ts"], r["doc_id"], r["n_captures"])
+           for r in latest_capture(df).collect()}
+    assert out == {"a": (3, 11, 3), "b": (5, 21, 2), "c": (7, 30, 1)}
+
+
+def test_crawl_delta_statuses(spark):
+    from slowspark.weburl import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "f1"), ("u2", "f2"), ("u3", "f3")], "url string, fingerprint string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "f1"), ("u2", "f2x"), ("u4", "f4")], "url string, fingerprint string"
+    )
+    out = {r["url"]: (r["status"], r["old_fp"], r["new_fp"])
+           for r in crawl_delta(old, new).collect()}
+    assert out == {
+        "u1": ("unchanged", "f1", "f1"),
+        "u2": ("changed", "f2", "f2x"),
+        "u3": ("gone", "f3", None),
+        "u4": ("new", None, "f4"),
+    }
+
+
+def test_crawl_delta_no_fanout_and_latest_capture_no_window(spark):
+    from slowspark.weburl import crawl_delta, latest_capture
+
+    old = spark.createDataFrame([("u", "f")], "url string, fingerprint string")
+    # full outer join on a unique key: result rows = |old ∪ new| exactly
+    out = crawl_delta(old, old)
+    assert out.count() == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan or "Full" in plan
+    cap = spark.createDataFrame(
+        [("u", 1, 1)], "url string, warc_ts long, doc_id long"
+    )
+    cplan = latest_capture(cap)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in cplan  # max-struct aggregate, not a window rank
