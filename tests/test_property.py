@@ -354,3 +354,77 @@ def test_waterfill_is_maxmin_fair(caps, frac):
             assert a <= level + eps  # nobody exceeds the shared level
         for s in uncapped:
             assert alloc[s] == pytest.approx(level, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# latest_capture / crawl_delta vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 7),    # url index
+            st.integers(0, 5),    # ts
+            st.integers(-3, 3),   # capture id (collisions + negatives)
+            st.integers(0, 2),    # fingerprint index
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 2)),
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_latest_capture_and_crawl_delta_match_python_reference(
+    spark, caps, new_snap
+):
+    from slowspark.weburl import crawl_delta, latest_capture
+
+    rows = [(f"u{u}", t, c, f"f{fp}") for u, t, c, fp in caps]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts long, doc_id long, fingerprint string"
+    )
+    kept = latest_capture(df).collect()
+    # python reference: max (ts, id) per url; n_captures = group size
+    ref: dict[str, tuple] = {}
+    sizes: dict[str, int] = {}
+    for u, t, c, fp in rows:
+        sizes[u] = sizes.get(u, 0) + 1
+        if u not in ref or (t, c) > (ref[u][0], ref[u][1]):
+            ref[u] = (t, c, fp)
+    assert len(kept) == len(ref)
+    for r in kept:
+        t, c, fp = ref[r["url"]]
+        assert (r["warc_ts"], r["doc_id"], r["n_captures"]) == (
+            t, c, sizes[r["url"]]
+        )
+        # the keeper's fingerprint is the max-capture's fingerprint
+        # only when (ts,id) is unique in its group; equal (ts,id) pairs
+        # are genuine full duplicates and either fp is a valid keeper
+        if sum(1 for (u2, t2, c2, _) in rows
+               if (f"u{u2}", t2, c2) == (r["url"], t, c)) == 1:
+            assert r["fingerprint"] == fp
+
+    old = {u: v[2] for u, v in ref.items()}
+    new = {f"u{u}": f"f{fp}" for u, fp in new_snap}
+    old_df = spark.createDataFrame(
+        [(u, f) for u, f in old.items()], "url string, fingerprint string"
+    )
+    new_df = spark.createDataFrame(
+        [(u, f) for u, f in new.items()], "url string, fingerprint string"
+    ) if new else spark.createDataFrame([], "url string, fingerprint string")
+    got = {r["url"]: r["status"] for r in crawl_delta(old_df, new_df).collect()}
+    want = {}
+    for u in set(old) | set(new):
+        if u not in old:
+            want[u] = "new"
+        elif u not in new:
+            want[u] = "gone"
+        elif old[u] == new[u]:
+            want[u] = "unchanged"
+        else:
+            want[u] = "changed"
+    assert got == want
