@@ -103,6 +103,8 @@ def run_curation(
     mixture_temperature: float | None = None,
     unimax_budget: int | None = None,
     unimax_epochs: float = 1.0,
+    holdout_frac: float | None = None,
+    holdout_group: str = "source",
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -255,7 +257,19 @@ def run_curation(
         to the per-stratum epoch cap; output always carries repeat_ix
         (epochs > 1 repeat scarce strata deterministically) and packing
         keys on (doc_id, repeat_ix) like the upsample regime. Mutually
-        exclusive with the other sampling policies."""
+        exclusive with the other sampling policies.
+      - `holdout_frac` (+ `holdout_group`, default 'source'): carve a
+        leakage-safe validation set (corpus.holdout_split — assignment
+        at GROUP granularity so within-group near-dups never straddle
+        the split) from the fully scrubbed/decontaminated corpus,
+        BEFORE the sampling slot: the `holdout_val` table is written
+        and the sampling policy then sees only the train side
+        (`holdout_train`) — val content can never leak into the packed
+        training corpus, and the holdout is frozen under sample-policy
+        changes (same sample_salt keys the group hash, so the identical
+        salt carves the identical holdout across runs and crawls).
+        Composes with every sampling policy; both stage tables carry
+        the standard attrition rows."""
     if mixture and sample_rates:
         raise ValueError(
             "run_curation: mixture and sample_rates are mutually exclusive"
@@ -406,6 +420,8 @@ def run_curation(
         f"|qc={qc_sig}|bpe={bpe_merges_n or 0}|dsir={dsir_sig}"
         f"|mtemp={mixture_temperature if mixture_temperature is not None else 'off'}"
         f"|umax={unimax_budget or 0}:{unimax_epochs}"
+        f"|ho={holdout_frac if holdout_frac is not None else 'off'}"
+        f":{holdout_group}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -659,6 +675,31 @@ def run_curation(
 
         scrubbed = run_stage(spark, cat, "fuzzy_decontaminated", sig, _fuzzy)
         out["fuzzy_decontaminated"] = scrubbed
+
+    if holdout_frac is not None:
+        from slowspark.corpus import holdout_split
+
+        if holdout_group not in scrubbed.columns:
+            raise ValueError(
+                f"run_curation: holdout_group column {holdout_group!r} "
+                f"not in the corpus (have {scrubbed.columns})"
+            )
+
+        def _holdout(side: str):
+            def _f() -> DataFrame:
+                return holdout_split(
+                    scrubbed, holdout_frac, holdout_group,
+                    salt=sample_salt,
+                ).filter(F.col("split") == side).drop("split")
+            return _f
+
+        out["holdout_val"] = run_stage(
+            spark, cat, "holdout_val", sig, _holdout("val")
+        )
+        scrubbed = run_stage(
+            spark, cat, "holdout_train", sig, _holdout("train")
+        )
+        out["holdout_train"] = scrubbed
 
     if dsir_target_df is not None:
         from slowspark.dsir import dsir_topk
@@ -925,6 +966,14 @@ def main(argv: list[str] | None = None) -> int:
                    "the other sampling policies")
     p.add_argument("--unimax-epochs", type=float, default=1.0,
                    help="per-stratum epoch cap for --unimax-budget")
+    p.add_argument("--holdout-frac", type=float, default=None,
+                   help="carve a leakage-safe validation set before the "
+                   "sampling slot: this fraction of GROUPS (by hash "
+                   "mass) goes to a holdout_val table; sampling/packing "
+                   "see only the train side (corpus.holdout_split)")
+    p.add_argument("--holdout-group", default="source",
+                   help="group column for the holdout assignment — all "
+                   "docs of a group land on one side (default: source)")
     p.add_argument("--export-warc", type=int, default=None, metavar="N_FILES",
                    help="after packing, export the sampled corpus as N "
                    "deterministic WARC files under <warehouse>/warc_export "
@@ -1049,6 +1098,8 @@ def main(argv: list[str] | None = None) -> int:
             mixture_temperature=args.mixture_temperature,
             unimax_budget=args.unimax_budget,
             unimax_epochs=args.unimax_epochs,
+            holdout_frac=args.holdout_frac,
+            holdout_group=args.holdout_group,
         )
         if args.export_warc:
             from slowspark.sources import write_warc
@@ -1083,7 +1134,8 @@ def main(argv: list[str] | None = None) -> int:
                          "substring_deduped", "ppl_filtered",
                          "quality_filtered", "scrubbed",
                          "pii_scrubbed", "decontaminated",
-                         "fuzzy_decontaminated", "sampled", "packed")
+                         "fuzzy_decontaminated", "holdout_val",
+                         "holdout_train", "sampled", "packed")
             if name in tables
         }
         n_seq = tables["packed"].agg(

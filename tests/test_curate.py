@@ -1348,3 +1348,56 @@ def test_curation_unimax_stage(spark, tmp_path):
     assert os.path.getmtime(os.path.join(wh, "packed")) != m0
     with pytest.raises(ValueError, match="unimax_epochs"):
         run_curation(spark, docs, wh, "test:v1", unimax_epochs=2.0)
+
+
+def test_curation_holdout_stage(spark, tmp_path):
+    # 8 sources x 3 docs each, all passing the quality rules; holdout on
+    # source must keep every source's docs on ONE side, exclude the val
+    # docs from sampled/packed, and stay frozen across sample-knob runs
+    import hashlib
+
+    letters = str.maketrans("0123456789", "ghijklmnop")
+    rows = [
+        (s * 10 + i,
+         f"{GOOD_TAIL} " + " ".join(
+             hashlib.md5(f"{s}:{i}:{j}".encode()).hexdigest()[:8]
+             .translate(letters)
+             for j in range(40)),
+         "en", f"site{s}")
+        for s in range(8) for i in range(3)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1",
+        min_words=10, passage_words=200, seq_len=32,
+        holdout_frac=0.3, holdout_group="source",
+    )
+    val_sources = {r["source"] for r in tables["holdout_val"].collect()}
+    train_sources = {r["source"] for r in tables["holdout_train"].collect()}
+    assert val_sources and train_sources
+    assert val_sources.isdisjoint(train_sources)  # group-atomic
+    # every val source contributes ALL of its docs to val
+    val_ids = {r["doc_id"] for r in tables["holdout_val"].collect()}
+    for s in val_sources:
+        sn = int(s[4:])
+        assert {sn * 10, sn * 10 + 1, sn * 10 + 2} <= val_ids
+    # sampled/packed see only the train side
+    assert {r["doc_id"] for r in tables["sampled"].collect()}.isdisjoint(val_ids)
+    assert {r["doc_id"] for r in tables["packed"].collect()}.isdisjoint(val_ids)
+    # holdout is frozen under a sampling-knob change... but a frac change
+    # re-carves: the signature must invalidate the holdout manifests
+    t2 = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1",
+        min_words=10, passage_words=200, seq_len=32,
+        holdout_frac=0.3, holdout_group="source", sample_rate=0.9,
+    )
+    assert {r["source"] for r in t2["holdout_val"].collect()} == val_sources
+    # missing group column raises
+    with pytest.raises(ValueError, match="holdout_group"):
+        run_curation(
+            spark, docs.drop("source"), str(tmp_path / "wh2"), "test:v1",
+            min_words=10, passage_words=200, seq_len=32,
+            holdout_frac=0.3, holdout_group="source",
+        )
