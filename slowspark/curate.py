@@ -105,6 +105,8 @@ def run_curation(
     unimax_epochs: float = 1.0,
     holdout_frac: float | None = None,
     holdout_group: str = "source",
+    latest_capture: bool = False,
+    delta_old_df: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -269,7 +271,23 @@ def run_curation(
         changes (same sample_salt keys the group hash, so the identical
         salt carves the identical holdout across runs and crawls).
         Composes with every sampling policy; both stage tables carry
-        the standard attrition rows."""
+        the standard attrition rows.
+      - `latest_capture`: consolidate a multi-capture input (a corpus
+        spanning several crawl snapshots, e.g. WARC ingest where the
+        same URL was refetched) to its NEWEST capture per URL
+        (weburl.latest_capture, max (warc_ts, doc_id) keeper) as the
+        very first stage — training on every capture of a news homepage
+        is duplication by another name. Requires `url` and `warc_ts`
+        columns.
+      - `delta_old_df` (a previous snapshot with url + fingerprint —
+        md5(text) contract — or url + text): incremental-ingest filter
+        (weburl.keep_new_or_changed) right after capture consolidation
+        — only NEW or CHANGED URLs flow into curation; the 10^12 pages
+        that didn't move since last month are dropped at the front
+        door, which is the cheapest place a page can be dropped. The
+        old snapshot's CONTENT (count + xxhash64 over url+fingerprint)
+        joins the resume signature — re-pointing at a different
+        snapshot invalidates every downstream manifest."""
     if mixture and sample_rates:
         raise ValueError(
             "run_curation: mixture and sample_rates are mutually exclusive"
@@ -402,6 +420,23 @@ def run_curation(
         )
     else:
         dsir_sig = "off"
+    if delta_old_df is not None:
+        fp = (
+            F.col("fingerprint") if "fingerprint" in delta_old_df.columns
+            else F.md5("text")
+        )
+        dd = delta_old_df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.xxhash64(F.col("url"), fp).cast("decimal(38,0)")
+                ),
+                F.lit(0),
+            ).alias("h"),
+        ).first()
+        delta_sig = f"{dd['n']}:{dd['h']}"
+    else:
+        delta_sig = "off"
     sig = (
         f"{input_signature}|mw={min_words}|pw={passage_words}"
         f"|mdp={max_docs_per_passage}|sr={sample_rate}|srates={rates_sig}"
@@ -422,8 +457,39 @@ def run_curation(
         f"|umax={unimax_budget or 0}:{unimax_epochs}"
         f"|ho={holdout_frac if holdout_frac is not None else 'off'}"
         f":{holdout_group}"
+        f"|lc={int(latest_capture)}|dold={delta_sig}"
     )
     out: dict[str, DataFrame] = {}
+
+    if latest_capture:
+        missing = [c for c in ("url", "warc_ts") if c not in docs.columns]
+        if missing:
+            raise ValueError(
+                f"run_curation: latest_capture=True requires url and "
+                f"warc_ts columns (missing {missing})"
+            )
+        from slowspark.weburl import latest_capture as _lc_fn
+
+        lc_cols = docs.columns
+
+        def _lc() -> DataFrame:
+            return _lc_fn(docs).select(*lc_cols)
+
+        docs = run_stage(spark, cat, "latest_captured", sig, _lc)
+        out["latest_captured"] = docs
+
+    if delta_old_df is not None:
+        if "url" not in docs.columns:
+            raise ValueError(
+                "run_curation: delta_old_df requires a 'url' column"
+            )
+        from slowspark.weburl import keep_new_or_changed
+
+        def _delta() -> DataFrame:
+            return keep_new_or_changed(docs, delta_old_df)
+
+        docs = run_stage(spark, cat, "delta_ingested", sig, _delta)
+        out["delta_ingested"] = docs
 
     if url_dedup:
         if "url" not in docs.columns:
@@ -966,6 +1032,16 @@ def main(argv: list[str] | None = None) -> int:
                    "the other sampling policies")
     p.add_argument("--unimax-epochs", type=float, default=1.0,
                    help="per-stratum epoch cap for --unimax-budget")
+    p.add_argument("--latest-capture", action="store_true",
+                   help="consolidate a multi-capture input to the newest "
+                   "capture per URL (weburl.latest_capture) as the very "
+                   "first stage; requires url + warc_ts columns")
+    p.add_argument("--delta-old", default=None, metavar="PARQUET",
+                   help="previous snapshot (url + fingerprint, md5(text) "
+                   "contract, or url + text): keep only NEW or CHANGED "
+                   "URLs (weburl.keep_new_or_changed) — incremental "
+                   "recrawl ingest; snapshot content in the resume "
+                   "signature")
     p.add_argument("--holdout-frac", type=float, default=None,
                    help="carve a leakage-safe validation set before the "
                    "sampling slot: this fraction of GROUPS (by hash "
@@ -1100,6 +1176,11 @@ def main(argv: list[str] | None = None) -> int:
             unimax_epochs=args.unimax_epochs,
             holdout_frac=args.holdout_frac,
             holdout_group=args.holdout_group,
+            latest_capture=args.latest_capture,
+            delta_old_df=(
+                spark.read.parquet(args.delta_old)
+                if args.delta_old else None
+            ),
         )
         if args.export_warc:
             from slowspark.sources import write_warc
@@ -1127,7 +1208,8 @@ def main(argv: list[str] | None = None) -> int:
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {
             name: tables[name].count()
-            for name in ("url_deduped", "lang_filtered", "filtered",
+            for name in ("latest_captured", "delta_ingested",
+                         "url_deduped", "lang_filtered", "filtered",
                          "badword_filtered", "gopher_filtered",
                          "line_deduped", "deduped_exact",
                          "deduped_near", "semantic_deduped",

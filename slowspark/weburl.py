@@ -207,6 +207,53 @@ def crawl_delta(
     )
 
 
+def keep_new_or_changed(
+    docs: DataFrame,
+    old_snapshot: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    old_fp_col: str = "fingerprint",
+    old_text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest filter: keep only the rows of `docs` whose URL
+    is NEW (absent from the previous snapshot) or CHANGED (present but
+    with a different content fingerprint) — the row-level face of
+    crawl_delta, for pipelines that reprocess a monthly crawl without
+    re-ingesting the 10^12 pages that didn't move. Fingerprints are
+    md5(text) on the current side; the old snapshot supplies either a
+    precomputed `old_fp_col` (md5-of-text contract) or, failing that, an
+    `old_text_col` to fingerprint the same way.
+
+    Unchanged rows are DROPPED (they were processed last time); `gone`
+    URLs have no current row, so nothing is emitted for them — pair
+    with crawl_delta when the gone set itself matters (index eviction).
+
+    Scale shape: one left join on url (the old side consolidated to one
+    row per url by contract — latest_capture upstream); no fan-out, no
+    UDF, fingerprinting is a codegen'd md5 projection on both sides."""
+    if old_fp_col in old_snapshot.columns:
+        o = old_snapshot.select(
+            F.col(url_col).alias("__u"), F.col(old_fp_col).alias("__old_fp")
+        )
+    elif old_text_col in old_snapshot.columns:
+        o = old_snapshot.select(
+            F.col(url_col).alias("__u"),
+            F.md5(old_text_col).alias("__old_fp"),
+        )
+    else:
+        raise ValueError(
+            f"keep_new_or_changed: old snapshot needs a {old_fp_col!r} "
+            f"or {old_text_col!r} column (have {old_snapshot.columns})"
+        )
+    cur = docs.withColumn("__fp", F.md5(text_col))
+    kept = cur.join(
+        o, cur[url_col] == o["__u"], "left"
+    ).filter(
+        F.col("__old_fp").isNull() | (F.col("__old_fp") != F.col("__fp"))
+    )
+    return kept.select(*docs.columns)
+
+
 def host_expr(url: Column | str) -> Column:
     """Lowercased host of a URL (authority minus userinfo and port)."""
     u = F.col(url) if isinstance(url, str) else url

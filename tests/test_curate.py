@@ -1401,3 +1401,70 @@ def test_curation_holdout_stage(spark, tmp_path):
             min_words=10, passage_words=200, seq_len=32,
             holdout_frac=0.3, holdout_group="source",
         )
+
+
+def test_curation_latest_capture_and_delta_stages(spark, tmp_path):
+    import hashlib
+
+    letters = str.maketrans("0123456789", "ghijklmnop")
+
+    def _text(seed):
+        return f"{GOOD_TAIL} " + " ".join(
+            hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:8]
+            .translate(letters)
+            for j in range(40)
+        )
+
+    # current crawl: u0 captured TWICE (newest capture has edited text),
+    # u1 unchanged vs the old snapshot, u2 changed, u3 brand new
+    rows = [
+        (10, "https://a.example/u0", 1, _text("u0v1"), "en"),
+        (11, "https://a.example/u0", 2, _text("u0v2"), "en"),
+        (12, "https://a.example/u1", 1, _text("u1"), "en"),
+        (13, "https://a.example/u2", 1, _text("u2v2"), "en"),
+        (14, "https://a.example/u3", 1, _text("u3"), "en"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts long, text string, lang string"
+    )
+    old = spark.createDataFrame(
+        [
+            ("https://a.example/u0", _text("u0v1")),  # old content = capture 1
+            ("https://a.example/u1", _text("u1")),    # unchanged
+            ("https://a.example/u2", _text("u2v1")),  # changed since
+            ("https://a.example/gone", _text("gone")),
+        ],
+        "url string, text string",
+    )
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1",
+        min_words=10, passage_words=200, seq_len=32,
+        latest_capture=True, delta_old_df=old,
+    )
+    # consolidation: u0 keeps only capture 2 (doc 11)
+    lc = {r["doc_id"] for r in tables["latest_captured"].collect()}
+    assert lc == {11, 12, 13, 14}
+    # delta: u1 unchanged -> dropped; u0 (newest capture differs from old),
+    # u2 (changed), u3 (new) flow on; 'gone' never had a current row
+    di = {r["doc_id"] for r in tables["delta_ingested"].collect()}
+    assert di == {11, 13, 14}
+    assert {r["doc_id"] for r in tables["filtered"].collect()} == {11, 13, 14}
+    # swapping the old snapshot invalidates the manifests (content hash)
+    old2 = old.filter(F.col("url") != "https://a.example/u1")
+    t2 = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1",
+        min_words=10, passage_words=200, seq_len=32,
+        latest_capture=True, delta_old_df=old2,
+    )
+    assert {r["doc_id"] for r in t2["delta_ingested"].collect()} == {11, 12, 13, 14}
+    # missing columns raise
+    with pytest.raises(ValueError, match="latest_capture"):
+        run_curation(
+            spark, docs.drop("warc_ts"), str(tmp_path / "wh2"), "test:v1",
+            min_words=10, passage_words=200, seq_len=32, latest_capture=True,
+        )
+    with pytest.raises(ValueError, match="delta_old_df"):
+        run_curation(
+            spark, docs.drop("url"), str(tmp_path / "wh3"), "test:v1",
+            min_words=10, passage_words=200, seq_len=32, delta_old_df=old,
+        )

@@ -178,3 +178,32 @@ def test_crawl_delta_no_fanout_and_latest_capture_no_window(spark):
     )
     cplan = latest_capture(cap)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in cplan  # max-struct aggregate, not a window rank
+
+
+def test_keep_new_or_changed(spark):
+    from slowspark.weburl import keep_new_or_changed
+
+    docs = spark.createDataFrame(
+        [(1, "u1", "same"), (2, "u2", "edited"), (3, "u3", "fresh")],
+        "doc_id long, url string, text string",
+    )
+    # old snapshot with precomputed fingerprints (md5 contract)
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "original")], "url string, text string"
+    ).selectExpr("url", "md5(text) AS fingerprint")
+    kept = {r["doc_id"] for r in keep_new_or_changed(docs, old).collect()}
+    assert kept == {2, 3}  # u1 unchanged -> dropped; u2 changed; u3 new
+    # old snapshot with raw text instead of fingerprints: same result
+    old_txt = spark.createDataFrame(
+        [("u1", "same"), ("u2", "original")], "url string, text string"
+    )
+    kept2 = {r["doc_id"]
+             for r in keep_new_or_changed(docs, old_txt).collect()}
+    assert kept2 == {2, 3}
+    # schema is preserved exactly (no helper columns leak)
+    assert keep_new_or_changed(docs, old).columns == docs.columns
+    import pytest as _pt
+    with _pt.raises(ValueError, match="old snapshot"):
+        keep_new_or_changed(
+            docs, spark.createDataFrame([("u1",)], "url string")
+        )
