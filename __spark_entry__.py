@@ -3051,6 +3051,30 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (graph.connected_components →
+    textops.connected_min_labels): a deterministic host-cluster graph —
+    every doc links to its source's hub (min doc_id per source), plus
+    bridge edges (doc_id, doc_id-1) for doc_id%50==1 that merge some
+    star components ACROSS sources, so the min label must propagate
+    through multi-hop chains (the fixpoint, not one pass, is inside the
+    hash). The oracle computes the same components with a recursive
+    min-label closure CTE."""
+    from slowspark.graph import connected_components
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    hubs = d.groupBy("source").agg(F.min("doc_id").alias("hub"))
+    e1 = (
+        d.join(hubs, "source")
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("doc_id").alias("src"), F.col("hub").alias("dst"))
+    )
+    e2 = d.filter((F.col("doc_id") % 50 == 1) & (F.col("doc_id") > 0)).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    return connected_components(e1.unionByName(e2))
+
+
 def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mix token budgeting (corpus.mixture_sample): per-stratum
     keep-rates derived from measured token counts so the sampled corpus
@@ -3206,6 +3230,7 @@ _PRIORITY_QUERIES: "list[str]" = [
     "crawl_delta",
     "link_degrees",
     "pagerank",
+    "connected_components",
 ]
 
 
@@ -3294,6 +3319,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _crawl_delta,
         "link_degrees": _link_degrees,
         "pagerank": _pagerank,
+        "connected_components": _connected_components,
         "mixture_sample": _mixture_sample,
         "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
@@ -4037,6 +4063,31 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN idg ON v.node = idg.node
         """,
         "pagerank": _pagerank_oracle(),
+        # recursive min-label closure: reach accumulates every label
+        # reachable from a node over the undirected edge set; MIN per
+        # node is the component id (finite lattice -> terminates)
+        "connected_components": """
+            WITH RECURSIVE
+            hub AS (SELECT source, MIN(doc_id) AS hub
+                    FROM documents GROUP BY source),
+            e AS (
+                SELECT d.doc_id AS src, h.hub AS dst
+                FROM documents d JOIN hub h USING (source)
+                WHERE d.doc_id <> h.hub
+                UNION ALL
+                SELECT doc_id AS src, doc_id - 1 AS dst
+                FROM documents WHERE doc_id % 50 = 1 AND doc_id > 0
+            ),
+            ue AS (SELECT src AS a, dst AS b FROM e
+                   UNION SELECT dst, src FROM e),
+            v AS (SELECT DISTINCT a AS node FROM ue),
+            reach(node, label) AS (
+                SELECT node, node FROM v
+                UNION
+                SELECT ue.a, r.label FROM reach r JOIN ue ON ue.b = r.node
+            )
+            SELECT node, MIN(label) AS component FROM reach GROUP BY node
+        """,
         "mixture_sample": """
             WITH tok AS (
                 SELECT lang,

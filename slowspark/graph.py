@@ -59,6 +59,28 @@ def degrees(
     )
 
 
+def connected_components(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Connected components over an (undirected-interpreted) edge list:
+    (node, component) where component = the component's minimum node id.
+    The graph face of the engine's dedup-cluster primitive
+    (textops.connected_min_labels): one distributed contraction pass
+    collapses each near-clique to a star, the size-gated residual is
+    finished exactly on the driver (or the Shiloach-Vishkin
+    hook+pointer-jump loop runs to fixpoint when the contracted graph
+    is still too big to collect) — see that docstring for the measured
+    scale/memory envelope."""
+    from slowspark.textops import connected_min_labels
+
+    pairs = edges.select(
+        F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
+    )
+    return connected_min_labels(pairs).select(
+        F.col("id").alias("node"), F.col("label").alias("component")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,

@@ -104,3 +104,20 @@ def test_pagerank_validation(spark):
         pagerank(e, n_iter=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(e, damping=1.0)
+
+
+def test_connected_components_stars_chain_and_bridge(spark):
+    from slowspark.graph import connected_components
+
+    # two stars {1,2,3} (hub 1) and {10,11,12} (hub 10), a chain
+    # 20-21-22 (multi-hop propagation), and a bridge 3-10 merging the
+    # stars into one component with min label 1
+    edges = _edges(spark, [
+        (2, 1), (3, 1), (11, 10), (12, 10),
+        (21, 20), (22, 21),
+        (3, 10),
+    ])
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1,
+                   20: 20, 21: 20, 22: 20}
