@@ -3075,6 +3075,17 @@ def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(e1.unionByName(e2))
 
 
+def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card (corpus.dataset_card): the per-language audit table
+    — doc/source/token tallies, length envelope, exact-duplicate mass —
+    fused into ONE aggregation pass (text never shuffles; the md5 and
+    token count ride the scan projection). DuckDB recomputes every
+    statistic including both count-distincts."""
+    from slowspark.corpus import dataset_card
+
+    return dataset_card(_read(spark, sf_dir, "documents"))
+
+
 def _mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mix token budgeting (corpus.mixture_sample): per-stratum
     keep-rates derived from measured token counts so the sampled corpus
@@ -3231,6 +3242,7 @@ _PRIORITY_QUERIES: "list[str]" = [
     "link_degrees",
     "pagerank",
     "connected_components",
+    "dataset_card",
 ]
 
 
@@ -3320,6 +3332,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": _link_degrees,
         "pagerank": _pagerank,
         "connected_components": _connected_components,
+        "dataset_card": _dataset_card,
         "mixture_sample": _mixture_sample,
         "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
@@ -4087,6 +4100,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT ue.a, r.label FROM reach r JOIN ue ON ue.b = r.node
             )
             SELECT node, MIN(label) AS component FROM reach GROUP BY node
+        """,
+        "dataset_card": r"""
+            SELECT COALESCE(lang, '__null__') AS stratum,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT source) AS n_sources,
+                   CAST(SUM(length(regexp_extract_all(text, '\S+')))
+                        AS BIGINT) AS n_tokens,
+                   round(AVG(CAST(length(regexp_extract_all(text, '\S+'))
+                                  AS DOUBLE)), 4) AS avg_tokens,
+                   MIN(length(regexp_extract_all(text, '\S+'))) AS min_tokens,
+                   MAX(length(regexp_extract_all(text, '\S+'))) AS max_tokens,
+                   COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+                   COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dup_docs
+            FROM documents
+            GROUP BY COALESCE(lang, '__null__')
         """,
         "mixture_sample": """
             WITH tok AS (

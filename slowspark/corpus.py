@@ -551,6 +551,52 @@ def holdout_split(
     )
 
 
+def dataset_card(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """Per-stratum dataset-card statistics — the audit table every
+    released corpus ships (doc/source/token tallies, length envelope,
+    exact-duplicate mass) — fused into ONE aggregation pass:
+
+      n_docs, n_sources (distinct source_col; omitted when None),
+      n_tokens (whitespace), avg_tokens (4dp), min_tokens, max_tokens,
+      n_distinct_texts (distinct md5(text)),
+      n_exact_dup_docs = n_docs - n_distinct_texts (rows that would
+      fall to exact dedup — the card says it BEFORE the pipeline runs).
+
+    Scale shape: one groupBy(stratum) over projected narrow columns
+    (token count + md5 computed in the scan projection; text itself
+    never shuffles); the two count-distincts ride the same shuffle via
+    Spark's expand (each input row becomes 3 — acceptable for a card;
+    the alternative, two passes, reads the corpus twice). Output is
+    stratum-cardinality rows. NULL strata are kept under the stratum
+    value '__null__' — a card that silently drops rows is not an
+    audit."""
+    toks = F.size(F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)"))
+    keyed = df.select(
+        F.coalesce(F.col(stratum_col).cast("string"), F.lit("__null__"))
+        .alias("stratum"),
+        toks.alias("__t"),
+        F.md5(text_col).alias("__h"),
+        *([F.col(source_col).alias("__s")] if source_col else []),
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        *([F.countDistinct("__s").alias("n_sources")] if source_col else []),
+        F.sum("__t").alias("n_tokens"),
+        F.round(F.avg("__t"), 4).alias("avg_tokens"),
+        F.min("__t").alias("min_tokens"),
+        F.max("__t").alias("max_tokens"),
+        F.countDistinct("__h").alias("n_distinct_texts"),
+    ]
+    return keyed.groupBy("stratum").agg(*aggs).withColumn(
+        "n_exact_dup_docs", F.col("n_docs") - F.col("n_distinct_texts")
+    )
+
+
 def mixture_rates(
     df: DataFrame,
     target_props: dict[str, float],

@@ -831,3 +831,32 @@ def test_unimax_sample_realizes_allocation(spark):
     # determinism
     again = unimax_sample(df, 300, max_epochs=2.0, salt="s").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# dataset_card
+# ---------------------------------------------------------------------------
+
+def test_dataset_card_hand_computed(spark):
+    from slowspark.corpus import dataset_card
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "en", "s2"),      # exact dup of 1
+            (3, "d e", "en", "s1"),
+            (4, "x", None, "s3"),          # NULL stratum kept
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["stratum"]: r.asDict() for r in dataset_card(df).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 3 and en["n_sources"] == 2
+    assert en["n_tokens"] == 8 and en["avg_tokens"] == 2.6667
+    assert en["min_tokens"] == 2 and en["max_tokens"] == 3
+    assert en["n_distinct_texts"] == 2 and en["n_exact_dup_docs"] == 1
+    nu = out["__null__"]
+    assert nu["n_docs"] == 1 and nu["n_exact_dup_docs"] == 0
+    # single aggregation pass: exactly one shuffle boundary pair
+    plan = dataset_card(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # expand-agg exchange only
