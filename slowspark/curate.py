@@ -906,11 +906,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="documents parquet path (or WARC glob with "
                    "--input-format warc)")
     p.add_argument("--input-format", default="parquet",
-                   choices=("parquet", "warc"),
+                   choices=("parquet", "warc", "jsonl"),
                    help="'warc' reads Common-Crawl-style WARC files "
                    "(sources.read_warc): doc_id = xxhash64(url), text = "
                    "UTF-8-decoded payload, lang detected with "
-                   "textops.language_id — the real crawl entry point")
+                   "textops.language_id — the real crawl entry point; "
+                   "'jsonl' reads JSONL(.gz) dataset releases "
+                   "(sources.read_jsonl, FAILFAST, requires doc_id + "
+                   "text; lang detected when absent)")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--master", default=None)
     p.add_argument("--min-words", type=int, default=20)
@@ -1054,6 +1057,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="after packing, export the sampled corpus as N "
                    "deterministic WARC files under <warehouse>/warc_export "
                    "(sources.write_warc; crawl-tool interchange)")
+    p.add_argument("--export-jsonl", type=int, default=None,
+                   metavar="N_FILES",
+                   help="after packing, export the sampled corpus as N "
+                   "deterministic JSONL.gz files under "
+                   "<warehouse>/jsonl_export (sources.write_jsonl; "
+                   "dataset-release interchange, byte-identical reruns)")
     args = p.parse_args(argv)
     if (args.dsir_target is None) != (args.dsir_k is None):
         p.error("--dsir-target and --dsir-k go together")
@@ -1103,6 +1112,18 @@ def main(argv: list[str] | None = None) -> int:
                     F.decode("payload", "UTF-8").alias("text"),
                 )
             ).withColumnRenamed("lang_pred", "lang").drop("lang_score")
+        elif args.input_format == "jsonl":
+            from slowspark.sources import read_jsonl
+
+            docs = read_jsonl(
+                spark, args.input, required_cols=("doc_id", "text")
+            )
+            if "lang" not in docs.columns:
+                from slowspark.textops import language_id
+
+                docs = language_id(docs).withColumnRenamed(
+                    "lang_pred", "lang"
+                ).drop("lang_score")
         else:
             docs = spark.read.parquet(args.input)
         eval_df = spark.read.parquet(args.eval_set) if args.eval_set else None
@@ -1205,6 +1226,19 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             warc_manifest = None
+        if args.export_jsonl:
+            from slowspark.sources import write_jsonl
+
+            sampled = tables["sampled"]
+            jsonl_manifest = write_jsonl(
+                sampled.select(*(
+                    c for c, t in sampled.dtypes if t != "binary"
+                )),
+                os.path.join(args.warehouse, "jsonl_export"),
+                n_files=args.export_jsonl,
+            )
+        else:
+            jsonl_manifest = None
         audit = tables["filter_audit"].collect()[0].asDict()
         stages = {
             name: tables[name].count()
@@ -1233,6 +1267,12 @@ def main(argv: list[str] | None = None) -> int:
                 "n_files": len(warc_manifest),
                 "n_records": sum(m["n_records"] for m in warc_manifest),
                 "n_bytes": sum(m["n_bytes"] for m in warc_manifest),
+            }
+        if jsonl_manifest is not None:
+            summary["jsonl_export"] = {
+                "n_files": len(jsonl_manifest),
+                "n_records": sum(m["n_records"] for m in jsonl_manifest),
+                "n_bytes": sum(m["n_bytes"] for m in jsonl_manifest),
             }
         print(json.dumps(summary))
         return 0

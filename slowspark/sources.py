@@ -283,6 +283,124 @@ def write_warc(
     return [r.asDict() for r in manifest]
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path_glob: str,
+    schema: str | None = None,
+    required_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """JSONL(.gz) dataset reader — the interchange format released text
+    corpora actually ship (one JSON object per line; gzip handled
+    natively by the line reader). With `schema` (a DDL string) the scan
+    is schema-first — no inference pass over 10^12 lines, and column
+    pruning reaches the parser; without it, one inference pass runs
+    (fine for CLI ergonomics at small scale, wasteful at web scale —
+    pass the schema). mode=FAILFAST: a malformed line raises instead of
+    becoming a silent NULL row (the no-silent-drops rule at the format
+    boundary). `required_cols` raises early when the data lacks the
+    columns the pipeline needs."""
+    reader = spark.read.option("mode", "FAILFAST")
+    if schema:
+        reader = reader.schema(schema)
+    df = reader.json(path_glob)
+    missing = [c for c in required_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"read_jsonl: {path_glob} lacks required columns {missing} "
+            f"(have {df.columns})"
+        )
+    return df
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_files: int = 8,
+    id_col: str = "doc_id",
+    compress: bool = True,
+) -> list[dict]:
+    """Export a DataFrame as JSONL files — the dataset-release twin of
+    write_warc, same determinism contract: rows land in file
+    pmod(xxhash64(id_col), n_files), each file written sorted by id,
+    every line a compact JSON object with SORTED keys, gzip mtime
+    pinned to 0 — rerunning produces byte-identical files (hash the
+    artifacts into a release manifest and the manifest is reproducible
+    too). Binary columns are refused loudly (base64-smuggling bytes
+    into a text interchange is a decision the caller must make).
+
+    Scale shape: one shuffle (groupBy file bucket), one applyInPandas
+    writer per file, driver collects only the n_files-row manifest
+    (returned). Same file://-scope caveat as write_warc (RUNBOOK)."""
+    import gzip
+    import json
+    import os
+    import glob as _glob
+
+    import pandas as pd
+
+    if n_files < 1:
+        raise ValueError(f"write_jsonl: n_files must be >= 1, got {n_files}")
+    for c, t in df.dtypes:
+        if t == "binary":
+            raise ValueError(
+                f"write_jsonl: column {c!r} is binary — JSONL is a text "
+                f"interchange; encode it explicitly or drop it"
+            )
+    os.makedirs(path, exist_ok=True)
+    ext = ".jsonl.gz" if compress else ".jsonl"
+    for stale in _glob.glob(os.path.join(path, "part-*.jsonl")) + _glob.glob(
+        os.path.join(path, "part-*.jsonl.gz")
+    ):
+        os.remove(stale)
+
+    def _py(v):
+        # numpy scalars/arrays and pandas timestamps -> plain JSON types
+        if hasattr(v, "item"):
+            return v.item()
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+            return [_py(x) for x in (v.tolist() if hasattr(v, "tolist") else v)]
+        return v
+
+    data_cols = [c for c in df.columns]
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ix = int(key[0])
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        fpath = os.path.join(path, f"part-{ix:05d}{ext}")
+        lines = []
+        for _, row in pdf.iterrows():
+            obj = {c: _py(row[c]) for c in data_cols}
+            lines.append(
+                json.dumps(obj, sort_keys=True, ensure_ascii=False,
+                           separators=(",", ":"))
+            )
+        blob = ("\n".join(lines) + "\n").encode("utf-8")
+        if compress:
+            blob = gzip.compress(blob, 9, mtime=0)
+        tmp = fpath + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, fpath)
+        return pd.DataFrame(
+            {"file_ix": [ix], "jsonl_path": [fpath],
+             "n_records": [len(pdf)], "n_bytes": [len(blob)]}
+        )
+
+    manifest = (
+        df.withColumn("__f", F.pmod(F.xxhash64(id_col), F.lit(n_files)))
+        .groupBy("__f")
+        .applyInPandas(
+            write_group,
+            schema="file_ix int, jsonl_path string, n_records long,"
+                   " n_bytes long",
+        )
+        .collect()
+    )
+    return [r.asDict() for r in manifest]
+
+
 def read_slow_logs(spark: SparkSession, path_glob: str) -> DataFrame:
     """Raw slow-log files -> pages-shaped DataFrame (url = file path,
     text = whole file decoded lossily, the String::from_utf8_lossy analog
