@@ -3075,6 +3075,24 @@ def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(e1.unionByName(e2))
 
 
+def _hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (graph.hits): 3 iterations over the
+    deterministic edge list, L2 normalization after each half-step
+    (authorities from current hubs, hubs from just-updated
+    authorities — the Kleinberg order). The oracle unrolls the same
+    three rounds as chained CTEs with per-value normalization division
+    (mirroring Spark's divide-then-sum IEEE order); both sides round to
+    6dp."""
+    from slowspark.graph import hits
+
+    s = hits(_link_edges(spark, sf_dir), n_iter=3)
+    return s.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card (corpus.dataset_card): the per-language audit table
     — doc/source/token tallies, length envelope, exact-duplicate mass —
@@ -3243,6 +3261,7 @@ _PRIORITY_QUERIES: "list[str]" = [
     "pagerank",
     "connected_components",
     "dataset_card",
+    "hits_scores",
 ]
 
 
@@ -3333,6 +3352,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _pagerank,
         "connected_components": _connected_components,
         "dataset_card": _dataset_card,
+        "hits_scores": _hits_scores,
         "mixture_sample": _mixture_sample,
         "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
@@ -3401,6 +3421,51 @@ def _pagerank_oracle(n_iter: int = 3) -> str:
             r0 AS (SELECT node, CAST(1 AS DOUBLE) / {nd} AS rank FROM v),
             {",".join(iters)}
             SELECT node, round(rank, 6) AS rank FROM r{n_iter}
+        """
+
+
+def _hits_oracle(n_iter: int = 3) -> str:
+    """Unrolled HITS CTE chain mirroring graph.hits's IEEE double ops:
+    s0 = all-ones; per round, raw authorities = sum of source hubs,
+    divided PER VALUE by the L2 norm (divide-then-sum order, matching
+    Spark), then raw hubs = sum of normalized dest authorities, same
+    per-value normalization. 6dp rounding contract."""
+    zero = "CAST(0 AS DOUBLE)"
+    iters = []
+    for k in range(n_iter):
+        iters.append(f"""
+            a{k} AS (SELECT e.dst AS node, SUM(s{k}.hub) AS a
+                     FROM e JOIN s{k} ON s{k}.node = e.src GROUP BY e.dst),
+            m{k} AS (SELECT v.node, s.hub,
+                            COALESCE(a{k}.a, {zero}) AS authority
+                     FROM v JOIN s{k} s ON s.node = v.node
+                            LEFT JOIN a{k} ON a{k}.node = v.node),
+            an{k} AS (SELECT sqrt(SUM(authority*authority)) AS n FROM m{k}),
+            mn{k} AS (SELECT node, hub,
+                             authority / (SELECT n FROM an{k}) AS authority
+                      FROM m{k}),
+            h{k} AS (SELECT e.src AS node, SUM(mn.authority) AS h
+                     FROM e JOIN mn{k} mn ON mn.node = e.dst
+                     GROUP BY e.src),
+            n{k} AS (SELECT v.node, COALESCE(h{k}.h, {zero}) AS hub,
+                            mn.authority
+                     FROM v JOIN mn{k} mn ON mn.node = v.node
+                            LEFT JOIN h{k} ON h{k}.node = v.node),
+            hn{k} AS (SELECT sqrt(SUM(hub*hub)) AS n FROM n{k}),
+            s{k + 1} AS (SELECT node, hub / (SELECT n FROM hn{k}) AS hub,
+                                authority
+                         FROM n{k})""")
+    return f"""
+            WITH {_LINK_EDGES_SQL},
+            v AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e)),
+            s0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub,
+                          CAST(1 AS DOUBLE) AS authority FROM v),
+            {",".join(iters)}
+            SELECT node, round(hub, 6) AS hub,
+                   round(authority, 6) AS authority
+            FROM s{n_iter}
         """
 
 
@@ -4076,6 +4141,7 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN idg ON v.node = idg.node
         """,
         "pagerank": _pagerank_oracle(),
+        "hits_scores": _hits_oracle(),
         # recursive min-label closure: reach accumulates every label
         # reachable from a node over the undirected edge set; MIN per
         # node is the component id (finite lattice -> terminates)

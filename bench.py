@@ -590,8 +590,10 @@ def _write_bench_md(report: dict) -> None:
                 if f"procs_{p}" in kernel
             )
             + "\n"
-            f"1 -> 4 procs efficiency **{kernel['efficiency_1_to_4']}** (matches\n"
-            "pair 1: the pipeline adds little overhead below the wall).\n"
+            f"1 -> 4 procs efficiency **{kernel['efficiency_1_to_4']}**\n"
+            "(compare pair 1 above: below the wall the Spark pipeline\n"
+            "scales at least as well as the bare kernel — the JVM/stage\n"
+            "machinery adds no scaling penalty of its own).\n"
             + k832 +
             "## The steal wall (what limits pair 2 on this host)\n\n"
             "This virtualized host shows bursty vCPU steal above ~8 total\n"

@@ -59,6 +59,108 @@ def degrees(
     )
 
 
+def hits(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs-and-authorities over an edge list, as
+    n_iter rounds of DataFrame joins: per iteration
+
+        auth(v) = sum_{u->v} hub(u)      then L2-normalized
+        hub(u)  = sum_{u->v} auth(v)     then L2-normalized
+
+    (the standard update order: authorities from CURRENT hubs, hubs
+    from the JUST-UPDATED authorities). Returns (node, hub, authority)
+    for every node in the edge list; nodes with no out-edges get hub 0
+    after the first round, no in-edges get authority 0 — link farms
+    split from genuinely-cited pages, which is the curation use
+    (PageRank's one score conflates "links to good pages" with "is
+    cited"; HITS separates them).
+
+    Scale shape: two shuffle pairs per iteration (one groupBy per
+    direction over the static persisted edge list), two 1-row L2-norm
+    collects (the bounded-scalar idiom, like pagerank's dangling mass);
+    scores persisted per iteration, previous iteration unpersisted."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    src = F.col(src_col)
+    dst = F.col(dst_col)
+    e = edges.select(src.alias("__s"), dst.alias("__d")).persist()
+    vertices = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    vertices.count()
+    scores = vertices.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    )
+    scores.persist().count()
+
+    def _norm(df: DataFrame, col: str) -> float:
+        v = df.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("n")
+        ).collect()[0]["n"]
+        return float(v) if v else 1.0
+
+    for _ in range(n_iter):
+        prev = scores
+        # authorities from current hubs
+        a = (
+            e.join(prev.select(F.col("node").alias("__s"), "hub"), "__s")
+            .groupBy("__d")
+            .agg(F.sum("hub").alias("__a"))
+        )
+        mid = (
+            vertices.join(prev.select("node", "hub"), "node")
+            .join(a, vertices["node"] == a["__d"], "left")
+            .select(
+                "node", "hub",
+                F.coalesce(F.col("__a"), F.lit(0.0)).alias("authority"),
+            )
+        )
+        mid.persist().count()
+        an = _norm(mid, "authority")
+        mid_n = mid.select(
+            "node", "hub",
+            (F.col("authority") / F.lit(an)).alias("authority"),
+        )
+        # hubs from the just-updated authorities
+        h = (
+            e.join(
+                mid_n.select(F.col("node").alias("__d"), "authority"),
+                "__d",
+            )
+            .groupBy("__s")
+            .agg(F.sum("authority").alias("__h"))
+        )
+        nxt = (
+            vertices.join(mid_n.select("node", "authority"), "node")
+            .join(h, vertices["node"] == h["__s"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__h"), F.lit(0.0)).alias("hub"),
+                "authority",
+            )
+        )
+        nxt.persist().count()
+        hn = _norm(nxt, "hub")
+        scores = nxt.select(
+            "node", (F.col("hub") / F.lit(hn)).alias("hub"), "authority"
+        ).localCheckpoint(eager=True)
+        # checkpoint cut the lineage: the round's caches can go
+        prev.unpersist()
+        mid.unpersist()
+        nxt.unpersist()
+
+    e.unpersist()
+    vertices.unpersist()
+    return scores
+
+
 def connected_components(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

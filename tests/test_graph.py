@@ -121,3 +121,59 @@ def test_connected_components_stars_chain_and_bridge(spark):
            for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_hits_one_iteration_hand_computed(spark):
+    import math
+
+    from slowspark.graph import hits
+
+    # A->B, A->C, B->C: after one round,
+    # auth = (0, 1/sqrt5, 2/sqrt5); hub = (3, 2, 0)/sqrt13
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(_edges(spark, [(1, 2), (1, 3), (2, 3)]),
+                         n_iter=1).collect()}
+    s5, s13 = math.sqrt(5), math.sqrt(13)
+    assert got[1][0] == pytest.approx(3 / s13)
+    assert got[2][0] == pytest.approx(2 / s13)
+    assert got[3][0] == pytest.approx(0.0)
+    assert got[1][1] == pytest.approx(0.0)
+    assert got[2][1] == pytest.approx(1 / s5)
+    assert got[3][1] == pytest.approx(2 / s5)
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from slowspark.graph import hits
+
+    n = 30
+    pairs = sorted({(i, (i * 7 + 1) % n) for i in range(n) if i % 10 != 0}
+                   | {(i, (i * 13 + 5) % n) for i in range(n) if i % 10 != 0})
+    pairs = [(s, d) for s, d in pairs if s != d]
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    ix = {v: k for k, v in enumerate(nodes)}
+    N = len(nodes)
+    hub = np.ones(N)
+    auth = np.ones(N)
+    for _ in range(4):
+        a = np.zeros(N)
+        for s, d in pairs:
+            a[ix[d]] += hub[ix[s]]
+        auth = a / np.sqrt((a * a).sum())
+        h = np.zeros(N)
+        for s, d in pairs:
+            h[ix[s]] += auth[ix[d]]
+        hub = h / np.sqrt((h * h).sum())
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(_edges(spark, pairs), n_iter=4).collect()}
+    for v in nodes:
+        assert got[v][0] == pytest.approx(hub[ix[v]], rel=1e-9, abs=1e-12)
+        assert got[v][1] == pytest.approx(auth[ix[v]], rel=1e-9, abs=1e-12)
+
+
+def test_hits_validation(spark):
+    from slowspark.graph import hits
+
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(_edges(spark, FOUR), n_iter=0)
