@@ -3373,7 +3373,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # synthesis _link_edges runs on Spark (N = doc count; self-loops dropped)
 _LINK_EDGES_SQL = """
             nv AS (SELECT COUNT(*) AS n FROM documents),
-            e AS (
+            e AS MATERIALIZED (
                 SELECT doc_id AS src,
                        (doc_id*7+1) % (SELECT n FROM nv) AS dst
                 FROM documents
@@ -3400,25 +3400,25 @@ def _pagerank_oracle(n_iter: int = 3) -> str:
     iters = []
     for k in range(n_iter):
         iters.append(f"""
-            d{k} AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm
+            d{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm
                      FROM r{k} WHERE node NOT IN (SELECT src FROM e)),
-            c{k} AS (SELECT e.dst AS node, SUM(r.rank / od.c) AS c
+            c{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / od.c) AS c
                      FROM e JOIN od ON e.src = od.node
                             JOIN r{k} r ON r.node = e.src
                      GROUP BY e.dst),
-            r{k + 1} AS (SELECT v.node,
+            r{k + 1} AS MATERIALIZED (SELECT v.node,
                      (CAST(1 AS DOUBLE) - {d85}) / {nd}
                      + {d85} * (COALESCE(c.c, CAST(0 AS DOUBLE))
                                 + (SELECT dm FROM d{k}) / {nd}) AS rank
                      FROM v LEFT JOIN c{k} c ON v.node = c.node)""")
     return f"""
             WITH {_LINK_EDGES_SQL},
-            v AS (SELECT DISTINCT node FROM
+            v AS MATERIALIZED (SELECT DISTINCT node FROM
                   (SELECT src AS node FROM e
                    UNION ALL SELECT dst FROM e)),
             nvd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM v),
-            od AS (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY src),
-            r0 AS (SELECT node, CAST(1 AS DOUBLE) / {nd} AS rank FROM v),
+            od AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY src),
+            r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / {nd} AS rank FROM v),
             {",".join(iters)}
             SELECT node, round(rank, 6) AS rank FROM r{n_iter}
         """
@@ -3434,33 +3434,33 @@ def _hits_oracle(n_iter: int = 3) -> str:
     iters = []
     for k in range(n_iter):
         iters.append(f"""
-            a{k} AS (SELECT e.dst AS node, SUM(s{k}.hub) AS a
+            a{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(s{k}.hub) AS a
                      FROM e JOIN s{k} ON s{k}.node = e.src GROUP BY e.dst),
-            m{k} AS (SELECT v.node, s.hub,
+            m{k} AS MATERIALIZED (SELECT v.node, s.hub,
                             COALESCE(a{k}.a, {zero}) AS authority
                      FROM v JOIN s{k} s ON s.node = v.node
                             LEFT JOIN a{k} ON a{k}.node = v.node),
-            an{k} AS (SELECT sqrt(SUM(authority*authority)) AS n FROM m{k}),
-            mn{k} AS (SELECT node, hub,
+            an{k} AS MATERIALIZED (SELECT sqrt(SUM(authority*authority)) AS n FROM m{k}),
+            mn{k} AS MATERIALIZED (SELECT node, hub,
                              authority / (SELECT n FROM an{k}) AS authority
                       FROM m{k}),
-            h{k} AS (SELECT e.src AS node, SUM(mn.authority) AS h
+            h{k} AS MATERIALIZED (SELECT e.src AS node, SUM(mn.authority) AS h
                      FROM e JOIN mn{k} mn ON mn.node = e.dst
                      GROUP BY e.src),
-            n{k} AS (SELECT v.node, COALESCE(h{k}.h, {zero}) AS hub,
+            n{k} AS MATERIALIZED (SELECT v.node, COALESCE(h{k}.h, {zero}) AS hub,
                             mn.authority
                      FROM v JOIN mn{k} mn ON mn.node = v.node
                             LEFT JOIN h{k} ON h{k}.node = v.node),
-            hn{k} AS (SELECT sqrt(SUM(hub*hub)) AS n FROM n{k}),
-            s{k + 1} AS (SELECT node, hub / (SELECT n FROM hn{k}) AS hub,
+            hn{k} AS MATERIALIZED (SELECT sqrt(SUM(hub*hub)) AS n FROM n{k}),
+            s{k + 1} AS MATERIALIZED (SELECT node, hub / (SELECT n FROM hn{k}) AS hub,
                                 authority
                          FROM n{k})""")
     return f"""
             WITH {_LINK_EDGES_SQL},
-            v AS (SELECT DISTINCT node FROM
+            v AS MATERIALIZED (SELECT DISTINCT node FROM
                   (SELECT src AS node FROM e
                    UNION ALL SELECT dst FROM e)),
-            s0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub,
+            s0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) AS hub,
                           CAST(1 AS DOUBLE) AS authority FROM v),
             {",".join(iters)}
             SELECT node, round(hub, 6) AS hub,
