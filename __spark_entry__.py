@@ -3093,6 +3093,44 @@ def _hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-link extraction (weburl.extract_links): each document is
+    wrapped in deterministic HTML carrying an absolute link, a
+    root-relative link, a protocol-relative link on doc_id%7==0, and an
+    unresolvable relative link on doc_id%11==0. The hash covers the raw
+    hrefs AND the resolution CASE (absolute passthrough, scheme/host
+    completion, NULL for relative) — the edge-extraction pass that
+    feeds the graph operators."""
+    from slowspark.weburl import extract_links
+
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"), i
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><p>'), F.col("text"),
+                F.lit('</p><a class="x" href="https://hub.example.org/d/'),
+                i, F.lit('">one</a> <a href="/local/'), i, F.lit('">two</a>'),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.lit('<a href="//cdn.example.net/a/'), i,
+                             F.lit('">three</a>')),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 11 == 0,
+                    F.lit('<a href="rel/path">four</a>'),
+                ).otherwise(F.lit("")),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return extract_links(pages)
+
+
 def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card (corpus.dataset_card): the per-language audit table
     — doc/source/token tallies, length envelope, exact-duplicate mass —
@@ -3262,6 +3300,7 @@ _PRIORITY_QUERIES: "list[str]" = [
     "connected_components",
     "dataset_card",
     "hits_scores",
+    "html_links",
 ]
 
 
@@ -3353,6 +3392,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _connected_components,
         "dataset_card": _dataset_card,
         "hits_scores": _hits_scores,
+        "html_links": _html_links,
         "mixture_sample": _mixture_sample,
         "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
@@ -4142,6 +4182,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(),
         "hits_scores": _hits_oracle(),
+        # same synthesis + the same resolution CASE as extract_links
+        "html_links": r"""
+            WITH pages AS (
+                SELECT 'https://' || source || '.example.com/p/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                       '<html><body><p>' || text
+                       || '</p><a class="x" href="https://hub.example.org/d/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '">one</a> <a href="/local/'
+                       || CAST(doc_id AS VARCHAR) || '">two</a>'
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN '<a href="//cdn.example.net/a/'
+                                    || CAST(doc_id AS VARCHAR)
+                                    || '">three</a>' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN '<a href="rel/path">four</a>'
+                               ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ),
+            links AS (
+                SELECT url,
+                       unnest(regexp_extract_all(
+                           html, '<a\s[^>]*href="([^"]*)"', 1)) AS href
+                FROM pages
+            )
+            SELECT url, href,
+                   CASE
+                     WHEN regexp_matches(href,
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+                     WHEN href LIKE '//%' THEN
+                       regexp_extract(url,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$',
+                         1) || ':' || href
+                     WHEN href LIKE '/%' THEN
+                       regexp_extract(url,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$',
+                         1) || '://' ||
+                       regexp_extract(url,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$',
+                         2) || href
+                     ELSE NULL
+                   END AS resolved_url
+            FROM links
+        """,
         # recursive min-label closure: reach accumulates every label
         # reachable from a node over the undirected edge set; MIN per
         # node is the component id (finite lattice -> terminates)

@@ -207,6 +207,55 @@ def crawl_delta(
     )
 
 
+# href of an anchor tag: double-quoted attribute, the dominant form in
+# real markup; single-quoted/bare attributes are rare enough that crawl
+# pipelines (and this operator) accept the miss rather than pay a
+# full HTML parser per page
+LINK_HREF_RE = r'<a\s[^>]*href="([^"]*)"'
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    out_col: str = "href",
+) -> DataFrame:
+    """One row per (page url, anchor href) from an html BINARY column —
+    the edge-extraction pass that feeds graph.degrees/pagerank/hits.
+    Emits the raw `href` plus `resolved_url`:
+
+      - absolute (`scheme://...`)      -> unchanged
+      - protocol-relative (`//host/p`) -> base url's scheme prepended
+      - root-relative (`/p`)           -> base url's scheme://host + href
+      - anything else (relative paths, `mailto:`, fragments, empty)
+        -> NULL (full RFC 3986 reference resolution needs the base
+        path's segment merge — out of scope for edge extraction, and
+        NULL is honest: the caller filters resolved links)
+
+    Scale shape: pure codegen (decode + regexp_extract_all + explode) —
+    no UDF, no shuffle; output fan-out is the page's anchor count. Like
+    html_to_text, this is an html-column scan: run it once per snapshot
+    and persist the edge table (RUNBOOK §13)."""
+    base = F.col(url_col)
+    scheme = F.regexp_extract(base, _URL_PARTS_RE, 1)
+    authority = F.regexp_extract(base, _URL_PARTS_RE, 2)
+    hrefs = F.regexp_extract_all(
+        F.decode(F.col(html_col), "UTF-8"), F.lit(LINK_HREF_RE), F.lit(1)
+    )
+    out = df.select(url_col, F.explode(hrefs).alias(out_col))
+    h = F.col(out_col)
+    resolved = (
+        F.when(h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(
+            h.startswith("/"),
+            F.concat(scheme, F.lit("://"), authority, h),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return out.withColumn("resolved_url", resolved)
+
+
 def keep_new_or_changed(
     docs: DataFrame,
     old_snapshot: DataFrame,

@@ -207,3 +207,34 @@ def test_keep_new_or_changed(spark):
         keep_new_or_changed(
             docs, spark.createDataFrame([("u1",)], "url string")
         )
+
+
+def test_extract_links_resolution_cases(spark):
+    from slowspark.weburl import extract_links
+
+    html = (
+        '<html><body>'
+        '<a href="https://other.example/x">abs</a>'
+        '<a class="y" href="//cdn.example/z">proto</a>'
+        '<a href="/rooted/p?q=1">root</a>'
+        '<a href="rel/path">rel</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        "<a href='single-quoted'>skipped</a>"
+        '</body></html>'
+    )
+    df = spark.createDataFrame(
+        [("http://base.example.com:8080/dir/page", html.encode())],
+        "url string, html binary",
+    )
+    out = {r["href"]: r["resolved_url"] for r in extract_links(df).collect()}
+    assert out == {
+        "https://other.example/x": "https://other.example/x",
+        "//cdn.example/z": "http://cdn.example/z",
+        "/rooted/p?q=1": "http://base.example.com:8080/rooted/p?q=1",
+        "rel/path": None,
+        # mailto: matches scheme:// ? no — mailto has no '//', so NULL
+        "mailto:a@b.c": None,
+    }
+    # pure codegen, no shuffle
+    plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
