@@ -177,3 +177,38 @@ def test_hits_validation(spark):
 
     with pytest.raises(ValueError, match="n_iter"):
         hits(_edges(spark, FOUR), n_iter=0)
+
+
+def test_html_to_edges_to_pagerank_composition(spark):
+    """The round-trip the graph family exists for: crawled pages ->
+    extract_links -> resolved edge table -> pagerank; the page every
+    other page links to must rank first."""
+    from slowspark.graph import pagerank
+    from slowspark.weburl import extract_links
+
+    def page(i, hrefs):
+        body = "".join(f'<a href="{h}">l</a>' for h in hrefs)
+        return (f"https://site.example/p/{i}",
+                f"<html><body>{body}</body></html>".encode())
+
+    # pages 1-4 all link to page 0 (absolute + root-relative mix);
+    # page 0 links back to page 1 only
+    rows = [page(0, ["/p/1"])]
+    rows += [
+        page(i, [f"https://site.example/p/0", "rel/ignored"])
+        for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    edges = (
+        extract_links(df)
+        .filter(F.col("resolved_url").isNotNull())
+        .select(F.col("url").alias("src"),
+                F.col("resolved_url").alias("dst"))
+    )
+    assert edges.count() == 5  # 4 in-links to p/0 + p/0 -> p/1
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(edges, n_iter=5).collect()}
+    top = max(ranks, key=ranks.get)
+    assert top == "https://site.example/p/0"
+    # string node ids work end-to-end (no silent numeric assumption)
+    assert set(ranks) == {f"https://site.example/p/{i}" for i in range(5)}
