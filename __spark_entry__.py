@@ -3131,6 +3131,36 @@ def _html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(pages)
 
 
+def _noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots opt-out (weburl.noindex_filter): docs with
+    doc_id%13==5 get a noindex meta (alternating attribute order and
+    case across docs), doc_id%17==0 a benign robots meta ('all') that
+    must survive. The hash is the surviving doc_id set."""
+    from slowspark.weburl import noindex_filter
+
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    meta = (
+        F.when(
+            (i % 13 == 5) & (i % 2 == 0),
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(i % 13 == 5, F.lit('<META CONTENT="NOINDEX" NAME="robots">'))
+        .when(i % 17 == 0, F.lit('<meta name="robots" content="all">'))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit("<html><head>"), meta,
+                     F.lit("</head><body>"), F.col("text"),
+                     F.lit("</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return noindex_filter(pages).select("doc_id")
+
+
 def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card (corpus.dataset_card): the per-language audit table
     — doc/source/token tallies, length envelope, exact-duplicate mass —
@@ -3301,6 +3331,7 @@ _PRIORITY_QUERIES: "list[str]" = [
     "dataset_card",
     "hits_scores",
     "html_links",
+    "noindex_filter",
 ]
 
 
@@ -3393,6 +3424,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": _dataset_card,
         "hits_scores": _hits_scores,
         "html_links": _html_links,
+        "noindex_filter": _noindex_filter,
         "mixture_sample": _mixture_sample,
         "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
@@ -4182,6 +4214,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(),
         "hits_scores": _hits_oracle(),
+        # same synthesis; survivors = docs whose meta is absent/benign
+        "noindex_filter": r"""
+            SELECT doc_id FROM documents
+            WHERE NOT regexp_matches(
+                '<html><head>' ||
+                CASE WHEN doc_id % 13 = 5 AND doc_id % 2 = 0
+                     THEN '<meta name="robots" content="noindex, nofollow">'
+                     WHEN doc_id % 13 = 5
+                     THEN '<META CONTENT="NOINDEX" NAME="robots">'
+                     WHEN doc_id % 17 = 0
+                     THEN '<meta name="robots" content="all">'
+                     ELSE '' END ||
+                '</head><body>' || text || '</body></html>',
+                '(?is)<meta\s[^>]*(?:name\s*=\s*"robots"[^>]*content\s*=\s*"[^"]*noindex|content\s*=\s*"[^"]*noindex[^"]*"[^>]*name\s*=\s*"robots")'
+            )
+        """,
         # same synthesis + the same resolution CASE as extract_links
         "html_links": r"""
             WITH pages AS (

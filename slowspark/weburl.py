@@ -256,6 +256,41 @@ def extract_links(
     return out.withColumn("resolved_url", resolved)
 
 
+# meta robots directive carrying 'noindex' in its content list, any
+# attribute order, any case — the two dominant orderings are matched
+# (name then content / content then name)
+NOINDEX_RE = (
+    r'(?is)<meta\s[^>]*(?:'
+    r'name\s*=\s*"robots"[^>]*content\s*=\s*"[^"]*noindex'
+    r'|content\s*=\s*"[^"]*noindex[^"]*"[^>]*name\s*=\s*"robots"'
+    r')'
+)
+
+
+def noindex_filter(
+    df: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Drop pages whose HTML carries a `<meta name="robots"
+    content="...noindex...">` directive — the publisher's explicit
+    opt-out every public web corpus honors. Adds nothing on kept rows.
+    A missing html COLUMN raises (the caller wired the wrong table); a
+    NULL html VALUE keeps its row (no markup to carry a directive).
+
+    Scale shape: one codegen rlike over the decoded html — no UDF, no
+    shuffle; like html_to_text/extract_links it reads the html column,
+    so fuse it into the same snapshot scan (RUNBOOK §13)."""
+    if html_col not in df.columns:
+        raise ValueError(
+            f"noindex_filter: no {html_col!r} column (have {df.columns})"
+        )
+    return df.filter(
+        ~F.coalesce(
+            F.decode(F.col(html_col), "UTF-8").rlike(NOINDEX_RE),
+            F.lit(False),
+        )
+    )
+
+
 def keep_new_or_changed(
     docs: DataFrame,
     old_snapshot: DataFrame,

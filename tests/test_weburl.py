@@ -238,3 +238,31 @@ def test_extract_links_resolution_cases(spark):
     # pure codegen, no shuffle
     plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_noindex_filter(spark):
+    from slowspark.weburl import noindex_filter
+
+    def pg(i, html):
+        return (i, html.encode() if html is not None else None)
+
+    df = spark.createDataFrame(
+        [
+            pg(1, "<html><head></head><body>plain</body></html>"),
+            pg(2, '<html><head><meta name="robots" content="noindex, '
+                  'nofollow"></head></html>'),
+            pg(3, '<html><META CONTENT="NOINDEX" NAME="robots"></html>'),
+            pg(4, '<html><meta name="robots" content="all"></html>'),
+            pg(5, '<html><meta name="viewport" content="noindex-like">'
+                  '</html>'),  # wrong meta name -> kept
+            pg(6, None),  # NULL html -> kept (nothing to judge)
+        ],
+        "doc_id long, html binary",
+    )
+    kept = {r["doc_id"] for r in noindex_filter(df).collect()}
+    assert kept == {1, 4, 5, 6}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="html"):
+        noindex_filter(df.drop("html"))
+    plan = noindex_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
