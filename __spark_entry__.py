@@ -3161,6 +3161,22 @@ def _noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return noindex_filter(pages).select("doc_id")
 
 
+def _personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.pagerank with seeds): the teleport
+    and dangling mass land uniformly on the seed set (doc_id%25==3) —
+    trusted-seed quality propagation. The oracle unrolls the same three
+    iterations with the tele column riding the vertex CTE."""
+    from slowspark.graph import pagerank
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    seeds = d.filter(F.col("doc_id") % 25 == 3).select(
+        F.col("doc_id").alias("node")
+    )
+    r = pagerank(_link_edges(spark, sf_dir), n_iter=3, damping=0.85,
+                 seeds=seeds)
+    return r.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card (corpus.dataset_card): the per-language audit table
     — doc/source/token tallies, length envelope, exact-duplicate mass —
@@ -3332,6 +3348,7 @@ _PRIORITY_QUERIES: "list[str]" = [
     "hits_scores",
     "html_links",
     "noindex_filter",
+    "personalized_pagerank",
 ]
 
 
@@ -3425,6 +3442,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _hits_scores,
         "html_links": _html_links,
         "noindex_filter": _noindex_filter,
+        "personalized_pagerank": _personalized_pagerank,
         "mixture_sample": _mixture_sample,
         "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
@@ -3460,17 +3478,29 @@ _LINK_EDGES_SQL = """
             )"""
 
 
-def _pagerank_oracle(n_iter: int = 3) -> str:
+def _pagerank_oracle(n_iter: int = 3, seed_mod: int | None = None) -> str:
     """Unrolled PageRank CTE chain mirroring graph.pagerank's IEEE double
     ops exactly: r0 = 1/|V|; each iteration computes the dangling mass
     (sum of rank on non-source nodes), per-dst sum(rank/outdeg), and
     rank' = (1-d)/|V| + d*(contrib + dm/|V|) with d = 0.85 cast to
-    DOUBLE on both engines. Output rounded to 6dp (the float-oracle
-    contract: summation-order low bits are below the rounding)."""
+    DOUBLE on both engines. With seed_mod, the PERSONALIZED variant:
+    tele(v) = 1/|S| on seeds (node % seed_mod == 3) else 0, and
+    rank' = (1-d)*tele + d*(contrib + dm*tele) — the same
+    multiply-by-teleport ops graph.pagerank(seeds=...) runs. Output
+    rounded to 6dp (the float-oracle contract: summation-order low bits
+    are below the rounding)."""
     d85 = "CAST(0.85 AS DOUBLE)"
     nd = "(SELECT nd FROM nvd)"
     iters = []
     for k in range(n_iter):
+        if seed_mod is None:
+            update = f"""(CAST(1 AS DOUBLE) - {d85}) / {nd}
+                     + {d85} * (COALESCE(c.c, CAST(0 AS DOUBLE))
+                                + (SELECT dm FROM d{k}) / {nd})"""
+        else:
+            update = f"""(CAST(1 AS DOUBLE) - {d85}) * v.tele
+                     + {d85} * (COALESCE(c.c, CAST(0 AS DOUBLE))
+                                + (SELECT dm FROM d{k}) * v.tele)"""
         iters.append(f"""
             d{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm
                      FROM r{k} WHERE node NOT IN (SELECT src FROM e)),
@@ -3479,15 +3509,28 @@ def _pagerank_oracle(n_iter: int = 3) -> str:
                             JOIN r{k} r ON r.node = e.src
                      GROUP BY e.dst),
             r{k + 1} AS MATERIALIZED (SELECT v.node,
-                     (CAST(1 AS DOUBLE) - {d85}) / {nd}
-                     + {d85} * (COALESCE(c.c, CAST(0 AS DOUBLE))
-                                + (SELECT dm FROM d{k}) / {nd}) AS rank
+                     {update} AS rank
                      FROM v LEFT JOIN c{k} c ON v.node = c.node)""")
-    return f"""
-            WITH {_LINK_EDGES_SQL},
-            v AS MATERIALIZED (SELECT DISTINCT node FROM
+    if seed_mod is None:
+        v_cte = """v AS MATERIALIZED (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e))"""
+    else:
+        # tele rides the vertex table, like graph.pagerank's one-time
+        # seed join; 1/|S| is ONE division shared by every seed row
+        v_cte = f"""vb AS MATERIALIZED (SELECT DISTINCT node FROM
                   (SELECT src AS node FROM e
                    UNION ALL SELECT dst FROM e)),
+            nsd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM vb
+                    WHERE node % {seed_mod} = 3),
+            v AS MATERIALIZED (SELECT node,
+                   CASE WHEN node % {seed_mod} = 3
+                        THEN CAST(1 AS DOUBLE) / (SELECT ns FROM nsd)
+                        ELSE CAST(0 AS DOUBLE) END AS tele
+                   FROM vb)"""
+    return f"""
+            WITH {_LINK_EDGES_SQL},
+            {v_cte},
             nvd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM v),
             od AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY src),
             r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / {nd} AS rank FROM v),
@@ -4213,6 +4256,7 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN idg ON v.node = idg.node
         """,
         "pagerank": _pagerank_oracle(),
+        "personalized_pagerank": _pagerank_oracle(seed_mod=25),
         "hits_scores": _hits_oracle(),
         # same synthesis; survivors = docs whose meta is absent/benign
         "noindex_filter": r"""

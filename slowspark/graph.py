@@ -190,6 +190,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 8,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank (Page et al. 1999) with uniform dangling-mass
     redistribution, as n_iter rounds of DataFrame joins:
@@ -205,6 +206,22 @@ def pagerank(
     batch-pipeline formulation (a convergence check would be one extra
     agg per iteration; at crawl scale fixed 10-20 rounds is standard
     practice and keeps the run deterministic).
+
+    With `seeds` (a one-column `node` DataFrame) this is PERSONALIZED
+    PageRank: the teleport mass (1-d) and the dangling mass land
+    uniformly on the seed set instead of on all nodes —
+
+        rank'(v) = (1-d)*tele(v) + d*(contrib(v) + dm*tele(v)),
+        tele(v) = 1/|S ∩ V| for seed nodes, else 0
+
+    — the trusted-seed quality-propagation recipe (score every crawled
+    page by its link proximity to a vetted seed list; pages only
+    reachable from spam farms receive ~nothing). Seeds outside the
+    graph are ignored; an empty intersection raises. Total rank mass
+    stays 1.0 per iteration, seeded or not. The seed table is joined
+    ONCE into the persisted vertex table (a broadcast-sized list or a
+    full table both work) — per-iteration cost is identical to the
+    uniform case.
 
     Scale shape: see module docstring — one shuffle pair per iteration
     over a persisted edges+outdeg table, a 1-row dangling-mass collect,
@@ -240,6 +257,29 @@ def pagerank(
     ).persist()
 
     d = F.lit(damping)
+    if seeds is not None:
+        seed_set = seeds.select(F.col("node")).distinct()
+        tele_v = vertices.join(
+            seed_set, "node", "left_semi"
+        ).persist()
+        ns = tele_v.count()
+        if ns == 0:
+            raise ValueError(
+                "pagerank: no seed appears in the graph — personalized "
+                "teleport has nowhere to land"
+            )
+        # one static join: the teleport column rides the vertex table
+        vertices_t = vertices.join(
+            tele_v.withColumn("__is_seed", F.lit(True)), "node", "left"
+        ).select(
+            "node",
+            F.when(F.col("__is_seed"), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0)).alias("__tele"),
+        ).persist()
+        vertices_t.count()
+        tele_v.unpersist()
+    else:
+        vertices_t = None
     base = (F.lit(1.0) - d) / F.lit(float(n))
     ranks = vertices.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
     ranks.persist().count()
@@ -255,22 +295,40 @@ def pagerank(
             .groupBy(dst_col)
             .agg(F.sum(F.col("rank") / F.col("__od")).alias("__c"))
         )
-        new_ranks = (
-            vertices.join(
-                contrib, vertices["node"] == contrib[dst_col], "left"
+        if vertices_t is not None:
+            new_ranks = (
+                vertices_t.join(
+                    contrib, vertices_t["node"] == contrib[dst_col], "left"
+                )
+                .select(
+                    "node",
+                    (
+                        (F.lit(1.0) - d) * F.col("__tele")
+                        + d
+                        * (
+                            F.coalesce(F.col("__c"), F.lit(0.0))
+                            + F.lit(float(dm)) * F.col("__tele")
+                        )
+                    ).alias("rank"),
+                )
             )
-            .select(
-                "node",
-                (
-                    base
-                    + d
-                    * (
-                        F.coalesce(F.col("__c"), F.lit(0.0))
-                        + F.lit(float(dm)) / F.lit(float(n))
-                    )
-                ).alias("rank"),
+        else:
+            new_ranks = (
+                vertices.join(
+                    contrib, vertices["node"] == contrib[dst_col], "left"
+                )
+                .select(
+                    "node",
+                    (
+                        base
+                        + d
+                        * (
+                            F.coalesce(F.col("__c"), F.lit(0.0))
+                            + F.lit(float(dm)) / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
             )
-        )
         if (i + 1) % checkpoint_every == 0:
             new_ranks = new_ranks.localCheckpoint(eager=True)
         else:
@@ -279,6 +337,8 @@ def pagerank(
         ranks = new_ranks
 
     vertices.unpersist()
+    if vertices_t is not None:
+        vertices_t.unpersist()
     edges_w.unpersist()
     dangling.unpersist()
     return ranks

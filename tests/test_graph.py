@@ -212,3 +212,51 @@ def test_html_to_edges_to_pagerank_composition(spark):
     assert top == "https://site.example/p/0"
     # string node ids work end-to-end (no silent numeric assumption)
     assert set(ranks) == {f"https://site.example/p/{i}" for i in range(5)}
+
+
+def test_personalized_pagerank_hand_computed_and_mass(spark):
+    # FOUR graph (A->B, A->C, B->C, C->D), seeds = {1}. r0 = 1/4 each;
+    # dm = r(D) = 0.25; tele(1)=1, others 0.
+    # r1(1) = 0.15*1 + 0.85*(0 + 0.25*1) = 0.3625
+    # r1(2) = 0.85*0.125 = 0.10625 ; r1(3) = 0.85*0.375 = 0.31875
+    # r1(4) = 0.85*0.25 = 0.2125 ; sum = 1.0
+    from slowspark.graph import pagerank
+
+    seeds = spark.createDataFrame([(1,)], "node long")
+    r = {row["node"]: row["rank"]
+         for row in pagerank(_edges(spark, FOUR), n_iter=1,
+                             seeds=seeds).collect()}
+    assert r[1] == pytest.approx(0.3625)
+    assert r[2] == pytest.approx(0.10625)
+    assert r[3] == pytest.approx(0.31875)
+    assert r[4] == pytest.approx(0.2125)
+    assert sum(r.values()) == pytest.approx(1.0)
+    # multi-iteration mass conservation + spam isolation: node 4 (the
+    # dangling sink) keeps rank, but a node unreachable from seeds and
+    # linking only inward would decay — here everything reachable
+    total = (pagerank(_edges(spark, FOUR), n_iter=4, seeds=seeds)
+             .agg(F.sum("rank")).collect()[0][0])
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_all_seeds_equals_uniform(spark):
+    from slowspark.graph import pagerank
+
+    pairs = [(s, d) for s, d in
+             [(i, (i * 7 + 1) % 40) for i in range(40)] if s != d]
+    e = _edges(spark, pairs)
+    allseeds = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))).distinct()
+    uni = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    per = {r["node"]: r["rank"]
+           for r in pagerank(e, n_iter=3, seeds=allseeds).collect()}
+    for v in uni:
+        assert per[v] == pytest.approx(uni[v], rel=1e-12)
+
+
+def test_personalized_pagerank_validation(spark):
+    from slowspark.graph import pagerank
+
+    ghost = spark.createDataFrame([(999,)], "node long")
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(_edges(spark, FOUR), n_iter=1, seeds=ghost)
