@@ -3177,6 +3177,50 @@ def _personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level crawl ranking (graph.host_graph + weighted pagerank):
+    page-URL edges (same affine targets as _link_edges, materialized as
+    urls via a documents self-join) collapse to the host graph — one
+    weighted edge per (src host, dst host), intra-host links dropped —
+    then 3 weighted PageRank iterations rank the hosts. The oracle
+    rebuilds the page edges, the host collapse, and the weighted
+    updates (rank * w / out-weight)."""
+    from slowspark.graph import host_graph, pagerank
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    n = d.count()
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    linkers = d.filter(F.col("doc_id") % 10 != 0)
+    pe = None
+    for k, c in ((7, 1), (13, 5)):
+        j = (
+            linkers.select(
+                "doc_id", ((F.col("doc_id") * k + c) % n).alias("__dst_id")
+            )
+            .filter(F.col("doc_id") != F.col("__dst_id"))
+            .join(
+                pages.select(
+                    F.col("doc_id").alias("__dst_id"),
+                    F.col("url").alias("dst"),
+                ),
+                "__dst_id",
+            )
+            .join(
+                pages.select("doc_id", F.col("url").alias("src")), "doc_id"
+            )
+            .select("src", "dst")
+        )
+        pe = j if pe is None else pe.unionByName(j)
+    r = pagerank(host_graph(pe), n_iter=3, weight_col="weight")
+    return r.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card (corpus.dataset_card): the per-language audit table
     — doc/source/token tallies, length envelope, exact-duplicate mass —
@@ -3349,6 +3393,7 @@ _PRIORITY_QUERIES: "list[str]" = [
     "html_links",
     "noindex_filter",
     "personalized_pagerank",
+    "host_pagerank",
 ]
 
 
@@ -3443,6 +3488,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": _html_links,
         "noindex_filter": _noindex_filter,
         "personalized_pagerank": _personalized_pagerank,
+        "host_pagerank": _host_pagerank,
         "mixture_sample": _mixture_sample,
         "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
@@ -3478,12 +3524,43 @@ _LINK_EDGES_SQL = """
             )"""
 
 
-def _pagerank_oracle(n_iter: int = 3, seed_mod: int | None = None) -> str:
+_HOST_EDGES_SQL = """
+            nv AS (SELECT COUNT(*) AS n FROM documents),
+            pe AS (
+                SELECT d1.source AS ss, d2.source AS ds
+                FROM documents d1 JOIN documents d2
+                  ON d2.doc_id = (d1.doc_id*7+1) % (SELECT n FROM nv)
+                WHERE d1.doc_id % 10 <> 0 AND d1.doc_id <> d2.doc_id
+                UNION ALL
+                SELECT d1.source, d2.source
+                FROM documents d1 JOIN documents d2
+                  ON d2.doc_id = (d1.doc_id*13+5) % (SELECT n FROM nv)
+                WHERE d1.doc_id % 10 <> 0 AND d1.doc_id <> d2.doc_id
+            ),
+            e AS MATERIALIZED (
+                SELECT ss || '.example.com' AS src,
+                       ds || '.example.com' AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM pe WHERE ss <> ds GROUP BY ss, ds
+            )"""
+
+
+def _pagerank_oracle(
+    n_iter: int = 3,
+    seed_mod: int | None = None,
+    edges_sql: str | None = None,
+    weighted: bool = False,
+) -> str:
     """Unrolled PageRank CTE chain mirroring graph.pagerank's IEEE double
     ops exactly: r0 = 1/|V|; each iteration computes the dangling mass
     (sum of rank on non-source nodes), per-dst sum(rank/outdeg), and
     rank' = (1-d)/|V| + d*(contrib + dm/|V|) with d = 0.85 cast to
-    DOUBLE on both engines. With seed_mod, the PERSONALIZED variant:
+    DOUBLE on both engines. With weighted=True (edges carry `w`, e.g.
+    the host-graph collapse in _HOST_EDGES_SQL passed as edges_sql),
+    out-degree becomes the out-WEIGHT sum and each contribution is
+    rank * w / out-weight — the same left-associative ops
+    graph.pagerank(weight_col=...) runs. With seed_mod, the
+    PERSONALIZED variant:
     tele(v) = 1/|S| on seeds (node % seed_mod == 3) else 0, and
     rank' = (1-d)*tele + d*(contrib + dm*tele) — the same
     multiply-by-teleport ops graph.pagerank(seeds=...) runs. Output
@@ -3501,10 +3578,11 @@ def _pagerank_oracle(n_iter: int = 3, seed_mod: int | None = None) -> str:
             update = f"""(CAST(1 AS DOUBLE) - {d85}) * v.tele
                      + {d85} * (COALESCE(c.c, CAST(0 AS DOUBLE))
                                 + (SELECT dm FROM d{k}) * v.tele)"""
+        contrib = "r.rank * e.w / od.c" if weighted else "r.rank / od.c"
         iters.append(f"""
             d{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS dm
                      FROM r{k} WHERE node NOT IN (SELECT src FROM e)),
-            c{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / od.c) AS c
+            c{k} AS MATERIALIZED (SELECT e.dst AS node, SUM({contrib}) AS c
                      FROM e JOIN od ON e.src = od.node
                             JOIN r{k} r ON r.node = e.src
                      GROUP BY e.dst),
@@ -3528,11 +3606,18 @@ def _pagerank_oracle(n_iter: int = 3, seed_mod: int | None = None) -> str:
                         THEN CAST(1 AS DOUBLE) / (SELECT ns FROM nsd)
                         ELSE CAST(0 AS DOUBLE) END AS tele
                    FROM vb)"""
+    od_cte = (
+        "od AS MATERIALIZED (SELECT src AS node, CAST(SUM(w) AS BIGINT)"
+        " AS c FROM e GROUP BY src)"
+        if weighted
+        else "od AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c"
+             " FROM e GROUP BY src)"
+    )
     return f"""
-            WITH {_LINK_EDGES_SQL},
+            WITH {edges_sql if edges_sql is not None else _LINK_EDGES_SQL},
             {v_cte},
             nvd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM v),
-            od AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c FROM e GROUP BY src),
+            {od_cte},
             r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / {nd} AS rank FROM v),
             {",".join(iters)}
             SELECT node, round(rank, 6) AS rank FROM r{n_iter}
@@ -4257,6 +4342,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(),
         "personalized_pagerank": _pagerank_oracle(seed_mod=25),
+        "host_pagerank": _pagerank_oracle(
+            edges_sql=_HOST_EDGES_SQL, weighted=True
+        ),
         "hits_scores": _hits_oracle(),
         # same synthesis; survivors = docs whose meta is absent/benign
         "noindex_filter": r"""

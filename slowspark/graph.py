@@ -59,6 +59,33 @@ def degrees(
     )
 
 
+def host_graph(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Collapse a page-level URL edge list to the HOST graph: one row
+    per (src host, dst host) with `weight` = the number of page links
+    between them — the standard two-level trick that makes crawl-scale
+    ranking affordable (10^12 page edges become ~10^8 weighted host
+    edges; rank hosts first, spend page-level effort only inside hosts
+    that matter). Self-host edges (intra-site navigation, usually >90%
+    of all links) are dropped by default — they carry no cross-site
+    endorsement.
+
+    Scale shape: one map-side-combined groupBy over codegen'd host
+    extraction; output cardinality is the distinct host-pair count."""
+    from slowspark.weburl import host_expr
+
+    pairs = edges.select(
+        host_expr(src_col).alias("src"), host_expr(dst_col).alias("dst")
+    )
+    if drop_self:
+        pairs = pairs.filter(F.col("src") != F.col("dst"))
+    return pairs.groupBy("src", "dst").agg(F.count("*").alias("weight"))
+
+
 def hits(
     edges: DataFrame,
     n_iter: int = 3,
@@ -191,6 +218,7 @@ def pagerank(
     dst_col: str = "dst",
     checkpoint_every: int = 8,
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank (Page et al. 1999) with uniform dangling-mass
     redistribution, as n_iter rounds of DataFrame joins:
@@ -223,6 +251,12 @@ def pagerank(
     full table both work) — per-iteration cost is identical to the
     uniform case.
 
+    With `weight_col` the edges are WEIGHTED (e.g. host_graph's page
+    counts): contributions become rank * w / sum-of-out-weights. A
+    non-positive weight raises inside the projection (raise_error CASE,
+    the repo's fused-validation idiom — no extra scan); weighted and
+    unweighted agree when every weight is 1 (pinned differential).
+
     Scale shape: see module docstring — one shuffle pair per iteration
     over a persisted edges+outdeg table, a 1-row dangling-mass collect,
     rank lineage truncated by localCheckpoint every checkpoint_every
@@ -243,14 +277,30 @@ def pagerank(
     )
     n = vertices.count()  # bounded: one scalar
 
-    out_deg = edges.groupBy(src_col).agg(F.count("*").alias("__od"))
-    # static across iterations: every edge annotated with its source's
-    # out-degree; the per-iteration join touches only this + ranks
-    edges_w = (
-        edges.select(src_col, dst_col)
-        .join(out_deg, src_col)
-        .persist()
-    )
+    if weight_col is not None:
+        w = F.when(
+            F.col(weight_col) <= 0,
+            F.raise_error(F.lit(
+                f"pagerank: non-positive {weight_col} — a weighted edge "
+                f"must carry positive endorsement"
+            )),
+        ).otherwise(F.col(weight_col))
+        out_deg = edges.groupBy(src_col).agg(F.sum(w).alias("__od"))
+        edges_w = (
+            edges.select(src_col, dst_col, w.alias("__w"))
+            .join(out_deg, src_col)
+            .persist()
+        )
+    else:
+        out_deg = edges.groupBy(src_col).agg(F.count("*").alias("__od"))
+        # static across iterations: every edge annotated with its
+        # source's out-degree (or out-weight); the per-iteration join
+        # touches only this + ranks
+        edges_w = (
+            edges.select(src_col, dst_col)
+            .join(out_deg, src_col)
+            .persist()
+        )
     # dangling node set is static too (no out-edges at all)
     dangling = vertices.join(
         edges.select(src.alias("node")).distinct(), "node", "left_anti"
@@ -290,10 +340,15 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
             .collect()[0]["dm"]
         )
+        contrib_expr = (
+            F.col("rank") * F.col("__w") / F.col("__od")
+            if weight_col is not None
+            else F.col("rank") / F.col("__od")
+        )
         contrib = (
             edges_w.join(ranks, edges_w[src_col] == ranks["node"])
             .groupBy(dst_col)
-            .agg(F.sum(F.col("rank") / F.col("__od")).alias("__c"))
+            .agg(F.sum(contrib_expr).alias("__c"))
         )
         if vertices_t is not None:
             new_ranks = (

@@ -260,3 +260,53 @@ def test_personalized_pagerank_validation(spark):
     ghost = spark.createDataFrame([(999,)], "node long")
     with pytest.raises(ValueError, match="seed"):
         pagerank(_edges(spark, FOUR), n_iter=1, seeds=ghost)
+
+
+def test_weighted_pagerank_hand_and_unit_weight_differential(spark):
+    from slowspark.graph import pagerank
+
+    # weighted: A->B w=3, A->C w=1 splits A's rank 3:1; 1 iteration.
+    # r0=1/3; dm=r(B)+r(C)=2/3 (both dangling); base=0.15/3=0.05
+    # r1(B) = 0.05 + 0.85*((1/3)*(3/4) + (2/3)/3)
+    # r1(C) = 0.05 + 0.85*((1/3)*(1/4) + (2/3)/3)
+    we = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1)], "src long, dst long, w long"
+    )
+    r = {row["node"]: row["rank"]
+         for row in pagerank(we, n_iter=1, weight_col="w").collect()}
+    assert r[2] == pytest.approx(0.05 + 0.85 * (0.25 + 2 / 9))
+    assert r[3] == pytest.approx(0.05 + 0.85 * (1 / 12 + 2 / 9))
+    assert sum(r.values()) == pytest.approx(1.0)
+    # all-ones weights == unweighted (differential)
+    pairs = [(s, d) for s, d in
+             [(i, (i * 7 + 1) % 30) for i in range(30)] if s != d]
+    e = _edges(spark, pairs)
+    ew = e.withColumn("w", F.lit(1).cast("long"))
+    uni = {x["node"]: x["rank"] for x in pagerank(e, n_iter=3).collect()}
+    wtd = {x["node"]: x["rank"]
+           for x in pagerank(ew, n_iter=3, weight_col="w").collect()}
+    for v in uni:
+        assert wtd[v] == pytest.approx(uni[v], rel=1e-12)
+    # non-positive weight raises inside the projection
+    bad = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    with pytest.raises(Exception, match="non-positive"):
+        pagerank(bad, n_iter=1, weight_col="w")
+
+
+def test_host_graph_collapses_and_drops_self(spark):
+    from slowspark.graph import host_graph
+
+    e = spark.createDataFrame(
+        [
+            ("https://a.ex/p1", "https://b.ex/x"),
+            ("https://a.ex/p2", "https://b.ex/y"),   # same host pair
+            ("https://a.ex/p3", "https://a.ex/p4"),  # intra-site -> dropped
+            ("https://b.ex/q", "https://a.ex/p1"),
+        ],
+        "src string, dst string",
+    )
+    out = {(r["src"], r["dst"]): r["weight"]
+           for r in host_graph(e).collect()}
+    assert out == {("a.ex", "b.ex"): 2, ("b.ex", "a.ex"): 1}
+    kept = host_graph(e, drop_self=False).count()
+    assert kept == 3  # self edge kept when asked
