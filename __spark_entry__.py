@@ -3221,6 +3221,19 @@ def _host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document bin packing (corpus.pack_bins): md5-sharded
+    next-fit at seq_len=64 whitespace tokens — small enough that all
+    three branches fire on the sf corpus (fits-in-bin, opens-new-bin,
+    longer-than-bin → own bin + truncated flag). The oracle replays the
+    per-shard sequential fold as a recursive CTE stepping rn -> rn+1
+    and must reproduce every bin index, offset, and flag."""
+    from slowspark.corpus import pack_bins
+
+    d = _read(spark, sf_dir, "documents")
+    return pack_bins(d, seq_len=64, n_shards=8)
+
+
 def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card (corpus.dataset_card): the per-language audit table
     — doc/source/token tallies, length envelope, exact-duplicate mass —
@@ -3394,6 +3407,7 @@ _PRIORITY_QUERIES: "list[str]" = [
     "noindex_filter",
     "personalized_pagerank",
     "host_pagerank",
+    "pack_bins",
 ]
 
 
@@ -3489,6 +3503,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noindex_filter": _noindex_filter,
         "personalized_pagerank": _personalized_pagerank,
         "host_pagerank": _host_pagerank,
+        "pack_bins": _pack_bins,
         "mixture_sample": _mixture_sample,
         "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
@@ -4345,6 +4360,51 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _pagerank_oracle(
             edges_sql=_HOST_EDGES_SQL, weighted=True
         ),
+        # per-shard next-fit replayed as a recursive rn -> rn+1 fold
+        # carrying (bin_ix, fill); depth = max rows per shard
+        "pack_bins": r"""
+            WITH RECURSIVE
+            k AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text, '\S+'))
+                            AS BIGINT) AS t,
+                       CAST(CAST(('0x' || substr(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS UBIGINT) % 8 AS BIGINT) AS shard
+                FROM documents
+            ),
+            o AS MATERIALIZED (
+                SELECT doc_id, t, shard,
+                       ROW_NUMBER() OVER (PARTITION BY shard
+                                          ORDER BY doc_id) AS rn
+                FROM k
+            ),
+            rec(shard, rn, doc_id, t, bin_ix, bin_offset, truncated,
+                fill) AS (
+                SELECT shard, rn, doc_id, t,
+                       CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                       t > 64,
+                       CASE WHEN t > 64 THEN CAST(64 AS BIGINT) ELSE t END
+                FROM o WHERE rn = 1
+                UNION ALL
+                SELECT d.shard, d.rn, d.doc_id, d.t,
+                       CASE WHEN d.t > 64 THEN r.bin_ix + 1
+                            WHEN r.fill + d.t <= 64 THEN r.bin_ix
+                            ELSE r.bin_ix + 1 END,
+                       CASE WHEN d.t > 64 THEN CAST(0 AS BIGINT)
+                            WHEN r.fill + d.t <= 64 THEN r.fill
+                            ELSE CAST(0 AS BIGINT) END,
+                       d.t > 64,
+                       CASE WHEN d.t > 64 THEN CAST(64 AS BIGINT)
+                            WHEN r.fill + d.t <= 64 THEN r.fill + d.t
+                            ELSE d.t END
+                FROM rec r JOIN o d
+                  ON d.shard = r.shard AND d.rn = r.rn + 1
+            )
+            SELECT doc_id, shard, t AS n_tokens, bin_ix, bin_offset,
+                   truncated
+            FROM rec
+        """,
         "hits_scores": _hits_oracle(),
         # same synthesis; survivors = docs whose meta is absent/benign
         "noindex_filter": r"""

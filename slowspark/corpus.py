@@ -1088,6 +1088,105 @@ def pack_sequences(
     )
 
 
+def pack_bins(
+    df: DataFrame,
+    seq_len: int = 4096,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Whole-document bin packing — the alternative to pack_sequences
+    for loaders that must NOT split a document across training
+    sequences (no cross-document attention contamination, no mid-doc
+    truncation): documents are assigned to deterministic shards
+    (md5-bucket of id, the hash_sample discipline), and within each
+    shard packed NEXT-FIT in id order — a doc joins the current bin
+    when it fits, else opens a new one. A doc longer than seq_len gets
+    a bin of its own with `truncated = true` (the loader decides what
+    to do with it; silently splitting would defeat the operator's
+    contract).
+
+    Returns (id, shard, bin_ix, bin_offset, n_tokens, truncated):
+    bin_ix is shard-local (global bin identity = (shard, bin_ix)),
+    bin_offset the doc's start inside its bin.
+
+    Why next-fit and why sharded: packing is inherently sequential —
+    bin state threads through the document stream — so the scalable
+    formulation is the one real loaders use: parallel across shards,
+    sequential within. Next-fit is the deterministic O(n) member of
+    the family (first-fit-decreasing packs ~10% tighter but needs
+    random access to open bins); shard count scales the parallelism
+    and the same md5 assignment reproduces the same bins across runs,
+    stage retries, and engines.
+
+    Scale shape: one shuffle (groupBy shard), one applyInPandas pass
+    per shard doing the O(rows/shard) fold over narrow (id, tokens)
+    rows — text never enters the shuffle; no window over the corpus,
+    no driver state. Output row count == input row count (no silent
+    drops)."""
+    import pandas as pd
+
+    if seq_len < 1:
+        raise ValueError(f"pack_bins: seq_len must be >= 1, got {seq_len}")
+    if n_shards < 1:
+        raise ValueError(
+            f"pack_bins: n_shards must be >= 1, got {n_shards}"
+        )
+    toks = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else F.size(F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)"))
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        toks.cast("long").alias("n_tokens"),
+        _md5_bucket(id_col, salt, n_shards).alias("shard"),
+    )
+
+    def pack_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        bins, offs, trunc = [], [], []
+        bin_ix, fill = -1, seq_len  # force a new bin for the first doc
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if t > seq_len:
+                bin_ix += 1
+                bins.append(bin_ix)
+                offs.append(0)
+                trunc.append(True)
+                fill = seq_len  # bin is full: nothing joins it
+            elif fill + t <= seq_len and bin_ix >= 0:
+                # bin_ix guard: a zero-token first doc must still open
+                # bin 0, not land in the sentinel "no bin yet" state
+                bins.append(bin_ix)
+                offs.append(fill)
+                trunc.append(False)
+                fill += t
+            else:
+                bin_ix += 1
+                bins.append(bin_ix)
+                offs.append(0)
+                trunc.append(False)
+                fill = t
+        out = pdf[["id", "shard", "n_tokens"]].copy()
+        out["bin_ix"] = bins
+        out["bin_offset"] = offs
+        out["truncated"] = trunc
+        return out
+
+    return (
+        keyed.groupBy("shard")
+        .applyInPandas(
+            pack_shard,
+            schema="id long, shard long, n_tokens long, bin_ix long,"
+                   " bin_offset long, truncated boolean",
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def weighted_sample_k(
     df: DataFrame,
     weight_col: str,

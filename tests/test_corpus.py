@@ -860,3 +860,66 @@ def test_dataset_card_hand_computed(spark):
     # single aggregation pass: exactly one shuffle boundary pair
     plan = dataset_card(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # expand-agg exchange only
+
+
+# ---------------------------------------------------------------------------
+# pack_bins
+# ---------------------------------------------------------------------------
+
+def test_pack_bins_next_fit_hand_computed(spark):
+    from slowspark.corpus import pack_bins
+
+    # one shard so the fold order is just doc_id order
+    rows = [
+        (1, "a " * 10, "en"),   # 10 tokens -> bin 0 off 0
+        (2, "b " * 40, "en"),   # fits: bin 0 off 10 (fill 50)
+        (3, "c " * 30, "en"),   # 50+30 > 64 -> bin 1 off 0
+        (4, "d " * 80, "en"),   # > 64 -> own bin 2, truncated
+        (5, "e " * 5, "en"),    # bin 2 is full -> bin 3 off 0
+        (6, "", "en"),          # zero tokens: rides bin 3 at off 5
+    ]
+    out = {r["doc_id"]: r for r in pack_bins(
+        _docs(spark, rows), seq_len=64, n_shards=1
+    ).collect()}
+    assert (out[1]["bin_ix"], out[1]["bin_offset"]) == (0, 0)
+    assert (out[2]["bin_ix"], out[2]["bin_offset"]) == (0, 10)
+    assert (out[3]["bin_ix"], out[3]["bin_offset"]) == (1, 0)
+    assert (out[4]["bin_ix"], out[4]["bin_offset"],
+            out[4]["truncated"]) == (2, 0, True)
+    assert (out[5]["bin_ix"], out[5]["bin_offset"]) == (3, 0)
+    assert (out[6]["bin_ix"], out[6]["bin_offset"]) == (3, 5)
+    assert not out[1]["truncated"] and not out[5]["truncated"]
+
+
+def test_pack_bins_invariants_and_determinism(spark):
+    from slowspark.corpus import pack_bins
+
+    rows = [(i, "w " * ((i * 13) % 90 + 1), "en") for i in range(200)]
+    df = _docs(spark, rows)
+    a = pack_bins(df, seq_len=64, n_shards=7).collect()
+    b = pack_bins(df.repartition(13), seq_len=64, n_shards=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-proof
+    assert len(a) == 200  # no silent drops
+    # every non-truncated bin's content fits; offsets are consistent
+    import collections
+
+    by_bin = collections.defaultdict(list)
+    for r in a:
+        by_bin[(r["shard"], r["bin_ix"])].append(r)
+    for rows_ in by_bin.values():
+        rows_.sort(key=lambda r: r["bin_offset"])
+        fill = 0
+        for r in rows_:
+            if r["truncated"]:
+                assert len(rows_) == 1 and r["bin_offset"] == 0
+            else:
+                assert r["bin_offset"] == fill
+                fill += r["n_tokens"]
+        if not rows_[0]["truncated"]:
+            assert fill <= 64
+    # zero-token first doc in a shard opens bin 0, never bin -1
+    z = pack_bins(_docs(spark, [(1, "", "en")]), seq_len=8, n_shards=1)
+    r0 = z.collect()[0]
+    assert (r0["bin_ix"], r0["bin_offset"]) == (0, 0)
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_bins(df, seq_len=0)
