@@ -107,6 +107,7 @@ def run_curation(
     holdout_group: str = "source",
     latest_capture: bool = False,
     delta_old_df: DataFrame | None = None,
+    pack_whole_docs: bool = False,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -287,7 +288,15 @@ def run_curation(
         door, which is the cheapest place a page can be dropped. The
         old snapshot's CONTENT (count + xxhash64 over url+fingerprint)
         joins the resume signature — re-pointing at a different
-        snapshot invalidates every downstream manifest."""
+        snapshot invalidates every downstream manifest.
+      - `pack_whole_docs`: replace concat-chunk packing with
+        whole-document next-fit bin packing (corpus.pack_bins) — no
+        document ever splits across training sequences; over-length
+        docs get a dedicated bin with a `truncated` flag. The packed
+        table's schema becomes (doc_id, shard, n_tokens, bin_ix,
+        bin_offset, truncated). Mutually exclusive with the repetition
+        regimes (`mixture_upsample`/`unimax_budget`) whose packing
+        keys on (doc_id, repeat_ix)."""
     if mixture and sample_rates:
         raise ValueError(
             "run_curation: mixture and sample_rates are mutually exclusive"
@@ -321,6 +330,12 @@ def run_curation(
     if mixture_upsample and not mixture:
         raise ValueError(
             "run_curation: mixture_upsample requires a mixture"
+        )
+    if pack_whole_docs and (mixture_upsample or unimax_budget is not None):
+        raise ValueError(
+            "run_curation: pack_whole_docs is mutually exclusive with "
+            "the repetition regimes (their packing keys on "
+            "(doc_id, repeat_ix))"
         )
     if fuzzy_decontaminate_threshold is not None and eval_df is None:
         raise ValueError(
@@ -458,6 +473,7 @@ def run_curation(
         f"|ho={holdout_frac if holdout_frac is not None else 'off'}"
         f":{holdout_group}"
         f"|lc={int(latest_capture)}|dold={delta_sig}"
+        f"|pwd={int(pack_whole_docs)}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -890,6 +906,15 @@ def run_curation(
             )
 
         out["packed"] = run_stage(spark, cat, "packed", sig, _packed)
+    elif pack_whole_docs:
+        from slowspark.corpus import pack_bins
+
+        out["packed"] = run_stage(
+            spark, cat, "packed", sig,
+            lambda: pack_bins(
+                sampled, seq_len=seq_len, n_tokens_col=pack_tokens_col
+            ),
+        )
     else:
         out["packed"] = run_stage(
             spark, cat, "packed", sig,
@@ -1057,6 +1082,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="after packing, export the sampled corpus as N "
                    "deterministic WARC files under <warehouse>/warc_export "
                    "(sources.write_warc; crawl-tool interchange)")
+    p.add_argument("--pack-whole-docs", action="store_true",
+                   help="pack with whole-document next-fit bins "
+                   "(corpus.pack_bins: no doc ever splits across "
+                   "sequences; over-length docs flagged truncated) "
+                   "instead of concat-chunk")
     p.add_argument("--export-jsonl", type=int, default=None,
                    metavar="N_FILES",
                    help="after packing, export the sampled corpus as N "
@@ -1202,6 +1232,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.delta_old)
                 if args.delta_old else None
             ),
+            pack_whole_docs=args.pack_whole_docs,
         )
         if args.export_warc:
             from slowspark.sources import write_warc
@@ -1254,9 +1285,13 @@ def main(argv: list[str] | None = None) -> int:
                          "holdout_train", "sampled", "packed")
             if name in tables
         }
-        n_seq = tables["packed"].agg(
-            (F.max("seq_id") + 1).alias("n")
-        ).collect()[0]["n"]
+        if args.pack_whole_docs:
+            n_seq = tables["packed"].select("shard", "bin_ix").distinct() \
+                .count()
+        else:
+            n_seq = tables["packed"].agg(
+                (F.max("seq_id") + 1).alias("n")
+            ).collect()[0]["n"]
         summary = {
             "filter_audit": audit,
             "stage_rows": stages,

@@ -1468,3 +1468,40 @@ def test_curation_latest_capture_and_delta_stages(spark, tmp_path):
             spark, docs.drop("url"), str(tmp_path / "wh3"), "test:v1",
             min_words=10, passage_words=200, seq_len=32, delta_old_df=old,
         )
+
+
+def test_curation_pack_whole_docs(spark, tmp_path):
+    import hashlib
+
+    letters = str.maketrans("0123456789", "ghijklmnop")
+    rows = [
+        (i,
+         f"{GOOD_TAIL} " + " ".join(
+             hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8]
+             .translate(letters)
+             for j in range((i * 7) % 30 + 10)),
+         "en")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1",
+        min_words=5, passage_words=200, seq_len=48, pack_whole_docs=True,
+    )
+    packed = tables["packed"].collect()
+    assert packed and {"bin_ix", "bin_offset", "truncated"} <= set(
+        packed[0].asDict()
+    )
+    assert len(packed) == tables["sampled"].count()  # every doc packed
+    # docs never split: each row is a single assignment, offsets within
+    # a non-truncated bin never exceed seq_len
+    for r in packed:
+        if not r["truncated"]:
+            assert r["bin_offset"] + r["n_tokens"] <= 48
+    with pytest.raises(ValueError, match="pack_whole_docs"):
+        run_curation(
+            spark, docs, str(tmp_path / "wh2"), "test:v1",
+            min_words=5, passage_words=200, seq_len=48,
+            pack_whole_docs=True,
+            mixture={"en": 1.0}, mixture_upsample=True,
+        )
