@@ -428,3 +428,43 @@ def test_latest_capture_and_crawl_delta_match_python_reference(
         else:
             want[u] = "changed"
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([
+                "https://x.ex/a", "//cdn.ex/b", "/root/c", "rel/d",
+                "mailto:e@f.g", "", "HTTP://UP.EX/h",
+            ]),
+            st.sampled_from(['', ' class="k"', ' id="z" ']),
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_extract_links_matches_python_re(spark, anchors):
+    import re
+
+    from slowspark.weburl import LINK_HREF_RE, extract_links
+
+    html = "<html><body>" + "".join(
+        f"<a{attrs} href=\"{h}\">t</a>" for h, attrs in anchors
+    ) + "</body></html>"
+    base = "https://base.example.com/dir/p"
+    df = spark.createDataFrame(
+        [(base, html.encode())], "url string, html binary"
+    )
+    got = [(r["href"], r["resolved_url"])
+           for r in extract_links(df).collect()]
+    want = []
+    for h in re.findall(LINK_HREF_RE, html):
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", h):
+            want.append((h, h))
+        elif h.startswith("//"):
+            want.append((h, "https:" + h))
+        elif h.startswith("/"):
+            want.append((h, "https://base.example.com" + h))
+        else:
+            want.append((h, None))
+    assert sorted(got, key=str) == sorted(want, key=str)
