@@ -345,3 +345,50 @@ def test_temperature_mixture_selection_scan_is_narrow(spark):
     plan = _plan(mixture_sample(df, props))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_pagerank_iteration_reuses_edge_partitioning(spark):
+    """The scale property the iterative graph family depends on: the
+    persisted edges⋈outdeg table was shuffled on src ONCE at build; a
+    per-iteration contribution join must re-shuffle only the (tiny)
+    rank table against the cache's preserved hash partitioning — an
+    Exchange on the edge side every round would re-shuffle 10^12 edges
+    per iteration. Plan contract: cache scan present, and at most two
+    Exchanges in the whole iteration step (ranks side + groupBy(dst));
+    a third would be the edge re-shuffle."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        edges = spark.createDataFrame(
+            [(i, (i * 7 + 1) % 40) for i in range(40) if i % 10 != 0],
+            "src long, dst long",
+        )
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("__od"))
+        edges_w = edges.join(out_deg, "src").persist()
+        edges_w.count()
+        ranks = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .withColumn("rank", F.lit(0.025))
+        )
+        step = (
+            edges_w.join(ranks, edges_w["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("__od")).alias("c"))
+        )
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        # the cached relation PRINTS its stored build plan (exchanges
+        # included) under InMemoryRelation — the live region above the
+        # cache is what executes per iteration
+        live = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in live  # the cache is actually used
+        # exactly the groupBy(dst) exchange; an Exchange on src here
+        # would be the 10^12-edge re-shuffle
+        assert live.count("Exchange") == 1, plan
+        assert "Exchange hashpartitioning(src" not in live, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        edges_w.unpersist()
