@@ -108,6 +108,7 @@ def run_curation(
     latest_capture: bool = False,
     delta_old_df: DataFrame | None = None,
     pack_whole_docs: bool = False,
+    quality_sample_k: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -296,7 +297,19 @@ def run_curation(
         table's schema becomes (doc_id, shard, n_tokens, bin_ix,
         bin_offset, truncated). Mutually exclusive with the repetition
         regimes (`mixture_upsample`/`unimax_budget`) whose packing
-        keys on (doc_id, repeat_ix)."""
+        keys on (doc_id, repeat_ix).
+      - `quality_sample_k` (requires `quality_coeffs_df`): SOFT quality
+        selection as the sampling policy — every scrubbed doc gets the
+        classifier's sigmoid score as a sampling WEIGHT and
+        corpus.weighted_sample_k keeps k docs without replacement
+        (Efraimidis-Spirakis, seeded by sample_salt): high-quality docs
+        are strongly preferred but a borderline doc still has
+        proportional probability — the soft alternative to the hard
+        `quality_threshold` cut, which this policy REPLACES (the
+        quality_filtered stage is skipped; thresholding then weighting
+        with the same model would double-count it). Docs the feature
+        pass cannot score (zero tokens) weigh sigmoid(intercept).
+        Mutually exclusive with the other sampling policies."""
     if mixture and sample_rates:
         raise ValueError(
             "run_curation: mixture and sample_rates are mutually exclusive"
@@ -314,14 +327,18 @@ def run_curation(
         x is not None and x is not False and x != {}
         for x in (
             sample_rates or None, mixture or None, dsir_target_df,
-            mixture_temperature, unimax_budget,
+            mixture_temperature, unimax_budget, quality_sample_k,
         )
     )
     if n_policies > 1:
         raise ValueError(
             "run_curation: sample_rates / mixture / dsir_target_df / "
-            "mixture_temperature / unimax_budget are mutually exclusive "
-            "(one sampling policy per run)"
+            "mixture_temperature / unimax_budget / quality_sample_k "
+            "are mutually exclusive (one sampling policy per run)"
+        )
+    if quality_sample_k is not None and quality_coeffs_df is None:
+        raise ValueError(
+            "run_curation: quality_sample_k requires quality_coeffs_df"
         )
     if unimax_epochs != 1.0 and unimax_budget is None:
         raise ValueError(
@@ -473,7 +490,7 @@ def run_curation(
         f"|ho={holdout_frac if holdout_frac is not None else 'off'}"
         f":{holdout_group}"
         f"|lc={int(latest_capture)}|dold={delta_sig}"
-        f"|pwd={int(pack_whole_docs)}"
+        f"|pwd={int(pack_whole_docs)}|qsk={quality_sample_k or 0}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -671,7 +688,7 @@ def run_curation(
         deduped = run_stage(spark, cat, "ppl_filtered", sig, _ppl)
         out["ppl_filtered"] = deduped
 
-    if quality_coeffs_df is not None:
+    if quality_coeffs_df is not None and quality_sample_k is None:
         from slowspark.qualityclf import hashed_text_features, score_documents
 
         def _qclf() -> DataFrame:
@@ -783,7 +800,38 @@ def run_curation(
         )
         out["holdout_train"] = scrubbed
 
-    if dsir_target_df is not None:
+    if quality_sample_k is not None:
+        import math
+
+        from slowspark.corpus import weighted_sample_k
+        from slowspark.qualityclf import (
+            hashed_text_features,
+            score_documents,
+        )
+
+        qs_cols = scrubbed.columns
+
+        def _qsample() -> DataFrame:
+            feats = hashed_text_features(
+                scrubbed, n_buckets=quality_n_buckets
+            )
+            icpt = quality_coeffs_df.filter(F.col("bucket") == -1).collect()
+            b = float(icpt[0]["weight"]) if icpt else 0.0
+            scores = score_documents(
+                feats, quality_coeffs_df.filter(F.col("bucket") >= 0), b
+            ).withColumnRenamed("id", "doc_id")
+            wdf = scrubbed.join(scores, "doc_id", "left").withColumn(
+                "__qw",
+                F.coalesce(
+                    F.col("score"), F.lit(1.0 / (1.0 + math.exp(-b)))
+                ),
+            )
+            return weighted_sample_k(
+                wdf, "__qw", int(quality_sample_k), seed=sample_salt
+            ).select(*qs_cols)
+
+        sampled = run_stage(spark, cat, "sampled", sig, _qsample)
+    elif dsir_target_df is not None:
         from slowspark.dsir import dsir_topk
 
         cols = scrubbed.columns
@@ -1082,6 +1130,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="after packing, export the sampled corpus as N "
                    "deterministic WARC files under <warehouse>/warc_export "
                    "(sources.write_warc; crawl-tool interchange)")
+    p.add_argument("--quality-sample-k", type=int, default=None,
+                   help="soft quality selection as the sampling policy "
+                   "(requires --quality-classifier-coeffs): classifier "
+                   "sigmoid score becomes the sampling weight; keep K "
+                   "docs without replacement (corpus.weighted_sample_k); "
+                   "replaces the hard-threshold quality_filtered stage")
     p.add_argument("--pack-whole-docs", action="store_true",
                    help="pack with whole-document next-fit bins "
                    "(corpus.pack_bins: no doc ever splits across "
@@ -1102,11 +1156,15 @@ def main(argv: list[str] | None = None) -> int:
     n_pol = sum(bool(x) for x in (
         args.sample_rates, args.mixture, args.dsir_target,
         args.mixture_temperature, args.unimax_budget,
+        args.quality_sample_k,
     ))
     if n_pol > 1:
         p.error("--sample-rates/--mixture/--dsir-target/"
-                "--mixture-temperature/--unimax-budget are mutually "
+                "--mixture-temperature/--unimax-budget/"
+                "--quality-sample-k are mutually "
                 "exclusive (one sampling policy per run)")
+    if args.quality_sample_k and not args.quality_classifier_coeffs:
+        p.error("--quality-sample-k requires --quality-classifier-coeffs")
     if args.unimax_epochs != 1.0 and not args.unimax_budget:
         p.error("--unimax-epochs requires --unimax-budget")
     if args.semantic_dedup_embeddings and args.semantic_dedup_cells:
@@ -1233,6 +1291,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.delta_old else None
             ),
             pack_whole_docs=args.pack_whole_docs,
+            quality_sample_k=args.quality_sample_k,
         )
         if args.export_warc:
             from slowspark.sources import write_warc

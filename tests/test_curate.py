@@ -1505,3 +1505,41 @@ def test_curation_pack_whole_docs(spark, tmp_path):
             pack_whole_docs=True,
             mixture={"en": 1.0}, mixture_upsample=True,
         )
+
+
+def test_curation_quality_weighted_sampling(spark, tmp_path):
+    """--quality-sample-k: classifier sigmoid scores become sampling
+    weights; high-scoring docs dominate the k-sample and the hard
+    quality_filtered stage is skipped (one model, one use)."""
+    rows = (
+        [(i, _salad_doc(f"good{i}") + " greatword", "en")
+         for i in range(10)]
+        + [(100 + i, _salad_doc(f"bad{i}") + " awfulword", "en")
+           for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    b_good, b_bad = [
+        spark.createDataFrame([(w,)], "g string")
+        .select(F.pmod(F.xxhash64("g"), F.lit(1 << 15)).alias("b"))
+        .collect()[0]["b"]
+        for w in ("greatword", "awfulword")
+    ]
+    coeffs = spark.createDataFrame(
+        [(int(b_good), 200.0), (int(b_bad), -200.0), (-1, 0.0)],
+        "bucket int, weight double",
+    )
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1",
+        min_words=10, passage_words=200, seq_len=32,
+        quality_coeffs_df=coeffs, quality_sample_k=8,
+    )
+    assert "quality_filtered" not in tables  # soft policy replaces hard cut
+    picked = {r["doc_id"] for r in tables["sampled"].collect()}
+    assert len(picked) == 8
+    # sigmoid(+200) vs sigmoid(-200): good docs win every slot
+    assert picked <= set(range(10))
+    with pytest.raises(ValueError, match="quality_sample_k"):
+        run_curation(
+            spark, docs, str(tmp_path / "wh2"), "test:v1",
+            min_words=10, seq_len=32, quality_sample_k=8,
+        )
