@@ -106,15 +106,24 @@ def hits(
     (PageRank's one score conflates "links to good pages" with "is
     cited"; HITS separates them).
 
-    Scale shape: two shuffle pairs per iteration (one groupBy per
-    direction over the static persisted edge list), two 1-row L2-norm
-    collects (the bounded-scalar idiom, like pagerank's dangling mass);
-    scores persisted per iteration, previous iteration unpersisted."""
+    Scale shape: the edge list is cached TWICE, hash-partitioned on
+    each join key (src for the authority step, dst for the hub step) —
+    two shuffles paid once so that no iteration ever re-exchanges the
+    10^12-edge table; per iteration only the (vertex-sized) score table
+    shuffles into each join, plus the two per-direction groupBys. Two
+    1-row L2-norm collects per round (the bounded-scalar idiom, like
+    pagerank's dangling mass); scores persisted per iteration, the
+    previous round's caches dropped after the lineage cut."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     src = F.col(src_col)
     dst = F.col(dst_col)
-    e = edges.select(src.alias("__s"), dst.alias("__d")).persist()
+    base_e = edges.select(src.alias("__s"), dst.alias("__d"))
+    # one partitioned cached copy per join direction: the per-iteration
+    # joins then reuse the cache's hash partitioning instead of
+    # re-shuffling the edge table every round (plan-pinned)
+    e = base_e.repartition("__s").persist()
+    e_by_d = base_e.repartition("__d").persist()
     vertices = (
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
@@ -122,6 +131,7 @@ def hits(
         .persist()
     )
     vertices.count()
+    e_by_d.count()
     scores = vertices.select(
         "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
     )
@@ -155,9 +165,9 @@ def hits(
             "node", "hub",
             (F.col("authority") / F.lit(an)).alias("authority"),
         )
-        # hubs from the just-updated authorities
+        # hubs from the just-updated authorities (dst-partitioned copy)
         h = (
-            e.join(
+            e_by_d.join(
                 mid_n.select(F.col("node").alias("__d"), "authority"),
                 "__d",
             )
@@ -184,6 +194,7 @@ def hits(
         nxt.unpersist()
 
     e.unpersist()
+    e_by_d.unpersist()
     vertices.unpersist()
     return scores
 

@@ -392,3 +392,37 @@ def test_pagerank_iteration_reuses_edge_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         edges_w.unpersist()
+
+
+def test_hits_iteration_reuses_repartitioned_edge_caches(spark):
+    """hits caches the edge list twice, hash-partitioned per join key —
+    the per-iteration join must reuse that partitioning (exchange only
+    the score side + the per-direction groupBy), never re-shuffle the
+    edge table."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    e = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 40) for i in range(40) if i % 10 != 0],
+        "src long, dst long",
+    ).select(F.col("src").alias("__s"), F.col("dst").alias("__d"))
+    es = e.repartition("__s").persist()
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        es.count()
+        scores = es.select(F.col("__s").alias("node")).distinct() \
+            .withColumn("hub", F.lit(1.0))
+        step = (
+            es.join(scores.select(F.col("node").alias("__s"), "hub"), "__s")
+            .groupBy("__d")
+            .agg(F.sum("hub").alias("a"))
+        )
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        live = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in live
+        # the one live exchange above the cache is the groupBy(__d);
+        # an Exchange on __s would be the per-round edge re-shuffle
+        assert "Exchange hashpartitioning(__s" not in live, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        es.unpersist()
