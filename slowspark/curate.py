@@ -1130,6 +1130,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="after packing, export the sampled corpus as N "
                    "deterministic WARC files under <warehouse>/warc_export "
                    "(sources.write_warc; crawl-tool interchange)")
+    p.add_argument("--respect-noindex", action="store_true",
+                   help="WARC input only: drop pages carrying a meta "
+                   "robots noindex directive at the ingest boundary "
+                   "(weburl.NOINDEX_RE) — the publisher opt-out")
     p.add_argument("--quality-sample-k", type=int, default=None,
                    help="soft quality selection as the sampling policy "
                    "(requires --quality-classifier-coeffs): classifier "
@@ -1165,6 +1169,9 @@ def main(argv: list[str] | None = None) -> int:
                 "exclusive (one sampling policy per run)")
     if args.quality_sample_k and not args.quality_classifier_coeffs:
         p.error("--quality-sample-k requires --quality-classifier-coeffs")
+    if args.respect_noindex and args.input_format != "warc":
+        p.error("--respect-noindex applies to --input-format warc only "
+                "(parquet/jsonl corpora carry no html)")
     if args.unimax_epochs != 1.0 and not args.unimax_budget:
         p.error("--unimax-epochs requires --unimax-budget")
     if args.semantic_dedup_embeddings and args.semantic_dedup_cells:
@@ -1192,6 +1199,17 @@ def main(argv: list[str] | None = None) -> int:
             recs = read_warc(spark, args.input).filter(
                 F.col("warc_type") == "response"
             )
+            if args.respect_noindex:
+                # publisher opt-out honored at the ingest boundary: a
+                # noindexed page never even becomes a document row
+                from slowspark.weburl import NOINDEX_RE
+
+                recs = recs.filter(
+                    ~F.coalesce(
+                        F.decode("payload", "UTF-8").rlike(NOINDEX_RE),
+                        F.lit(False),
+                    )
+                )
             docs = language_id(
                 recs.select(
                     F.xxhash64("url").alias("doc_id"),
@@ -1229,7 +1247,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         tables = run_curation(
             spark, docs, args.warehouse,
-            f"path:{args.input}:{args.input_format}",
+            f"path:{args.input}:{args.input_format}"
+            f":ni={int(args.respect_noindex)}",
             min_words=args.min_words,
             passage_words=args.passage_words,
             max_docs_per_passage=args.max_docs_per_passage,

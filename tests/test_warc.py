@@ -193,3 +193,42 @@ def test_curate_cli_export_warc_round_trips(spark, tmp_path):
         for r in back
     }
     assert got == {i: t for i, t, _ in rows}
+
+
+def test_curate_cli_respects_noindex(spark, tmp_path):
+    """--respect-noindex (WARC input): pages carrying a meta robots
+    noindex directive are dropped at the ingest boundary — they never
+    become document rows; parquet input refuses the flag."""
+    good = ("the quick brown fox jumps over a lazy dog near the old "
+            "mill " + " ".join(f"w{j}" for j in range(20)))
+    rows = [
+        (f"https://example.org/keep/{i}",
+         f"<html><body>{good} k{i}</body></html>".encode())
+        for i in range(4)
+    ] + [
+        (f"https://example.org/drop/{i}",
+         (f'<html><head><meta name="robots" content="noindex"></head>'
+          f"<body>{good} d{i}</body></html>").encode())
+        for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, "url string, payload binary")
+    src = str(tmp_path / "in")
+    write_warc(docs, src, n_files=1)
+    out = _run_curate_cli([
+        "--input", src + "/*.warc.gz", "--input-format", "warc",
+        "--respect-noindex",
+        "--warehouse", str(tmp_path / "wh"), "--min-words", "10",
+        "--seq-len", "32",
+    ])
+    assert out["filter_audit"]["n_docs"] == 4  # the 3 noindexed never enter
+    # wrong input format is refused loudly
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "slowspark.curate", "--master", "local[4]",
+         "--input", "/tmp/x.parquet", "--warehouse", str(tmp_path / "w2"),
+         "--respect-noindex"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode != 0 and "respect-noindex" in r.stderr
