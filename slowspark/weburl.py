@@ -139,29 +139,34 @@ def latest_capture(
     by another name). Complements url_dedup, whose keeper policy is the
     EARLIEST fetch within one crawl.
 
-    Returns the input columns plus `n_captures` (>= 1) on survivors.
+    Returns the input columns plus `n_captures` (>= 1), EXACTLY one row
+    per URL — including the degenerate cases a join-back keeper gets
+    wrong: fully duplicated capture rows (same url+ts+id would match
+    the keeper twice) and same-(url,ts,id) rows with different payloads
+    (ambiguous; the struct comparison breaks the tie deterministically
+    on the remaining columns, never emitting both).
 
-    Scale shape: one shuffle on url into max(struct(ts,id)) + count —
-    map-side combined, so a URL captured in 100 monthly snapshots
-    contributes one partial row per partition — then a join of the
-    keeper keys back to the input (sort-merge on the same url key the
-    aggregate just partitioned by; AQE plans it without a second full
-    exchange of the aggregate side). No window over the corpus, exact
-    for any ts/id domain (max-struct, the substring-dedup keeper
-    lesson)."""
+    Scale shape: ONE shuffle on url — the whole row rides a
+    max(struct(ts, id, <other columns>)) aggregate, map-side combined,
+    so a URL captured in 100 monthly snapshots contributes one
+    candidate ROW per partition and the shuffle volume is
+    output-sized, not input-sized. No window over the corpus, no
+    second scan, exact for any ts/id domain (max-struct, the
+    substring-dedup keeper lesson)."""
+    others = [c for c in df.columns if c not in (url_col, ts_col, id_col)]
     keeper = df.groupBy(url_col).agg(
-        F.max(F.struct(ts_col, id_col)).alias("__k"),
+        F.max(F.struct(ts_col, id_col, *others)).alias("__k"),
         F.count("*").alias("n_captures"),
-    ).select(
+    )
+    return keeper.select(
         url_col,
-        F.col(f"__k.{ts_col}").alias(ts_col),
-        F.col(f"__k.{id_col}").alias(id_col),
+        *[
+            F.col(f"__k.{c}").alias(c)
+            for c in df.columns
+            if c != url_col
+        ],
         "n_captures",
     )
-    # join back on (url, ts, id) — ts included because capture ids need
-    # not be unique per url across snapshots (a refetch can reuse the
-    # page's stable doc id); exactly one input row matches the keeper
-    return df.join(keeper, [url_col, ts_col, id_col], "inner")
 
 
 def crawl_delta(

@@ -266,3 +266,28 @@ def test_noindex_filter(spark):
         noindex_filter(df.drop("html"))
     plan = noindex_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_latest_capture_exact_duplicate_rows_emit_one(spark):
+    """Regression (hypothesis-found): fully duplicated capture rows
+    (same url+ts+id) must consolidate to ONE output row — a join-back
+    keeper matched both; the single-pass max-struct keeper cannot."""
+    from slowspark.weburl import latest_capture
+
+    df = spark.createDataFrame(
+        [("u", 1, 5, "fp"), ("u", 1, 5, "fp"), ("u", 0, 9, "old")],
+        "url string, warc_ts long, doc_id long, fingerprint string",
+    )
+    out = latest_capture(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["warc_ts"], r["doc_id"], r["fingerprint"],
+            r["n_captures"]) == (1, 5, "fp", 3)
+    # ambiguous same-(url,ts,id) different-payload rows: deterministic
+    # single keeper (max over the remaining columns), never both
+    amb = spark.createDataFrame(
+        [("u", 1, 5, "a"), ("u", 1, 5, "b")],
+        "url string, warc_ts long, doc_id long, fingerprint string",
+    )
+    got = latest_capture(amb).collect()
+    assert len(got) == 1 and got[0]["fingerprint"] == "b"
