@@ -3234,6 +3234,52 @@ def _pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins(d, seq_len=64, n_shards=8)
 
 
+def _host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted HITS over the host graph (graph.host_graph +
+    graph.hits(weight_col=...)): hubs = hosts that link out to
+    well-cited hosts, authorities = hosts the web vouches for — the
+    host-level link-farm/citation split. Same unrolled-CTE oracle shape
+    as hits_scores with weighted sums (w * hub / w * authority)."""
+    from slowspark.graph import hits, host_graph
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    n = d.count()
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    linkers = d.filter(F.col("doc_id") % 10 != 0)
+    pe = None
+    for k, c in ((7, 1), (13, 5)):
+        j = (
+            linkers.select(
+                "doc_id", ((F.col("doc_id") * k + c) % n).alias("__dst_id")
+            )
+            .filter(F.col("doc_id") != F.col("__dst_id"))
+            .join(
+                pages.select(
+                    F.col("doc_id").alias("__dst_id"),
+                    F.col("url").alias("dst"),
+                ),
+                "__dst_id",
+            )
+            .join(
+                pages.select("doc_id", F.col("url").alias("src")), "doc_id"
+            )
+            .select("src", "dst")
+        )
+        pe = j if pe is None else pe.unionByName(j)
+    s = hits(host_graph(pe), n_iter=3, weight_col="weight")
+    return s.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card (corpus.dataset_card): the per-language audit table
     — doc/source/token tallies, length envelope, exact-duplicate mass —
@@ -3408,6 +3454,7 @@ _PRIORITY_QUERIES: "list[str]" = [
     "personalized_pagerank",
     "host_pagerank",
     "pack_bins",
+    "host_hits",
 ]
 
 
@@ -3504,6 +3551,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": _personalized_pagerank,
         "host_pagerank": _host_pagerank,
         "pack_bins": _pack_bins,
+        "host_hits": _host_hits,
         "mixture_sample": _mixture_sample,
         "repeat_upsample": _repeat_upsample,
         "exact_k_sample": _exact_k_sample,
@@ -3639,17 +3687,25 @@ def _pagerank_oracle(
         """
 
 
-def _hits_oracle(n_iter: int = 3) -> str:
+def _hits_oracle(
+    n_iter: int = 3,
+    edges_sql: str | None = None,
+    weighted: bool = False,
+) -> str:
     """Unrolled HITS CTE chain mirroring graph.hits's IEEE double ops:
     s0 = all-ones; per round, raw authorities = sum of source hubs,
     divided PER VALUE by the L2 norm (divide-then-sum order, matching
     Spark), then raw hubs = sum of normalized dest authorities, same
     per-value normalization. 6dp rounding contract."""
     zero = "CAST(0 AS DOUBLE)"
+    a_term = "e.w * s{k}.hub" if weighted else "s{k}.hub"
+    h_term = "e.w * mn.authority" if weighted else "mn.authority"
     iters = []
     for k in range(n_iter):
+        a_t = a_term.format(k=k)
+        h_t = h_term.format(k=k)
         iters.append(f"""
-            a{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(s{k}.hub) AS a
+            a{k} AS MATERIALIZED (SELECT e.dst AS node, SUM({a_t}) AS a
                      FROM e JOIN s{k} ON s{k}.node = e.src GROUP BY e.dst),
             m{k} AS MATERIALIZED (SELECT v.node, s.hub,
                             COALESCE(a{k}.a, {zero}) AS authority
@@ -3659,7 +3715,7 @@ def _hits_oracle(n_iter: int = 3) -> str:
             mn{k} AS MATERIALIZED (SELECT node, hub,
                              authority / (SELECT n FROM an{k}) AS authority
                       FROM m{k}),
-            h{k} AS MATERIALIZED (SELECT e.src AS node, SUM(mn.authority) AS h
+            h{k} AS MATERIALIZED (SELECT e.src AS node, SUM({h_t}) AS h
                      FROM e JOIN mn{k} mn ON mn.node = e.dst
                      GROUP BY e.src),
             n{k} AS MATERIALIZED (SELECT v.node, COALESCE(h{k}.h, {zero}) AS hub,
@@ -3671,7 +3727,7 @@ def _hits_oracle(n_iter: int = 3) -> str:
                                 authority
                          FROM n{k})""")
     return f"""
-            WITH {_LINK_EDGES_SQL},
+            WITH {edges_sql if edges_sql is not None else _LINK_EDGES_SQL},
             v AS MATERIALIZED (SELECT DISTINCT node FROM
                   (SELECT src AS node FROM e
                    UNION ALL SELECT dst FROM e)),
@@ -4406,6 +4462,7 @@ def oracle_sql() -> dict[str, str]:
             FROM rec
         """,
         "hits_scores": _hits_oracle(),
+        "host_hits": _hits_oracle(edges_sql=_HOST_EDGES_SQL, weighted=True),
         # same synthesis; survivors = docs whose meta is absent/benign
         "noindex_filter": r"""
             SELECT doc_id FROM documents

@@ -91,12 +91,19 @@ def hits(
     n_iter: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """HITS (Kleinberg 1999) hubs-and-authorities over an edge list, as
     n_iter rounds of DataFrame joins: per iteration
 
         auth(v) = sum_{u->v} hub(u)      then L2-normalized
         hub(u)  = sum_{u->v} auth(v)     then L2-normalized
+
+    With `weight_col` (e.g. host_graph's page counts) the sums are
+    weighted — auth(v) = sum w(u,v)*hub(u), hub(u) = sum
+    w(u,v)*auth(v) — the standard weighted-HITS variant; non-positive
+    weights raise in-projection (the pagerank guard), all-ones weights
+    equal the unweighted run (pinned differential).
 
     (the standard update order: authorities from CURRENT hubs, hubs
     from the JUST-UPDATED authorities). Returns (node, hub, authority)
@@ -118,7 +125,19 @@ def hits(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     src = F.col(src_col)
     dst = F.col(dst_col)
-    base_e = edges.select(src.alias("__s"), dst.alias("__d"))
+    if weight_col is not None:
+        w = F.when(
+            F.col(weight_col) <= 0,
+            F.raise_error(F.lit(
+                f"hits: non-positive {weight_col} — a weighted edge "
+                f"must carry positive endorsement"
+            )),
+        ).otherwise(F.col(weight_col))
+        base_e = edges.select(
+            src.alias("__s"), dst.alias("__d"), w.alias("__w")
+        )
+    else:
+        base_e = edges.select(src.alias("__s"), dst.alias("__d"))
     # one partitioned cached copy per join direction: the per-iteration
     # joins then reuse the cache's hash partitioning instead of
     # re-shuffling the edge table every round (plan-pinned)
@@ -146,10 +165,15 @@ def hits(
     for _ in range(n_iter):
         prev = scores
         # authorities from current hubs
+        a_expr = (
+            F.col("__w") * F.col("hub")
+            if weight_col is not None
+            else F.col("hub")
+        )
         a = (
             e.join(prev.select(F.col("node").alias("__s"), "hub"), "__s")
             .groupBy("__d")
-            .agg(F.sum("hub").alias("__a"))
+            .agg(F.sum(a_expr).alias("__a"))
         )
         mid = (
             vertices.join(prev.select("node", "hub"), "node")
@@ -166,13 +190,18 @@ def hits(
             (F.col("authority") / F.lit(an)).alias("authority"),
         )
         # hubs from the just-updated authorities (dst-partitioned copy)
+        h_expr = (
+            F.col("__w") * F.col("authority")
+            if weight_col is not None
+            else F.col("authority")
+        )
         h = (
             e_by_d.join(
                 mid_n.select(F.col("node").alias("__d"), "authority"),
                 "__d",
             )
             .groupBy("__s")
-            .agg(F.sum("authority").alias("__h"))
+            .agg(F.sum(h_expr).alias("__h"))
         )
         nxt = (
             vertices.join(mid_n.select("node", "authority"), "node")

@@ -310,3 +310,35 @@ def test_host_graph_collapses_and_drops_self(spark):
     assert out == {("a.ex", "b.ex"): 2, ("b.ex", "a.ex"): 1}
     kept = host_graph(e, drop_self=False).count()
     assert kept == 3  # self edge kept when asked
+
+
+def test_weighted_hits_hand_and_unit_weight_differential(spark):
+    import math
+
+    from slowspark.graph import hits
+
+    # A->B w=3, A->C w=1, one iteration:
+    # raw auth: B=3, C=1 -> norm sqrt(10); hub(A) = 3*a(B)+1*a(C)
+    we = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1)], "src long, dst long, w long"
+    )
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(we, n_iter=1, weight_col="w").collect()}
+    s10 = math.sqrt(10)
+    assert got[2][1] == pytest.approx(3 / s10)
+    assert got[3][1] == pytest.approx(1 / s10)
+    raw_hub_a = 3 * (3 / s10) + 1 * (1 / s10)
+    assert got[1][0] == pytest.approx(raw_hub_a / abs(raw_hub_a))  # only hub
+    # all-ones weights == unweighted
+    pairs = [(s, d) for s, d in
+             [(i, (i * 7 + 1) % 30) for i in range(30)] if s != d]
+    e = _edges(spark, pairs)
+    ew = e.withColumn("w", F.lit(1).cast("long"))
+    uni = {x["node"]: (round(x["hub"], 9), round(x["authority"], 9))
+           for x in hits(e, n_iter=3).collect()}
+    wtd = {x["node"]: (round(x["hub"], 9), round(x["authority"], 9))
+           for x in hits(ew, n_iter=3, weight_col="w").collect()}
+    assert uni == wtd
+    bad = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    with pytest.raises(Exception, match="non-positive"):
+        hits(bad, n_iter=1, weight_col="w")
