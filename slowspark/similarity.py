@@ -39,6 +39,30 @@ def _norm(a: str):
     )
 
 
+def _combine_lloyd_partials(parts: DataFrame, key_cols: list[str], dim: int) -> DataFrame:
+    """Distributed combine of per-partition Lloyd partial sums: groupBy the
+    cell key(s), fold the dim-length `vsum` arrays element-wise (zip_with
+    addition), sum the counts. The fold visits partials in ascending
+    partition-id order (array_sort on the (pid, vsum) struct), so the float
+    summation order is the SAME as the old driver-side partition-order loop
+    — deterministic regardless of shuffle arrival order. The driver then
+    collects exactly one row per non-empty cell: O(k), invariant in
+    partition count (the old collect grew as k x n_partitions — a driver
+    OOM at the documented production shape of 10^5-10^6 centroids x
+    10^3-10^4 partitions)."""
+    return parts.groupBy(*key_cols).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pid", "vsum"))),
+                lambda s: s["vsum"],
+            ),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("vsum"),
+        F.sum("cnt").alias("cnt"),
+    )
+
+
 def with_cosine(df: DataFrame, vec_col: str, query: list[float], out: str = "cosine") -> DataFrame:
     """Cosine similarity of every row's vec_col against a constant query
     vector (literal array -> broadcast to every task, no join)."""
@@ -249,9 +273,11 @@ def ivf_train(
     """Deterministic IVF training: seed centroids = hash-sampled corpus rows
     (ids whose xxhash64 lands lowest — stable, no rand()), then `lloyd_iters`
     rounds of spherical k-means. Each round is ONE narrow pass: per-partition
-    partial (cell -> sum_vec, count) via mapInPandas, combined on the driver
-    (n_centroids x n_partitions tiny rows) — no per-dimension explode
-    shuffle. Returns the centroid matrix (n_centroids x dim, L2-normalized).
+    partial (cell -> sum_vec, count) via mapInPandas, then a DISTRIBUTED
+    groupBy("cell") element-wise array-sum combine — the driver collects
+    exactly <=k centroid rows regardless of partition count (no
+    k x n_partitions driver materialization). Returns the centroid matrix
+    (n_centroids x dim, L2-normalized).
     """
     sample = (
         corpus.select(id_col, vec_col)
@@ -282,6 +308,9 @@ def ivf_train(
         cur = cmat  # rebind for closure
 
         def partial(batches, cur=cur, k=k, dim=dim, normalize=normalize):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
             sums = np.zeros((k, dim))
             counts = np.zeros(k, dtype=np.int64)
             # argmin ||x-c||^2 == argmax (x.c - 0.5*|c|^2); the bias term
@@ -297,17 +326,21 @@ def ivf_train(
                 cells = np.argmax(m @ cur.T - bias, axis=1)
                 np.add.at(sums, cells, m)
                 np.add.at(counts, cells, 1)
+            nz = counts > 0  # sparse partials: skip untouched cells
             yield pd.DataFrame({
-                "cell": np.arange(k, dtype=np.int32),
-                "vsum": [row.tolist() for row in sums],
-                "cnt": counts,
+                "pid": np.full(int(nz.sum()), pid, dtype=np.int32),
+                "cell": np.arange(k, dtype=np.int32)[nz],
+                "vsum": [row.tolist() for row in sums[nz]],
+                "cnt": counts[nz],
             })
 
-        parts = (
-            corpus.select(vec_col)
-            .mapInPandas(partial, schema="cell int, vsum array<double>, cnt long")
-            .collect()
-        )
+        parts = _combine_lloyd_partials(
+            corpus.select(vec_col).mapInPandas(
+                partial, schema="pid int, cell int, vsum array<double>, cnt long"
+            ),
+            ["cell"],
+            dim,
+        ).collect()  # <=k rows, partition-count-invariant
         sums = np.zeros((k, dim))
         counts = np.zeros(k, dtype=np.int64)
         for r in parts:
@@ -687,6 +720,9 @@ def pq_train(
         cur = books.copy()
 
         def partial(batches, cur=cur):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
             sums = np.zeros((m, k, dsub))
             counts = np.zeros((m, k), dtype=np.int64)
             # argmin ||x-c||^2 == argmax (x.c - 0.5|c|^2)
@@ -704,19 +740,26 @@ def pq_train(
                     np.add.at(sums[j], cells, sub)
                     np.add.at(counts[j], cells, 1)
             jj, cc = np.meshgrid(np.arange(m), np.arange(k), indexing="ij")
+            nz = (counts > 0).ravel()  # sparse partials: skip untouched cells
+            flat = sums.reshape(m * k, dsub)
             yield pd.DataFrame({
-                "j": jj.ravel().astype("int32"),
-                "cell": cc.ravel().astype("int32"),
-                "vsum": [row.tolist() for row in sums.reshape(m * k, dsub)],
-                "cnt": counts.ravel(),
+                "pid": np.full(int(nz.sum()), pid, dtype=np.int32),
+                "j": jj.ravel().astype("int32")[nz],
+                "cell": cc.ravel().astype("int32")[nz],
+                "vsum": [row.tolist() for row in flat[nz]],
+                "cnt": counts.ravel()[nz],
             })
 
-        parts = (
+        parts = _combine_lloyd_partials(
             corpus.select(vec_col)
             .filter(F.col(vec_col).isNotNull())
-            .mapInPandas(partial, schema="j int, cell int, vsum array<double>, cnt long")
-            .collect()
-        )
+            .mapInPandas(
+                partial,
+                schema="pid int, j int, cell int, vsum array<double>, cnt long",
+            ),
+            ["j", "cell"],
+            dsub,
+        ).collect()  # <=m*k rows, partition-count-invariant
         sums = np.zeros((m, k, dsub))
         counts = np.zeros((m, k), dtype=np.int64)
         for r in parts:
