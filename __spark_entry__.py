@@ -761,7 +761,9 @@ def _entries_parquet(spark: SparkSession, sf_dir: str) -> str:
     if path not in _ENTRIES_WRITTEN:
         cols = ["url", "entry_kind", "sql_type", "fingerprint", "query_time",
                 "lock_time", "rows_sent", "rows_examined",
-                "admin_command", "log_meta", "objects"]
+                "admin_command", "log_meta", "objects",
+                # r8: comment/context/masking census columns (VERDICT r7 #2)
+                "statement", "comment_kv", "context"]
         entries = parse_pages(
             gen_pages(spark, _n_pages_for(spark, sf_dir)), columns=cols
         )
@@ -876,6 +878,60 @@ def _log_meta_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+def _comment_context_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment/context/masking census (SURVEY §2.1 #12-13/#20/#27; reference
+    src/parser.rs:341-391, src/codec.rs:402-423, src/lib.rs:93-105) — the
+    last three §2.1 semantics previously pinned only by pytest. One facet
+    row per:
+
+    - ``kv:<key>``  — details-comment key histogram (explode comment_kv),
+      nd = distinct values for that key;
+    - ``ctx:<field>`` — non-null count + distinct count per
+      map_comment_context output field (request_id/caller/function/line);
+    - ``mask:changed`` — rows whose statement the EntryMasking
+      'placeholder' switch (parse.mask_statements) rewrites, nd = distinct
+      masked renderings;
+    - ``mask:sql_eq_fp`` — SqlStatement rows whose masked statement equals
+      the fingerprint (must be ALL of them: pins the switch exactly).
+
+    The DuckDB oracle derives the masked statement independently via CASE,
+    so the library projection's semantics sit inside the value hash."""
+    from slowspark.parse import mask_statements
+
+    e = spark.read.parquet(_entries_parquet(spark, sf_dir))
+    masked = mask_statements(e.withColumn("raw_stmt", F.col("statement")))
+    kv = (
+        e.select(F.explode("comment_kv").alias("k", "v"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.countDistinct("v").alias("nd"))
+        .select(F.concat(F.lit("kv:"), F.col("k")).alias("facet"), "n", "nd")
+    )
+    ctx_parts = [
+        e.agg(
+            F.count(F.col(f"context.{f}")).alias("n"),
+            F.countDistinct(F.col(f"context.{f}")).alias("nd"),
+        ).select(F.lit(f"ctx:{f}").alias("facet"), "n", "nd")
+        for f in ("request_id", "caller", "function", "line")
+    ]
+    mask_changed = (
+        masked.filter(~F.col("statement").eqNullSafe(F.col("raw_stmt")))
+        .agg(F.count("*").alias("n"), F.countDistinct("statement").alias("nd"))
+        .select(F.lit("mask:changed").alias("facet"), "n", "nd")
+    )
+    mask_eq = (
+        masked.filter(
+            (F.col("entry_kind") == "SqlStatement")
+            & F.col("statement").eqNullSafe(F.col("fingerprint"))
+        )
+        .agg(F.count("*").alias("n"), F.countDistinct("statement").alias("nd"))
+        .select(F.lit("mask:sql_eq_fp").alias("facet"), "n", "nd")
+    )
+    out = kv
+    for part in ctx_parts + [mask_changed, mask_eq]:
+        out = out.unionByName(part)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -3430,31 +3486,18 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the stable registry rotated by a per-round offset. Bump _ROUND each
 # round; the offset advances 25 slots/round, so a 69-entry stable tail
 # fully cycles through the ~45-slot window in 3 rounds.
-_ROUND = 7
+_ROUND = 8
 
 _PRIORITY_QUERIES: "list[str]" = [
-    # never driver-checked before r7 (were past the 50-cap in r6):
-    "incremental_simhash_near_dups",
+    # new this round (r7 verdict #2: comment/context/masking census):
+    "comment_context_census",
+    # code changed this round (distributed Lloyd combine in the ANN
+    # trainers — re-check every query that trains through them):
+    "ivf_ann_topk",
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
     "ivfpq_batch_ann_topk",
-    # changed this round (oracle cast fix r6 verdict #1):
-    "bpe_merges",
-    # new this round:
-    "temperature_mixture",
-    "unimax_sample",
-    "warc_roundtrip",
-    "holdout_split",
-    "crawl_delta",
-    "link_degrees",
-    "pagerank",
-    "connected_components",
-    "dataset_card",
-    "hits_scores",
-    "html_links",
-    "noindex_filter",
-    "personalized_pagerank",
-    "host_pagerank",
-    "pack_bins",
-    "host_hits",
+    "semdedup_pairs",
 ]
 
 
@@ -3558,6 +3601,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "tfidf_pairs": _tfidf_pairs,
         "kind_census": _kind_census,
+        "comment_context_census": _comment_context_census,
         # priority-block members (popped into the front by queries())
         "incremental_simhash_near_dups": _incremental_simhash_near_dups,
         "ivfpq_batch_ann_topk": _ivfpq_batch_ann_topk,
@@ -4861,6 +4905,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/entries/*.parquet')
             GROUP BY log_meta.version, log_meta.tcp_port
+        """,
+        "comment_context_census": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{_ORACLE_ENTRIES_BASE}/sf0.01/entries/*.parquet')
+            ),
+            m AS (
+                SELECT *, CASE WHEN entry_kind = 'SqlStatement'
+                               THEN fingerprint ELSE statement END AS masked
+                FROM e
+            )
+            SELECT 'kv:' || u.unnest.key AS facet, count(*) AS n,
+                   count(DISTINCT u.unnest.value) AS nd
+            FROM (SELECT unnest(map_entries(comment_kv)) AS unnest
+                  FROM e WHERE comment_kv IS NOT NULL) u
+            GROUP BY 1
+            UNION ALL SELECT 'ctx:request_id', count(context.request_id),
+                   count(DISTINCT context.request_id) FROM e
+            UNION ALL SELECT 'ctx:caller', count(context.caller),
+                   count(DISTINCT context.caller) FROM e
+            UNION ALL SELECT 'ctx:function', count(context."function"),
+                   count(DISTINCT context."function") FROM e
+            UNION ALL SELECT 'ctx:line', count(context.line),
+                   count(DISTINCT context.line) FROM e
+            UNION ALL SELECT 'mask:changed', count(*), count(DISTINCT masked)
+            FROM m WHERE masked IS DISTINCT FROM statement
+            UNION ALL SELECT 'mask:sql_eq_fp', count(*), count(DISTINCT masked)
+            FROM m WHERE entry_kind = 'SqlStatement'
+              AND masked IS NOT DISTINCT FROM fingerprint
         """,
         "domain_rollup": f"""
             SELECT coalesce(regexp_extract(url, '^https?://([^/]+)/', 1), '') AS domain,

@@ -130,17 +130,27 @@ def parse_pages(
     )
     out = pages.select(*in_cols).mapInPandas(fn, schema=schema_no_id)
     if masking == "placeholder" and "statement" in out_cols:
-        out = out.withColumn(
-            "statement",
-            F.when(
-                F.col("entry_kind") == "SqlStatement", F.col("fingerprint")
-            ).otherwise(F.col("statement")),
-        )
+        out = mask_statements(out)
         if forced_cols:
             out = out.drop(*sorted(forced_cols))
     # deterministic entry id: hash of natural keys, never rand()/uuid()
     # (reruns and checkpoint resumes must produce identical tables)
     return out.withColumn("entry_id", F.xxhash64("url", "entry_index"))
+
+
+def mask_statements(entries: DataFrame) -> DataFrame:
+    """The EntryMasking 'placeholder' switch as a standalone projection
+    (reference /root/reference/src/lib.rs:93-105 + mask_tokens rendering,
+    src/parser.rs:559-581): SqlStatement rows' ``statement`` becomes the
+    masked ``fingerprint`` rendering; every other entry kind keeps its raw
+    statement. Pure JVM-side CASE — no re-parse — so it can be applied to
+    already-materialized entry tables as well as inline in parse_pages."""
+    return entries.withColumn(
+        "statement",
+        F.when(
+            F.col("entry_kind") == "SqlStatement", F.col("fingerprint")
+        ).otherwise(F.col("statement")),
+    )
 
 
 def split_errors(entries: DataFrame) -> tuple[DataFrame, DataFrame]:
