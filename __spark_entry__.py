@@ -3179,6 +3179,13 @@ def _html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doc_id") % 11 == 0,
                     F.lit('<a href="rel/path">four</a>'),
                 ).otherwise(F.lit("")),
+                # uppercase-markup anchor (older HTML): the extractor is
+                # case-insensitive (ADVICE r7) — inside the hash
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.lit('<A CLASS="y" HREF="https://up.example.org/u/'),
+                             i, F.lit('">five</A>')),
+                ).otherwise(F.lit("")),
                 F.lit("</body></html>"),
             ),
             "UTF-8",
@@ -3498,6 +3505,10 @@ _PRIORITY_QUERIES: "list[str]" = [
     "ivfpq_ann_topk",
     "ivfpq_batch_ann_topk",
     "semdedup_pairs",
+    # ADVICE r7 fixes (case-insensitive href regex + uppercase-anchor
+    # fixture; crawl_delta presence markers):
+    "html_links",
+    "crawl_delta",
 ]
 
 
@@ -4540,13 +4551,17 @@ def oracle_sql() -> dict[str, str]:
                        || CASE WHEN doc_id % 11 = 0
                                THEN '<a href="rel/path">four</a>'
                                ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN '<A CLASS="y" HREF="https://up.example.org/u/'
+                                    || CAST(doc_id AS VARCHAR)
+                                    || '">five</A>' ELSE '' END
                        || '</body></html>' AS html
                 FROM documents
             ),
             links AS (
                 SELECT url,
                        unnest(regexp_extract_all(
-                           html, '<a\s[^>]*href="([^"]*)"', 1)) AS href
+                           html, '(?is)<a\s[^>]*href="([^"]*)"', 1)) AS href
                 FROM pages
             )
             SELECT url, href,

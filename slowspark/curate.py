@@ -1212,12 +1212,32 @@ def main(argv: list[str] | None = None) -> int:
                 )
             docs = language_id(
                 recs.select(
-                    F.xxhash64("url").alias("doc_id"),
+                    # doc_id is per CAPTURE, not per URL: multi-snapshot
+                    # crawls normally carry several responses for the same
+                    # URL, and a url-only hash would silently collide the
+                    # md5(doc_id) samplers and (doc_id, repeat_ix) packing
+                    # keys downstream (ADVICE r7)
+                    F.xxhash64("url", F.col("warc_ts").cast("string"))
+                    .alias("doc_id"),
                     "url",
                     F.col("warc_ts"),
                     F.decode("payload", "UTF-8").alias("text"),
                 )
             ).withColumnRenamed("lang_pred", "lang").drop("lang_score")
+            if not args.latest_capture:
+                # same url AND same warc_ts is genuinely ambiguous input —
+                # fail loudly with the flag that consolidates captures
+                dup = (
+                    docs.groupBy("doc_id").count()
+                    .filter(F.col("count") > 1).limit(1).collect()
+                )
+                if dup:
+                    raise SystemExit(
+                        "curate: duplicate doc_id after WARC ingest (same "
+                        "url + warc_ts captured more than once). Pass "
+                        "--latest-capture to consolidate captures per URL, "
+                        "or dedupe the WARC input."
+                    )
         elif args.input_format == "jsonl":
             from slowspark.sources import read_jsonl
 

@@ -98,11 +98,13 @@ def _parse_warc_blob(blob: bytes, path: str):
             )
         lines = blob[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
         headers: dict = {}
-        for line in lines[1:]:
+        norm: dict = {}  # ISO 28500 field names are case-insensitive;
+        for line in lines[1:]:  # keep the raw map for round-trip fidelity
             k, _, v = line.partition(":")
             headers[k.strip()] = v.strip()
+            norm[k.strip().lower()] = v.strip()
         try:
-            length = int(headers["Content-Length"])
+            length = int(norm["content-length"])
         except (KeyError, ValueError):
             raise ValueError(
                 f"read_warc: {path}: record at {pos} lacks a numeric "
@@ -115,17 +117,17 @@ def _parse_warc_blob(blob: bytes, path: str):
                 f"(wants {length} bytes, {n - body_start} left)"
             )
         ts = None
-        if headers.get("WARC-Date"):
+        if norm.get("warc-date"):
             try:
                 ts = datetime.strptime(
-                    headers["WARC-Date"], "%Y-%m-%dT%H:%M:%SZ"
+                    norm["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
                 ).replace(tzinfo=timezone.utc)
             except ValueError:
                 ts = None
         yield (
             ix,
-            headers.get("WARC-Type"),
-            headers.get("WARC-Target-URI"),
+            norm.get("warc-type"),
+            norm.get("warc-target-uri"),
             ts,
             headers,
             blob[body_start : body_start + length],
@@ -364,10 +366,20 @@ def write_jsonl(
         return v
 
     data_cols = [c for c in df.columns]
+    # Arrow->pandas promotes nullable Spark ints to float64 (1 -> 1.0) and
+    # null timestamps to NaT; both break the lossless FAILFAST round-trip
+    # (floats fail the declared int schema, NaN/NaT are not JSON). Restore
+    # integer dtype via pandas nullable Int64 and null out every NA before
+    # serializing (ADVICE r7).
+    int_cols = [c for c, t in df.dtypes
+                if t in ("tinyint", "smallint", "int", "bigint")]
 
     def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ix = int(key[0])
         pdf = pdf.sort_values(id_col, kind="mergesort")
+        for c in int_cols:
+            pdf[c] = pdf[c].astype("Int64")
+        pdf = pdf.astype(object).where(pdf.notna(), None)
         fpath = os.path.join(path, f"part-{ix:05d}{ext}")
         lines = []
         for _, row in pdf.iterrows():

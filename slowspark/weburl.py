@@ -191,19 +191,38 @@ def crawl_delta(
     url by contract, so this is a co-partitioned sort-merge join with no
     fan-out and no skew (url is the unique key; hot HOSTS do not
     concentrate because the key is the full url). Status is a narrow
-    codegen CASE over null-ness + fingerprint equality; no UDF, no
-    window, no driver state."""
+    codegen CASE over explicit per-side PRESENCE markers (lit(True)
+    columns — NOT fingerprint null-ness, which would misclassify a
+    present row carrying a NULL fingerprint; ADVICE r7) plus fingerprint
+    equality; a NULL fingerprint on a present row raises at execution
+    time (raise_error branch — the bad-input guard, zero extra actions;
+    the holdout_split null-group convention). No UDF, no window, no
+    driver state."""
     o = old_df.select(
-        F.col(url_col).alias("url"), F.col(fp_col).alias("old_fp")
+        F.col(url_col).alias("url"),
+        F.col(fp_col).alias("old_fp"),
+        F.lit(True).alias("__in_old"),
     )
     n = new_df.select(
-        F.col(url_col).alias("url"), F.col(fp_col).alias("new_fp")
+        F.col(url_col).alias("url"),
+        F.col(fp_col).alias("new_fp"),
+        F.lit(True).alias("__in_new"),
     )
     j = o.join(n, "url", "full_outer")
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+    bad = F.raise_error(
+        F.concat(
+            F.lit(f"crawl_delta: NULL {fp_col} for present url "),
+            F.col("url"),
+        )
+    ).cast("string")
     return j.select(
         "url",
-        F.when(F.col("old_fp").isNull(), F.lit("new"))
-        .when(F.col("new_fp").isNull(), F.lit("gone"))
+        F.when(in_old & F.col("old_fp").isNull(), bad)
+        .when(in_new & F.col("new_fp").isNull(), bad)
+        .when(~in_old, F.lit("new"))
+        .when(~in_new, F.lit("gone"))
         .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("status"),
@@ -215,8 +234,10 @@ def crawl_delta(
 # href of an anchor tag: double-quoted attribute, the dominant form in
 # real markup; single-quoted/bare attributes are rare enough that crawl
 # pipelines (and this operator) accept the miss rather than pay a
-# full HTML parser per page
-LINK_HREF_RE = r'<a\s[^>]*href="([^"]*)"'
+# full HTML parser per page. Case-insensitive ((?is), the NOINDEX_RE
+# convention): '<A HREF="...">' in older/uppercase markup is inside the
+# double-quoted coverage contract (ADVICE r7).
+LINK_HREF_RE = r'(?is)<a\s[^>]*href="([^"]*)"'
 
 
 def extract_links(

@@ -52,6 +52,43 @@ def test_jsonl_round_trip_and_determinism(spark, tmp_path):
     assert ids == sorted(ids)
 
 
+def test_jsonl_null_round_trip_keeps_int_types(spark, tmp_path):
+    """Nullable numeric/timestamp columns round-trip losslessly (ADVICE
+    r7): Arrow promotes int-with-null to float64 (1 -> 1.0) and null
+    timestamps to NaT — the writer must serialize ints as ints and every
+    NA as JSON null, or the declared-schema FAILFAST read blows up."""
+    import json
+
+    rows = [
+        ("a", 1, 1.5, "2024-01-02T03:04:05"),
+        ("b", None, None, None),
+        ("c", 7, 0.25, "2024-06-07T08:09:10"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "doc_id string, n int, x double, t string"
+    ).withColumn("t", F.to_timestamp("t"))
+    out = str(tmp_path / "nulls")
+    write_jsonl(df, out, n_files=1)
+    blob = gzip.decompress(
+        open(glob.glob(os.path.join(out, "*.jsonl.gz"))[0], "rb").read()
+    ).decode()
+    objs = {json.loads(line)["doc_id"]: json.loads(line)
+            for line in blob.splitlines()}
+    assert objs["a"]["n"] == 1 and "1.0" not in blob.split("\n")[0]
+    assert objs["b"]["n"] is None and objs["b"]["x"] is None
+    assert objs["b"]["t"] is None
+    assert "NaN" not in blob and "NaT" not in blob
+    back = read_jsonl(
+        spark, os.path.join(out, "*.jsonl.gz"),
+        schema="doc_id string, n int, x double, t string",
+    )
+    got = {r["doc_id"]: r for r in back.collect()}
+    assert got["a"]["n"] == 1 and got["c"]["n"] == 7
+    assert got["b"]["n"] is None and got["b"]["x"] is None
+
+
 def test_jsonl_stale_parts_cleared_and_uncompressed(spark, tmp_path):
     out = str(tmp_path / "ds")
     write_jsonl(_docs(spark), out, n_files=6)

@@ -74,6 +74,31 @@ def test_warc_uncompressed_and_validation(spark, tmp_path):
         write_warc(docs, out, n_files=0)
 
 
+def test_warc_reader_accepts_lowercase_headers(spark, tmp_path):
+    """ISO 28500 field names are case-insensitive — a spec-valid
+    third-party WARC with 'content-length:' / 'warc-type:' must parse
+    (ADVICE r7). The raw header map keeps the original casing."""
+    body = b"hello lowercase"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"warc-type: response\r\n"
+        b"WARC-TARGET-URI: https://example.org/lc\r\n"
+        b"warc-date: 2024-03-04T05:06:07Z\r\n"
+        b"content-length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    p = tmp_path / "lc.warc"
+    p.write_bytes(rec)
+    rows = read_warc(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["warc_type"] == "response"
+    assert r["url"] == "https://example.org/lc"
+    assert r["warc_ts"] is not None and r["warc_ts"].year == 2024
+    assert bytes(r["payload"]) == body
+    assert r["headers"]["warc-type"] == "response"  # raw casing kept
+
+
 def test_warc_reader_rejects_torn_files(spark, tmp_path):
     # truncated payload must raise, not silently shorten the corpus
     p = tmp_path / "bad.warc"
@@ -161,6 +186,60 @@ def test_curate_cli_reads_warc_input(spark, tmp_path):
     assert out["filter_audit"]["n_docs"] == 8
     assert out["stage_rows"]["filtered"] == 6  # the 2 short docs dropped
     assert out["stage_rows"]["packed"] == 6
+
+
+def test_curate_cli_warc_multi_capture_doc_ids(spark, tmp_path):
+    """Multi-snapshot crawls carry several captures of the same URL:
+    doc_id is per (url, warc_ts) capture — distinct ids, no silent
+    downstream key collisions (ADVICE r7) — while same url AND same
+    warc_ts fails loudly pointing at --latest-capture."""
+    import subprocess
+    import sys
+    from datetime import datetime, timezone
+
+    body = (
+        "the quick brown fox jumps over a lazy dog near the old mill "
+        + " ".join(f"w{j}" for j in range(20))
+    ).encode()
+    rows = [
+        ("https://example.org/d/same", body,
+         datetime(2024, 1, d, tzinfo=timezone.utc))
+        for d in (1, 2)  # two captures, different timestamps
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, payload binary, warc_ts timestamp"
+    )
+    src = str(tmp_path / "in")
+    write_warc(docs, src, n_files=1, ts_col="warc_ts")
+    out = _run_curate_cli([
+        "--input", src + "/*.warc.gz", "--input-format", "warc",
+        "--warehouse", str(tmp_path / "wh"), "--min-words", "10",
+        "--seq-len", "32",
+    ])
+    # both captures survive as distinct docs up to exact dedup (same
+    # text -> deduped there), proving distinct doc_ids at ingest
+    assert out["filter_audit"]["n_docs"] == 2
+    assert out["stage_rows"]["deduped_exact"] == 1
+    # identical (url, warc_ts) twice: ambiguous input -> loud failure
+    dup = spark.createDataFrame(rows[:1] * 2,
+                                "url string, payload binary, warc_ts timestamp")
+    # write_warc dedups by url-sorted file write; build the torn case by
+    # concatenating the single-capture export with itself instead
+    blob = open(
+        glob.glob(os.path.join(src, "part-*.warc.gz"))[0], "rb"
+    ).read()
+    dsrc = tmp_path / "dup"
+    dsrc.mkdir()
+    (dsrc / "part-00000.warc.gz").write_bytes(blob + blob)
+    r = subprocess.run(
+        [sys.executable, "-m", "slowspark.curate", "--master", "local[4]",
+         "--input", str(dsrc / "*.warc.gz"), "--input-format", "warc",
+         "--warehouse", str(tmp_path / "wh2"), "--min-words", "10",
+         "--seq-len", "32"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode != 0
+    assert "--latest-capture" in (r.stderr + r.stdout)
 
 
 def test_curate_cli_export_warc_round_trips(spark, tmp_path):

@@ -180,6 +180,40 @@ def test_crawl_delta_no_fanout_and_latest_capture_no_window(spark):
     assert "Window" not in cplan  # max-struct aggregate, not a window rank
 
 
+def test_crawl_delta_null_fingerprint_raises(spark):
+    """Presence is row presence, not fingerprint null-ness (ADVICE r7):
+    a present row carrying a NULL fingerprint is bad input and raises at
+    execution time instead of being classified 'new'/'gone'/'changed'."""
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    from slowspark.weburl import crawl_delta
+
+    ok = spark.createDataFrame([("u1", "f1")], "url string, fingerprint string")
+    bad = spark.createDataFrame(
+        [("u1", None)], "url string, fingerprint string"
+    )
+    with _pt.raises(Exception, match="crawl_delta: NULL fingerprint"):
+        crawl_delta(bad, ok).collect()
+    with _pt.raises(Exception, match="crawl_delta: NULL fingerprint"):
+        crawl_delta(ok, bad).collect()
+    # and NULL==NULL on both sides is NOT 'changed' — it raises too
+    with _pt.raises(Exception, match="crawl_delta: NULL fingerprint"):
+        crawl_delta(bad, bad).collect()
+
+
+def test_extract_links_uppercase_anchor(spark):
+    """'<A HREF="...">' (older/uppercase markup) is double-quoted and
+    therefore inside the documented coverage — must extract (ADVICE r7)."""
+    from slowspark.weburl import extract_links
+
+    html = '<html><A CLASS="y" HREF="https://up.example/U">x</A></html>'
+    df = spark.createDataFrame(
+        [("http://base.example/", html.encode())], "url string, html binary"
+    )
+    out = {r["href"]: r["resolved_url"] for r in extract_links(df).collect()}
+    assert out == {"https://up.example/U": "https://up.example/U"}
+
+
 def test_keep_new_or_changed(spark):
     from slowspark.weburl import keep_new_or_changed
 
