@@ -3107,6 +3107,27 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _warm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start PageRank (graph.pagerank(init_ranks=...), the
+    incremental-recrawl re-rank): 3 iterations from a deterministic
+    non-uniform init vector (mass 1 + doc_id%5 per node, renormalized
+    inside the operator). The oracle runs the same normalize-then-
+    iterate chain, so the init plumbing — outer join, coalesce,
+    renormalization — is inside the value hash. The fewer-iterations
+    convergence property is pinned in tests/test_graph.py."""
+    from slowspark.graph import pagerank
+
+    d = _read(spark, sf_dir, "documents")
+    init = d.select(
+        F.col("doc_id").alias("node"),
+        (F.lit(1.0) + (F.col("doc_id") % 5).cast("double")).alias("rank"),
+    )
+    r = pagerank(
+        _link_edges(spark, sf_dir), n_iter=3, damping=0.85, init_ranks=init
+    )
+    return r.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (graph.connected_components →
     textops.connected_min_labels): a deterministic host-cluster graph —
@@ -3509,6 +3530,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     # fixture; crawl_delta presence markers):
     "html_links",
     "crawl_delta",
+    # new this round (r7 verdict #6: incremental-recrawl warm start):
+    "warm_pagerank",
 ]
 
 
@@ -3597,6 +3620,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _crawl_delta,
         "link_degrees": _link_degrees,
         "pagerank": _pagerank,
+        "warm_pagerank": _warm_pagerank,
         "connected_components": _connected_components,
         "dataset_card": _dataset_card,
         "hits_scores": _hits_scores,
@@ -3668,6 +3692,7 @@ def _pagerank_oracle(
     seed_mod: int | None = None,
     edges_sql: str | None = None,
     weighted: bool = False,
+    init_expr: str | None = None,
 ) -> str:
     """Unrolled PageRank CTE chain mirroring graph.pagerank's IEEE double
     ops exactly: r0 = 1/|V|; each iteration computes the dangling mass
@@ -3681,9 +3706,13 @@ def _pagerank_oracle(
     PERSONALIZED variant:
     tele(v) = 1/|S| on seeds (node % seed_mod == 3) else 0, and
     rank' = (1-d)*tele + d*(contrib + dm*tele) — the same
-    multiply-by-teleport ops graph.pagerank(seeds=...) runs. Output
-    rounded to 6dp (the float-oracle contract: summation-order low bits
-    are below the rounding)."""
+    multiply-by-teleport ops graph.pagerank(seeds=...) runs. With
+    init_expr (a SQL expression over `node`), the WARM-START variant:
+    r0 = init mass normalized to total 1.0 — the same coalesce-then-
+    renormalize projection graph.pagerank(init_ranks=...) runs when the
+    init table covers every vertex. Output rounded to 6dp (the
+    float-oracle contract: summation-order low bits are below the
+    rounding)."""
     d85 = "CAST(0.85 AS DOUBLE)"
     nd = "(SELECT nd FROM nvd)"
     iters = []
@@ -3736,7 +3765,13 @@ def _pagerank_oracle(
             {v_cte},
             nvd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM v),
             {od_cte},
-            r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / {nd} AS rank FROM v),
+            {f'''r0p AS MATERIALIZED (SELECT node,
+                     CAST({init_expr} AS DOUBLE) AS rank FROM v),
+            t0 AS (SELECT SUM(rank) AS t FROM r0p),
+            r0 AS MATERIALIZED (SELECT node,
+                     rank / (SELECT t FROM t0) AS rank FROM r0p),'''
+             if init_expr is not None else
+             f"r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / {nd} AS rank FROM v),"}
             {",".join(iters)}
             SELECT node, round(rank, 6) AS rank FROM r{n_iter}
         """
@@ -4467,6 +4502,7 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN idg ON v.node = idg.node
         """,
         "pagerank": _pagerank_oracle(),
+        "warm_pagerank": _pagerank_oracle(init_expr="1 + node % 5"),
         "personalized_pagerank": _pagerank_oracle(seed_mod=25),
         "host_pagerank": _pagerank_oracle(
             edges_sql=_HOST_EDGES_SQL, weighted=True

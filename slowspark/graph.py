@@ -259,6 +259,7 @@ def pagerank(
     checkpoint_every: int = 8,
     seeds: DataFrame | None = None,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank (Page et al. 1999) with uniform dangling-mass
     redistribution, as n_iter rounds of DataFrame joins:
@@ -297,10 +298,25 @@ def pagerank(
     the repo's fused-validation idiom — no extra scan); weighted and
     unweighted agree when every weight is 1 (pinned differential).
 
+    With `init_ranks` (a (node, rank) DataFrame — typically the PREVIOUS
+    snapshot's pagerank output) iteration starts from those ranks instead
+    of uniform 1/N: the incremental-recrawl warm start. Compose with
+    weburl.crawl_delta — re-extract edges for new+changed pages only,
+    then re-rank the merged edge set from the old ranks; a perturbed
+    graph re-converges in a fraction of the cold-start iterations
+    (pinned by a convergence-delta test). Nodes absent from init_ranks
+    (new URLs) start at 1/N; init nodes no longer in the graph are
+    dropped; the vector is then renormalized to total mass 1.0, so the
+    per-iteration conservation invariant holds from round 0. Duplicate
+    init nodes are summed (one bounded groupBy over the init table);
+    a negative rank raises inside the projection (fused raise_error,
+    no extra scan); non-positive total mass raises.
+
     Scale shape: see module docstring — one shuffle pair per iteration
     over a persisted edges+outdeg table, a 1-row dangling-mass collect,
     rank lineage truncated by localCheckpoint every checkpoint_every
-    iterations.
+    iterations. The warm start adds ONE outer join + ONE scalar agg
+    before round 0; every iteration after that is identical.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
@@ -371,8 +387,43 @@ def pagerank(
     else:
         vertices_t = None
     base = (F.lit(1.0) - d) / F.lit(float(n))
-    ranks = vertices.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
-    ranks.persist().count()
+    if init_ranks is not None:
+        checked = F.when(
+            F.col("rank") < 0,
+            F.raise_error(F.lit(
+                "pagerank: negative rank in init_ranks — a warm start "
+                "must begin from a valid rank vector"
+            )),
+        ).otherwise(F.col("rank").cast("double"))
+        ir = (
+            init_ranks.select("node", checked.alias("__r0"))
+            .groupBy("node")
+            .agg(F.sum("__r0").alias("__r0"))
+        )
+        r0 = (
+            vertices.join(ir, "node", "left")
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("__r0"), F.lit(1.0) / F.lit(float(n))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        tot = r0.agg(F.sum("rank").alias("t")).collect()[0]["t"]
+        if tot is None or not tot > 0:
+            r0.unpersist()
+            raise ValueError(
+                "pagerank: init_ranks total mass must be positive"
+            )
+        ranks = r0.select(
+            "node", (F.col("rank") / F.lit(float(tot))).alias("rank")
+        )
+        ranks.persist().count()
+        r0.unpersist()
+    else:
+        ranks = vertices.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
+        ranks.persist().count()
 
     for i in range(n_iter):
         dm = (

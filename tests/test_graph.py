@@ -86,6 +86,100 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert got[v] == pytest.approx(r[ix[v]], rel=1e-9)
 
 
+def _np_pagerank(pairs, n_iter, r0=None):
+    import numpy as np
+
+    nodes = sorted({s for s, _ in pairs} | {d for _, d in pairs})
+    ix = {v: k for k, v in enumerate(nodes)}
+    N = len(nodes)
+    outdeg = {}
+    for s, _ in pairs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    if r0 is None:
+        r = np.full(N, 1.0 / N)
+    else:
+        r = np.array([r0.get(v, 1.0 / N) for v in nodes])
+        r = r / r.sum()
+    for _ in range(n_iter):
+        dm = sum(r[ix[v]] for v in nodes if v not in outdeg)
+        nxt = np.full(N, 0.15 / N + 0.85 * dm / N)
+        for s, d in pairs:
+            nxt[ix[d]] += 0.85 * r[ix[s]] / outdeg[s]
+        r = nxt
+    return {v: r[ix[v]] for v in nodes}
+
+
+def test_pagerank_warm_start_semantics(spark):
+    """init_ranks: known nodes start from given mass, unknown nodes at
+    1/N, whole vector renormalized to 1.0 — matching the numpy mirror;
+    duplicates sum; mass conserved per iteration."""
+    pairs = [(s, d) for s, d in
+             [(i, (i * 7 + 1) % 20) for i in range(20)] if s != d]
+    init = {v: 1.0 + (v % 5) for v in range(0, 20, 2)}  # half the nodes
+    want = _np_pagerank(pairs, 2, r0=init)
+    init_df = spark.createDataFrame(
+        [(v, r) for v, r in init.items()], "node long, rank double"
+    )
+    got = {r["node"]: r["rank"] for r in
+           pagerank(_edges(spark, pairs), n_iter=2,
+                    init_ranks=init_df).collect()}
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert got[v] == pytest.approx(r, rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # duplicate init rows sum to the same mass as one combined row
+    dup_df = spark.createDataFrame(
+        [(v, r / 2) for v, r in init.items() for _ in range(2)],
+        "node long, rank double",
+    )
+    got_dup = {r["node"]: r["rank"] for r in
+               pagerank(_edges(spark, pairs), n_iter=2,
+                        init_ranks=dup_df).collect()}
+    for v, r in want.items():
+        assert got_dup[v] == pytest.approx(r, rel=1e-9)
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    """The incremental-recrawl recipe: perturb a graph, warm-start from
+    the old snapshot's converged ranks — after the same (small) number
+    of rounds the warm vector is strictly closer to the new fixpoint
+    than the cold uniform start."""
+    n = 200
+    old_pairs = sorted({(i, (i * 7 + 1) % n) for i in range(n) if i % 10}
+                       | {(i, (i * 13 + 5) % n) for i in range(n) if i % 10})
+    old_pairs = [(s, d) for s, d in old_pairs if s != d]
+    # recrawl perturbation: 1-in-40 sources move one edge, one new node
+    new_pairs = [(s, (d + 3) % n if s % 40 == 0 else d)
+                 for s, d in old_pairs if s != ((d + 3) % n if s % 40 == 0 else d)]
+    new_pairs.append((1, n))  # brand-new URL enters the graph
+    old_ranks = _np_pagerank(old_pairs, 80)  # converged old snapshot
+    ref = _np_pagerank(new_pairs, 80)        # new-graph fixpoint
+    k = 2
+    init_df = spark.createDataFrame(
+        [(v, float(r)) for v, r in old_ranks.items()], "node long, rank double"
+    )
+    warm = {r["node"]: r["rank"] for r in
+            pagerank(_edges(spark, new_pairs), n_iter=k,
+                     init_ranks=init_df).collect()}
+    cold = {r["node"]: r["rank"] for r in
+            pagerank(_edges(spark, new_pairs), n_iter=k).collect()}
+    l1_warm = sum(abs(warm[v] - ref[v]) for v in ref)
+    l1_cold = sum(abs(cold[v] - ref[v]) for v in ref)
+    assert l1_warm < l1_cold / 2  # warm start is decisively closer
+
+
+def test_pagerank_warm_start_validation(spark):
+    e = _edges(spark, FOUR)
+    neg = spark.createDataFrame([(1, -0.5)], "node long, rank double")
+    with pytest.raises(Exception, match="negative rank"):
+        pagerank(e, init_ranks=neg).collect()
+    zero = spark.createDataFrame([(99999, 0.0)], "node long, rank double")
+    # node 99999 is outside the graph -> dropped; every graph node gets
+    # the 1/N fallback, so total mass is positive and this succeeds
+    out = pagerank(e, n_iter=1, init_ranks=zero)
+    assert sum(r["rank"] for r in out.collect()) == pytest.approx(1.0)
+
+
 def test_pagerank_checkpoint_path_same_result(spark):
     pairs = [(s, d) for s, d in
              [(i, (i * 7 + 1) % 30) for i in range(30)] if s != d]
