@@ -2937,6 +2937,102 @@ _SUBSTRING_DEDUP_ORACLE = """
 """
 
 
+def _substring_dedup_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-grade exact substring dedup at CHAR granularity
+    (textops.exact_substring_dedup_chars, Lee et al. 2022 §4 ExactSubstr
+    semantics): every maximal duplicated character span >= 40 chars is
+    removed except the globally first occurrence. DuckDB recomputes the
+    per-position 40-char windows (keyed on the gram STRING — the exact
+    referee for Spark's 128-bit fingerprint pair), the first-occurrence
+    rank, the gaps-and-islands merge, and the md5 of every document's
+    surviving characters — flagging, maximal extension, and rebuild are
+    all inside the value hash."""
+    from slowspark.textops import exact_substring_dedup_chars
+
+    d = _read(spark, sf_dir, "documents")
+    return exact_substring_dedup_chars(d, min_len=40).select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "n_spans",
+        F.col("n_chars_removed").cast("int").alias("n_chars_removed"),
+        "kept_md5",
+    )
+
+
+_SUBSTRING_DEDUP_CHARS_ORACLE = """
+    WITH sized AS (
+        SELECT doc_id, text, length(text) AS nc FROM documents
+    ), occ AS (
+        SELECT doc_id, u.pos AS pos, u.gram AS gram
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, greatest(nc - 39, 0)),
+                       i -> struct_pack(pos := i,
+                           gram := substr(text, i + 1, 40)))) AS u
+            FROM sized
+        )
+    ), ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY gram) AS cnt
+        FROM occ
+    ), flagged AS (
+        SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + 39) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS ni
+        FROM flagged
+    ), isl2 AS (
+        SELECT doc_id, pos,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM isl
+    ), merged AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos + 39) AS e
+        FROM isl2 GROUP BY doc_id, island
+    ), covered AS (
+        SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM merged
+    ), chars AS (
+        SELECT doc_id, u.pos AS pos, u.ch AS ch
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, nc),
+                       i -> struct_pack(pos := i,
+                           ch := substr(text, i + 1, 1)))) AS u
+            FROM sized WHERE nc > 0
+        )
+    ), kept AS (
+        SELECT c.doc_id, c.pos, c.ch
+        FROM chars c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM covered v
+            WHERE v.doc_id = c.doc_id AND v.pos = c.pos
+        )
+    ), agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(ch, '' ORDER BY pos)) AS kept_md5
+        FROM kept GROUP BY doc_id
+    ), nspans AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans
+        FROM merged GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.nc AS INTEGER) AS n_chars,
+           coalesce(ns.n_spans, 0) AS n_spans,
+           CAST(s.nc - coalesce(a.n_kept, 0) AS INTEGER) AS n_chars_removed,
+           coalesce(a.kept_md5, md5('')) AS kept_md5
+    FROM sized s
+    LEFT JOIN nspans ns USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-blocked semantic near-dup pairs
     (similarity.semantic_near_dup_pairs): k-means cells block the pair
@@ -3532,6 +3628,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "crawl_delta",
     # new this round (r7 verdict #6: incremental-recrawl warm start):
     "warm_pagerank",
+    # new this round (r7 verdict #3: suffix-array-grade char dedup):
+    "substring_dedup_chars",
 ]
 
 
@@ -3565,6 +3663,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _embedding_near_dup,
         "semdedup_pairs": _semdedup_pairs,
         "substring_dedup": _substring_dedup,
+        "substring_dedup_chars": _substring_dedup_chars,
         "incremental_near_dups": _incremental_near_dups,
         "language_id": _language_id,
         "lsh_ann_topk": _lsh_ann_topk,
@@ -5033,6 +5132,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.emb, c.emb) >= 0.2
         """,
         "substring_dedup": _SUBSTRING_DEDUP_ORACLE,
+        "substring_dedup_chars": _SUBSTRING_DEDUP_CHARS_ORACLE,
         # SemDeDup: cluster-blocked pairs re-derived entirely from the
         # materialized cell assignment (same centroids the Spark path
         # assigns with — blocking and cosine verification both inside

@@ -1371,6 +1371,138 @@ def exact_substring_dedup(
     return out
 
 
+def exact_substring_dedup_chars(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    with_text: bool = False,
+) -> DataFrame:
+    """Exact substring deduplication at CHARACTER granularity — the
+    suffix-array-grade upgrade of exact_substring_dedup's word-window
+    approximation, matching Lee et al. 2022 §4 (ExactSubstr, L=50
+    bytes; here L = `min_len` unicode chars, the UTF-8-sane unit both
+    Spark's substring/length and DuckDB's substr agree on).
+
+    Semantics — exact, by the covering lemma: a character position lies
+    inside SOME duplicated substring of length >= L iff at least one of
+    the L-char windows covering it is duplicated (any substring of a
+    duplicated string is duplicated; any duplicated run >= L contains a
+    duplicated L-window through each of its positions). So flagging
+    every duplicated L-window occurrence — EXCEPT the globally first
+    occurrence per distinct window (lexicographic (doc_id, pos): one
+    copy of every duplicated run survives, the paper's "all but one") —
+    and merging each document's flagged [pos, pos+L-1] windows yields
+    EXACTLY the maximal duplicated spans >= L, at char granularity.
+    This is the same output a suffix array + LCP >= L pass produces,
+    without the suffix array: unlike the word-window sibling (which
+    misses duplicated runs shorter than n WORDS and can't see matches
+    that cross word boundaries at sub-word offsets), nothing >= L chars
+    escapes. Differential superset-vs-word-path + brute-force-mirror
+    tests pin this (tests/test_textops.py).
+
+    Returns one row per input document:
+    (id, n_chars, n_spans, n_chars_removed, kept_md5 [, kept_text]);
+    kept_md5 = md5 of the surviving characters in order (md5('') when
+    the whole document was duplicated).
+
+    Scale shape: window materialization is per-document codegen
+    (transform over sequence — O(len*L) in-partition substring work,
+    embarrassingly parallel, no Python); the shuffle carries ONE row
+    per char position keyed on a 128-bit window fingerprint (two
+    independent xxhash64 seeds — 2^-128 per-pair collision odds;
+    16 bytes/position instead of the L-byte gram string, the blowup
+    that makes naive L-gram shuffles 50x the corpus), into a map-side-
+    combined count+min aggregate (a viral window contributes one
+    partial row per partition). Span merge is a per-document window
+    function; the rebuild is one codegen aggregate over the span list.
+    Total: two shuffles of O(corpus chars) compact rows vs the suffix
+    array's O(chars log chars) global sorts — the bounded-shuffle
+    distributed formulation the paper's single-node construction lacks.
+    """
+    if min_len < 2:
+        raise ValueError(
+            f"exact_substring_dedup_chars: min_len must be >= 2, got {min_len}"
+        )
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    base = _materialize(
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.length(text_col).alias("n_chars"),
+        )
+    )
+    # per-position 128-bit window fingerprints; the gram string exists
+    # only inside this projection (dropped before the exchange)
+    occ = (
+        base.filter(F.col("n_chars") >= L)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, n_chars - {L}), i -> "
+                    f"struct(i AS pos, substring({text_col}, i + 1, {L}) AS g))"
+                )
+            ).alias("o"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("o.pos").alias("pos"),
+            F.xxhash64("o.g").alias("h1"),
+            F.xxhash64(F.lit(1), "o.g").alias("h2"),
+            F.struct(F.col(id_col), F.col("o.pos").alias("pos")).alias("__key"),
+        )
+    )
+    keeper = occ.groupBy("h1", "h2").agg(
+        F.min("__key").alias("__keep_key"), F.count("*").alias("__cnt")
+    )
+    flagged = (
+        occ.join(keeper, ["h1", "h2"])
+        .filter((F.col("__cnt") > 1) & (F.col("__key") != F.col("__keep_key")))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (L - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "__ni", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).withColumn(
+        "__island",
+        F.sum("__ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("s"), F.max(F.col("pos") + (L - 1)).alias("e")
+    )
+    spans = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans"),
+        F.count("*").cast("int").alias("n_spans"),
+    )
+    # stitch the un-spanned segments back together in one pass over the
+    # sorted span list (st.prev = first char index not yet emitted)
+    kept = F.expr(
+        f"CASE WHEN __spans IS NULL THEN {text_col} ELSE "
+        f"aggregate(__spans, struct(0 AS prev, '' AS acc), "
+        f"(st, sp) -> struct(sp.e + 1 AS prev, "
+        f"concat(st.acc, substring({text_col}, st.prev + 1, sp.s - st.prev)) AS acc), "
+        f"st -> concat(st.acc, substring({text_col}, st.prev + 1))) END"
+    )
+    return (
+        base.join(spans, id_col, "left")
+        .withColumn("__kept", kept)
+        .select(
+            F.col(id_col),
+            F.col("n_chars"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            (F.col("n_chars") - F.length("__kept")).alias("n_chars_removed"),
+            F.md5(F.col("__kept")).alias("kept_md5"),
+            *([F.col("__kept").alias("kept_text")] if with_text else []),
+        )
+    )
+
+
 def badword_filter(
     df: DataFrame,
     words,

@@ -265,6 +265,23 @@ def test_bpe_pair_counts_stay_jvm_side(spark):
     assert "partial_sum" in plan
 
 
+def test_substring_dedup_chars_exchange_carries_hashes_not_grams(spark):
+    """exact_substring_dedup_chars' scale contract: the per-position
+    L-char gram STRING never crosses an exchange (16 bytes of xxhash64
+    fingerprint per position do, not L bytes of text — the 50x shuffle
+    blowup the design avoids), the window count+min aggregate is
+    map-side combined, and the whole pipeline is Python-free."""
+    from slowspark.textops import exact_substring_dedup_chars
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(exact_substring_dedup_chars(docs, min_len=40))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert " AS g#" not in line and "substring(" not in line
+
+
 def test_sequence_spans_no_shuffle_after_pack(spark):
     """sequence_spans is a narrow map over the packed table: zero
     exchanges of its own (only pack_sequences' two-phase machinery may

@@ -663,6 +663,121 @@ def test_exact_substring_dedup_hashed_and_string_ids(spark):
     assert sres["doc-b"]["n_tokens_removed"] == 10
 
 
+def _bf_char_dedup(docs, L):
+    """Brute-force mirror of exact_substring_dedup_chars: flag every
+    char position covered by a duplicated L-window occurrence except
+    the lexicographically-first occurrence per distinct window; return
+    {id: kept_text}. O(N^2) memory-side — the exactness referee."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for did, t in docs:
+        for p in range(len(t) - L + 1):
+            occ[t[p:p + L]].append((did, p))
+    flagged = defaultdict(set)
+    for lst in occ.values():
+        if len(lst) > 1:
+            keep = min(lst)
+            for did, p in lst:
+                if (did, p) != keep:
+                    flagged[did].update(range(p, p + L))
+    return {did: "".join(c for i, c in enumerate(t) if i not in flagged[did])
+            for did, t in docs}
+
+
+def test_exact_substring_dedup_chars_semantics(spark):
+    """Char-granularity Lee et al. semantics: globally-first occurrence
+    survives, later copies removed in full (maximal span, not
+    window-by-window), docs shorter than L untouched, empty doc yields
+    md5('')."""
+    import hashlib
+
+    run = "x" * 10 + "the quick brown fox jumps over" + "y" * 10  # 50 chars
+    # boundary words end in DISTINCT chars (Q/W vs R/T): the maximal
+    # duplicated substring extends exactly one space either side of run
+    docs = [
+        (1, f"keeperQ {run} tailW"),
+        (2, f"copyR {run} endT"),
+        (3, "tiny"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    res = {r["doc_id"]: r.asDict() for r in
+           textops.exact_substring_dedup_chars(
+               df, min_len=25, with_text=True).collect()}
+    assert res[1]["n_spans"] == 0 and run in res[1]["kept_text"]
+    # the shared span is ' ' + run + ' ' — suffix-array-grade maximal
+    # extension, not just the planted run
+    assert res[2]["n_spans"] == 1 and res[2]["n_chars_removed"] == len(run) + 2
+    assert res[2]["kept_text"] == "copyRendT"
+    assert res[3]["n_chars_removed"] == 0
+    assert res[4]["kept_md5"] == hashlib.md5(b"").hexdigest()
+    with pytest.raises(ValueError, match="min_len must be"):
+        textops.exact_substring_dedup_chars(df, min_len=1)
+
+
+def test_exact_substring_dedup_chars_matches_brute_force(spark):
+    """Exactness pin: on a small-alphabet corpus dense with accidental
+    repeats (plus engineered shared runs and a multibyte-unicode doc),
+    the distributed path's kept text equals the O(N^2) brute-force
+    mirror character-for-character — the covering-lemma claim that this
+    IS suffix-array output, not an approximation."""
+    import random
+
+    rng = random.Random(8)
+    alpha = "abc "
+    chunk = "".join(rng.choice(alpha) for _ in range(40))
+    docs = []
+    for i in range(12):
+        pre = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60)))
+        suf = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60)))
+        mid = chunk if i % 3 == 0 else ""
+        docs.append((i, pre + mid + suf))
+    docs.append((100, "héllo wörld ünïcode " * 4))   # multibyte chars
+    docs.append((101, "héllo wörld ünïcode " * 3))   # shares a long prefix
+    L = 12
+    want = _bf_char_dedup(docs, L)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["kept_text"] for r in
+           textops.exact_substring_dedup_chars(
+               df, min_len=L, with_text=True).collect()}
+    assert got == want
+
+
+def test_exact_substring_dedup_chars_superset_of_word_windows(spark):
+    """The constructed-corpus differential vs the word-window path: a
+    duplicated 29-char run of only 8 words is INVISIBLE to
+    exact_substring_dedup(n=10) but fully removed at char granularity;
+    a duplicated 12-word run is caught by BOTH (the word path's spans
+    are a subset of the char path's)."""
+    short_run = "the cat sat on a mat today ok"          # 29 chars, 8 words
+    long_run = " ".join(f"w{i:02d}" for i in range(12))  # 47 chars, 12 words
+    # boundary words chosen so maximal extension is exactly one space
+    # per side (distinct adjacent chars: Q/W/E vs R/T vs U/V)
+    docs = [
+        (1, f"alphaQ {short_run} omegaW {long_run} endE"),
+        (2, f"betaR {short_run} gammaT"),
+        (3, f"deltaU {long_run} zetaV"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    words = {r["doc_id"]: r.asDict() for r in
+             textops.exact_substring_dedup(df, n=10, with_text=True).collect()}
+    chars = {r["doc_id"]: r.asDict() for r in
+             textops.exact_substring_dedup_chars(
+                 df, min_len=25, with_text=True).collect()}
+    # word path: the 8-word run is below n=10 -> missed entirely
+    assert words[2]["n_tokens_removed"] == 0
+    # char path: ' ' + 29 chars + ' ' >= 25 -> removed
+    assert chars[2]["n_chars_removed"] == len(short_run) + 2
+    assert chars[2]["kept_text"] == "betaRgammaT"
+    # the 12-word run is caught by both paths (superset, not disjoint)
+    assert words[3]["n_tokens_removed"] == 12
+    assert chars[3]["n_chars_removed"] == len(long_run) + 2
+    # doc 1 is the keeper for both runs under both paths
+    assert words[1]["n_tokens_removed"] == 0
+    assert chars[1]["n_chars_removed"] == 0
+
+
 def test_connected_min_labels_loop_path_matches_driver_finish(spark):
     """Differential between the two execution paths: the size-gated
     driver union-find (default) and the distributed fixpoint loop
