@@ -76,6 +76,7 @@ def run_curation(
     langs: list[str] | None = None,
     scrub_pii: bool = False,
     substring_dedup_n: int | None = None,
+    substring_dedup_chars: int | None = None,
     embeddings_df: DataFrame | None = None,
     semantic_cells_df: DataFrame | None = None,
     semantic_n_clusters: int = 16,
@@ -151,6 +152,12 @@ def run_curation(
         occurrence kept corpus-wide); a doc emptied by it is dropped.
         Like the passage scrub, the rewrite is in token space
         (lowercased, whitespace-normalized).
+      - `substring_dedup_chars`: the suffix-array-grade char-granularity
+        sibling (textops.exact_substring_dedup_chars) at the same slot —
+        duplicated >= L-CHAR spans are cut exactly, case- and
+        word-boundary-sensitive (the rewrite preserves original
+        casing/whitespace outside the cut spans). Composable with
+        `substring_dedup_n` (token pass first, then char pass).
       - `embeddings_df` (sidecar table: doc_id + embedding array) enables
         the SemDeDup semantic-dedup stage (Abbas et al. 2023) directly
         after MinHash near-dup — the published recipe's position: token
@@ -476,6 +483,7 @@ def run_curation(
         f"|sl={seq_len}|decon={eval_sig}"
         f"|langs={','.join(sorted(langs)) if langs else '*'}"
         f"|pii={int(scrub_pii)}|ssd={substring_dedup_n or 0}"
+        f"|ssc={substring_dedup_chars or 0}"
         f"|sem={sem_sig}"
         f"|mix={','.join(f'{k}={v}' for k, v in sorted((mixture or {}).items()))}"
         f"|tt={target_tokens or 0}|mup={int(mixture_upsample)}"
@@ -662,6 +670,26 @@ def run_curation(
 
         deduped = run_stage(spark, cat, "substring_deduped", sig, _substr)
         out["substring_deduped"] = deduped
+
+    if substring_dedup_chars is not None:
+        from slowspark.textops import exact_substring_dedup_chars
+
+        def _substr_chars() -> DataFrame:
+            sd = exact_substring_dedup_chars(
+                deduped, min_len=substring_dedup_chars, with_text=True
+            )
+            return (
+                deduped.drop("text")
+                .join(sd.select("doc_id", "kept_text"), "doc_id")
+                .filter(F.col("kept_text") != "")
+                .withColumnRenamed("kept_text", "text")
+                .select(*deduped.columns)
+            )
+
+        deduped = run_stage(
+            spark, cat, "substring_char_deduped", sig, _substr_chars
+        )
+        out["substring_char_deduped"] = deduped
 
     if ppl_keep_buckets is not None:
         from slowspark.corpus import perplexity_buckets
@@ -1018,6 +1046,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--substring-dedup-n", type=int, default=None,
                    help="exact substring dedup window (tokens): duplicated "
                    ">= n-token runs are cut, first occurrence kept")
+    p.add_argument("--substring-dedup-chars", type=int, default=None,
+                   help="suffix-array-grade exact substring dedup (CHARS): "
+                   "duplicated >= L-char spans are cut exactly, first "
+                   "occurrence kept")
     p.add_argument("--semantic-dedup-embeddings", default=None,
                    help="sidecar parquet (doc_id, embedding array): enables "
                    "the SemDeDup semantic-dedup stage after near-dup")
@@ -1283,6 +1315,7 @@ def main(argv: list[str] | None = None) -> int:
             langs=args.langs.split(",") if args.langs else None,
             scrub_pii=args.scrub_pii,
             substring_dedup_n=args.substring_dedup_n,
+            substring_dedup_chars=args.substring_dedup_chars,
             embeddings_df=emb_df,
             semantic_cells_df=cells_df,
             semantic_n_clusters=args.semantic_n_clusters,
@@ -1376,7 +1409,8 @@ def main(argv: list[str] | None = None) -> int:
                          "badword_filtered", "gopher_filtered",
                          "line_deduped", "deduped_exact",
                          "deduped_near", "semantic_deduped",
-                         "substring_deduped", "ppl_filtered",
+                         "substring_deduped", "substring_char_deduped",
+                         "ppl_filtered",
                          "quality_filtered", "scrubbed",
                          "pii_scrubbed", "decontaminated",
                          "fuzzy_decontaminated", "holdout_val",

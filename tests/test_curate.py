@@ -396,6 +396,51 @@ def test_curation_substring_dedup_stage(spark, tmp_path):
     assert os.path.getmtime(os.path.join(wh, "packed")) != m0
 
 
+def test_curation_substring_dedup_chars_stage(spark, tmp_path):
+    """--substring-dedup-chars cuts duplicated >= L-CHAR spans at the
+    substring_char_deduped stage — catching a shared run too few WORDS
+    for the token-window pass (the suffix-array-grade upgrade), while
+    preserving original casing outside the cut. The knob participates
+    in the resume signature."""
+    import hashlib
+    import os
+
+    letters = str.maketrans("0123456789", "ghijklmnop")
+
+    def salad(tag, n):
+        return " ".join(
+            hashlib.md5(f"{tag}:{j}".encode()).hexdigest()[:8].translate(letters)
+            for j in range(n)
+        )
+
+    # 8 words / ~70 chars: invisible to a 20-token window, caught at L=40
+    run = " ".join(f"sharedrun{i}" for i in range(8))
+    rows = [
+        (1, f"{salad('a', 60)} Q {run} W {salad('b', 60)} and in that with", "en"),
+        (2, f"{salad('c', 60)} R {run} T {salad('d', 60)} and in that with", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    wh = str(tmp_path / "wh")
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+        substring_dedup_n=20, substring_dedup_chars=40,
+    )
+    # token-window pass sees nothing (run is 8 words < 20)
+    sd = {r["doc_id"]: r["text"] for r in tables["substring_deduped"].collect()}
+    assert "sharedrun0" in sd[1] and "sharedrun0" in sd[2]
+    sc = {r["doc_id"]: r["text"]
+          for r in tables["substring_char_deduped"].collect()}
+    assert "sharedrun0" in sc[1]      # first occurrence kept
+    assert "sharedrun0" not in sc[2]  # >= 40-char duplicated span cut
+    packed = {r["doc_id"] for r in tables["packed"].collect()}
+    assert packed == {1, 2}
+    # the knob invalidates downstream manifests
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    run_curation(spark, docs, wh, "test:v1", min_words=10, seq_len=32,
+                 substring_dedup_n=20, substring_dedup_chars=48)
+    assert os.path.getmtime(os.path.join(wh, "packed")) != m0
+
+
 def _semantic_corpus(spark):
     """Four quality docs with MUTUALLY token-disjoint content words (plus
     shared stopwords, which 5-shingling never aligns): no token-level
