@@ -1258,6 +1258,83 @@ def _stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_bigrams", "avg_neg_logprob")
 
 
+def _kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (corpus.kneser_ney_logprob,
+    Kneser & Ney 1995 / Chen & Goodman 1998) with the ESTIMATED
+    discount D = n1/(n1 + 2*n2) (Ney et al. 1994): model counts from
+    the EVEN docs, every doc scored — odd docs exercise the unseen-
+    bigram, unseen-context, and unseen-word continuation paths, and
+    the count-of-counts discount estimate is itself inside the value
+    hash. The oracle recomputes the bigram table, forward/backward
+    continuation type counts, the discount, and the full interpolation
+    arithmetic relationally."""
+    from slowspark.corpus import kneser_ney_logprob
+
+    d = _read(spark, sf_dir, "documents")
+    return kneser_ney_logprob(
+        d, model_df=d.filter(F.col("doc_id") % 2 == 0), discount=None
+    ).select("doc_id", "n_bigrams", "avg_neg_logprob")
+
+
+_KN_ORACLE = """
+    WITH tk AS (
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            x -> x != '') AS tk
+        FROM documents
+    ), pairs AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT doc_id, tk,
+                     unnest(CASE WHEN length(tk) >= 2
+                            THEN range(1, length(tk)) ELSE [] END) AS i
+              FROM tk)
+    ), big AS (
+        SELECT w1, w2, count(*) AS cb
+        FROM pairs WHERE doc_id % 2 = 0
+        GROUP BY w1, w2
+    ), fw AS (
+        SELECT w1, count(*) AS nf, sum(cb) AS cfw FROM big GROUP BY w1
+    ), bw AS (
+        SELECT w2, count(*) AS nb FROM big GROUP BY w2
+    ), scal AS (
+        SELECT CAST(count(*) AS DOUBLE) AS B,
+               sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS n2
+        FROM big
+    ), dc AS (
+        SELECT B,
+               CASE WHEN n1 + 2 * n2 > 0
+                    THEN CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE)
+                    ELSE 0.75 END AS D
+        FROM scal
+    ), scored AS (
+        SELECT p.doc_id,
+               CASE WHEN f.cfw IS NOT NULL THEN
+                   greatest(CAST(coalesce(g.cb, 0) AS DOUBLE)
+                            - (SELECT D FROM dc), 0.0)
+                       / CAST(f.cfw AS DOUBLE)
+                   + (((SELECT D FROM dc) * CAST(f.nf AS DOUBLE))
+                      / CAST(f.cfw AS DOUBLE))
+                     * (CAST(coalesce(b.nb, 1) AS DOUBLE)
+                        / (SELECT B FROM dc))
+               ELSE CAST(coalesce(b.nb, 1) AS DOUBLE) / (SELECT B FROM dc)
+               END AS s
+        FROM pairs p
+        LEFT JOIN big g USING (w1, w2)
+        LEFT JOIN fw f USING (w1)
+        LEFT JOIN bw b USING (w2)
+    ), agg AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(-ln(s)), 6) AS avg_neg_logprob
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_neg_logprob FROM agg
+    UNION ALL
+    SELECT doc_id, 0 AS n_bigrams, 0.0 AS avg_neg_logprob
+    FROM tk WHERE length(tk) < 2
+"""
+
+
 _SB_ORACLE = """
     WITH tk AS (
         SELECT doc_id, list_filter(
@@ -3630,6 +3707,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "warm_pagerank",
     # new this round (r7 verdict #3: suffix-array-grade char dedup):
     "substring_dedup_chars",
+    # new this round (r7 verdict #4: interpolated Kneser-Ney bigram LM):
+    "kn_logprob",
 ]
 
 
@@ -3703,6 +3782,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         "kmv_distinct": _kmv_distinct,
         "stupid_backoff_scores": _stupid_backoff_scores,
+        "kn_logprob": _kn_logprob,
         "sequence_manifest": _sequence_manifest,
         "badword_filter": _badword_filter,
         "weighted_sample": _weighted_sample,
@@ -4353,6 +4433,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
         "kmv_distinct": _kmv_distinct_oracle(),
         "stupid_backoff_scores": _SB_ORACLE,
+        "kn_logprob": _KN_ORACLE,
         "sequence_manifest": _SEQ_MANIFEST_ORACLE,
         "badword_filter": _badword_oracle(),
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

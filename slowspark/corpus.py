@@ -363,6 +363,151 @@ def stupid_backoff_logprob(
     return per_doc.unionByName(short)
 
 
+def kneser_ney_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float | None = 0.75,
+    model_df: DataFrame | None = None,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+    Chen & Goodman 1998 §2.7) — the properly-smoothed sibling of
+    stupid_backoff_logprob. CCNet's filter uses a real smoothed LM;
+    stupid backoff's fixed-alpha unigram fallback mis-ranks docs whose
+    bigrams are unseen but whose words are versatile connectors (the
+    "San Francisco" problem: "francisco" is frequent but follows only
+    "san", so it should get LITTLE unseen-context mass). KN fixes this
+    by backing off to the CONTINUATION probability — how many distinct
+    contexts a word follows — not raw frequency:
+
+      P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                 + (D * N1+(w1 .) / c(w1 .)) * Pc(w2)
+      Pc(w2)   = N1+(. w2) / B
+
+    where c(w1 .) = total bigram occurrences starting with w1 (the
+    technically-correct KN denominator — NOT the unigram count, which
+    overcounts document-final tokens), N1+(w1 .) / N1+(. w2) = distinct
+    continuation / context type counts, and B = total distinct bigram
+    types. For a seen context this sums to exactly 1 over the seen
+    continuation vocabulary (pinned by a normalization test). Unseen
+    context (c(w1 .) = 0, including unseen w1): pure continuation
+    Pc(w2); unseen w2 floors at Pc = 1/B (the same coalesce-to-1
+    epsilon convention as the stupid-backoff sibling).
+
+    `discount`: the absolute discount D in (0, 1); None estimates it
+    from the model's bigram count-of-counts as D = n1 / (n1 + 2*n2)
+    (Ney et al. 1994 — closed-form, so the estimate itself is inside
+    the DuckDB oracle's value hash), falling back to 0.75 when the
+    model has no singleton/doubleton bigrams to estimate from.
+    `model_df` is the REFERENCE corpus (CCNet trains on Wikipedia and
+    scores the crawl); default None self-scores.
+
+    Returns (id, n_bigrams, avg_neg_logprob rounded to 6) — the same
+    shape as stupid_backoff_logprob, so it plugs straight into
+    perplexity_buckets(scored=...) and curate's --ppl-scorer; documents
+    with < 2 tokens return n_bigrams = 0, avg_neg_logprob = 0.0.
+
+    Scale shape: identical to the stupid-backoff sibling plus two
+    bounded aggregates — the bigram table is computed once and reused
+    for the forward/backward type counts (both map-side-combined
+    groupBys over the already-aggregated bigram TYPES, not the token
+    stream) and a 1-row scalar aggregate (B, n1, n2) that is broadcast;
+    scoring is one shuffle join on the pair plus two type-count joins
+    Spark broadcasts when stats allow, then one groupBy(doc). Every
+    per-position probability is a fixed-order IEEE expression over
+    exact integer counts; only the final avg carries sum-order jitter,
+    under the round-6 grain."""
+    from slowspark.util import materialize as _materialize
+
+    if discount is not None and not (0.0 < float(discount) < 1.0):
+        raise ValueError(
+            f"kneser_ney_logprob: discount must be in (0, 1), got {discount}"
+        )
+    toks = df.select(
+        F.col(id_col),
+        F.array_remove(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), ""
+        ).alias("tk"),
+    )
+    pairs = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                    " (t, i) -> struct(t AS w1, tk[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    mtoks = (df if model_df is None else model_df).select(
+        F.array_remove(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), ""
+        ).alias("tk")
+    )
+    big = _materialize(
+        mtoks.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                    " (t, i) -> struct(t AS w1, tk[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    fw = big.groupBy("w1").agg(
+        F.count("*").alias("nf"), F.sum("cb").alias("cfw")
+    )
+    bw = big.groupBy("w2").agg(F.count("*").alias("nb"))
+    scal = big.agg(
+        F.count("*").cast("double").alias("B"),
+        F.sum((F.col("cb") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("cb") == 2).cast("long")).alias("n2"),
+    )
+    if discount is not None:
+        d_expr = F.lit(float(discount))
+    else:
+        d_expr = F.when(
+            (F.col("n1") + 2 * F.col("n2")) > 0,
+            F.col("n1").cast("double")
+            / (F.col("n1") + 2 * F.col("n2")).cast("double"),
+        ).otherwise(F.lit(0.75))
+    pc = F.coalesce(F.col("nb"), F.lit(1)).cast("double") / F.col("B")
+    seen = (
+        F.greatest(F.coalesce(F.col("cb"), F.lit(0)).cast("double") - d_expr,
+                   F.lit(0.0))
+        / F.col("cfw").cast("double")
+        + ((d_expr * F.col("nf").cast("double"))
+           / F.col("cfw").cast("double")) * pc
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(fw, "w1", "left")
+        .join(bw, "w2", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            id_col,
+            F.when(F.col("cfw").isNotNull(), seen).otherwise(pc).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(-F.log("s")), 6).alias("avg_neg_logprob"),
+    )
+    short = toks.filter(F.size("tk") < 2).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(0.0).alias("avg_neg_logprob"),
+    )
+    return per_doc.unionByName(short)
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

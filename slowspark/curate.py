@@ -215,7 +215,10 @@ def run_curation(
         order (dedup first so duplicate mass cannot skew the LM); keeps
         only docs whose bucket is in the list. `ppl_scorer='bigram'`
         swaps the corpus-unigram LM for Stupid Backoff
-        (corpus.stupid_backoff_logprob); with `ppl_model_df` the counts
+        (corpus.stupid_backoff_logprob), `'kneser_ney'` for the
+        interpolated Kneser-Ney bigram LM (corpus.kneser_ney_logprob —
+        the properly-smoothed scorer, closest to CCNet's real KenLM);
+        with `ppl_model_df` the counts
         come from that REFERENCE corpus — the published CCNet shape
         (train on trusted text, score the crawl). The model corpus's
         CONTENT is hashed into the resume signature.
@@ -431,10 +434,10 @@ def run_curation(
         )
     else:
         qc_sig = "0"
-    if ppl_scorer not in ("unigram", "bigram"):
+    if ppl_scorer not in ("unigram", "bigram", "kneser_ney"):
         raise ValueError(
-            f"run_curation: ppl_scorer must be 'unigram' or 'bigram',"
-            f" got {ppl_scorer!r}"
+            f"run_curation: ppl_scorer must be 'unigram', 'bigram', or"
+            f" 'kneser_ney', got {ppl_scorer!r}"
         )
     if ppl_model_df is not None:
         pm = ppl_model_df.agg(
@@ -701,6 +704,12 @@ def run_curation(
                 from slowspark.corpus import stupid_backoff_logprob
 
                 scored = stupid_backoff_logprob(
+                    deduped, model_df=ppl_model_df
+                )
+            elif ppl_scorer == "kneser_ney":
+                from slowspark.corpus import kneser_ney_logprob
+
+                scored = kneser_ney_logprob(
                     deduped, model_df=ppl_model_df
                 )
             keep_ids = (
@@ -1084,9 +1093,10 @@ def main(argv: list[str] | None = None) -> int:
                    "these buckets, e.g. '0,1' (0 = most stereotypical)")
     p.add_argument("--ppl-n-buckets", type=int, default=3)
     p.add_argument("--ppl-scorer", default="unigram",
-                   choices=("unigram", "bigram"),
-                   help="LM behind the perplexity filter: corpus-unigram "
-                   "or Stupid Backoff bigram")
+                   choices=("unigram", "bigram", "kneser_ney"),
+                   help="LM behind the perplexity filter: corpus-unigram, "
+                   "Stupid Backoff bigram, or interpolated Kneser-Ney "
+                   "bigram")
     p.add_argument("--ppl-model", default=None,
                    help="reference-corpus parquet for the bigram scorer "
                    "(CCNet shape: train on trusted text, score the "

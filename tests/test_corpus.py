@@ -655,6 +655,175 @@ def test_stupid_backoff_word_order_matters(spark):
     assert got[1] < got[2]  # fluent order beats shuffled SAME bag
 
 
+def _kn_mirror(model_texts, score_docs, D=0.75):
+    """Memory-side mirror of kneser_ney_logprob's exact arithmetic."""
+    import math
+    from collections import Counter
+
+    big = Counter()
+    for t in model_texts:
+        w = t.lower().split()
+        for i in range(len(w) - 1):
+            big[(w[i], w[i + 1])] += 1
+    B = len(big)
+    nf, cfw, nb = Counter(), Counter(), Counter()
+    for (w1, w2), c in big.items():
+        nf[w1] += 1
+        cfw[w1] += c
+        nb[w2] += 1
+    out = {}
+    for did, t in score_docs:
+        w = t.lower().split()
+        if len(w) < 2:
+            out[did] = (0, 0.0)
+            continue
+        ss = []
+        for i in range(len(w) - 1):
+            w1, w2 = w[i], w[i + 1]
+            pc = (nb.get(w2) or 1) / B
+            if w1 in cfw:
+                cb = big.get((w1, w2), 0)
+                p = max(cb - D, 0) / cfw[w1] + (D * nf[w1] / cfw[w1]) * pc
+            else:
+                p = pc
+            ss.append(-math.log(p))
+        out[did] = (len(ss), round(sum(ss) / len(ss), 6))
+    return out
+
+
+def test_kneser_ney_hand_example(spark):
+    """Differential vs the memory-side mirror across all four paths:
+    seen bigram, unseen bigram under a seen context, unseen context,
+    unseen word (Pc floor 1/B); short docs return (0, 0.0)."""
+    from slowspark.corpus import kneser_ney_logprob
+
+    model_texts = [
+        "the cat sat on the mat",
+        "the dog sat on a rug",
+        "a cat ran to the mat",
+    ]
+    model = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(model_texts)],
+        "doc_id long, text string",
+    )
+    score = [
+        (1, "the cat sat on a mat"),     # all-seen path
+        (2, "the mat ran"),              # seen context, unseen bigram
+        (3, "zebra cat zebra"),          # unseen context + unseen word
+        (4, "mat the"),                  # 'mat' never starts a bigram
+        (5, "one"),                      # short
+    ]
+    docs = spark.createDataFrame(score, "doc_id long, text string")
+    want = _kn_mirror(model_texts, score)
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob"])
+           for r in kneser_ney_logprob(docs, model_df=model).collect()}
+    for did, (nb_, s) in want.items():
+        assert got[did][0] == nb_
+        assert got[did][1] == pytest.approx(s, abs=2e-6)
+    with pytest.raises(ValueError, match="discount must be"):
+        kneser_ney_logprob(docs, discount=1.5)
+
+
+def test_kneser_ney_normalization(spark):
+    """For a seen context w1, P(.|w1) sums to EXACTLY 1 over the seen
+    continuation vocabulary — the property stupid backoff lacks. The
+    cyclic model makes every word both a context and a continuation."""
+    import math
+
+    from slowspark.corpus import kneser_ney_logprob
+
+    model = spark.createDataFrame(
+        [(100, "a b c a b c a c b a")], "doc_id long, text string"
+    )
+    # one single-bigram doc per (a, x) continuation
+    docs = spark.createDataFrame(
+        [(i, f"a {x}") for i, x in enumerate(["a", "b", "c"])],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in kneser_ney_logprob(docs, model_df=model).collect()}
+    total = sum(math.exp(-s) for s in got.values())
+    assert total == pytest.approx(1.0, abs=1e-5)
+
+
+def test_kneser_ney_word_order_and_continuation(spark):
+    """Fluent order beats the scrambled SAME bag; and the 'san
+    francisco' property: under an unseen context, a frequent-but-
+    single-context word (francisco) gets LESS mass than a versatile
+    lower-count connector — the exact case where stupid backoff
+    mis-ranks (pinned by the differential against it)."""
+    from slowspark.corpus import kneser_ney_logprob, stupid_backoff_logprob
+
+    model_rows = [(100 + i, "san francisco") for i in range(10)] + [
+        (200, "a the b the c the d e f g h i j k")
+    ]
+    model = spark.createDataFrame(model_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "zebra francisco"), (2, "zebra the")],
+        "doc_id long, text string",
+    )
+    kn = {r["doc_id"]: r["avg_neg_logprob"]
+          for r in kneser_ney_logprob(docs, model_df=model).collect()}
+    sb = {r["doc_id"]: r["avg_neg_logprob"]
+          for r in stupid_backoff_logprob(docs, model_df=model).collect()}
+    # KN: 'the' follows 3 distinct contexts, 'francisco' only 1
+    assert kn[2] < kn[1]
+    # stupid backoff ranks by raw frequency (francisco 10 vs the 3)
+    assert sb[1] < sb[2]
+    # fluent vs scrambled, same bag
+    fl_model = spark.createDataFrame(
+        [(300 + i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    fl = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "sat cat the")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in kneser_ney_logprob(fl, model_df=fl_model).collect()}
+    assert got[1] < got[2]
+
+
+def test_kneser_ney_estimated_discount(spark):
+    """discount=None estimates D = n1 / (n1 + 2*n2) from the model's
+    bigram count-of-counts (Ney et al. 1994) and must equal an explicit
+    discount=D run; the mirror confirms the value."""
+    from slowspark.corpus import kneser_ney_logprob
+
+    model_texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat on a rug",
+    ]
+    # count-of-counts: 'the cat' occurs twice; count the rest by mirror
+    from collections import Counter
+
+    big = Counter()
+    for t in model_texts:
+        w = t.split()
+        for i in range(len(w) - 1):
+            big[(w[i], w[i + 1])] += 1
+    n1 = sum(1 for c in big.values() if c == 1)
+    n2 = sum(1 for c in big.values() if c == 2)
+    D = n1 / (n1 + 2 * n2)
+    model = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(model_texts)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on a mat"), (2, "zebra cat")],
+        "doc_id long, text string",
+    )
+    est = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in kneser_ney_logprob(
+               docs, model_df=model, discount=None).collect()}
+    fix = {r["doc_id"]: r["avg_neg_logprob"]
+           for r in kneser_ney_logprob(
+               docs, model_df=model, discount=D).collect()}
+    assert est == fix
+    want = _kn_mirror(model_texts, [(1, "the cat sat on a mat")], D=D)
+    assert est[1] == pytest.approx(want[1][1], abs=2e-6)
+
+
 def test_sequence_spans_invariants(spark):
     from slowspark.corpus import pack_sequences, sequence_spans
 

@@ -1086,6 +1086,48 @@ def test_curation_ppl_bigram_scorer_with_model(spark, tmp_path):
     assert os.path.getmtime(os.path.join(wh, "packed")) != m0
 
 
+def test_curation_ppl_kneser_ney_scorer(spark, tmp_path):
+    """--ppl-scorer kneser_ney: the interpolated-KN bigram LM drives
+    the same bucket filter — fluent-in-model phrasing lands in the
+    head bucket, scrambled same-bag text in the tail; the scorer name
+    participates in the resume signature (bigram vs kneser_ney rebuild
+    downstream manifests)."""
+    import os
+
+    fluent = "the cat sat on the mat and the dog ran to the old mill"
+    model = spark.createDataFrame(
+        [(100 + i, fluent, "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    scrambled = "mill old the to ran dog the and mat the on sat cat the"
+    docs = spark.createDataFrame(
+        [(1, fluent, "en"), (2, scrambled, "en")],
+        "doc_id long, text string, lang string",
+    )
+    wh = str(tmp_path / "wh")
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=5, seq_len=32,
+        ppl_keep_buckets=[0], ppl_n_buckets=2,
+        ppl_scorer="kneser_ney", ppl_model_df=model,
+    )
+    kept = {r["doc_id"] for r in tables["ppl_filtered"].collect()}
+    assert kept == {1}
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    run_curation(
+        spark, docs, wh, "test:v1", min_words=5, seq_len=32,
+        ppl_keep_buckets=[0], ppl_n_buckets=2,
+        ppl_scorer="bigram", ppl_model_df=model,
+    )
+    assert os.path.getmtime(os.path.join(wh, "packed")) != m0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ppl_scorer must be"):
+        run_curation(
+            spark, docs, str(tmp_path / "wh2"), "test:v1", min_words=5,
+            seq_len=32, ppl_keep_buckets=[0], ppl_scorer="trigram",
+        )
+
+
 def test_curation_url_dedup_stage(spark, tmp_path):
     """--url-dedup runs FIRST: two fetches of the same canonical URL
     (tracking params, host case, fragment) collapse before the text
