@@ -2805,6 +2805,174 @@ def _bpe_segment_counts_oracle() -> str:
     """
 
 
+def _bpe_byte_learned(spark: SparkSession, sf_dir: str) -> list:
+    """Per-process memo of the byte-level training run (GPT-2
+    pre-tokenization + byte map) — shared by bpe_byte_merges and
+    bpe_byte_segment_counts."""
+    import os
+
+    from slowspark.bpe import bpe_learn
+
+    key = os.path.basename(os.path.normpath(sf_dir)) + ":byte"
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = bpe_learn(
+            _read(spark, sf_dir, "documents"), _BPE_MERGES, byte_level=True
+        )
+    return _BPE_CACHE[key]
+
+
+def _bpe_byte_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE training (bpe.bpe_learn(byte_level=True), the
+    GPT-2 recipe: pre-tokenization regex + byte->unicode map, merges
+    over bytes). The oracle re-derives the pre-tokens with RE2 —
+    which lacks the pattern's (?!\\S) lookahead — by extracting with a
+    lookahead-free variant and replaying the trailing-whitespace
+    donation rules as list post-processing, then applies the byte map
+    as a translate() (exact for this corpus: the sf documents are
+    ASCII, where the GPT-2 map is identity on 0x21-0x7E and
+    chr(256+b) on controls — the full non-ASCII map is pinned by the
+    pure-Python differential in tests/test_bpe.py instead), and runs
+    the same unrolled merge rounds as the word-level oracle."""
+    merges = _bpe_byte_learned(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (m["merge_ix"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "merge_ix int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def _bpe_byte_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE inference via the PRODUCTION path
+    (bpe.bpe_segment_udf(byte_level=True), broadcast merge-rank greedy
+    loop over distinct pre-tokens): per-document token counts. The
+    oracle replays the learned merges as an in-order replace() chain —
+    so the greedy-rank-vs-replace-chain equivalence is itself inside
+    the value hash, at byte level."""
+    from slowspark.bpe import bpe_segment_udf
+
+    merges = _bpe_byte_learned(spark, sf_dir)
+    return bpe_segment_udf(
+        _read(spark, sf_dir, "documents"), merges, byte_level=True
+    ).select("doc_id", "n_tokens")
+
+
+# RE2-safe GPT-2 pre-tokenization: extract with the lookahead-free
+# pattern, then per-token post-process — a whitespace run followed by
+# more text donates its LAST char when that char is a literal space
+# (splitting a donated-space contraction " 's" into " '" + tail, the
+# alternation-order quirk), or splits off its non-space last char
+# otherwise. Mirrors Java's backtracking `\s+(?!\S)` exactly on
+# ASCII corpora (differential-pinned in tests/test_bpe.py for the
+# general unicode case).
+_BPE_BYTE_PT_SQL = r"""
+        pt0 AS (
+            SELECT doc_id,
+                   regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')
+                       AS t0
+            FROM documents
+        ), ptx AS (
+            SELECT doc_id,
+                   flatten(list_transform(range(1, length(t0) + 1), i ->
+                       CASE
+                         WHEN regexp_matches(t0[i], '^\s+$') THEN
+                           CASE
+                             WHEN i = length(t0) THEN [t0[i]]
+                             WHEN substr(t0[i], length(t0[i]), 1) = ' ' THEN
+                               CASE WHEN length(t0[i]) > 1
+                                    THEN [substr(t0[i], 1, length(t0[i]) - 1)]
+                                    ELSE [] END
+                             WHEN length(t0[i]) > 1 THEN
+                               [substr(t0[i], 1, length(t0[i]) - 1),
+                                substr(t0[i], length(t0[i]), 1)]
+                             ELSE [t0[i]]
+                           END
+                         WHEN i > 1 AND regexp_matches(t0[i - 1], '^\s+$')
+                              AND substr(t0[i - 1], length(t0[i - 1]), 1) = ' '
+                         THEN
+                           CASE WHEN t0[i] IN ('''s', '''t', '''re', '''ve',
+                                               '''m', '''ll', '''d')
+                                THEN [' ''', substr(t0[i], 2)]
+                                ELSE [' ' || t0[i]] END
+                         ELSE [t0[i]]
+                       END)) AS pts
+            FROM pt0
+        )"""
+
+# GPT-2 byte map restricted to ASCII: identity on 0x21-0x7E,
+# chr(256 + b) for control bytes b in 1..0x20, chr(289) for DEL
+_B2U_FROM = " || ".join(f"chr({b})" for b in list(range(1, 0x21)) + [0x7F])
+_B2U_TO = " || ".join(
+    [f"chr({256 + b})" for b in range(1, 0x21)] + ["chr(289)"]
+)
+
+_BPE_BYTE_W0 = f"""
+        {_BPE_BYTE_PT_SQL},
+        w0 AS MATERIALIZED (
+            SELECT concat(chr(31),
+                          array_to_string(string_split(word, ''),
+                                          chr(31) || chr(31)),
+                          chr(31)) AS s,
+                   cnt
+            FROM (
+                SELECT word, count(*) AS cnt
+                FROM (
+                    SELECT translate(unnest(pts), {_B2U_FROM}, {_B2U_TO})
+                               AS word
+                    FROM ptx
+                )
+                GROUP BY word
+            )
+        )"""
+
+
+def _bpe_byte_merges_oracle() -> str:
+    rows = "\n            UNION ALL ".join(
+        f"SELECT {k} AS merge_ix, a AS lhs, b AS rhs, a || b AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(_BPE_MERGES)
+    )
+    return f"""
+        WITH {_BPE_BYTE_W0},
+        {_bpe_stage_ctes(_BPE_MERGES)}
+        {rows}
+    """
+
+
+def _bpe_byte_segment_counts_oracle() -> str:
+    expr = "s"
+    for k in range(_BPE_MERGES):
+        a, b = f"(SELECT a FROM m{k})", f"(SELECT b FROM m{k})"
+        expr = (
+            f"replace({expr}, chr(31) || {a} || chr(31) || chr(31) || {b}"
+            f" || chr(31), chr(31) || {a} || {b} || chr(31))"
+        )
+    return f"""
+        WITH {_BPE_BYTE_W0},
+        {_bpe_stage_ctes(_BPE_MERGES)},
+        docw AS (
+            SELECT doc_id,
+                   concat(chr(31),
+                          array_to_string(string_split(word, ''),
+                                          chr(31) || chr(31)),
+                          chr(31)) AS s
+            FROM (
+                SELECT doc_id,
+                       translate(unnest(pts), {_B2U_FROM}, {_B2U_TO}) AS word
+                FROM ptx
+            )
+        )
+        SELECT doc_id,
+               CAST(sum(length(string_split(trim({expr}, chr(31)),
+                                            chr(31) || chr(31))))
+                    AS INTEGER) AS n_tokens
+        FROM docw
+        GROUP BY doc_id
+    """
+
+
 def _bpe_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing in TOKENIZER units: pack_sequences with
     n_tokens_col from bpe_segment over the merges learned at this sf
@@ -3709,6 +3877,9 @@ _PRIORITY_QUERIES: "list[str]" = [
     "substring_dedup_chars",
     # new this round (r7 verdict #4: interpolated Kneser-Ney bigram LM):
     "kn_logprob",
+    # new this round (r7 verdict #5: byte-level BPE, GPT-2 pretokenizer):
+    "bpe_byte_merges",
+    "bpe_byte_segment_counts",
 ]
 
 
@@ -3783,6 +3954,8 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _kmv_distinct,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
+        "bpe_byte_merges": _bpe_byte_merges,
+        "bpe_byte_segment_counts": _bpe_byte_segment_counts,
         "sequence_manifest": _sequence_manifest,
         "badword_filter": _badword_filter,
         "weighted_sample": _weighted_sample,
@@ -4434,6 +4607,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _kmv_distinct_oracle(),
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
+        "bpe_byte_merges": _bpe_byte_merges_oracle(),
+        "bpe_byte_segment_counts": _bpe_byte_segment_counts_oracle(),
         "sequence_manifest": _SEQ_MANIFEST_ORACLE,
         "badword_filter": _badword_oracle(),
         "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,

@@ -32,9 +32,120 @@ No reference analog (/root/reference is a slow-log parser, src/*.rs).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, functions as F
 
 SENT = "\x1f"
+
+# GPT-2's pre-tokenization regex (Radford et al. 2019; the public
+# encoder.py pattern), in Java regex form: contractions, optional-space
+# letter/number/other-category runs, and the trailing-whitespace
+# lookahead that leaves the LAST space of a run to attach to the next
+# word ("  a" -> [" ", " a"]). (?U) lifts \s/\S to Unicode whitespace
+# (Java's default \s is ASCII-only; \p{L}/\p{N} are Unicode already),
+# matching the `regex` module semantics the original uses. Known
+# residue: Python counts \x1c-\x1f as whitespace, Java does not — the
+# mirror in tests/test_bpe.py excludes those four C0 separators.
+GPT2_PRETOKEN_RE = (
+    r"(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+
+
+@lru_cache(maxsize=1)
+def bytes_to_unicode() -> dict:
+    """The GPT-2 byte->printable-unicode bijection (public encoder.py
+    algorithm): printable latin bytes map to themselves, every other
+    byte b to chr(256 + rank(b)) — so arbitrary UTF-8 byte sequences
+    become clean unicode strings the sentinel machinery (and any
+    string engine) can process, and EVERY byte is representable: no
+    OOV, lossless decode."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+@lru_cache(maxsize=1)
+def unicode_to_bytes() -> dict:
+    """Inverse of bytes_to_unicode — decode a byte-level token back to
+    its raw bytes (decode_token)."""
+    return {c: b for b, c in bytes_to_unicode().items()}
+
+
+def decode_token(tok: str) -> bytes:
+    """Byte-level token -> original bytes. Concatenating every token's
+    decode over a document reproduces the document's exact UTF-8 bytes
+    (the losslessness pin in tests/test_bpe.py)."""
+    u2b = unicode_to_bytes()
+    return bytes(u2b[c] for c in tok)
+
+
+def gpt2_pretoken_array(text_col: str):
+    """GPT-2 pre-tokens as an array column — one JVM-side
+    regexp_extract_all, no Python. The concatenation of a document's
+    pre-tokens is exactly the document (the regex tiles the string)."""
+    return F.regexp_extract_all(
+        F.col(text_col), F.lit(GPT2_PRETOKEN_RE), F.lit(0)
+    )
+
+
+def _byte_map_words(words: DataFrame, in_col: str, out_col: str,
+                    keep: list | None = None) -> DataFrame:
+    """Map a DISTINCT-word table's strings through bytes_to_unicode
+    (UTF-8 encode, per-byte remap). The one Python stage of the
+    byte-level path — O(distinct pre-tokens), never O(corpus); the
+    mapping is injective (UTF-8 is, and the byte map is a bijection),
+    so counts need no re-aggregation."""
+    import pandas as pd
+
+    keep = keep or []
+    schema = ", ".join(
+        [f"{out_col} string"]
+        + [f"{c} {t}" for c, t in keep]
+    )
+
+    def mapper(batches):
+        b2u = bytes_to_unicode()
+        for pdf in batches:
+            out = {
+                out_col: [
+                    "".join(b2u[b] for b in w.encode("utf-8"))
+                    for w in pdf[in_col]
+                ]
+            }
+            for c, _ in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return words.mapInPandas(mapper, schema=schema)
+
+
+def pretoken_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, count) over GPT-2 BYTE-LEVEL pre-tokens — the byte-level
+    sibling of word_frequencies. The corpus-wide pass (pre-tokenize,
+    explode, count) is pure JVM regex + one map-side-combined groupBy;
+    only the DISTINCT (pre-token, count) table then passes through the
+    byte map. No sentinel filter needed: mapped strings use printable
+    codepoints >= 0x21 only, so \\x1f cannot occur."""
+    counts = (
+        df.select(F.explode(gpt2_pretoken_array(text_col)).alias("pt"))
+        .groupBy("pt")
+        .agg(F.count("*").alias("count"))
+    )
+    return _byte_map_words(counts, "pt", "word", keep=[("count", "long")])
 
 
 def word_frequencies(
@@ -89,6 +200,7 @@ def bpe_learn(
     text_col: str = "text",
     id_col: str = "doc_id",
     rounds_per_pass: int = 1,
+    byte_level: bool = False,
 ) -> list[dict]:
     """Learn `n_merges` BPE merges. Returns the ordered merge table:
     [{merge_ix, left, right, merged, pair_count}] — left/right are the
@@ -116,16 +228,31 @@ def bpe_learn(
     would have out-ranked a later same-pass pick, k=1 and k>1 learn
     different (both valid greedy-BPE) orders. k=1 is exact Sennrich;
     the differential test pins equality on a corpus where no
-    cross-rank creation occurs."""
+    cross-rank creation occurs.
+
+    `byte_level=True` is the production-tokenizer mode (GPT-2, Radford
+    et al. 2019): words come from pretoken_frequencies (GPT-2
+    pre-tokenization regex + the byte->unicode map) instead of lowered
+    \\S+ tokens, so merges are learned over BYTES — case is preserved,
+    leading spaces are part of tokens ('Ġthe'), there is no OOV, and
+    segment->decode is byte-lossless. The merge loop itself is
+    identical: byte-mapped words are plain strings of printable
+    codepoints, so the sentinel machinery applies unchanged (pinned
+    token-identical to a pure-Python reference trainer on a
+    unicode-heavy corpus, tests/test_bpe.py)."""
     if n_merges < 1:
         raise ValueError(f"bpe_learn: n_merges must be >= 1, got {n_merges}")
     if rounds_per_pass < 1:
         raise ValueError(
             f"bpe_learn: rounds_per_pass must be >= 1, got {rounds_per_pass}"
         )
+    freqs = (
+        pretoken_frequencies(df, text_col, id_col)
+        if byte_level
+        else word_frequencies(df, text_col, id_col)
+    )
     words = (
-        word_frequencies(df, text_col, id_col)
-        .select(_encode(F.col("word")).alias("s"), "count")
+        freqs.select(_encode(F.col("word")).alias("s"), "count")
         .localCheckpoint()
     )
     merges: list[dict] = []
@@ -202,6 +329,7 @@ def bpe_segment(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_expr_merges: int = 256,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Apply a learned merge table: (id, tokens array<string>, n_tokens)
     where each word is segmented by replaying the merges IN ORDER — the
@@ -234,6 +362,25 @@ def bpe_segment(
             F.lit(f"{SENT}{m['left']}{SENT}{SENT}{m['right']}{SENT}"),
             F.lit(f"{SENT}{m['merged']}{SENT}"),
         )
+    if byte_level:
+        # occurrences stay raw pre-tokens; the byte map runs over the
+        # DISTINCT pre-token table only, then the same replace chain
+        # applies to the mapped form and joins back on the raw token
+        occurrences = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(gpt2_pretoken_array(text_col)).alias("pos", "pt"),
+        )
+        mapped = _byte_map_words(
+            occurrences.select(F.col("pt").alias("rawpt")).distinct(),
+            "rawpt", "word", keep=[("rawpt", "string")],
+        )
+        segmented = mapped.select("rawpt", state.alias("s")).select(
+            "rawpt", _symbols("s").alias("sym")
+        )
+        toks = occurrences.join(
+            segmented, occurrences["pt"] == segmented["rawpt"]
+        ).select("id", "pos", "sym")
+        return _reassemble(toks, id_col)
     toks = (
         df.select(
             F.col(id_col).alias("id"),
@@ -333,6 +480,7 @@ def bpe_segment_udf(
     merges: list[dict],
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Production-vocabulary segmentation: same contract and output as
     bpe_segment, any number of merges. The merge table travels ONCE per
@@ -361,21 +509,33 @@ def bpe_segment_udf(
 
     def seg_fn(batches):
         r = bc_ranks.value
+        b2u = bytes_to_unicode() if byte_level else None
         for pdf in batches:
+            ws = (
+                ["".join(b2u[b] for b in w.encode("utf-8"))
+                 for w in pdf["word"]]
+                if byte_level else pdf["word"]
+            )
             yield pd.DataFrame(
                 {
                     "word": pdf["word"],
-                    "sym": [_merge_word(w, r) for w in pdf["word"]],
+                    "sym": [_merge_word(w, r) for w in ws],
                 }
             )
 
     # no sentinel filter: bpe_segment doesn't filter either, and the two
     # paths must stay token-identical. Words containing \x1f (absent
     # from real text; word_frequencies never learns from them) have
-    # undefined segmentation on BOTH paths.
+    # undefined segmentation on BOTH paths. byte_level: occurrences are
+    # GPT-2 pre-tokens and the byte map runs INSIDE the distinct-word
+    # Python stage — same O(distinct) bound, same plan shape (pinned,
+    # tests/test_plans.py).
     occurrences = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(ws_token_array(text_col)).alias("pos", "word"),
+        F.posexplode(
+            gpt2_pretoken_array(text_col) if byte_level
+            else ws_token_array(text_col)
+        ).alias("pos", "word"),
     )
     seg_schema = T.StructType(
         [

@@ -260,3 +260,160 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
         load_merges(spark, str(tmp_path / "bad"))
     with pytest.raises(ValueError, match="empty"):
         save_merges(spark, [], str(tmp_path / "empty"))
+
+
+# ---------------------------------------------------------------------------
+# Byte-level mode (GPT-2): pre-tokenization mirror + end-to-end differentials
+# ---------------------------------------------------------------------------
+
+def _py_pretokenize(text: str) -> list[str]:
+    """Pure-Python mirror of GPT2_PRETOKEN_RE's Java semantics, char by
+    char via unicodedata categories (Python re lacks \\p{L}): leftmost
+    alternative wins, `\\s+(?!\\S)` leaves the last whitespace char of a
+    run to (maybe) attach to the next token. Excludes \\x1c-\\x1f from
+    whitespace (Python isspace() counts them, Java (?U)\\s does not)."""
+    import unicodedata
+
+    def is_l(c):
+        return unicodedata.category(c).startswith("L")
+
+    def is_n(c):
+        return unicodedata.category(c).startswith("N")
+
+    def is_ws(c):
+        return c.isspace() and c not in "\x1c\x1d\x1e\x1f"
+
+    CONTR = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+    out, i, n = [], 0, len(text)
+    while i < n:
+        for c in CONTR:
+            if text.startswith(c, i):
+                out.append(c)
+                i += len(c)
+                break
+        else:
+            j = i
+            k = j + 1 if text[j] == " " else j
+            if k < n and is_l(text[k]):
+                e = k
+                while e < n and is_l(text[e]):
+                    e += 1
+                out.append(text[j:e])
+                i = e
+            elif k < n and is_n(text[k]):
+                e = k
+                while e < n and is_n(text[e]):
+                    e += 1
+                out.append(text[j:e])
+                i = e
+            elif (k < n and not is_ws(text[k]) and not is_l(text[k])
+                  and not is_n(text[k])):
+                e = k
+                while (e < n and not is_ws(text[e]) and not is_l(text[e])
+                       and not is_n(text[e])):
+                    e += 1
+                out.append(text[j:e])
+                i = e
+            else:
+                # whitespace run (text[j] is ws here by construction)
+                e = j
+                while e < n and is_ws(text[e]):
+                    e += 1
+                if e < n and e - j >= 2:
+                    out.append(text[j:e - 1])  # \s+(?!\S) backtracks one
+                    i = e - 1
+                else:
+                    out.append(text[j:e])      # trailing run, or plain \s+
+                    i = e
+    return out
+
+
+UNICODE_CORPUS = [
+    (1, "héllo wörld  it's l'école 漢字漢字 123 4,56!  tail's"),
+    (2, "Emoji ☃ snow\t\tmix   spaces\n\nnewlines aren't FuNkY?"),
+    (3, "naïve café naïve café CAFÉ  's what'll we'd œuf œuf"),
+    (4, "digitsé12mix ΑΒΓαβγ ΑΒΓαβγ русский текст русский héllo"),
+]
+
+
+def test_gpt2_pretokenize_matches_mirror(spark):
+    """The JVM regex and the category-driven Python mirror tile every
+    document into the SAME pre-token list (contractions, optional-space
+    runs, trailing-whitespace lookahead, CJK/Greek/Cyrillic letters,
+    tabs/newlines, contraction-after-double-space)."""
+    from slowspark.bpe import gpt2_pretoken_array
+
+    df = spark.createDataFrame(UNICODE_CORPUS, "doc_id long, text string")
+    got = {r["doc_id"]: r["a"] for r in
+           df.select("doc_id",
+                     gpt2_pretoken_array("text").alias("a")).collect()}
+    for did, text in UNICODE_CORPUS:
+        assert got[did] == _py_pretokenize(text), f"doc {did}"
+        assert "".join(got[did]) == text  # the regex tiles the string
+
+
+def test_bpe_byte_level_learn_matches_reference(spark):
+    """byte_level=True trains over byte-mapped GPT-2 pre-tokens and must
+    equal the pure-Python reference trainer (same tie-break, same
+    left-to-right merge application) on a unicode-heavy corpus — merge
+    strings, order, and counts all identical."""
+    from slowspark.bpe import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    wf = Counter()
+    for _, text in UNICODE_CORPUS:
+        for pt in _py_pretokenize(text):
+            wf["".join(b2u[b] for b in pt.encode("utf-8"))] += 1
+    df = spark.createDataFrame(UNICODE_CORPUS, "doc_id long, text string")
+    got = bpe_learn(df, n_merges=12, byte_level=True)
+    ref = _ref_bpe(dict(wf), 12)
+    assert [
+        (m["left"], m["right"], m["merged"], m["pair_count"]) for m in got
+    ] == [(m["left"], m["right"], m["merged"], m["pair_count"]) for m in ref]
+    # multi-byte chars became multi-symbol byte sequences: at least one
+    # learned merge glues two bytes of one UTF-8 char (é, 漢, Α, ...)
+    assert any(len(m["merged"].encode("utf-8")) > len(m["merged"])
+               or ord(max(m["merged"])) > 255 for m in got)
+
+
+def test_bpe_byte_level_segment_paths_and_losslessness(spark):
+    """The replace-chain expression path and the broadcast-rank UDF path
+    segment byte-level corpora token-identically; per-doc tokens equal
+    the mirror's in-order merge replay; and decoding every token's bytes
+    reconstructs each document EXACTLY (the no-OOV byte-level
+    guarantee) — including case, double spaces, tabs, and CJK."""
+    from slowspark.bpe import (
+        bpe_segment_udf, bytes_to_unicode, decode_token,
+    )
+
+    df = spark.createDataFrame(UNICODE_CORPUS, "doc_id long, text string")
+    merges = bpe_learn(df, n_merges=12, byte_level=True)
+    expr = {r["doc_id"]: r["tokens"] for r in
+            bpe_segment(df, merges, byte_level=True).collect()}
+    udf = {r["doc_id"]: r["tokens"] for r in
+           bpe_segment_udf(df, merges, byte_level=True).collect()}
+    assert expr == udf
+    b2u = bytes_to_unicode()
+    for did, text in UNICODE_CORPUS:
+        want = []
+        for pt in _py_pretokenize(text):
+            mapped = "".join(b2u[b] for b in pt.encode("utf-8"))
+            want.extend(_ref_segment(mapped, merges))
+        assert expr[did] == want, f"doc {did}"
+        raw = b"".join(decode_token(t) for t in expr[did])
+        assert raw.decode("utf-8") == text, f"doc {did} not lossless"
+
+
+def test_bpe_byte_level_case_and_space_sensitivity(spark):
+    """What byte level buys over the word path: ' the' and 'The' are
+    DISTINCT learned units (no lowering, leading space in-token), and a
+    word-path-invisible whitespace distinction (double space) survives
+    the round trip."""
+    rows = [(1, "The the The the  the the The")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from slowspark.bpe import pretoken_frequencies
+
+    wf = {r["word"]: r["count"] for r in pretoken_frequencies(df).collect()}
+    g = "Ġ"  # byte-mapped space
+    assert wf[f"{g}the"] == 4 and wf[f"{g}The"] == 2
+    assert wf["The"] == 1 and wf[g] == 1  # doc-initial word; extra space

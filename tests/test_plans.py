@@ -332,6 +332,30 @@ def test_bpe_segment_udf_python_runs_over_distinct_words(spark):
     assert "Join" in plan
 
 
+def test_bpe_byte_level_python_stays_distinct_bounded(spark):
+    """Byte-level mode keeps BOTH of the word path's scale contracts:
+    the trainer's corpus-wide pass (pre-tokenize + explode + count) is
+    pure JVM regex — its Python stage (the byte map) consumes the
+    ALREADY-AGGREGATED distinct table; and the UDF segmenter's single
+    Python stage still sits over the distinct pre-tokens, occurrences
+    rejoining by key."""
+    from slowspark.bpe import bpe_learn, bpe_segment_udf, pretoken_frequencies
+
+    df = spark.createDataFrame(
+        [(i, "low lower Lowest  newest don't " * 4) for i in range(4)],
+        "doc_id long, text string",
+    )
+    tplan = _plan(pretoken_frequencies(df))
+    assert tplan.count("MapInPandas") == 1
+    # byte map AFTER the count aggregate: its subtree holds the groupBy
+    assert "HashAggregate" in tplan.split("MapInPandas")[1]
+    merges = bpe_learn(df, n_merges=4, byte_level=True)
+    plan = _plan(bpe_segment_udf(df, merges, byte_level=True))
+    assert plan.count("MapInPandas") == 1
+    assert "HashAggregate" in plan.split("MapInPandas")[1]
+    assert "Join" in plan
+
+
 def test_unimax_sample_selection_scan_is_narrow(spark):
     """After the (eager, strata-bounded) count aggregate, the UniMax
     selection itself must be a narrow scan: literal thresholds, no
