@@ -63,6 +63,7 @@ _ARTIFACT_NAMES = (
     "pq_index", "ivfpq_index", "ivfpq_res_index",
     "qualityclf_features", "qualityclf_coeffs", "bloom_positions",
     "cms_positions", "kmv_hashes",
+    "langid_docs", "langid_features", "langid_coeffs",
 )
 
 
@@ -173,6 +174,7 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
             lambda: _dedup_pairs_parquets(spark, sf_dir, sigs=sig_fut.result()),
             lambda: _minhash_sigs_parquet(spark, sf_dir, sigs=sig_fut.result()),
             lambda: _qualityclf_parquet(spark, sf_dir),
+            lambda: _langid_parquet(spark, sf_dir),
             lambda: _bloom_positions_parquet(spark, sf_dir),
             lambda: _cms_positions_parquet(spark, sf_dir),
             lambda: _kmv_hashes_parquet(spark, sf_dir),
@@ -1648,6 +1650,41 @@ def _qualityclf_parquet(spark: SparkSession, sf_dir: str) -> str:
     return abase
 
 
+def _langid_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the multilingual-langid fixtures once per process:
+    the deterministic six-language corpus (qualityclf.langid_fixture —
+    doc_id, lang), its hashed char-3-gram feature table, and the
+    one-vs-rest coefficient table trained on the EVEN doc_ids (odd ids
+    are the held-out split the driver query exposes; intercepts at
+    bucket = -1 per lang). Training is iterative (pinned by
+    tests/test_qualityclf.py); the oracle recomputes the SCORING pass —
+    margin join, intercept completion, rounded argmax — in SQL from
+    these parquets. The fixture is sf-independent; it lives under the
+    sf artifact dir purely to share the manifest stamp."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from slowspark.qualityclf import (
+        hashed_char_ngram_features, langid_fixture, train_langid,
+    )
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    abase = f"{_ORACLE_ENTRIES_BASE}/{base}"
+    paths = [f"{abase}/langid_{n}" for n in ("docs", "features", "coeffs")]
+    if any(p not in _ENTRIES_WRITTEN for p in paths):
+        docs = langid_fixture(spark, n_per_lang=24)
+        docs.coalesce(1).write.mode("overwrite").parquet(paths[0])
+        feats = hashed_char_ngram_features(docs)
+        feats.write.mode("overwrite").parquet(paths[1])
+        co = train_langid(
+            docs.filter(F.col("doc_id") % 2 == 0), epochs=8
+        )
+        co.coalesce(1).write.mode("overwrite").parquet(paths[2])
+        _ENTRIES_WRITTEN.update(paths)
+    return abase
+
+
 def _minhash_sigs_parquet(
     spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
 ) -> str:
@@ -2623,6 +2660,78 @@ def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("score", 6) >= 0.5).alias("pred"),
         (F.col("id") % 3 == 0).alias("label"),
     )
+
+
+def _langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual language ID inference (qualityclf.score_langid,
+    one-vs-rest char-ngram logreg — the Latin-confusable upgrade of
+    textops.language_id) from the materialized fixture artifacts:
+    per-doc rounded one-vs-rest margins, intercept completion, argmax
+    with the deterministic (margin, lang) struct tie-break, and the
+    held-out correctness flag (trained on even ids only — odd rows are
+    generalization). The oracle recomputes the whole scoring pass in
+    SQL from the same parquets."""
+    from slowspark.qualityclf import score_langid
+
+    abase = _langid_parquet(spark, sf_dir)
+    feats = spark.read.parquet(f"{abase}/langid_features")
+    co = spark.read.parquet(f"{abase}/langid_coeffs")
+    docs = spark.read.parquet(f"{abase}/langid_docs")
+    scored = score_langid(feats, co)
+    return scored.join(
+        docs.select(F.col("doc_id").alias("id"), F.col("lang").alias("lang_true")),
+        "id",
+    ).select(
+        F.col("id").alias("doc_id"),
+        "lang_pred",
+        "margin",
+        "lang_true",
+        (F.col("lang_pred") == F.col("lang_true")).alias("correct"),
+        (F.col("id") % 2 == 1).alias("heldout"),
+    )
+
+
+def _langid_scores_oracle(sf_dir_base: str = "sf0.01") -> str:
+    abase = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}"
+    return f"""
+        WITH feats AS (
+            SELECT * FROM read_parquet('{abase}/langid_features/*.parquet')
+        ), co AS (
+            SELECT lang, bucket, weight
+            FROM read_parquet('{abase}/langid_coeffs/*.parquet')
+            WHERE bucket >= 0
+        ), ic AS (
+            SELECT lang, weight AS b
+            FROM read_parquet('{abase}/langid_coeffs/*.parquet')
+            WHERE bucket = -1
+        ), m AS (
+            SELECT f.id, c.lang, sum(f.tf * c.weight) AS mw
+            FROM feats f JOIN co c USING (bucket)
+            GROUP BY f.id, c.lang
+        ), ids AS (
+            SELECT DISTINCT id FROM feats
+        ), fullm AS (
+            SELECT ids.id, ic.lang,
+                   round(coalesce(m.mw, 0.0) + ic.b, 6) AS margin
+            FROM ids CROSS JOIN ic
+            LEFT JOIN m ON m.id = ids.id AND m.lang = ic.lang
+        ), best AS (
+            SELECT id, lang, margin,
+                   row_number() OVER (PARTITION BY id
+                       ORDER BY margin DESC, lang DESC) AS rn
+            FROM fullm
+        )
+        SELECT b.id AS doc_id,
+               b.lang AS lang_pred,
+               b.margin AS margin,
+               d.lang AS lang_true,
+               b.lang = d.lang AS correct,
+               b.id % 2 = 1 AS heldout
+        FROM best b
+        JOIN read_parquet('{abase}/langid_docs/*.parquet') d
+             ON d.doc_id = b.id
+        WHERE b.rn = 1
+    """
 
 
 def _quality_classifier_oracle(sf_dir_base: str = "sf0.01") -> str:
@@ -3880,6 +3989,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     # new this round (r7 verdict #5: byte-level BPE, GPT-2 pretokenizer):
     "bpe_byte_merges",
     "bpe_byte_segment_counts",
+    # new this round (r7 verdict #7: multilingual langid classifier):
+    "langid_scores",
 ]
 
 
@@ -3947,6 +4058,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _dsir_select,
         "gopher_repetition": _gopher_repetition,
         "quality_classifier": _quality_classifier,
+        "langid_scores": _langid_scores,
         "bloom_incremental_dedup": _bloom_incremental_dedup,
         "bpe_segment_counts": _bpe_segment_counts,
         "bpe_packed": _bpe_packed,
@@ -4599,6 +4711,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gopher_repetition": _gopher_oracle(),
         "quality_classifier": _quality_classifier_oracle(),
+        "langid_scores": _langid_scores_oracle(),
         "bloom_incremental_dedup": _bloom_incremental_dedup_oracle(),
         "bpe_merges": _bpe_merges_oracle(),
         "bpe_segment_counts": _bpe_segment_counts_oracle(),

@@ -259,3 +259,238 @@ def classifier_accuracy(
 def sigmoid(x: float) -> float:
     """Driver-side scalar sigmoid (for intercept-only defaults)."""
     return 1.0 / (1.0 + math.exp(-x))
+
+
+# ---------------------------------------------------------------------------
+# Multilingual language ID — the same machinery, one-vs-rest over
+# hashed CHAR n-grams (the fastText langid recipe, Joulin et al. 2016)
+# ---------------------------------------------------------------------------
+
+def hashed_char_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_buckets: int = 1 << 12,
+) -> DataFrame:
+    """(id, bucket, tf): lowered CHARACTER n-grams (spaces included —
+    word-boundary context is the langid signal: ' de' vs ' da' vs ' di'
+    separates es/pt/it), hashed xxhash64 pmod n_buckets, L2-normalized
+    like hashed_text_features (same step-size contract for
+    train_logreg). Char n-grams are what separates Latin-script
+    confusable languages where textops.language_id's stopword overlap
+    ties — diacritics and affix patterns live below the token level.
+    Docs shorter than n chars produce no rows.
+
+    Scale shape: gram materialization is per-document codegen (transform
+    over sequence); one map-side-combined groupBy(id, bucket) + the
+    window norm — identical to the word-gram sibling."""
+    if n < 1:
+        raise ValueError(f"hashed_char_ngram_features: n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    grams = F.expr(
+        f"CASE WHEN length(__t) >= {n} THEN "
+        f"transform(sequence(1, length(__t) - {n} + 1), "
+        f"i -> substring(__t, i, {n})) ELSE array() END"
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__t"))
+        .select("id", F.explode(grams).alias("gram"))
+    )
+    counts = base.groupBy(
+        "id", F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).alias("bucket")
+    ).agg(F.count("*").cast("double").alias("c"))
+    norm = F.sqrt(F.sum(F.col("c") * F.col("c")).over(Window.partitionBy("id")))
+    return counts.select("id", "bucket", (F.col("c") / norm).alias("tf"))
+
+
+def train_langid(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    langs: list | None = None,
+    n: int = 3,
+    n_buckets: int = 1 << 12,
+    epochs: int = 15,
+    lr: float = 6.0,
+    reg: float = 1e-4,
+) -> DataFrame:
+    """One-vs-rest multilingual classifier over hashed char n-grams:
+    one train_logreg run per language (label = lang == L), stacked into
+    a single coefficient table (lang, bucket, weight) with each
+    language's intercept at bucket = -1 — the multi-class extension of
+    the _qualityclf_parquet layout. `langs` defaults to the distinct
+    labels, sorted (deterministic class order).
+
+    At 100 TB this trains on a bounded LABELED sample (a few 10^5 docs
+    per language); scoring the corpus is score_langid's one broadcast
+    join. The per-language loops share nothing but the feature table —
+    embarrassingly parallel across a fleet if ever needed; here they
+    run sequentially (n_langs is small)."""
+    if langs is None:
+        langs = sorted(
+            r[0] for r in df.select(label_col).distinct().collect()
+            if r[0] is not None
+        )
+    if len(langs) < 2:
+        raise ValueError(f"train_langid: need >= 2 languages, got {langs}")
+    spark = df.sparkSession
+    feats = hashed_char_ngram_features(
+        df, text_col, id_col, n=n, n_buckets=n_buckets
+    ).persist()
+    feats.count()
+    out = None
+    for lang in langs:
+        labels = df.select(
+            F.col(id_col).alias("id"),
+            (F.col(label_col) == lang).cast("int").alias("label"),
+        )
+        coeffs, intercept, _ = train_logreg(
+            feats, labels, n_buckets=n_buckets,
+            epochs=epochs, lr=lr, reg=reg,
+        )
+        part = coeffs.unionByName(
+            spark.createDataFrame(
+                [(-1, float(intercept))], "bucket int, weight double"
+            )
+        ).select(F.lit(lang).alias("lang"), "bucket", "weight")
+        out = part if out is None else out.unionByName(part)
+    result = out.localCheckpoint()
+    feats.unpersist()
+    return result
+
+
+def score_langid(
+    features: DataFrame,
+    coeffs: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, lang_pred, margin): per-document argmax over the one-vs-rest
+    margins (intercept_L + sum tf*weight_L). Margins are ROUNDED to 6dp
+    BEFORE the argmax so sum-order low bits can flip neither the
+    reported margin nor the winner (ties then break to the
+    lexicographically larger lang via struct max — deterministic).
+
+    Scale shape: ONE broadcast join of the stacked coefficient table
+    (n_langs * nnz rows, a few MB) against the feature stream, one
+    map-side-combined groupBy(id, lang), a broadcast intercept
+    completion (docs can lack features for some language entirely), and
+    one per-id struct-max — no shuffle wider than the per-doc
+    aggregations."""
+    co = coeffs.filter(F.col("bucket") >= 0)
+    ic = coeffs.filter(F.col("bucket") == -1).select(
+        "lang", F.col("weight").alias("b")
+    )
+    margins = (
+        features.join(F.broadcast(co), "bucket")
+        .groupBy(F.col(id_col).alias("id"), "lang")
+        .agg(F.sum(F.col("tf") * F.col("weight")).alias("mw"))
+    )
+    ids = features.select(F.col(id_col).alias("id")).distinct()
+    full = (
+        ids.crossJoin(F.broadcast(ic))
+        .join(margins, ["id", "lang"], "left")
+        .select(
+            "id", "lang",
+            F.round(F.coalesce("mw", F.lit(0.0)) + F.col("b"), 6).alias("margin"),
+        )
+    )
+    best = full.groupBy("id").agg(
+        F.max(F.struct("margin", "lang")).alias("best")
+    )
+    return best.select(
+        "id",
+        F.col("best.lang").alias("lang_pred"),
+        F.col("best.margin").alias("margin"),
+    )
+
+
+# deterministic multilingual fixture: stopword- and diacritic-heavy
+# phrase pools for six languages, four of them Latin-script confusables
+# (es/pt/it/fr) — the case textops.language_id's stopword overlap can't
+# separate reliably. Docs are arithmetic phrase combinations: no RNG.
+_LANGID_POOLS = {
+    "en": [
+        "the children play in the street and the dog runs to the house",
+        "i do not know where the library is but it is near the square",
+        "there was a small garden behind the old church by the river",
+        "we have been waiting for the train since early this morning",
+        "she says that the weather will be cold again next week",
+        "the bread and the cheese are on the table in the kitchen",
+        "nobody wanted to answer the question about the broken window",
+        "they walked through the forest until the sun went down",
+    ],
+    "es": [
+        "los niños juegan en la calle y el perro corre hacia la casa",
+        "no sé dónde está la biblioteca pero está cerca de la plaza",
+        "había un pequeño jardín detrás de la iglesia vieja junto al río",
+        "hemos estado esperando el tren desde temprano esta mañana",
+        "ella dice que el tiempo volverá a ser frío la próxima semana",
+        "el pan y el queso están sobre la mesa de la cocina",
+        "nadie quería responder la pregunta sobre la ventana rota",
+        "caminaron por el bosque hasta que se puso el sol",
+    ],
+    "pt": [
+        "as crianças brincam na rua e o cachorro corre para a casa",
+        "não sei onde fica a biblioteca mas é perto da praça",
+        "havia um pequeno jardim atrás da igreja velha junto ao rio",
+        "estamos esperando o trem desde cedo esta manhã",
+        "ela diz que o tempo vai ficar frio de novo na próxima semana",
+        "o pão e o queijo estão sobre a mesa da cozinha",
+        "ninguém queria responder à pergunta sobre a janela quebrada",
+        "eles caminharam pela floresta até o sol se pôr",
+    ],
+    "it": [
+        "i bambini giocano per la strada e il cane corre verso la casa",
+        "non so dove sia la biblioteca ma è vicino alla piazza",
+        "c'era un piccolo giardino dietro la vecchia chiesa lungo il fiume",
+        "stiamo aspettando il treno da presto questa mattina",
+        "lei dice che il tempo tornerà a essere freddo la prossima settimana",
+        "il pane e il formaggio sono sul tavolo della cucina",
+        "nessuno voleva rispondere alla domanda sulla finestra rotta",
+        "hanno camminato nel bosco finché il sole non è tramontato",
+    ],
+    "fr": [
+        "les enfants jouent dans la rue et le chien court vers la maison",
+        "je ne sais pas où est la bibliothèque mais elle est près de la place",
+        "il y avait un petit jardin derrière la vieille église au bord du fleuve",
+        "nous attendons le train depuis tôt ce matin",
+        "elle dit que le temps sera encore froid la semaine prochaine",
+        "le pain et le fromage sont sur la table de la cuisine",
+        "personne ne voulait répondre à la question sur la fenêtre cassée",
+        "ils ont marché dans la forêt jusqu'au coucher du soleil",
+    ],
+    "de": [
+        "die kinder spielen auf der straße und der hund läuft zum haus",
+        "ich weiß nicht wo die bibliothek ist aber sie ist nahe am platz",
+        "hinter der alten kirche am fluss gab es einen kleinen garten",
+        "wir warten seit dem frühen morgen auf den zug",
+        "sie sagt dass das wetter nächste woche wieder kalt wird",
+        "das brot und der käse stehen auf dem tisch in der küche",
+        "niemand wollte die frage über das kaputte fenster beantworten",
+        "sie gingen durch den wald bis die sonne unterging",
+    ],
+}
+
+
+def langid_fixture(spark, n_per_lang: int = 60):
+    """Deterministic multilingual corpus: doc i of language L is three
+    pool phrases chosen by modular arithmetic (co-prime strides walk
+    every combination) — doc_id = lang_ix * 10^6 + i, no randomness.
+    doc_id parity equals i's parity, so even/odd splits are balanced
+    WITHIN every language (an id scheme where parity tracked the
+    language index would silently turn a holdout split into unseen
+    classes)."""
+    langs = sorted(_LANGID_POOLS)
+    rows = []
+    for lx, lang in enumerate(langs):
+        pool = _LANGID_POOLS[lang]
+        m = len(pool)
+        for i in range(n_per_lang):
+            text = " ".join(
+                pool[(i * s + lx + k) % m] for k, s in ((0, 1), (1, 3), (2, 5))
+            )
+            rows.append((lx * 10**6 + i, text, lang))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
