@@ -3873,6 +3873,42 @@ def _warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_selective_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-index-style selective WARC fetch (sources.write_warc with
+    index_path + read_warc_selective): documents export to per-record-
+    gzip WARC files plus a CDX-style (url, file, offset, length) index;
+    the query then range-reads ONLY the doc_id % 7 == 0 records — the
+    incremental-recrawl IO pattern (compose with weburl.crawl_delta to
+    fetch exactly the changed pages). The value hash pins that the
+    seek+length reads return byte-identical payloads for exactly the
+    selected subset; the never-opens-untouched-files IO contract is
+    pinned by tests/test_warc.py's corruption test."""
+    import os as _os
+
+    from slowspark.sources import read_warc_selective, write_warc
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.encode("text", "UTF-8").alias("payload"),
+        "lang",
+        "doc_id",
+    )
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    out = f"{_ORACLE_ENTRIES_BASE}/{base}/warc_export_cdx"
+    idx = f"{_ORACLE_ENTRIES_BASE}/{base}/warc_cdx_index"
+    write_warc(d, out, n_files=4, header_cols=("lang", "doc_id"),
+               index_path=idx)
+    sel = d.filter(F.col("doc_id") % 7 == 0).select("url")
+    back = read_warc_selective(spark, idx, urls=sel)
+    return back.select(
+        F.col("headers")["X-Slowspark-doc_id"].cast("long").alias("doc_id"),
+        F.col("headers")["X-Slowspark-lang"].alias("lang"),
+        F.md5("payload").alias("text_md5"),
+    )
+
+
 def _temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain mixing (corpus.temperature_mixture_props
     at T=2 composed with mixture_sample): proportions ~ sqrt(token
@@ -3991,6 +4027,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "bpe_byte_segment_counts",
     # new this round (r7 verdict #7: multilingual langid classifier):
     "langid_scores",
+    # new this round (r7 verdict #8: CC-index selective WARC fetch):
+    "warc_selective_fetch",
 ]
 
 
@@ -4108,6 +4146,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": _temperature_mixture,
         "unimax_sample": _unimax_sample,
         "warc_roundtrip": _warc_roundtrip,
+        "warc_selective_fetch": _warc_selective_fetch,
     }
 
 
@@ -5151,6 +5190,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_roundtrip": """
             SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
+        """,
+        "warc_selective_fetch": """
+            SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
+            WHERE doc_id % 7 = 0
         """,
         "temperature_mixture": """
             WITH tok AS (

@@ -190,6 +190,7 @@ def write_warc(
     ts_col: str | None = None,
     header_cols: tuple[str, ...] = (),
     compress: bool = True,
+    index_path: str | None = None,
 ) -> list[dict]:
     """Export a DataFrame as WARC response records — the interchange
     artifact other crawl tooling consumes. Fully deterministic: rows
@@ -198,6 +199,17 @@ def write_warc(
     produces byte-identical files. `header_cols` ride along as
     X-Slowspark-<col> headers (round-trip metadata). With
     `compress=True` each record is its own gzip member (the CC layout).
+
+    `index_path`: also materialize a CC-CDX-style record index — one
+    parquet row per record: (url, warc_path, record_ix, offset, length)
+    where offset/length delimit the record's own gzip member (or raw
+    framing bytes) WITHIN its file. Per-record gzip members are exactly
+    what makes CC range requests possible; the index is what
+    read_warc_selective consumes to fetch single records without
+    scanning whole files — the incremental-recrawl IO complement to
+    weburl.crawl_delta. Each writer task writes its own index shard
+    (pyarrow, deterministic name) in the same pass: no extra job, no
+    driver collect.
 
     Scale shape: one shuffle (groupBy file bucket), one applyInPandas
     writer per file, driver collects only the n_files-row manifest
@@ -224,6 +236,10 @@ def write_warc(
         os.path.join(path, "part-*.warc.gz")
     ):
         os.remove(stale)
+    if index_path is not None:
+        os.makedirs(index_path, exist_ok=True)
+        for stale in _glob.glob(os.path.join(index_path, "part-*.parquet")):
+            os.remove(stale)
     cols = [url_col, payload_col] + list(header_cols)
     if ts_col:
         cols.append(ts_col)
@@ -233,6 +249,8 @@ def write_warc(
         pdf = pdf.sort_values(url_col, kind="mergesort")
         fpath = os.path.join(path, f"part-{ix:05d}{ext}")
         chunks = []
+        idx_rows = []
+        running = 0
         for _, row in pdf.iterrows():
             payload = bytes(row[payload_col])
             url = str(row[url_col])
@@ -258,14 +276,41 @@ def write_warc(
             )
             # mtime=0: gzip embeds a timestamp at header byte 4 —
             # byte-identical reruns require pinning it
-            chunks.append(
-                gzip.compress(rec, 9, mtime=0) if compress else rec
-            )
+            chunk = gzip.compress(rec, 9, mtime=0) if compress else rec
+            if index_path is not None:
+                idx_rows.append(
+                    (url, fpath, len(chunks), running, len(chunk))
+                )
+            chunks.append(chunk)
+            running += len(chunk)
         blob = b"".join(chunks)
         tmp = fpath + ".tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, fpath)
+        if index_path is not None:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            table = pa.table(
+                {
+                    "url": [r[0] for r in idx_rows],
+                    "warc_path": [r[1] for r in idx_rows],
+                    "record_ix": pa.array(
+                        [r[2] for r in idx_rows], type=pa.int32()
+                    ),
+                    "offset": pa.array(
+                        [r[3] for r in idx_rows], type=pa.int64()
+                    ),
+                    "length": pa.array(
+                        [r[4] for r in idx_rows], type=pa.int64()
+                    ),
+                }
+            )
+            ipath = os.path.join(index_path, f"part-{ix:05d}.parquet")
+            itmp = ipath + ".tmp"
+            pq.write_table(table, itmp)
+            os.replace(itmp, ipath)
         return pd.DataFrame(
             {"file_ix": [ix], "warc_path": [fpath],
              "n_records": [len(pdf)], "n_bytes": [len(blob)]}
@@ -283,6 +328,117 @@ def write_warc(
         .collect()
     )
     return [r.asDict() for r in manifest]
+
+
+def read_warc_selective(
+    spark: SparkSession,
+    index: "DataFrame | str",
+    urls=None,
+) -> DataFrame:
+    """Fetch ONLY index-selected WARC records — the CC-index access
+    pattern (CDX offset/length range reads) instead of read_warc's
+    whole-file scans. `index` is the parquet dir (or DataFrame) written
+    by write_warc(index_path=...); `urls` narrows it: a list of url
+    strings or any DataFrame with a url column (e.g. the NEW/CHANGED
+    side of weburl.crawl_delta — the incremental-recrawl recipe:
+    crawl_delta says WHICH pages changed, this fetches exactly those
+    records and nothing else). Returns the read_warc schema, payloads
+    byte-identical to a full scan (pinned by the round-trip test).
+
+    Each selected record is read with one seek + one length-bounded
+    read of its own gzip member (write_warc's per-record members make
+    the range self-contained, exactly like CC's warc.gz ranges), parsed
+    through the same ISO 28500 parser, and validated: the decoded
+    record's URL must match the index row — a stale or torn index
+    raises instead of yielding someone else's bytes.
+
+    Scale shape: the only distributed data is the SELECTED index rows
+    (one narrow join against the url selection — broadcast when small);
+    a repartition+sort on warc_path groups each file's selections so a
+    task opens every touched file once, seeks monotonically through it,
+    and never lists, opens, or reads an untouched file (pinned by a
+    test that corrupts the untouched files and reads anyway). IO is
+    O(selected bytes), not O(corpus bytes) — at CC scale the difference
+    between a range request and a 1 GB segment download per record."""
+    import gzip
+
+    import pandas as pd
+
+    idx = (
+        spark.read.parquet(index) if isinstance(index, str) else index
+    ).select("url", "warc_path", "record_ix", "offset", "length")
+    if urls is not None:
+        if not isinstance(urls, DataFrame):
+            urls = spark.createDataFrame(
+                [(u,) for u in urls], "url string"
+            )
+        idx = idx.join(
+            F.broadcast(urls.select("url").distinct()), "url", "left_semi"
+        )
+    sel = idx.repartition("warc_path").sortWithinPartitions(
+        "warc_path", "offset"
+    )
+
+    def fetch_fn(batches):
+        handles: dict = {}
+        try:
+            for pdf in batches:
+                out = {
+                    "warc_path": [], "record_ix": [], "warc_type": [],
+                    "url": [], "warc_ts": [], "headers": [], "payload": [],
+                }
+                for url, path, rix, off, length in zip(
+                    pdf["url"], pdf["warc_path"], pdf["record_ix"],
+                    pdf["offset"], pdf["length"],
+                ):
+                    fh = handles.get(path)
+                    if fh is None:
+                        fh = handles[path] = open(path, "rb")
+                    fh.seek(int(off))
+                    raw = fh.read(int(length))
+                    if len(raw) != int(length):
+                        raise ValueError(
+                            f"read_warc_selective: {path}: short read at "
+                            f"offset {off} (index wants {length} bytes)"
+                        )
+                    try:
+                        blob = (
+                            gzip.decompress(raw)
+                            if path.endswith(".gz") else raw
+                        )
+                    except (EOFError, OSError) as e:
+                        raise ValueError(
+                            f"read_warc_selective: {path}: range at "
+                            f"{off}+{length} is not a whole gzip member "
+                            f"({e}) — stale index?"
+                        ) from None
+                    recs = list(_parse_warc_blob(blob, path))
+                    if len(recs) != 1:
+                        raise ValueError(
+                            f"read_warc_selective: {path}: range at "
+                            f"{off}+{length} framed {len(recs)} records, "
+                            f"expected exactly 1 — stale index?"
+                        )
+                    _, wt, rurl, ts, hdrs, payload = recs[0]
+                    if rurl != url:
+                        raise ValueError(
+                            f"read_warc_selective: {path}: index says "
+                            f"{url!r} at offset {off} but the record is "
+                            f"{rurl!r} — stale index"
+                        )
+                    out["warc_path"].append(path)
+                    out["record_ix"].append(int(rix))
+                    out["warc_type"].append(wt)
+                    out["url"].append(url)
+                    out["warc_ts"].append(ts)
+                    out["headers"].append(hdrs)
+                    out["payload"].append(payload)
+                yield pd.DataFrame(out)
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    return sel.mapInPandas(fetch_fn, schema=_WARC_SCHEMA)
 
 
 def read_jsonl(

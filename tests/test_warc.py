@@ -311,3 +311,101 @@ def test_curate_cli_respects_noindex(spark, tmp_path):
         capture_output=True, text=True, timeout=120,
     )
     assert r.returncode != 0 and "respect-noindex" in r.stderr
+
+
+# ---------------------------------------------------------------------------
+# CC-index-style selective fetch (write_warc index_path + read_warc_selective)
+# ---------------------------------------------------------------------------
+
+def test_warc_index_selective_fetch_byte_identical(spark, tmp_path):
+    """The CDX recipe: export with an index, fetch an index-selected url
+    subset — every returned row (payload bytes, headers, record_ix,
+    warc_type, ts) equals the full-scan read_warc row for that url, and
+    ONLY the selected urls come back. Both selection forms (url list,
+    DataFrame with url column) work; urls=None fetches everything."""
+    from slowspark.sources import read_warc_selective
+
+    docs = _docs(spark, n=14)
+    out, idx = str(tmp_path / "warc"), str(tmp_path / "cdx")
+    write_warc(docs, out, n_files=3, header_cols=("lang",),
+               index_path=idx)
+    index = spark.read.parquet(idx)
+    assert index.count() == 14
+    assert set(index.columns) == {"url", "warc_path", "record_ix",
+                                  "offset", "length"}
+    full = {r["url"]: r for r in read_warc(spark, out + "/*.warc.gz").collect()}
+    pick = [f"https://example.org/doc/{i}" for i in (0, 5, 9, 13)]
+    got = read_warc_selective(spark, idx, urls=pick).collect()
+    assert {r["url"] for r in got} == set(pick)
+    for r in got:
+        w = full[r["url"]]
+        assert bytes(r["payload"]) == bytes(w["payload"])
+        assert r["headers"] == w["headers"]
+        assert r["record_ix"] == w["record_ix"]
+        assert r["warc_type"] == w["warc_type"]
+        assert r["warc_ts"] == w["warc_ts"]
+    # DataFrame selection (the crawl_delta composition shape)
+    sel_df = spark.createDataFrame([(u,) for u in pick[:2]], "url string")
+    got2 = {r["url"] for r in
+            read_warc_selective(spark, index, urls=sel_df).collect()}
+    assert got2 == set(pick[:2])
+    # no selection: the whole index, equal to the full scan
+    all_rows = read_warc_selective(spark, idx).collect()
+    assert {r["url"]: bytes(r["payload"]) for r in all_rows} == {
+        u: bytes(w["payload"]) for u, w in full.items()
+    }
+
+
+def test_warc_selective_never_opens_untouched_files(spark, tmp_path):
+    """The IO contract: after selecting urls from ONE warc file,
+    corrupting every OTHER file to garbage does not affect the fetch —
+    proof the reader opens only files the selected index rows name
+    (read_warc on the same glob now fails, confirming the corruption is
+    real)."""
+    from slowspark.sources import read_warc_selective
+
+    docs = _docs(spark, n=14)
+    out, idx = str(tmp_path / "warc"), str(tmp_path / "cdx")
+    write_warc(docs, out, n_files=4, index_path=idx)
+    index = spark.read.parquet(idx)
+    # all urls living in one single file
+    one_file = index.groupBy("warc_path").count().collect()[0]["warc_path"]
+    pick = [r["url"] for r in
+            index.filter(F.col("warc_path") == one_file).collect()]
+    want = {r["url"]: bytes(r["payload"]) for r in
+            read_warc_selective(spark, index, urls=pick).collect()}
+    for f in glob.glob(out + "/part-*.warc.gz"):
+        if f != one_file:
+            with open(f, "wb") as fh:
+                fh.write(b"not a warc file at all")
+    got = {r["url"]: bytes(r["payload"]) for r in
+           read_warc_selective(spark, index, urls=pick).collect()}
+    assert got == want  # untouched-by-selection files were never read
+    with pytest.raises(Exception):  # the corruption IS real
+        read_warc(spark, out + "/*.warc.gz").collect()
+
+
+def test_warc_selective_stale_index_raises(spark, tmp_path):
+    """A stale index must fail loudly, not serve someone else's bytes:
+    re-exporting DIFFERENT content over the same files while keeping
+    the old index raises the url-mismatch (or framing) validation."""
+    from slowspark.sources import read_warc_selective
+
+    docs = _docs(spark, n=10)
+    out, idx = str(tmp_path / "warc"), str(tmp_path / "cdx")
+    write_warc(docs, out, n_files=2, index_path=idx)
+    stale = spark.read.parquet(idx).collect()
+    # overwrite the export with shifted urls (index NOT regenerated)
+    docs2 = docs.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?v=2"))
+    )
+    write_warc(docs2, out, n_files=2)
+    stale_df = spark.createDataFrame(stale)
+    with pytest.raises(Exception, match="stale index|short read"):
+        read_warc_selective(spark, stale_df).collect()
+    # and a plain payload-content swap (same urls, same framing sizes
+    # would be a coincidence — here sizes differ) also fails loudly
+    docs3 = docs.withColumn("payload", F.encode(F.lit("swapped"), "UTF-8"))
+    write_warc(docs3, out, n_files=2)
+    with pytest.raises(Exception, match="stale index|short read"):
+        read_warc_selective(spark, stale_df).collect()
