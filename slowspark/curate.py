@@ -96,6 +96,7 @@ def run_curation(
     quality_threshold: float = 0.5,
     quality_n_buckets: int = 1 << 15,
     bpe_merges_n: int | None = None,
+    bpe_byte_level: bool = False,
     dsir_target_df: DataFrame | None = None,
     dsir_k: int | None = None,
     dsir_buckets: int = 10_000,
@@ -235,6 +236,8 @@ def run_curation(
         THE SAMPLED CORPUS (bpe.bpe_learn — the tokenizer is trained on
         what will actually be packed), persist the merge table as the
         `bpe_vocab` stage, and pack in TOKENIZER subword counts
+        (with `bpe_byte_level` both steps run in GPT-2 byte mode:
+        pre-tokenized, case/space-preserving, no OOV)
         (bpe.bpe_segment → pack_sequences n_tokens_col) instead of
         whitespace tokens — the unit the training loader consumes.
         Composes with the repetition regime (repeated copies pack by
@@ -495,7 +498,8 @@ def run_curation(
         f"|gop={int(gopher_repetition)}|ldf={line_dedup_min_df or 0}"
         f"|ppl={','.join(map(str, sorted(ppl_keep_buckets))) if ppl_keep_buckets else 'off'}"
         f":{ppl_n_buckets}:{ppl_scorer}:{ppl_model_sig}"
-        f"|qc={qc_sig}|bpe={bpe_merges_n or 0}|dsir={dsir_sig}"
+        f"|qc={qc_sig}|bpe={bpe_merges_n or 0}"
+        f"|bbl={int(bpe_byte_level)}|dsir={dsir_sig}"
         f"|mtemp={mixture_temperature if mixture_temperature is not None else 'off'}"
         f"|umax={unimax_budget or 0}:{unimax_epochs}"
         f"|ho={holdout_frac if holdout_frac is not None else 'off'}"
@@ -937,11 +941,17 @@ def run_curation(
     out["sampled"] = sampled
 
     pack_tokens_col = None
+    if bpe_byte_level and bpe_merges_n is None:
+        raise ValueError(
+            "run_curation: bpe_byte_level requires bpe_merges_n"
+        )
     if bpe_merges_n is not None:
         from slowspark.bpe import bpe_learn, bpe_segment
 
         def _vocab() -> DataFrame:
-            merges = bpe_learn(sampled, bpe_merges_n)
+            merges = bpe_learn(
+                sampled, bpe_merges_n, byte_level=bpe_byte_level
+            )
             return spark.createDataFrame(
                 [
                     (m["merge_ix"], m["left"], m["right"], m["merged"],
@@ -963,7 +973,7 @@ def run_curation(
             # one count per distinct doc; upsample repeats join by doc_id
             return bpe_segment(
                 sampled.select("doc_id", "text").dropDuplicates(["doc_id"]),
-                merges,
+                merges, byte_level=bpe_byte_level,
             ).select("doc_id", F.col("n_tokens").alias("bpe_n_tokens"))
 
         counts = run_stage(spark, cat, "bpe_counts", sig, _counts)
@@ -1111,6 +1121,10 @@ def main(argv: list[str] | None = None) -> int:
                    "corpus (persisted as the bpe_vocab stage) and pack "
                    "in tokenizer subword counts instead of whitespace "
                    "tokens")
+    p.add_argument("--bpe-byte-level", action="store_true",
+                   help="with --bpe-merges: train/segment BYTE-level "
+                   "BPE over GPT-2 pre-tokens (case/space-preserving, "
+                   "no OOV) instead of char-level over \\S+ words")
     p.add_argument("--quality-classifier-buckets", type=int,
                    default=1 << 15,
                    help="feature-hash bucket count; must match training")
@@ -1354,6 +1368,7 @@ def main(argv: list[str] | None = None) -> int:
             quality_threshold=args.quality_threshold,
             quality_n_buckets=args.quality_classifier_buckets,
             bpe_merges_n=args.bpe_merges,
+            bpe_byte_level=args.bpe_byte_level,
             dsir_target_df=(
                 spark.read.parquet(args.dsir_target)
                 if args.dsir_target else None

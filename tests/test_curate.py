@@ -983,6 +983,48 @@ def test_curation_bpe_packing_stage(spark, tmp_path):
         run += packed[i]["n_tokens"]
 
 
+def test_curation_bpe_byte_level_stage(spark, tmp_path):
+    """--bpe-byte-level: the vocab/counts stages run in GPT-2 byte mode —
+    packed n_tokens equal the byte-level segmentation (leading-space
+    'Ġ'-style symbols in the vocab prove the mode), the knob
+    participates in the resume signature, and using it without
+    --bpe-merges raises."""
+    import os
+
+    from slowspark.bpe import bpe_segment
+
+    rows = [(i, _salad_doc(f"d{i}", 30), "en") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    wh = str(tmp_path / "wh")
+    tables = run_curation(
+        spark, docs, wh, "test:v1", min_words=10,
+        seq_len=64, bpe_merges_n=6, bpe_byte_level=True,
+    )
+    vocab = tables["bpe_vocab"].orderBy("merge_ix").collect()
+    assert len(vocab) == 6
+    # byte mode: some learned symbol carries the byte-mapped space Ġ
+    assert any("Ġ" in r["lhs"] + r["rhs"] for r in vocab)
+    merges = [
+        {"left": r["lhs"], "right": r["rhs"], "merged": r["merged"]}
+        for r in vocab
+    ]
+    seg = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_segment(docs, merges, byte_level=True).collect()}
+    packed = {r["doc_id"]: r for r in tables["packed"].collect()}
+    for i in packed:
+        assert packed[i]["n_tokens"] == seg[i]
+    # the knob invalidates downstream manifests
+    m0 = os.path.getmtime(os.path.join(wh, "packed"))
+    run_curation(spark, docs, wh, "test:v1", min_words=10,
+                 seq_len=64, bpe_merges_n=6)
+    assert os.path.getmtime(os.path.join(wh, "packed")) != m0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires bpe_merges_n"):
+        run_curation(spark, docs, str(tmp_path / "wh2"), "test:v1",
+                     min_words=10, seq_len=64, bpe_byte_level=True)
+
+
 def test_curation_bpe_packing_with_upsample(spark, tmp_path):
     """--bpe-merges composes with the repetition regime: repeated copies
     pack as distinct documents BY THEIR SUBWORD COUNTS."""
