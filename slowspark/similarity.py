@@ -327,6 +327,11 @@ def ivf_train(
                 np.add.at(sums, cells, m)
                 np.add.at(counts, cells, 1)
             nz = counts > 0  # sparse partials: skip untouched cells
+            if not nz.any():
+                # empty partition: yield nothing — an empty frame would
+                # type vsum as float64 and fail the Arrow array<double>
+                # cast (hit when partitions outnumber vectors)
+                return
             yield pd.DataFrame({
                 "pid": np.full(int(nz.sum()), pid, dtype=np.int32),
                 "cell": np.arange(k, dtype=np.int32)[nz],
@@ -741,6 +746,8 @@ def pq_train(
                     np.add.at(counts[j], cells, 1)
             jj, cc = np.meshgrid(np.arange(m), np.arange(k), indexing="ij")
             nz = (counts > 0).ravel()  # sparse partials: skip untouched cells
+            if not nz.any():
+                return  # empty partition: see ivf_train partial
             flat = sums.reshape(m * k, dsub)
             yield pd.DataFrame({
                 "pid": np.full(int(nz.sum()), pid, dtype=np.int32),

@@ -206,6 +206,21 @@ def test_pq_train_partition_count_invariant(emb):
         assert np.allclose(ref, got, atol=1e-12), f"diverged at {n} partitions"
 
 
+def test_lloyd_trainers_survive_empty_partitions(spark, emb):
+    """Partitions with no vectors must contribute nothing, not crash: an
+    empty partial pandas frame types vsum as float64 and the Arrow cast
+    to array<double> fails (regression — hit through the curation
+    semantic-dedup stage, whose tiny embedding sidecar leaves most of
+    the 32 shuffle partitions empty)."""
+    tiny = emb.limit(6)
+    ref = similarity.ivf_train(tiny.repartition(1), n_centroids=4, lloyd_iters=2)
+    got = similarity.ivf_train(tiny.repartition(24), n_centroids=4, lloyd_iters=2)
+    assert np.allclose(ref, got, atol=1e-12)
+    refb = similarity.pq_train(tiny.repartition(1), m=4, k=4, lloyd_iters=2)
+    gotb = similarity.pq_train(tiny.repartition(24), m=4, k=4, lloyd_iters=2)
+    assert np.allclose(refb, gotb, atol=1e-12)
+
+
 def test_lloyd_combine_rows_invariant_in_partition_count(spark, emb):
     """The driver-side collect in the trainers receives one row per
     non-empty cell — O(k), NOT O(k x n_partitions). Pin by running the
