@@ -3665,6 +3665,53 @@ def _html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(pages)
 
 
+def _anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text profile (weburl.extract_anchor_texts +
+    anchor_text_agg): docs link to one of 50 hub pages with their first
+    two words as anchor text (nested <b> markup on doc_id%4==0 pins tag
+    stripping; '  CLICK  HERE ' on doc_id%3==0 pins case/whitespace
+    normalization and gives the hubs a contended phrase), plus an
+    image-only anchor (doc_id%6==0) that must NOT vote. The hash is the
+    per-hub top-2 phrases by (count desc, phrase asc) with counts and
+    ranks — extraction, normalization, resolution, and the windowed
+    consensus aggregation all inside one value hash."""
+    from slowspark.weburl import anchor_text_agg, extract_anchor_texts
+
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    hub = (F.col("doc_id") % 50).cast("string")
+    phrase = F.regexp_extract(F.col("text"), r"^(\w+ \w+)", 1)
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"), i
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><a href="https://hub.example.org/d/'),
+                hub, F.lit('">'),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.concat(F.lit("<b>"), phrase, F.lit("</b>")),
+                ).otherwise(phrase),
+                F.lit("</a>"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(F.lit('<a href="/hub/'), hub,
+                             F.lit('">  CLICK\n  HERE </a>')),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 6 == 0,
+                    F.concat(F.lit('<a href="https://hub.example.org/d/'),
+                             hub, F.lit('"><img src="i.png"/></a>')),
+                ).otherwise(F.lit("")),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return anchor_text_agg(extract_anchor_texts(pages), k=2)
+
+
 def _noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Meta-robots opt-out (weburl.noindex_filter): docs with
     doc_id%13==5 get a noindex meta (alternating attribute order and
@@ -4029,6 +4076,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "langid_scores",
     # new this round (r7 verdict #8: CC-index selective WARC fetch):
     "warc_selective_fetch",
+    # new this round (anchor-text extraction + consensus aggregation):
+    "anchor_text_topk",
 ]
 
 
@@ -4127,6 +4176,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": _dataset_card,
         "hits_scores": _hits_scores,
         "html_links": _html_links,
+        "anchor_text_topk": _anchor_text_topk,
         "noindex_filter": _noindex_filter,
         "personalized_pagerank": _personalized_pagerank,
         "host_pagerank": _host_pagerank,
@@ -5125,6 +5175,90 @@ def oracle_sql() -> dict[str, str]:
                      ELSE NULL
                    END AS resolved_url
             FROM links
+        """,
+        # same page synthesis; the ANCHOR_RE lazy pattern is RE2-safe so
+        # the oracle runs the IDENTICAL regex, then replays the
+        # normalize -> resolve -> count -> top-2 window
+        "anchor_text_topk": r"""
+            WITH pages AS (
+                SELECT 'https://' || source || '.example.com/p/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                       '<html><body><a href="https://hub.example.org/d/'
+                       || CAST(doc_id % 50 AS VARCHAR) || '">'
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '<b>' || regexp_extract(text,
+                                    '^(\w+ \w+)', 1) || '</b>'
+                               ELSE regexp_extract(text, '^(\w+ \w+)', 1)
+                          END
+                       || '</a>'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '<a href="/hub/'
+                                    || CAST(doc_id % 50 AS VARCHAR)
+                                    || '">  CLICK' || chr(10)
+                                    || '  HERE </a>' ELSE '' END
+                       || CASE WHEN doc_id % 6 = 0
+                               THEN '<a href="https://hub.example.org/d/'
+                                    || CAST(doc_id % 50 AS VARCHAR)
+                                    || '"><img src="i.png"/></a>'
+                               ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ),
+            anchors AS (
+                SELECT url,
+                       unnest(regexp_extract_all(html,
+                           '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>',
+                           0)) AS a
+                FROM pages
+            ),
+            norm AS (
+                SELECT url,
+                       regexp_extract(a,
+                           '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>',
+                           1) AS href,
+                       lower(trim(regexp_replace(regexp_replace(
+                           regexp_extract(a,
+                             '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>',
+                             2),
+                           '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))
+                           AS anchor_text
+                FROM anchors
+            ),
+            resolved AS (
+                SELECT CASE
+                         WHEN regexp_matches(href,
+                              '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+                         WHEN href LIKE '//%' THEN
+                           regexp_extract(url,
+                             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$',
+                             1) || ':' || href
+                         WHEN href LIKE '/%' THEN
+                           regexp_extract(url,
+                             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$',
+                             1) || '://' ||
+                           regexp_extract(url,
+                             '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(.*)$',
+                             2) || href
+                         ELSE NULL
+                       END AS target_url,
+                       anchor_text
+                FROM norm
+            ),
+            counted AS (
+                SELECT target_url, anchor_text,
+                       COUNT(*) AS n_anchors
+                FROM resolved
+                WHERE target_url IS NOT NULL AND anchor_text <> ''
+                GROUP BY 1, 2
+            )
+            SELECT target_url, anchor_text, n_anchors, rank FROM (
+                SELECT target_url, anchor_text, n_anchors,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY target_url
+                           ORDER BY n_anchors DESC, anchor_text ASC
+                       ) AS INTEGER) AS rank
+                FROM counted
+            ) WHERE rank <= 2
         """,
         # recursive min-label closure: reach accumulates every label
         # reachable from a node over the undirected edge set; MIN per

@@ -262,24 +262,125 @@ def extract_links(
     no UDF, no shuffle; output fan-out is the page's anchor count. Like
     html_to_text, this is an html-column scan: run it once per snapshot
     and persist the edge table (RUNBOOK §13)."""
-    base = F.col(url_col)
-    scheme = F.regexp_extract(base, _URL_PARTS_RE, 1)
-    authority = F.regexp_extract(base, _URL_PARTS_RE, 2)
     hrefs = F.regexp_extract_all(
         F.decode(F.col(html_col), "UTF-8"), F.lit(LINK_HREF_RE), F.lit(1)
     )
     out = df.select(url_col, F.explode(hrefs).alias(out_col))
-    h = F.col(out_col)
-    resolved = (
-        F.when(h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), h)
-        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+    return out.withColumn(
+        "resolved_url", _resolved_href_expr(F.col(url_col), F.col(out_col))
+    )
+
+
+# full anchor tag: href (double-quoted, same coverage contract as
+# LINK_HREF_RE) plus the inner markup up to the closing </a>. Lazy
+# (.*?) is RE2-safe, so the DuckDB oracle runs the IDENTICAL pattern.
+ANCHOR_RE = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def _resolved_href_expr(base_url: Column, href: Column) -> Column:
+    """The href-resolution CASE shared by extract_links and
+    extract_anchor_texts: absolute passthrough, protocol-relative gets
+    the base scheme, root-relative gets scheme://authority, everything
+    else NULL (see extract_links docstring for the rationale)."""
+    scheme = F.regexp_extract(base_url, _URL_PARTS_RE, 1)
+    authority = F.regexp_extract(base_url, _URL_PARTS_RE, 2)
+    return (
+        F.when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(
-            h.startswith("/"),
-            F.concat(scheme, F.lit("://"), authority, h),
+            href.startswith("/"),
+            F.concat(scheme, F.lit("://"), authority, href),
         )
         .otherwise(F.lit(None).cast("string"))
     )
-    return out.withColumn("resolved_url", resolved)
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """One row per anchor tag: (src_url, href, resolved_url,
+    anchor_text) — extract_links plus the ANCHOR TEXT, the classic
+    off-page relevance signal (the text other pages use to describe a
+    target is a quality/topic label the target can't fake; anchor-text
+    aggregation has driven web ranking since PageRank-era engines and
+    labels training-corpus pages by consensus description).
+
+    `anchor_text` is the inner markup with nested tags stripped,
+    whitespace collapsed, trimmed, and lowercased — the normalized
+    phrase unit `anchor_text_agg` counts. Anchors whose inner markup
+    contains no text (e.g. image links) come out as ''.
+
+    Scale shape: pure codegen — decode + regexp_extract_all(group 0) +
+    explode + two per-anchor regexp_extracts; no UDF, no shuffle (the
+    fan-out is the page's anchor count). Like extract_links this is an
+    html-column scan: run once per snapshot, persist, and feed both the
+    edge table and the anchor profile from the same pass."""
+    anchors = F.regexp_extract_all(
+        F.decode(F.col(html_col), "UTF-8"), F.lit(ANCHOR_RE), F.lit(0)
+    )
+    out = df.select(
+        F.col(url_col).alias("src_url"), F.explode(anchors).alias("__a")
+    )
+    a = F.col("__a")
+    href = F.regexp_extract(a, ANCHOR_RE, 1)
+    text = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_extract(a, ANCHOR_RE, 2), r"<[^>]*>", " "
+                ),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return out.select(
+        "src_url",
+        href.alias("href"),
+        _resolved_href_expr(F.col("src_url"), href).alias("resolved_url"),
+        text.alias("anchor_text"),
+    )
+
+
+def anchor_text_agg(
+    links: DataFrame,
+    k: int = 3,
+    target_col: str = "resolved_url",
+    text_col: str = "anchor_text",
+) -> DataFrame:
+    """Per-target anchor profile: the top-k normalized anchor phrases
+    pointing at each resolved URL, by (count desc, phrase asc) — the
+    consensus description other pages give a target. Unresolved (NULL
+    target) and textless ('') anchors don't vote.
+
+    Scale shape: one map-side-combined groupBy(target, phrase) count —
+    the only full-width shuffle — then a row_number window over the
+    ALREADY-AGGREGATED (target, phrase) rows, so the window's exchange
+    moves one row per distinct phrase, not one per in-link: a page with
+    10^9 in-links but 10^4 distinct phrases windows 10^4 rows. The
+    deterministic tie-break makes the top-k engine-stable."""
+    from pyspark.sql.window import Window
+
+    counted = (
+        links.filter(
+            F.col(target_col).isNotNull() & (F.col(text_col) != "")
+        )
+        .groupBy(
+            F.col(target_col).alias("target_url"),
+            F.col(text_col).alias("anchor_text"),
+        )
+        .agg(F.count("*").alias("n_anchors"))
+    )
+    w = Window.partitionBy("target_url").orderBy(
+        F.desc("n_anchors"), F.asc("anchor_text")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("target_url", "anchor_text", "n_anchors", "rank")
+    )
 
 
 # meta robots directive carrying 'noindex' in its content list, any

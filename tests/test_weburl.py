@@ -325,3 +325,65 @@ def test_latest_capture_exact_duplicate_rows_emit_one(spark):
     )
     got = latest_capture(amb).collect()
     assert len(got) == 1 and got[0]["fingerprint"] == "b"
+
+
+def test_extract_anchor_texts(spark):
+    """Anchor text comes out tag-stripped, whitespace-collapsed,
+    lowercased; textless anchors yield ''; resolution matches
+    extract_links (shared CASE); pure codegen, no shuffle."""
+    from slowspark.weburl import extract_anchor_texts
+
+    html = (
+        '<html><body>'
+        '<a href="https://t.example/x">  Spark\n  <b>SQL</b> Guide </a>'
+        '<a class="y" href="/rooted">CLICK HERE</a>'
+        '<a href="//cdn.example/z"><img src="i.png"/></a>'
+        '<a href="rel/p">relative text</a>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame(
+        [("http://base.example.com/dir/page", html.encode())],
+        "url string, html binary",
+    )
+    out = extract_anchor_texts(df)
+    rows = {r["href"]: r for r in out.collect()}
+    assert rows["https://t.example/x"]["anchor_text"] == "spark sql guide"
+    assert rows["https://t.example/x"]["resolved_url"] == "https://t.example/x"
+    assert rows["/rooted"]["anchor_text"] == "click here"
+    assert rows["/rooted"]["resolved_url"] == "http://base.example.com/rooted"
+    assert rows["//cdn.example/z"]["anchor_text"] == ""  # image link
+    assert rows["rel/p"]["resolved_url"] is None
+    assert all(r["src_url"] == "http://base.example.com/dir/page"
+               for r in rows.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_anchor_text_agg_topk(spark):
+    """Top-k phrases per target by (count desc, phrase asc); NULL
+    targets and ''-text anchors don't vote; rank is dense from 1."""
+    from slowspark.weburl import anchor_text_agg
+
+    rows = (
+        [("s%d" % i, "https://t/a", "best docs") for i in range(3)]
+        + [("s%d" % i, "https://t/a", "api reference") for i in range(3)]
+        + [("x", "https://t/a", "zzz rare"), ("y", "https://t/a", "aaa rare")]
+        + [("x", "https://t/b", "one"), ("y", None, "ignored"),
+           ("z", "https://t/b", "")]
+    )
+    links = spark.createDataFrame(
+        rows, "src_url string, resolved_url string, anchor_text string"
+    )
+    out = anchor_text_agg(links, k=3).collect()
+    a = sorted(
+        [(r["anchor_text"], r["n_anchors"], r["rank"]) for r in out
+         if r["target_url"] == "https://t/a"],
+        key=lambda t: t[2],
+    )
+    # ties on count=3 break by phrase asc; the two rare phrases tie on
+    # count=1 and only the lexicographically smaller makes rank 3
+    assert a == [("api reference", 3, 1), ("best docs", 3, 2),
+                 ("aaa rare", 1, 3)]
+    b = [(r["anchor_text"], r["n_anchors"], r["rank"]) for r in out
+         if r["target_url"] == "https://t/b"]
+    assert b == [("one", 1, 1)]  # '' and NULL-target rows never voted
