@@ -3192,6 +3192,30 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (similarity.sq_*): per-dim min/max over
+    the L2-normalized corpus, uint8 codes, integer-squared-L2 prefilter
+    to 50 candidates, exact cosine re-rank to top-10. The oracle
+    recomputes normalization, the per-dim bounds, the quantization
+    rounding, the INTEGER distance (bit-exact cutoff — no
+    float-boundary flakiness at candidate 50), and the re-rank, all
+    from the raw embeddings table: the whole quantizer is inside the
+    value hash."""
+    from slowspark.similarity import (
+        sq_encode, sq_query_code, sq_topk_rerank, sq_train,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    mins, maxs = sq_train(emb)
+    codes = sq_encode(emb, mins, maxs).select("vec_id", "sq_code")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    qcode = sq_query_code(spark, query, mins, maxs)
+    return sq_topk_rerank(emb, codes, query, qcode, k=10, rerank=50).select(
+        "vec_id", "sq_dist", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def _substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (textops.exact_substring_dedup, the Lee et
     al. 2022 fixed-window approximation): duplicated 20-token windows
@@ -4078,6 +4102,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "warc_selective_fetch",
     # new this round (anchor-text extraction + consensus aggregation):
     "anchor_text_topk",
+    # new this round (SQ8 scalar-quantized ANN):
+    "sq_ann_topk",
 ]
 
 
@@ -4116,6 +4142,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _language_id,
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
+        "sq_ann_topk": _sq_ann_topk,
         "pq_ann_topk": _pq_ann_topk,
         "ivfpq_ann_topk": _ivfpq_ann_topk,
         "ivfpq_residual_ann_topk": _ivfpq_residual_ann_topk,
@@ -5749,6 +5776,62 @@ def oracle_sql() -> dict[str, str]:
         # the same rule (bit_count-xor hamming for LSH; centroid-cosine
         # ranking for IVF), and computes exact cosine top-k within it —
         # the probe path, not just the final ranking, is inside the check.
+        # replays the whole SQ8 quantizer from the raw table: normalize
+        # (same greatest(sqrt, 1e-12) guard and sequential double sum),
+        # per-dim min/max, round-clamp to [0,255] (both engines round
+        # half away from zero on these nonnegative values), INTEGER
+        # squared-L2 cutoff at 50, exact cosine re-rank
+        "sq_ann_topk": """
+            WITH nv AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                           greatest(sqrt(list_sum(list_transform(embedding,
+                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))),
+                               1e-12)) AS v
+                FROM embeddings
+            ), ex AS (
+                SELECT vec_id, u.j AS j, u.x AS x FROM (
+                    SELECT vec_id,
+                           unnest(list_transform(range(1, len(v) + 1),
+                               i -> struct_pack(j := i, x := v[i]))) AS u
+                    FROM nv)
+            ), dims AS (
+                SELECT j, min(x) AS mn, max(x) AS mx FROM ex GROUP BY j
+            ), codes AS (
+                SELECT vec_id, j,
+                       CASE WHEN mx = mn THEN 0 ELSE
+                           CAST(least(255.0, greatest(0.0,
+                               round(255.0 * (x - mn) / (mx - mn))))
+                               AS BIGINT)
+                       END AS c
+                FROM ex JOIN dims USING (j)
+            ), q AS (
+                SELECT j, c AS qc FROM codes WHERE vec_id = 0
+            ), dist AS (
+                SELECT codes.vec_id,
+                       CAST(SUM((c - qc) * (c - qc)) AS BIGINT) AS sq_dist
+                FROM codes JOIN q USING (j) GROUP BY codes.vec_id
+            ), cands AS (
+                SELECT vec_id, sq_dist FROM dist
+                ORDER BY sq_dist ASC, vec_id ASC LIMIT 50
+            ), qv AS (
+                SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                           AS qe
+                FROM embeddings WHERE vec_id = 0
+            ), de AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                           AS emb
+                FROM embeddings
+            )
+            SELECT e.vec_id, c.sq_dist,
+                   round(list_cosine_similarity(e.emb,
+                       (SELECT qe FROM qv)), 4) AS cosine
+            FROM de e JOIN cands c USING (vec_id)
+            ORDER BY list_cosine_similarity(e.emb,
+                     (SELECT qe FROM qv)) DESC, e.vec_id ASC
+            LIMIT 10
+        """,
         "lsh_ann_topk": f"""
             WITH b AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, lsh_bucket

@@ -1457,3 +1457,168 @@ def pq_topk_rerank(
         corpus.join(F.broadcast(cands), id_col, "left_semi"),
         vec_col, query, k, id_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: per-dimension [min, max] over L2-NORMALIZED
+# vectors -> uint8 codes, ranked by integer squared-L2 distance. The
+# third quantizer beside PQ and IVF-PQ: no codebook training (one
+# min/max pass), 4x smaller than float32 storage, and the search scan
+# is an INTEGER kernel — the SIMD int8 path that makes SQ8 the default
+# "cheap" index in production vector stores. Cosine contract: codes are
+# built over x/||x||, where cos(x,q) = 1 - ||x̂-q̂||^2/2, so ascending
+# integer L2 is (approximately) descending cosine — an affine per-dim
+# code is NOT a cosine proxy on unnormalized vectors (the shift term
+# reorders), which is why normalization is baked in rather than
+# optional. No reference analog (target-only, like this whole module).
+
+
+def _sq_unit_expr(vec) -> "F.Column":
+    """x / max(||x||, 1e-12) as a transform() expression — double
+    arithmetic in fixed order (sequential sum of squares) so a SQL
+    oracle replaying the formula is bit-identical."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    n2 = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = F.greatest(F.sqrt(n2), F.lit(1e-12))
+    return F.transform(vec, lambda x: x.cast("double") / nrm)
+
+
+def sq_train(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) bounds over the NORMALIZED corpus. ONE
+    narrow pass: posexplode to (dim_ix, value) then a map-side-combined
+    groupBy(dim_ix) min/max — the shuffle carries <= dim rows per
+    partition and the driver collects exactly dim rows regardless of
+    corpus size (same partition-count-invariance contract as the Lloyd
+    trainers). NULL vectors contribute nothing."""
+    stats = (
+        corpus.select(
+            F.posexplode(_sq_unit_expr(vec_col)).alias("j", "x")
+        )
+        .groupBy("j")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    if not stats:
+        raise ValueError("sq_train: empty corpus")
+    dim = max(r["j"] for r in stats) + 1
+    mins = np.zeros(dim)
+    maxs = np.zeros(dim)
+    for r in stats:
+        mins[r["j"]] = float(r["mn"])
+        maxs[r["j"]] = float(r["mx"])
+    return mins, maxs
+
+
+def _sq_code_expr(vec, mins: np.ndarray, maxs: np.ndarray):
+    """transform() expression quantizing a (normalized-inside) vector
+    column to int codes: round(255*(x-mn)/(mx-mn)) clamped to [0,255];
+    degenerate dimensions (mx == mn) code to 0. Out-of-range values
+    (a query vector outside the trained bounds) clamp, never wrap."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    mx = F.array(*[F.lit(float(v)) for v in maxs])
+
+    def code(x, i):
+        lo = F.element_at(mn, i + F.lit(1))
+        hi = F.element_at(mx, i + F.lit(1))
+        r = F.round(F.lit(255.0) * (x - lo) / (hi - lo), 0)
+        return F.when(hi == lo, F.lit(0)).otherwise(
+            F.least(F.lit(255.0), F.greatest(F.lit(0.0), r)).cast("int")
+        )
+
+    return F.transform(_sq_unit_expr(vec), code)
+
+
+def sq_encode(
+    corpus: DataFrame,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "sq_code",
+) -> DataFrame:
+    """Adds the int-code column. Pure codegen projection — the two
+    dim-length bound arrays ride the plan as literals, fine to ~10^3
+    dims; at 4096+ move the bounds into a worker-cached pandas UDF like
+    the LSH projection (module docstring), same output contract. At
+    scale, persist (id, sq_code) as the memory-resident index and keep
+    the raw vectors in cold storage for the re-rank fetch."""
+    return corpus.withColumn(out_col, _sq_code_expr(vec_col, mins, maxs))
+
+
+def sq_query_code(
+    spark, query: list[float], mins: np.ndarray, maxs: np.ndarray
+) -> list[int]:
+    """Quantize ONE query vector through the same Spark expression the
+    corpus codes came from — not numpy — so query and corpus codes share
+    bit-identical normalization and rounding (numpy's floor(x+0.5)
+    disagrees with the engine's HALF_UP at exact-tie doubles)."""
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    return list(
+        spark.range(1).select(
+            _sq_code_expr(qarr, mins, maxs).alias("c")
+        ).first()["c"]
+    )
+
+
+def sq_topk(
+    codes_df: DataFrame,
+    qcode: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """SQ ADC top-k: rank ASCENDING by sum_j (code_j - qcode_j)^2 —
+    EXACT integer arithmetic, so the candidate cutoff has no
+    float-boundary flakiness (engines agree bit-for-bit) and the scan
+    is the int8 L2 kernel. One corpus scan, k-row ordered take
+    (TakeOrdered — per-task heaps, no full sort exchange).
+    Deterministic (dist asc, id asc) order."""
+    qlit = F.array(*[F.lit(int(c)) for c in qcode])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            qlit,
+            lambda a, b: ((a - b) * (a - b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        codes_df.select(id_col, dist.alias("sq_dist"))
+        .orderBy(F.asc("sq_dist"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def sq_topk_rerank(
+    corpus: DataFrame,
+    codes_df: DataFrame,
+    query: list[float],
+    qcode: list[int],
+    k: int = 10,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """The production SQ8 query: integer-ADC prefilter to `rerank`
+    candidates over the code column, exact cosine re-rank over ONLY
+    those rows' raw vectors (broadcast join of <= rerank ids — the
+    corpus is never shuffled). Same recall contract as pq_topk_rerank:
+    recall@k == 1 whenever the true top-k survive the prefilter; raise
+    `rerank` to trade IO for recall."""
+    if rerank < k:
+        raise ValueError(f"sq_topk_rerank: rerank={rerank} < k={k}")
+    cands = sq_topk(codes_df, qcode, k=rerank, id_col=id_col, code_col=code_col)
+    joined = corpus.join(F.broadcast(cands), id_col, "inner")
+    return (
+        with_cosine(joined, vec_col, query)
+        .select(id_col, "sq_dist", "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(int(k))
+    )

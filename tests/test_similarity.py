@@ -784,3 +784,63 @@ def test_ivfpq_topk_batch_chunked_matches_single_batch(spark, emb, tmp_path):
     assert chunked == one
     with pytest.raises(ValueError, match="n_chunks"):
         similarity.ivfpq_topk_batch_chunked(spark, idx, queries, n_chunks=0)
+
+
+def test_sq8_codes_bounds_and_degenerate(spark):
+    """Unit-norm inputs make normalization the identity: per-dim
+    endpoints hit 0/255, a dimension constant across the corpus is
+    degenerate and codes to 0, out-of-bounds queries clamp."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.6, 0.8, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    mins, maxs = similarity.sq_train(df)
+    assert list(mins) == [0.0, 0.0, 0.0]
+    assert maxs[0] == maxs[1] == 1.0 and maxs[2] == 0.0
+    codes = {r["vec_id"]: r["sq_code"]
+             for r in similarity.sq_encode(df, mins, maxs).collect()}
+    assert codes[0] == [0, 255, 0]
+    assert codes[1] == [255, 0, 0]
+    assert 152 <= codes[2][0] <= 153 and 203 <= codes[2][1] <= 204
+    assert codes[2][2] == 0  # degenerate dim
+    assert similarity.sq_query_code(spark, [0.0, 1.0, 0.0], mins, maxs) \
+        == [0, 255, 0]
+    # below-range dims clamp to 0, never wrap
+    assert similarity.sq_query_code(spark, [-1.0, 0.0, 0.0], mins, maxs) \
+        == [0, 0, 0]
+
+
+def test_sq8_rerank_matches_brute_force(emb, query_vec):
+    """With rerank=50 over the 500-row sf0.001 table the exact top-10
+    must survive the integer-L2 prefilter: row-identical to brute
+    force (ids AND cosines)."""
+    spark = emb.sparkSession
+    mins, maxs = similarity.sq_train(emb)
+    codes = similarity.sq_encode(emb, mins, maxs).select("vec_id", "sq_code")
+    qcode = similarity.sq_query_code(spark, query_vec, mins, maxs)
+    got = similarity.sq_topk_rerank(
+        emb, codes, query_vec, qcode, k=10, rerank=50
+    ).collect()
+    ref = similarity.brute_force_topk(emb, "embedding", query_vec, k=10).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in ref]
+    assert [r["cosine"] for r in got] == pytest.approx(
+        [r["cosine"] for r in ref], abs=1e-9
+    )
+    assert got[0]["vec_id"] == 0 and got[0]["sq_dist"] == min(
+        r["sq_dist"] for r in got
+    )
+    with pytest.raises(ValueError, match="rerank"):
+        similarity.sq_topk_rerank(emb, codes, query_vec, qcode, k=10, rerank=5)
+
+
+def test_sq8_topk_plan_is_take_ordered(emb, query_vec):
+    """The prefilter is a scan + per-task heap take — no full sort
+    exchange, no UDF."""
+    spark = emb.sparkSession
+    mins, maxs = similarity.sq_train(emb)
+    codes = similarity.sq_encode(emb, mins, maxs).select("vec_id", "sq_code")
+    qcode = similarity.sq_query_code(spark, query_vec, mins, maxs)
+    plan = similarity.sq_topk(codes, qcode, k=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
