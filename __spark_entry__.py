@@ -1002,6 +1002,26 @@ def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_pairs(d, pairs).select("doc_id").orderBy("doc_id")
 
 
+def _quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup keeper (textops.dedup_by_pairs_quality):
+    the SAME materialized MinHash pair set as _minhash_dedup, but each
+    component keeps its highest-n_chars member (ties -> lowest id)
+    instead of the component-min id. DuckDB recomputes the components
+    (recursive CTE) AND the keeper argmax — the changed survivor set vs
+    minhash_dedup is the whole point of the hash."""
+    from slowspark.textops import dedup_by_pairs_quality, minhash_verified_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    path = _pairs_parquet(
+        spark, sf_dir, "minhash_pairs", lambda: minhash_verified_pairs(d)
+    )
+    pairs = spark.read.parquet(path)
+    return (
+        dedup_by_pairs_quality(d, pairs, "n_chars")
+        .select("doc_id").orderBy("doc_id")
+    )
+
+
 def _jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-verified near-dup dedup: LSH candidates -> est prefilter ->
     exact word-n-gram Jaccard -> component-min survivors; pair set
@@ -4104,6 +4124,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "anchor_text_topk",
     # new this round (SQ8 scalar-quantized ANN):
     "sq_ann_topk",
+    # new this round (quality-aware dedup keeper):
+    "quality_keeper_dedup",
 ]
 
 
@@ -4131,6 +4153,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "object_usage": _object_usage,
         "topk_slowest": _topk_slowest,
         "minhash_dedup": _minhash_dedup,
+        "quality_keeper_dedup": _quality_keeper_dedup,
         "jaccard_dedup": _jaccard_dedup,
         "simhash_candidates": _simhash_candidates,
         "simhash_dedup": _simhash_dedup,
@@ -5679,6 +5702,36 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _component_dedup_oracle(
             _pairs_parquet_sql(f"{_ORACLE_ENTRIES_BASE}/sf0.01/minhash_pairs")
         ),
+        # same recursive components, quality-argmax keeper: per
+        # component the highest-n_chars member survives (ties -> lowest
+        # id); isolated docs survive trivially
+        "quality_keeper_dedup": f"""
+            WITH RECURSIVE pairs AS (
+                {_pairs_parquet_sql(f"{_ORACLE_ENTRIES_BASE}/sf0.01/minhash_pairs")}
+            ), nodes AS (
+                SELECT id_a AS id FROM pairs
+                UNION SELECT id_b FROM pairs
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(id, label) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.s, r.label FROM edges e JOIN reach r ON r.id = e.d
+            ), comp AS (
+                SELECT id, min(label) AS m FROM reach GROUP BY id
+            ), ranked AS (
+                SELECT c.id, row_number() OVER (
+                    PARTITION BY c.m
+                    ORDER BY d.n_chars DESC, d.doc_id ASC
+                ) AS rn
+                FROM comp c JOIN documents d ON d.doc_id = c.id
+            )
+            SELECT doc_id FROM documents
+            LEFT JOIN ranked ON documents.doc_id = ranked.id
+            WHERE ranked.id IS NULL OR ranked.rn = 1
+            ORDER BY doc_id
+        """,
         "jaccard_dedup": _component_dedup_oracle(
             _pairs_parquet_sql(f"{_ORACLE_ENTRIES_BASE}/sf0.01/jaccard_pairs")
         ),

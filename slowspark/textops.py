@@ -398,6 +398,71 @@ def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def dedup_by_pairs_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """dedup_by_pairs with a QUALITY-aware keeper: per single-link
+    component keep the member with the highest `quality_col` (ties ->
+    lowest id) instead of the component-min id — production dedup keeps
+    the best page of a template family (longest text, best classifier
+    score, newest capture...), not the one that happened to sort first.
+    NULL quality ranks below every non-NULL value.
+
+    Scale shape: the same fixpoint labels as dedup_by_pairs, plus ONE
+    map-side-combined max_by aggregation over the labeled members
+    (|components| rows out) and a loser anti-join — keeper choice adds
+    no extra pass over the corpus (the quality lookup join touches only
+    component MEMBERS, a tiny fraction of the corpus)."""
+    labels = connected_min_labels(pairs.select("id_a", "id_b"))
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.col(quality_col).cast("double").alias("__q"),
+    )
+    members = labels.select("id", "label").join(q, "id")
+    keepers = members.groupBy("label").agg(
+        F.expr(
+            "max_by(id, struct("
+            "coalesce(__q, cast('-Infinity' as double)) as q, -id as t))"
+        ).alias("keeper_id")
+    )
+    losers = (
+        members.join(keepers, "label")
+        .filter(F.col("id") != F.col("keeper_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def exact_dedup_quality(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """exact_dedup with the quality-aware keeper (highest quality, ties
+    -> lowest id) — same single map-side-combined shuffle on the 256-bit
+    hash, the min() just becomes a max_by(struct)."""
+    keep = (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("text_hash"),
+            F.col(id_col),
+            F.col(quality_col).cast("double").alias("__q"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.expr(
+                f"max_by({id_col}, struct("
+                f"coalesce(__q, cast('-Infinity' as double)) as q, "
+                f"-{id_col} as t))"
+            ).alias(id_col)
+        )
+    )
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
 def minhash_estimated_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",

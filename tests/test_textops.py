@@ -1150,3 +1150,37 @@ def test_badword_filter_whole_token_only(spark):
 
     with _pytest.raises(ValueError, match="empty word list"):
         badword_filter(docs, [])
+
+
+def test_dedup_by_pairs_quality_keeper(spark):
+    """Per component the HIGHEST-quality member survives (ties -> lowest
+    id); NULL quality ranks below everything; isolated docs untouched."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 5.0), (2, "a'", 9.0), (3, "a''", 9.0),  # comp {1,2,3}
+            (4, "b", None), (5, "b'", 0.5),                  # comp {4,5}
+            (6, "solo", None),                               # isolated
+        ],
+        "doc_id long, text string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    kept = {r["doc_id"]
+            for r in textops.dedup_by_pairs_quality(docs, pairs, "q").collect()}
+    # comp1: q=9 tie between 2 and 3 -> lowest id 2; comp2: NULL < 0.5
+    assert kept == {2, 5, 6}
+    # degenerate: empty pair set keeps everything
+    nopairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert textops.dedup_by_pairs_quality(docs, nopairs, "q").count() == 6
+
+
+def test_exact_dedup_quality_keeper(spark):
+    docs = spark.createDataFrame(
+        [(1, "same", 1.0), (2, "same", 7.0), (3, "same", 7.0),
+         (4, "other", None)],
+        "doc_id long, text string, q double",
+    )
+    kept = {r["doc_id"]
+            for r in textops.exact_dedup_quality(docs, "q").collect()}
+    assert kept == {2, 4}
