@@ -1612,6 +1612,84 @@ def _kmv_distinct_oracle(sf_dir_base: str = "sf0.01") -> str:
     """
 
 
+_HLL_P = 6  # m = 64 registers: RSE ~13%, small enough to read in a test
+
+
+def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang HyperLogLog distinct-count (sketch.hll_sketch/
+    hll_estimate) over the SAME token-bigram stream as kmv_distinct:
+    (lang, exact_distinct, hll_est). Unlike KMV the build needs NO
+    distinct pre-shuffle (register max is idempotent over duplicates) —
+    the sketch shuffle is <= m rows per partition per lang. The oracle
+    recomputes registers, the exact-integer harmonic sum, and the
+    literal-table linear-counting branch from the same materialized
+    (lang, h) hash table the KMV oracle reads."""
+    from slowspark.sketch import hll_estimate, hll_sketch
+
+    _kmv_hashes_parquet(spark, sf_dir)  # for the DuckDB side
+    bg = _kmv_bigrams(spark, sf_dir)
+    sk = hll_sketch(bg, "bg", _HLL_P, group_cols=("lang",))
+    est = hll_estimate(sk, _HLL_P, group_cols=("lang",))
+    exact = bg.groupBy("lang").agg(
+        F.count_distinct("bg").alias("exact_distinct")
+    )
+    return exact.join(est, "lang").select(
+        "lang", "exact_distinct", F.round("hll_est", 4).alias("hll_est")
+    )
+
+
+def _hll_distinct_oracle(sf_dir_base: str = "sf0.01") -> str:
+    import math as _math
+
+    from slowspark.sketch import hll_alpha
+
+    h = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/kmv_hashes"
+    p = _HLL_P
+    m, w = 1 << p, 64 - p
+    q = w + 1
+    c = repr(hll_alpha(p) * m * m * float(1 << q))
+    # the same Python-literal m*ln(m/V) table hll_estimate embeds
+    lut = "[" + ", ".join(repr(m * _math.log(m / v)) for v in range(1, m + 1)) + "]"
+    return f"""
+        WITH t AS (
+            SELECT lang, list_filter(
+                regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                x -> x != '') AS tk
+            FROM documents
+        ), bg AS (
+            SELECT lang, tk[i] || ' ' || tk[i + 1] AS bg
+            FROM (SELECT lang, tk,
+                         unnest(CASE WHEN length(tk) >= 2
+                                THEN range(1, length(tk)) ELSE [] END) AS i
+                  FROM t)
+        ), exact AS (
+            SELECT lang, count(DISTINCT bg) AS exact_distinct
+            FROM bg GROUP BY lang
+        ), regs AS (
+            SELECT lang, (h >> {w}) & {m - 1} AS reg,
+                   max(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {q}
+                       ELSE {q} - length(bin(h & {(1 << w) - 1})) END) AS rho
+            FROM read_parquet('{h}/*.parquet')
+            GROUP BY lang, reg
+        ), s AS (
+            SELECT lang, count(*) AS nt,
+                   sum(CAST(1::BIGINT << ({q} - rho) AS HUGEINT)) AS si
+            FROM regs GROUP BY lang
+        ), est AS (
+            SELECT lang,
+                   {c} / CAST(si + ({m} - nt) * (1::HUGEINT << {q}) AS DOUBLE)
+                       AS raw,
+                   {m} - nt AS vz
+            FROM s
+        )
+        SELECT e.lang, e.exact_distinct,
+               round(CASE WHEN raw <= {2.5 * m!r} AND vz > 0
+                          THEN ({lut})[CAST(vz AS INT)]
+                          ELSE raw END, 4) AS hll_est
+        FROM exact e JOIN est USING (lang)
+    """
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -4126,6 +4204,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "sq_ann_topk",
     # new this round (quality-aware dedup keeper):
     "quality_keeper_dedup",
+    # new this round (deterministic HyperLogLog distinct sketch):
+    "hll_distinct",
 ]
 
 
@@ -4201,6 +4281,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_packed": _bpe_packed,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "kmv_distinct": _kmv_distinct,
+        "hll_distinct": _hll_distinct,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -4857,6 +4938,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_packed": _bpe_packed_oracle(),
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
         "kmv_distinct": _kmv_distinct_oracle(),
+        "hll_distinct": _hll_distinct_oracle(),
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),

@@ -190,6 +190,111 @@ def merge_kmv(
     )
 
 
+def hll_alpha(p: int) -> float:
+    """Bias-correction constant alpha_m for m = 2^p registers (Flajolet
+    et al. 2007, HyperLogLog)."""
+    m = 1 << p
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame, value_col: str, p: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """HyperLogLog register table per group: (group..., reg, rho) with at
+    most m = 2^p rows per group. reg = top p bits of xxhash64(value),
+    rho = 1 + leading-zero count of the remaining W = 64-p bits (the
+    Flajolet position-of-first-1; rho = W+1 when the suffix is all
+    zeros), rho aggregated per register with MAX.
+
+    Fully DETERMINISTIC (fixed hash, integer-only rho), unlike Spark's
+    approx_count_distinct whose sketch is opaque — so the register table
+    is value-hash verifiable by a second engine recomputing
+    `(h >> W) & (m-1)` and `W + 1 - bitlength(h & (2^W - 1))` from the
+    same materialized hashes.
+
+    100 TB shape: NO distinct pre-shuffle (MAX is idempotent over
+    duplicate values — the decisive win over KMV, which must distinct
+    first); one map-side-combined groupBy whose shuffle carries at most
+    m rows per partition per group regardless of row count."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_sketch: p must be in [4, 16], got {p}")
+    w = 64 - p
+    q = w + 1
+    gcols = list(group_cols)
+    h = F.xxhash64(value_col)
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(rest == 0, F.lit(q)).otherwise(F.lit(q) - F.length(F.bin(rest)))
+    return (
+        df.select(
+            *gcols,
+            F.shiftright(h, w).bitwiseAND(F.lit((1 << p) - 1)).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy(*gcols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def merge_hll(*sketches: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Union per-batch register tables and re-MAX — the HLL merge law
+    (register-wise max of sketches == sketch of the union, exactly)."""
+    if not sketches:
+        raise ValueError("merge_hll: need at least one sketch")
+    gcols = list(group_cols)
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*gcols, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    sketch: DataFrame, p: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(group..., hll_est): the HLL cardinality estimate from a register
+    table. Relative standard error ~= 1.04 / sqrt(2^p).
+
+    Engine-portable arithmetic, deliberately: the harmonic sum
+    sum_j 2^-M_j is computed as the EXACT integer sum_j 2^(Q - M_j)
+    (Q = 64-p+1 bounds rho) in decimal(38,0) — terms span 2^0..2^(Q-1),
+    beyond double's 53-bit mantissa, so a float sum would be
+    order-dependent and unverifiable — then one decimal->double cast and
+    one division by the Python-side literal alpha*m^2*2^Q. The
+    small-range correction (E <= 2.5m with V empty registers) indexes a
+    Python-precomputed literal table of m*ln(m/V) values rather than
+    calling the engine's ln, so two engines agree bit-for-bit."""
+    m = 1 << p
+    q = 64 - p + 1
+    gcols = list(group_cols)
+    c = hll_alpha(p) * m * m * float(1 << q)
+    # m * ln(m / V) for V = 1..m, 1-indexed (V=0 never hits the branch)
+    lincount = F.array(
+        *[F.lit(m * math.log(m / v)) for v in range(1, m + 1)]
+    )
+    agg = sketch.groupBy(*gcols).agg(
+        F.count("*").alias("__nt"),
+        F.sum(
+            F.expr(f"cast(shiftleft(1L, {q} - rho) as decimal(38,0))")
+        ).alias("__si"),
+    )
+    total = (
+        F.col("__si")
+        + (F.lit(m) - F.col("__nt")) * F.lit(1 << q).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(c) / total
+    v_zero = F.lit(m) - F.col("__nt")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.element_at(lincount, v_zero.cast("int")),
+    ).otherwise(raw)
+    return agg.select(*gcols, est.alias("hll_est"))
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     value_col: str,

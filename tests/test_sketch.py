@@ -149,3 +149,92 @@ def test_kmv_bad_k(spark):
     df = spark.createDataFrame([("a",)], "term string")
     with pytest.raises(ValueError, match="k must be >= 2"):
         kmv_sketch(df, "term", 1)
+
+
+def _hll_python_reference(values, p):
+    """Independent pure-Python HLL over Spark-computed xxhash64 values —
+    pins the register/estimate arithmetic against a second
+    implementation (the DuckDB oracle is the third)."""
+    import math as _math
+
+    from slowspark.sketch import hll_alpha
+
+    m, w = 1 << p, 64 - p
+    q = w + 1
+    regs = {}
+    for h in values:
+        u = h & ((1 << 64) - 1)  # two's complement view
+        reg = u >> w
+        rest = u & ((1 << w) - 1)
+        rho = q if rest == 0 else q - rest.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    total = sum(1 << (q - r) for r in regs.values()) + (m - len(regs)) * (1 << q)
+    raw = hll_alpha(p) * m * m * float(1 << q) / float(total)
+    v = m - len(regs)
+    if raw <= 2.5 * m and v > 0:
+        return m * _math.log(m / v)
+    return raw
+
+
+def test_hll_matches_python_reference_and_accuracy(spark):
+    from slowspark.sketch import hll_estimate, hll_sketch
+
+    p = 6
+    df = spark.createDataFrame([(f"item-{i}",) for i in range(4000)], "t string")
+    est = hll_estimate(hll_sketch(df, "t", p), p).collect()[0]["hll_est"]
+    hashes = [r["h"] for r in df.select(F.xxhash64("t").alias("h")).collect()]
+    assert est == _hll_python_reference(hashes, p)  # bit-identical
+    assert abs(est - 4000) / 4000 < 3 * 1.04 / math.sqrt(1 << p)
+
+
+def test_hll_duplicate_idempotent_and_partition_invariant(spark):
+    from slowspark.sketch import hll_sketch
+
+    rows = [(f"g{j}", f"v-{j}-{i % 40}") for j in range(2) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, t string")
+    whole = {
+        (r["g"], r["reg"]): r["rho"]
+        for r in hll_sketch(df, "t", 5, group_cols=("g",)).collect()
+    }
+    dedup = {
+        (r["g"], r["reg"]): r["rho"]
+        for r in hll_sketch(df.distinct(), "t", 5, group_cols=("g",)).collect()
+    }
+    repart = {
+        (r["g"], r["reg"]): r["rho"]
+        for r in hll_sketch(df.repartition(13), "t", 5, group_cols=("g",)).collect()
+    }
+    assert whole == dedup == repart
+    assert len(whole) <= 2 * 32  # per-group register bound m = 2^5
+
+
+def test_hll_merge_equals_whole(spark):
+    from slowspark.sketch import hll_sketch, merge_hll
+
+    rows = [(f"val{i}",) for i in range(600)]
+    a = spark.createDataFrame(rows[:350], "t string")
+    b = spark.createDataFrame(rows[250:], "t string")  # overlapping
+    whole = hll_sketch(spark.createDataFrame(rows, "t string"), "t", 6)
+    merged = merge_hll(hll_sketch(a, "t", 6), hll_sketch(b, "t", 6))
+    assert {(r["reg"], r["rho"]) for r in merged.collect()} == {
+        (r["reg"], r["rho"]) for r in whole.collect()
+    }
+
+
+def test_hll_small_range_lincount_branch(spark):
+    from slowspark.sketch import hll_estimate, hll_sketch
+
+    p = 6
+    df = spark.createDataFrame([(f"x{i}",) for i in range(5)], "t string")
+    est = hll_estimate(hll_sketch(df, "t", p), p).collect()[0]["hll_est"]
+    hashes = [r["h"] for r in df.select(F.xxhash64("t").alias("h")).collect()]
+    assert est == _hll_python_reference(hashes, p)
+    assert abs(est - 5) <= 2  # linear counting is near-exact this sparse
+
+
+def test_hll_bad_p(spark):
+    from slowspark.sketch import hll_sketch
+
+    df = spark.createDataFrame([("a",)], "t string")
+    with pytest.raises(ValueError, match="p must be in"):
+        hll_sketch(df, "t", 3)
