@@ -1690,6 +1690,80 @@ def _hll_distinct_oracle(sf_dir_base: str = "sf0.01") -> str:
     """
 
 
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 inverted-index retrieval (retrieval.build_postings/bm25_topk):
+    a deterministic 10-query batch — the md5-rank-first 10 docs' first
+    5 tokens — scored against the whole corpus, top-5 per query. The
+    postings build, Lucene idf, length normalization, broadcast probe,
+    and per-query ranking are ALL recomputed relationally by DuckDB."""
+    from pyspark.sql import Window
+
+    from slowspark.retrieval import bm25_topk, build_postings
+    from slowspark.textops import ws_token_array
+
+    d = _read(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    qs = (
+        d.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 10)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(ws_token_array("text"), 1, 5), " "
+            ).alias("query_text"),
+        )
+    )
+    out = bm25_topk(build_postings(d), qs, topk=5, max_df=450)
+    return out.select(
+        F.col("query_id"), F.col("doc_id"), F.col("bm25"), F.col("rk")
+    )
+
+
+_BM25_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            t -> t != '') AS tk
+        FROM documents
+    ), postings AS (
+        SELECT doc_id, length(tk) AS dl, unnest(tk) AS term FROM toks
+    ), tf AS (
+        SELECT term, doc_id, dl, count(*) AS tf
+        FROM postings GROUP BY term, doc_id, dl
+    ), corpus AS (
+        SELECT count(*) AS n_docs, avg(length(tk)) AS avgdl FROM toks
+    ), dfreq AS (
+        SELECT term, count(*) AS df_t FROM tf GROUP BY term
+        HAVING count(*) <= 450
+    ), qs AS (
+        SELECT doc_id AS query_id, tk[1:5] AS qtk
+        FROM (SELECT doc_id, tk,
+                     row_number() OVER (
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rk
+              FROM toks)
+        WHERE rk <= 10
+    ), qterms AS (
+        SELECT DISTINCT query_id, unnest(qtk) AS term FROM qs
+    ), scored AS (
+        SELECT q.query_id, t.doc_id,
+               sum(ln(1.0 + (c.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+                   * ((t.tf * 2.2)
+                      / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / c.avgdl)))) AS score
+        FROM qterms q
+        JOIN dfreq d USING (term)
+        JOIN tf t USING (term)
+        CROSS JOIN corpus c
+        GROUP BY q.query_id, t.doc_id
+    )
+    SELECT query_id, doc_id, round(score, 4) AS bm25, rk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+"""
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -4206,6 +4280,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "quality_keeper_dedup",
     # new this round (deterministic HyperLogLog distinct sketch):
     "hll_distinct",
+    # new this round (BM25 inverted-index retrieval):
+    "bm25_topk",
 ]
 
 
@@ -4282,6 +4358,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         "kmv_distinct": _kmv_distinct,
         "hll_distinct": _hll_distinct,
+        "bm25_topk": _bm25_topk,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -4939,6 +5016,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
         "kmv_distinct": _kmv_distinct_oracle(),
         "hll_distinct": _hll_distinct_oracle(),
+        "bm25_topk": _BM25_ORACLE,
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),
