@@ -1764,6 +1764,163 @@ _BM25_ORACLE = """
 """
 
 
+def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt filtering (weburl.parse_robots/robots_filter):
+    per-host robots bodies synthesized deterministically from the domain
+    number (a gptbot disallow-all group, the `*` group with prefix /
+    wildcard / $-anchored rules, and on d%3==0 hosts a named
+    `slowcrawler` group that must WIN over `*`), parsed from TEXT on
+    both engines — line explode, directive regex, group assignment,
+    most-specific-user-agent selection, longest-match-allow-wins — so
+    the whole parser and matcher are inside the value hash. Output:
+    (entry_id, host, robots_allowed)."""
+    from slowspark.weburl import host_expr, parse_robots, robots_filter
+
+    e = spark.read.parquet(_entries_parquet(spark, sf_dir)).select(
+        "entry_id", "url"
+    )
+    hosts = e.select(host_expr("url").alias("host")).distinct()
+    d = F.regexp_extract("host", "([0-9]+)", 1).cast("int")
+
+    def hx(shift: int):
+        return F.substr(
+            F.lit("0123456789abcdef"), (d + F.lit(shift)) % 16 + 1, F.lit(1)
+        )
+
+    x, y, z, q = hx(0), hx(5), hx(11), hx(7)
+    body = F.concat(
+        F.concat_ws(
+            "\n",
+            F.lit("# synthetic crawl policy"),
+            F.lit("User-agent: gptbot"),
+            F.lit("Disallow: /"),
+            F.lit(""),
+            F.lit("User-agent: *"),
+            F.concat(F.lit("Disallow: /"), x),
+            F.concat(F.lit("Allow: /"), x, y, F.lit("*"), z),
+            F.lit("Crawl-delay: 5"),
+            F.concat(F.lit("Disallow: /*"), q, F.lit("$")),
+        ),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("\nUser-agent: slowcrawler\nDisallow: /"), z
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rules = parse_robots(
+        hosts.select("host", body.alias("body")), agent="slowcrawler"
+    )
+    out = robots_filter(e, rules, url_col="url", id_col="entry_id")
+    return out.select(
+        "entry_id", host_expr("url").alias("host"), "robots_allowed"
+    )
+
+
+def _robots_filter_oracle(sf_dir_base: str = "sf0.01") -> str:
+    ent = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/entries"
+    directive_re = (
+        r"(?i)^\s*(user-agent|allow|disallow)\s*:\s*([^#]*?)\s*(?:#.*)?$"
+    )
+    return f"""
+        WITH e AS (
+            SELECT entry_id, url,
+                   lower(regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/]+)', 1)) AS host,
+                   coalesce(nullif(regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$', 1), ''), '/')
+                       AS path
+            FROM read_parquet('{ent}/*.parquet')
+        ), hosts AS (
+            SELECT DISTINCT host,
+                   CAST(regexp_extract(host, '([0-9]+)', 1) AS INT) AS d
+            FROM e
+        ), hexes AS (
+            SELECT host,
+                   substring('0123456789abcdef', (d + 0) % 16 + 1, 1) AS x,
+                   substring('0123456789abcdef', (d + 5) % 16 + 1, 1) AS y,
+                   substring('0123456789abcdef', (d + 11) % 16 + 1, 1) AS z,
+                   substring('0123456789abcdef', (d + 7) % 16 + 1, 1) AS q,
+                   d
+            FROM hosts
+        ), bodies AS (
+            SELECT host,
+                   '# synthetic crawl policy' || chr(10) ||
+                   'User-agent: gptbot' || chr(10) ||
+                   'Disallow: /' || chr(10) || chr(10) ||
+                   'User-agent: *' || chr(10) ||
+                   'Disallow: /' || x || chr(10) ||
+                   'Allow: /' || x || y || '*' || z || chr(10) ||
+                   'Crawl-delay: 5' || chr(10) ||
+                   'Disallow: /*' || q || '$' ||
+                   CASE WHEN d % 3 = 0
+                        THEN chr(10) || 'User-agent: slowcrawler'
+                             || chr(10) || 'Disallow: /' || z
+                        ELSE '' END AS body
+            FROM hexes
+        ), lines AS (
+            SELECT host,
+                   unnest(range(1, length(string_split(body, chr(10))) + 1))
+                       AS ln,
+                   unnest(string_split(body, chr(10))) AS line
+            FROM bodies
+        ), dlines AS (
+            SELECT host, ln,
+                   lower(regexp_extract(line, '{directive_re}', 1)) AS d,
+                   regexp_extract(line, '{directive_re}', 2) AS v
+            FROM lines
+            WHERE regexp_extract(line, '{directive_re}', 1) != ''
+        ), marked AS (
+            SELECT *, CASE WHEN d = 'user-agent'
+                           AND coalesce(lag(d) OVER
+                               (PARTITION BY host ORDER BY ln), '')
+                               != 'user-agent'
+                      THEN 1 ELSE 0 END AS gstart
+            FROM dlines
+        ), g AS (
+            SELECT *, sum(gstart) OVER (PARTITION BY host ORDER BY ln
+                                        ROWS UNBOUNDED PRECEDING) AS gid
+            FROM marked
+        ), agents AS (
+            SELECT host, gid,
+                   bool_or(lower(v) = 'slowcrawler') AS named,
+                   bool_or(v = '*') AS star
+            FROM g WHERE d = 'user-agent' GROUP BY host, gid
+        ), applicable AS (
+            SELECT * FROM agents WHERE named OR star
+        ), chosen AS (
+            SELECT a.host, a.gid
+            FROM applicable a
+            JOIN (SELECT host, max(CASE WHEN named THEN 1 ELSE 0 END) AS hn
+                  FROM applicable GROUP BY host) h USING (host)
+            WHERE h.hn = 0 OR a.named
+        ), rules AS (
+            SELECT DISTINCT g.host, v AS pattern,
+                   d = 'allow' AS allow, length(v) AS spec
+            FROM g JOIN chosen USING (host, gid)
+            WHERE d IN ('allow', 'disallow') AND v != ''
+        ), translated AS (
+            SELECT host, allow, spec,
+                   replace(CASE WHEN pattern LIKE '%$'
+                           THEN substring(pattern, 1, length(pattern) - 1)
+                           ELSE pattern END, '*', '%')
+                   || CASE WHEN pattern LIKE '%$' THEN '' ELSE '%' END
+                       AS like_pat
+            FROM rules
+        ), verdicts AS (
+            SELECT e.entry_id,
+                   max(t.spec * 2 + CASE WHEN t.allow THEN 1 ELSE 0 END)
+                       AS win
+            FROM e JOIN translated t USING (host)
+            WHERE e.path LIKE t.like_pat
+            GROUP BY e.entry_id
+        )
+        SELECT e.entry_id, e.host,
+               coalesce(v.win % 2 = 1, TRUE) AS robots_allowed
+        FROM e LEFT JOIN verdicts v USING (entry_id)
+    """
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -4282,6 +4439,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "hll_distinct",
     # new this round (BM25 inverted-index retrieval):
     "bm25_topk",
+    # new this round (RFC 9309 robots.txt parse + longest-match filter):
+    "robots_filter",
 ]
 
 
@@ -4359,6 +4518,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _kmv_distinct,
         "hll_distinct": _hll_distinct,
         "bm25_topk": _bm25_topk,
+        "robots_filter": _robots_filter,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -5017,6 +5177,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _kmv_distinct_oracle(),
         "hll_distinct": _hll_distinct_oracle(),
         "bm25_topk": _BM25_ORACLE,
+        "robots_filter": _robots_filter_oracle(),
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),

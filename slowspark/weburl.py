@@ -517,3 +517,142 @@ def url_blocklist_filter(
         .distinct()
     )
     return df.join(hits, id_col, "left_anti")
+
+
+_ROBOTS_DIRECTIVE_RE = r"(?i)^\s*(user-agent|allow|disallow)\s*:\s*([^#]*?)\s*(?:#.*)?$"
+
+
+def parse_robots(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into the rule group that governs
+    `agent` (RFC 9309): (host, pattern, allow, spec) — spec is the
+    longest-match specificity (pattern length in characters).
+
+    Group semantics, per the RFC: consecutive User-agent lines open a
+    group; the group's rules run until the next User-agent line that
+    follows a rule. A group applies to `agent` if it names it exactly
+    (case-insensitive) or names `*`; when both a named group and the
+    `*` group exist, the NAMED group wins and the `*` group is ignored
+    (the RFC's most-specific-user-agent rule). Directive names are
+    case-insensitive; `#` comments and unknown directives (Crawl-delay,
+    Sitemap) are ignored; an empty Disallow value means "no rule".
+
+    Everything is Spark built-ins over exploded lines — line
+    classification by regexp, group assignment by a running sum of
+    group-start markers (two window passes per host, parallel across
+    hosts; robots bodies are KB-sized so per-host windows are trivially
+    bounded). No Python in the path, so the same relational recipe is
+    expressible by a second engine for verification."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(body_col, r"\n")).alias("ln", "line"),
+    ).select(
+        "host",
+        "ln",
+        F.lower(F.regexp_extract("line", _ROBOTS_DIRECTIVE_RE, 1)).alias("d"),
+        F.regexp_extract("line", _ROBOTS_DIRECTIVE_RE, 2).alias("v"),
+    ).filter(F.col("d") != "")
+
+    w = Window.partitionBy("host").orderBy("ln")
+    # a User-agent line STARTS a group unless the previous directive
+    # line was also User-agent (consecutive UA lines share the group)
+    grouped = lines.withColumn(
+        "gid",
+        F.sum(
+            (
+                (F.col("d") == "user-agent")
+                & (F.coalesce(F.lag("d").over(w), F.lit("")) != "user-agent")
+            ).cast("int")
+        ).over(w),
+    )
+    agents = (
+        grouped.filter(F.col("d") == "user-agent")
+        .groupBy("host", "gid")
+        .agg(F.collect_set(F.lower("v")).alias("uas"))
+    )
+    a = agent.lower()
+    applicable = agents.select(
+        "host",
+        "gid",
+        F.array_contains("uas", a).alias("named"),
+        F.array_contains("uas", "*").alias("star"),
+    ).filter(F.col("named") | F.col("star"))
+    # most-specific-user-agent: if ANY group on the host names the agent,
+    # star-only groups are ignored
+    has_named = applicable.groupBy("host").agg(
+        F.max(F.col("named").cast("int")).alias("__hn")
+    )
+    chosen = applicable.join(has_named, "host").filter(
+        (F.col("__hn") == 0) | F.col("named")
+    )
+    return (
+        grouped.filter(F.col("d").isin("allow", "disallow") & (F.col("v") != ""))
+        .join(chosen.select("host", "gid"), ["host", "gid"])
+        .select(
+            "host",
+            F.col("v").alias("pattern"),
+            (F.col("d") == "allow").alias("allow"),
+            F.length("v").alias("spec"),
+        )
+        .distinct()
+    )
+
+
+def _robots_like_expr(path: Column, pattern: Column) -> Column:
+    """True iff `path` matches a robots `pattern` (literal prefix with
+    `*` wildcards; trailing `$` anchors the end) — translated to one
+    SQL LIKE: escape LIKE metachars, `*` -> `%`, then append `%` unless
+    `$`-anchored."""
+    anchored = pattern.endswith("$")
+    core = F.when(
+        anchored, F.substr(pattern, F.lit(1), F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.replace(core, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+    like_pat = F.replace(esc, F.lit("*"), F.lit("%"))
+    like_pat = F.when(anchored, like_pat).otherwise(F.concat(like_pat, F.lit("%")))
+    return F.like(path, like_pat)
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply parsed robots rules to a URL table: adds `robots_allowed`
+    (longest-match wins; on a specificity tie Allow wins; a URL whose
+    host has no matching rule — or no robots at all — is allowed, the
+    RFC default).
+
+    Scale shape: rules join the corpus on HOST (an equi-join; the rules
+    side is small — one digest per crawled host — and broadcastable),
+    each URL keeps only its MATCHING rules via the LIKE predicate, and
+    one max-struct aggregation per URL picks the winning rule. The
+    corpus never shuffles: broadcast join + a groupBy keyed on the
+    corpus's own id."""
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1), F.lit("")),
+        F.lit("/"),
+    )
+    matched = (
+        df.select(F.col(id_col).alias("__id"), host_expr(url_col).alias("host"), path.alias("__path"))
+        .join(F.broadcast(rules), "host")
+        .filter(_robots_like_expr(F.col("__path"), F.col("pattern")))
+        .groupBy("__id")
+        .agg(F.max(F.struct("spec", "allow")).alias("__win"))
+        .select("__id", F.col("__win.allow").alias("__allowed"))
+    )
+    return df.join(
+        matched, df[id_col] == matched["__id"], "left"
+    ).select(
+        *df.columns,
+        F.coalesce("__allowed", F.lit(True)).alias("robots_allowed"),
+    )

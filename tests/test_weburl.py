@@ -387,3 +387,103 @@ def test_anchor_text_agg_topk(spark):
     b = [(r["anchor_text"], r["n_anchors"], r["rank"]) for r in out
          if r["target_url"] == "https://t/b"]
     assert b == [("one", 1, 1)]  # '' and NULL-target rows never voted
+
+
+# ---------------------------------------------------------------- robots
+
+_ROBOTS_BODY = """# crawl policy
+User-agent: badbot
+User-Agent: gptbot
+Disallow: /
+
+user-agent: *
+Disallow: /private
+Allow: /private/ok
+Crawl-delay: 5
+Disallow: /*.zip$
+Disallow:
+Sitemap: https://h/sitemap.xml
+"""
+
+
+def test_parse_robots_groups_and_directives(spark):
+    from slowspark.weburl import parse_robots
+
+    robots = spark.createDataFrame(
+        [("h1.example.com", _ROBOTS_BODY)], "host string, body string"
+    )
+    rules = {
+        (r["pattern"], r["allow"], r["spec"])
+        for r in parse_robots(robots, agent="slowcrawler").collect()
+    }
+    # the * group only: empty Disallow and unknown directives dropped
+    assert rules == {
+        ("/private", False, 8),
+        ("/private/ok", True, 11),
+        ("/*.zip$", False, 7),
+    }
+    # a named agent picks ITS group and ignores * (most-specific-UA rule)
+    got = {
+        (r["pattern"], r["allow"])
+        for r in parse_robots(robots, agent="GPTBot").collect()
+    }
+    assert got == {("/", False)}
+
+
+def test_robots_filter_longest_match_and_defaults(spark):
+    from slowspark.weburl import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [("h1.example.com", _ROBOTS_BODY)], "host string, body string"
+    )
+    rules = parse_robots(robots, agent="slowcrawler")
+    urls = spark.createDataFrame(
+        [
+            (1, "https://h1.example.com/public/page"),     # no match -> allow
+            (2, "https://h1.example.com/private/x"),       # Disallow /private
+            (3, "https://h1.example.com/private/ok/x"),    # Allow wins (longer)
+            (4, "https://h1.example.com/files/data.zip"),  # $-anchored wildcard
+            (5, "https://h1.example.com/files/data.zipx"), # NOT anchored match
+            (6, "https://other.example.com/private/x"),    # no robots -> allow
+            (7, "https://h1.example.com"),                 # bare host -> path /
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: True,
+                   6: True, 7: True}
+
+
+def test_robots_allow_wins_specificity_tie(spark):
+    from slowspark.weburl import parse_robots, robots_filter
+
+    body = "User-agent: *\nDisallow: /dir\nAllow: /dir\n"
+    robots = spark.createDataFrame(
+        [("h.example.com", body)], "host string, body string"
+    )
+    rules = parse_robots(robots, agent="x")
+    urls = spark.createDataFrame(
+        [(1, "https://h.example.com/dir/a")], "doc_id long, url string"
+    )
+    assert robots_filter(urls, rules).collect()[0]["robots_allowed"] is True
+
+
+def test_robots_filter_plan_is_broadcast(spark):
+    from slowspark.weburl import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [("h.example.com", "User-agent: *\nDisallow: /x\n")],
+        "host string, body string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://h.example.com/x")], "doc_id long, url string"
+    )
+    plan = (
+        robots_filter(urls, parse_robots(robots, agent="z"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
