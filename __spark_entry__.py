@@ -1921,6 +1921,94 @@ def _robots_filter_oracle(sf_dir_base: str = "sf0.01") -> str:
     """
 
 
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS per lang (corpus.zipf_fit): the term
+    frequency table, the distributed rank, the ln-ln regression sums,
+    and r^2 are all recomputed relationally by DuckDB."""
+    from slowspark.corpus import zipf_fit
+
+    d = _read(spark, sf_dir, "documents")
+    out = zipf_fit(d)
+    return out.select(
+        "lang",
+        "n_terms",
+        F.round("zipf_slope", 4).alias("zipf_slope"),
+        F.round("zipf_intercept", 4).alias("zipf_intercept"),
+        F.round("zipf_r2", 4).alias("zipf_r2"),
+    )
+
+
+_ZIPF_ORACLE = """
+    WITH toks AS (
+        SELECT lang, unnest(list_filter(
+            regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            t -> t != '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT lang, term, count(*) AS freq
+        FROM toks GROUP BY lang, term
+    ), ranked AS (
+        SELECT lang, freq,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY freq DESC, term) AS rk
+        FROM tf
+    ), pts AS (
+        SELECT lang, ln(CAST(rk AS DOUBLE)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+        FROM ranked
+    ), agg AS (
+        SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pts GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS zipf_intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 4) AS zipf_r2
+    FROM agg
+"""
+
+
+def _heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps vocabulary-growth checkpoints (corpus.heaps_growth): the
+    first-occurrence reduction and BOTH running sums come out of the
+    two-phase distributed prefix sum; all-integer output, so the
+    partition-boundary arithmetic is exactly inside the value hash."""
+    from slowspark.corpus import heaps_growth
+
+    d = _read(spark, sf_dir, "documents")
+    return heaps_growth(d)
+
+
+_HEAPS_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            t -> t != '') AS tk
+        FROM documents
+    ), firsts AS (
+        SELECT doc_id, count(*) AS new_terms
+        FROM (SELECT term, min(doc_id) AS doc_id
+              FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+              GROUP BY term) t
+        GROUP BY doc_id
+    ), base AS (
+        SELECT t.doc_id, length(t.tk) AS n_tokens,
+               coalesce(f.new_terms, 0) AS new_terms
+        FROM toks t LEFT JOIN firsts f USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(new_terms) OVER w AS BIGINT) AS cum_vocab
+    FROM base
+    WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -4441,6 +4529,9 @@ _PRIORITY_QUERIES: "list[str]" = [
     "bm25_topk",
     # new this round (RFC 9309 robots.txt parse + longest-match filter):
     "robots_filter",
+    # new this round (Zipf OLS + Heaps vocabulary-growth diagnostics):
+    "zipf_fit",
+    "heaps_growth",
 ]
 
 
@@ -4519,6 +4610,8 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _hll_distinct,
         "bm25_topk": _bm25_topk,
         "robots_filter": _robots_filter,
+        "zipf_fit": _zipf_fit,
+        "heaps_growth": _heaps_growth,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -5178,6 +5271,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_distinct_oracle(),
         "bm25_topk": _BM25_ORACLE,
         "robots_filter": _robots_filter_oracle(),
+        "zipf_fit": _ZIPF_ORACLE,
+        "heaps_growth": _HEAPS_ORACLE,
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),

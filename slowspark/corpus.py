@@ -1697,3 +1697,141 @@ def training_shuffle(
         n_partitions=n_partitions,
     )
     return ranked.drop("__shufkey", "__n")
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang",),
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Zipf rank-frequency diagnostic per group: OLS fit of
+    ln(freq) = intercept + slope * ln(rank) over the group's term
+    frequency table, plus the fit's r^2 — the corpus-health check that a
+    web-scale text collection follows the expected power law
+    (slope ~ -1; word salad, boilerplate floods, or template spam bend
+    it). Returns (group..., n_terms, zipf_slope, zipf_intercept,
+    zipf_r2).
+
+    Scale shape: term frequencies are one map-side-combined groupBy;
+    ranks come from the two-phase _distributed_rank (range exchange +
+    broadcast offsets — NEVER a per-group single-task window; one
+    group's vocabulary at corpus scale is 10^8+ terms); the OLS fit
+    reduces each group to six sums in one aggregation. Tokenization is
+    the repo-wide whitespace convention (ws_token_array)."""
+    from slowspark.textops import ws_token_array
+
+    tf = (
+        df.select(*group_cols, ws_token_array(text_col).alias("__tk"))
+        .select(*group_cols, F.explode("__tk").alias("term"))
+        .groupBy(*group_cols, "term")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = _distributed_rank(
+        tf.withColumn("__negf", -F.col("freq")),
+        order_cols=["__negf", "term"],
+        group_cols=list(group_cols),
+        n_partitions=n_partitions,
+    )
+    x = F.log(F.col("__rank") + F.lit(1.0))  # 1-based rank
+    y = F.log(F.col("freq").cast("double"))
+    pts = ranked.select(*group_cols, x.alias("x"), y.alias("y"))
+    agg = pts.groupBy(*group_cols).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "zipf_intercept"
+        ),
+        (cov * cov / (varx * vary)).alias("zipf_r2"),
+    )
+
+
+def heaps_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: one checkpoint per document in
+    `id_col` order — (id, cum_tokens, cum_vocab), the cumulative token
+    count and cumulative DISTINCT vocabulary after consuming that
+    document. V(n) ~ K * n^beta (beta ~ 0.5 for natural text); a curve
+    that keeps climbing linearly means near-random tokens (OCR noise,
+    hashes), one that flatlines early means template spam. All-integer
+    output — exact at any corpus size.
+
+    Scale shape: cumulative DISTINCT is NOT a distinct per prefix
+    (quadratic): each term contributes exactly once, at its
+    FIRST-OCCURRENCE document (min(id) per term, one map-side-combined
+    groupBy), so cum_vocab is the running sum of per-doc first-occurrence
+    counts. Both running sums ride ONE two-phase distributed prefix sum
+    (the pack_sequences shape) — never a global single-partition
+    window."""
+    from pyspark.sql import Window
+
+    from slowspark.textops import ws_token_array
+    from slowspark.util import materialize
+
+    toks = df.select(
+        F.col(id_col).alias("__id"), ws_token_array(text_col).alias("__tk")
+    )
+    per_doc = toks.select(
+        "__id", F.size("__tk").alias("n_tokens"), F.explode_outer("__tk").alias("term")
+    )
+    firsts = (
+        per_doc.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.min("__id").alias("__id"))
+        .groupBy("__id")
+        .agg(F.count("*").alias("new_terms"))
+    )
+    base = (
+        toks.select("__id", F.size("__tk").alias("n_tokens"))
+        .join(firsts, "__id", "left")
+        .withColumn("new_terms", F.coalesce("new_terms", F.lit(0)))
+    )
+    ranged = (
+        base.repartitionByRange(n_partitions, "__id")
+        if n_partitions
+        else base.repartitionByRange("__id")
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = materialize(ranged)  # pin pids: see pack_sequences
+    w_intra = (
+        Window.partitionBy("__pid")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = ranged.withColumn(
+        "__ct", F.sum("n_tokens").over(w_intra).cast("long")
+    ).withColumn("__cv", F.sum("new_terms").over(w_intra).cast("long"))
+    totals = ranged.groupBy("__pid").agg(
+        F.sum("n_tokens").cast("long").alias("__tt"),
+        F.sum("new_terms").cast("long").alias("__tv"),
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__tt").over(w_off), F.lit(0)).cast("long").alias("__ot"),
+        F.coalesce(F.sum("__tv").over(w_off), F.lit(0)).cast("long").alias("__ov"),
+    )
+    return (
+        intra.join(F.broadcast(offsets), "__pid")
+        .select(
+            F.col("__id").alias(id_col),
+            (F.col("__ot") + F.col("__ct")).alias("cum_tokens"),
+            (F.col("__ov") + F.col("__cv")).alias("cum_vocab"),
+        )
+    )

@@ -1092,3 +1092,55 @@ def test_pack_bins_invariants_and_determinism(spark):
     assert (r0["bin_ix"], r0["bin_offset"]) == (0, 0)
     with pytest.raises(ValueError, match="seq_len"):
         pack_bins(df, seq_len=0)
+
+
+# ------------------------------------------------------- zipf / heaps
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    import numpy as np
+
+    from slowspark.corpus import zipf_fit
+
+    rows = []
+    # zipf-ish synthetic: term t_i appears ~100/i times, two langs
+    for lang in ("en", "de"):
+        for i in range(1, 40):
+            rows += [(lang, " ".join([f"{lang}term{i}"] * (100 // i)))]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["lang"]: r for r in zipf_fit(df).collect()}
+    for lang in ("en", "de"):
+        freqs = sorted((100 // i for i in range(1, 40)), reverse=True)
+        x = np.log(np.arange(1, len(freqs) + 1, dtype=float))
+        y = np.log(np.array(freqs, dtype=float))
+        slope, intercept = np.polyfit(x, y, 1)
+        r = got[lang]
+        assert r["n_terms"] == 39
+        assert abs(r["zipf_slope"] - slope) < 1e-9
+        assert abs(r["zipf_intercept"] - intercept) < 1e-9
+        assert 0.9 < r["zipf_r2"] <= 1.0
+
+
+def test_heaps_growth_matches_python_and_partition_invariant(spark):
+    from slowspark.corpus import heaps_growth
+
+    docs = [
+        (1, "a b c a"),
+        (2, "a d"),
+        (3, ""),          # empty doc: counts stay flat, row still present
+        (4, "e e e b f"),
+        (5, "f g a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    seen, ct, want = set(), 0, {}
+    for did, text in docs:
+        tk = text.split()
+        ct += len(tk)
+        seen |= set(tk)
+        want[did] = (ct, len(seen))
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: (r["cum_tokens"], r["cum_vocab"])
+            for r in heaps_growth(df.repartition(parts)).collect()
+        }
+        assert got == want
