@@ -2009,6 +2009,61 @@ _HEAPS_ORACLE = """
 """
 
 
+def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword-tokens-per-word from
+    the corpus-learned BPE (bpe.bpe_segment) — THE sizing number for a
+    multilingual token budget (a lang with fertility 2x consumes its
+    UniMax budget in half the text). (lang, n_docs, n_words,
+    n_subwords, fertility); integer sums + one division, so the whole
+    segmentation-and-aggregate is inside the value hash."""
+    from slowspark.bpe import bpe_segment
+    from slowspark.textops import ws_token_array
+
+    d = _read(spark, sf_dir, "documents")
+    merges = _bpe_learned(spark, sf_dir)
+    seg = bpe_segment(d, merges).select("doc_id", "n_tokens")
+    words = d.select(
+        "doc_id", "lang", F.size(ws_token_array("text")).alias("n_words")
+    )
+    return (
+        words.join(seg, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_subwords"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / F.nullif(F.sum("n_words").cast("double"), F.lit(0.0)),
+                4,
+            ).alias("fertility"),
+        )
+    )
+
+
+def _bpe_fertility_oracle() -> str:
+    seg = _bpe_segment_counts_oracle()
+    return f"""
+        WITH seg AS ({seg}),
+        words AS (
+            SELECT doc_id, lang,
+                   length(list_filter(
+                       regexp_split_to_array(trim(lower(text)),
+                                             '[ \\t\\n\\x0B\\f\\r]+'),
+                       t -> t != '')) AS n_words
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               sum(n_words) AS n_words,
+               sum(n_tokens) AS n_subwords,
+               round(CAST(sum(n_tokens) AS DOUBLE)
+                     / nullif(CAST(sum(n_words) AS DOUBLE), 0.0),
+                     4) AS fertility
+        FROM words JOIN seg USING (doc_id)
+        GROUP BY lang
+    """
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -4532,6 +4587,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     # new this round (Zipf OLS + Heaps vocabulary-growth diagnostics):
     "zipf_fit",
     "heaps_growth",
+    # new this round (per-lang BPE tokenizer fertility):
+    "bpe_fertility",
 ]
 
 
@@ -4612,6 +4669,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _robots_filter,
         "zipf_fit": _zipf_fit,
         "heaps_growth": _heaps_growth,
+        "bpe_fertility": _bpe_fertility,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -5273,6 +5331,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _robots_filter_oracle(),
         "zipf_fit": _ZIPF_ORACLE,
         "heaps_growth": _HEAPS_ORACLE,
+        "bpe_fertility": _bpe_fertility_oracle(),
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),
