@@ -2064,6 +2064,89 @@ def _bpe_fertility_oracle() -> str:
     """
 
 
+def _chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided RAG chunking (corpus.chunk_passages): window arithmetic,
+    short final chunks, and the chunk TEXT itself (token-slice joins)
+    are all inside the value hash."""
+    from slowspark.corpus import chunk_passages
+
+    d = _read(spark, sf_dir, "documents")
+    return chunk_passages(d, chunk_tokens=32, stride_tokens=16)
+
+
+_CHUNK_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            t -> t != '') AS tk
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, tk, length(tk) AS n,
+               CASE WHEN length(tk) <= 0 THEN 0
+                    ELSE CAST(ceil(greatest(length(tk) - 32, 0) / 16.0)
+                              AS INT) + 1 END AS nc
+        FROM toks
+    )
+    SELECT doc_id, CAST(ix AS INT) AS chunk_ix,
+           ix * 16 AS start_token,
+           least(n - ix * 16, 32) AS n_chunk_tokens,
+           array_to_string(list_slice(tk, ix * 16 + 1,
+                                      least(ix * 16 + 32, n)), ' ')
+               AS chunk_text
+    FROM (SELECT doc_id, tk, n, unnest(range(0, nc)) AS ix
+          FROM sized WHERE nc > 0)
+"""
+
+
+def _pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations per lang (textops.pmi_pairs): bigram/unigram
+    counts, min-count pruning, the PMI ratio, and the per-lang top-k
+    ranking are all recomputed relationally by DuckDB."""
+    from slowspark.textops import pmi_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return pmi_pairs(d, group_cols=("lang",), min_count=5, topk=20)
+
+
+_PMI_ORACLE = """
+    WITH toks AS (
+        SELECT lang, list_filter(
+            regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            t -> t != '') AS tk
+        FROM documents
+    ), uni AS (
+        SELECT lang, term, count(*) AS c
+        FROM (SELECT lang, unnest(tk) AS term FROM toks)
+        GROUP BY lang, term
+    ), totals AS (
+        SELECT lang, sum(c) AS n_total FROM uni GROUP BY lang
+    ), pairs AS (
+        SELECT lang, term_a, term_b, count(*) AS n_pair
+        FROM (SELECT lang, tk[i] AS term_a, tk[i + 1] AS term_b
+              FROM (SELECT lang, tk,
+                           unnest(CASE WHEN length(tk) >= 2
+                                  THEN range(1, length(tk)) ELSE [] END) AS i
+                    FROM toks))
+        GROUP BY lang, term_a, term_b
+        HAVING count(*) >= 5
+    ), scored AS (
+        SELECT p.lang, p.term_a, p.term_b, p.n_pair,
+               ln(CAST(p.n_pair * t.n_total AS DOUBLE)
+                  / CAST(a.c * b.c AS DOUBLE)) AS pmi
+        FROM pairs p
+        JOIN uni a ON a.lang = p.lang AND a.term = p.term_a
+        JOIN uni b ON b.lang = p.lang AND b.term = p.term_b
+        JOIN totals t ON t.lang = p.lang
+    )
+    SELECT lang, term_a, term_b, n_pair, round(pmi, 4) AS pmi, rk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY lang
+              ORDER BY pmi DESC, term_a, term_b) AS rk
+          FROM scored)
+    WHERE rk <= 20
+"""
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -4589,6 +4672,9 @@ _PRIORITY_QUERIES: "list[str]" = [
     "heaps_growth",
     # new this round (per-lang BPE tokenizer fertility):
     "bpe_fertility",
+    # new this round (strided RAG chunking + PMI collocations):
+    "chunk_passages",
+    "pmi_pairs",
 ]
 
 
@@ -4670,6 +4756,8 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _zipf_fit,
         "heaps_growth": _heaps_growth,
         "bpe_fertility": _bpe_fertility,
+        "chunk_passages": _chunk_passages,
+        "pmi_pairs": _pmi_pairs,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -5332,6 +5420,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": _ZIPF_ORACLE,
         "heaps_growth": _HEAPS_ORACLE,
         "bpe_fertility": _bpe_fertility_oracle(),
+        "chunk_passages": _CHUNK_ORACLE,
+        "pmi_pairs": _PMI_ORACLE,
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),

@@ -1835,3 +1835,64 @@ def heaps_growth(
             (F.col("__ov") + F.col("__cv")).alias("cum_vocab"),
         )
     )
+
+
+def chunk_passages(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    stride_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style passage chunking: cut each document into token windows
+    of `chunk_tokens` advancing by `stride_tokens` (overlapping when
+    stride < chunk — the retrieval-recall trick), returning one row per
+    chunk: (id, chunk_ix, start_token, n_chunk_tokens, chunk_text).
+    The final window is short rather than padded; a document shorter
+    than one window yields exactly one chunk; an empty document yields
+    none.
+
+    Scale shape: tokenize once, then a per-row explode of
+    sequence(0, n_chunks-1) with array slicing — pure codegen, row-local,
+    NO shuffle at any corpus size; chunk count per doc is
+    ceil(max(n-W,0)/S)+1 so the fan-out is bounded by doc length /
+    stride."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    stride = chunk_tokens if stride_tokens is None else stride_tokens
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(
+            f"stride_tokens must be in [1, chunk_tokens], got {stride}"
+        )
+    from slowspark.textops import ws_token_array
+
+    w, s = F.lit(chunk_tokens), F.lit(stride)
+    toks = df.select(
+        F.col(id_col), ws_token_array(text_col).alias("__tk")
+    ).withColumn("__n", F.size("__tk"))
+    n_chunks = F.when(F.col("__n") <= 0, F.lit(0)).otherwise(
+        F.ceil(F.greatest(F.col("__n") - w, F.lit(0)) / s).cast("int") + 1
+    )
+    start = F.col("chunk_ix").cast("long") * s
+    return (
+        toks.withColumn("__nc", n_chunks)
+        .filter(F.col("__nc") > 0)
+        .select(
+            id_col,
+            "__tk",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_ix"),
+        )
+        .select(
+            id_col,
+            "chunk_ix",
+            start.alias("start_token"),
+            F.least(F.col("__n") - start, w.cast("long")).alias(
+                "n_chunk_tokens"
+            ),
+            F.array_join(
+                F.slice(F.col("__tk"), (start + 1).cast("int"), chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

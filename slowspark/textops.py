@@ -2141,3 +2141,79 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     lowercased text (the document-level analog of the SQL fingerprint)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("doc_fp", F.xxhash64(norm))
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = (),
+    min_count: int = 5,
+    topk: int = 20,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations per group: adjacent
+    token pairs ranked by PMI = ln(c_ab * N / (c_a * c_b)) — the classic
+    collocation detector (Church & Hanks 1990); on web text it surfaces
+    boilerplate phrases ("all rights reserved") that repetition filters
+    should be catching. Returns (group..., term_a, term_b, n_pair, pmi,
+    rk), top-k by PMI (pair tiebreak), pairs below `min_count` pruned
+    BEFORE the unigram joins.
+
+    Scale shape: bigram and unigram counts are each one
+    map-side-combined groupBy; the min_count prune cuts the pair table
+    before it joins unigram counts twice on (group, term) equi-keys; the
+    final top-k is a per-group window over the pruned pair table (k
+    small). N is the group's token TOTAL, derived from the unigram table
+    itself — no second corpus pass."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    toks = df.select(
+        *gcols, ws_token_array(text_col).alias("__tk")
+    )
+    uni = (
+        toks.select(*gcols, F.explode("__tk").alias("term"))
+        .groupBy(*gcols, "term")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = uni.groupBy(*gcols).agg(F.sum("c").alias("n_total"))
+    pairs = (
+        toks.select(
+            *gcols,
+            F.explode(
+                F.expr(
+                    "transform(slice(__tk, 1, greatest(size(__tk) - 1, 0)),"
+                    " (t, i) -> struct(t as a, __tk[i + 1] as b))"
+                )
+            ).alias("p"),
+        )
+        .select(*gcols, F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+        .groupBy(*gcols, "term_a", "term_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    ua = uni.select(*gcols, F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    ub = uni.select(*gcols, F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    join_a = gcols + ["term_a"]
+    join_b = gcols + ["term_b"]
+    scored = (
+        pairs.join(ua, join_a)
+        .join(ub, join_b)
+        .join(F.broadcast(totals), gcols) if gcols else
+        pairs.join(ua, join_a).join(ub, join_b).crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("n_pair") * F.col("n_total")).cast("double")
+        / (F.col("c_a") * F.col("c_b")).cast("double")
+    )
+    w = Window.partitionBy(*gcols).orderBy(
+        F.desc("pmi"), "term_a", "term_b"
+    ) if gcols else Window.orderBy(F.desc("pmi"), "term_a", "term_b")
+    return (
+        scored.withColumn("pmi", pmi)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select(*gcols, "term_a", "term_b", "n_pair",
+                F.round("pmi", 4).alias("pmi"), "rk")
+    )

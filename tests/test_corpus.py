@@ -1144,3 +1144,47 @@ def test_heaps_growth_matches_python_and_partition_invariant(spark):
             for r in heaps_growth(df.repartition(parts)).collect()
         }
         assert got == want
+
+
+# ------------------------------------------------------ chunk_passages
+
+
+def test_chunk_passages_windows_and_stride(spark):
+    from slowspark.corpus import chunk_passages
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_ix"]): (
+            r["start_token"], r["n_chunk_tokens"], r["chunk_text"]
+        )
+        for r in chunk_passages(df, chunk_tokens=4, stride_tokens=2).collect()
+    }
+    assert got == {
+        (1, 0): (0, 4, "t0 t1 t2 t3"),
+        (1, 1): (2, 4, "t2 t3 t4 t5"),
+        (1, 2): (4, 3, "t4 t5 t6"),
+        (2, 0): (0, 2, "a b"),
+    }
+    # non-overlapping default: stride == chunk
+    full = chunk_passages(df, chunk_tokens=4).collect()
+    assert {(r["doc_id"], r["chunk_ix"]) for r in full} == {
+        (1, 0), (1, 1), (2, 0)
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_passages(df, chunk_tokens=4, stride_tokens=5)
+
+
+def test_chunk_passages_no_shuffle_plan(spark):
+    from slowspark.corpus import chunk_passages
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_passages(df, 2, 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -1184,3 +1184,46 @@ def test_exact_dedup_quality_keeper(spark):
     kept = {r["doc_id"]
             for r in textops.exact_dedup_quality(docs, "q").collect()}
     assert kept == {2, 4}
+
+
+# ----------------------------------------------------------- pmi_pairs
+
+
+def test_pmi_pairs_matches_python(spark):
+    import math
+
+    from slowspark.textops import pmi_pairs
+
+    text = "new york new york new york city of london city of york"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = {
+        (r["term_a"], r["term_b"]): (r["n_pair"], r["pmi"], r["rk"])
+        for r in pmi_pairs(df, min_count=2, topk=10).collect()
+    }
+    toks = text.split()
+    from collections import Counter
+
+    uni = Counter(toks)
+    n = len(toks)
+    pairs = Counter(zip(toks, toks[1:]))
+    want = {}
+    for (a, b), c in pairs.items():
+        if c >= 2:
+            want[(a, b)] = (c, round(math.log(c * n / (uni[a] * uni[b])), 4))
+    assert {k: v[:2] for k, v in got.items()} == want
+    # ranks are 1..n by desc pmi
+    assert sorted(v[2] for v in got.values()) == list(range(1, len(want) + 1))
+
+
+def test_pmi_pairs_grouped_and_min_count(spark):
+    from slowspark.textops import pmi_pairs
+
+    df = spark.createDataFrame(
+        [("en", "a b a b a b"), ("de", "x y")],
+        "lang string, text string",
+    )
+    got = pmi_pairs(df, group_cols=("lang",), min_count=3, topk=5).collect()
+    # en: (a,b) appears 3x -> kept; (b,a) 2x -> pruned; de below min_count
+    assert [(r["lang"], r["term_a"], r["term_b"], r["n_pair"]) for r in got] == [
+        ("en", "a", "b", 3)
+    ]
