@@ -2147,6 +2147,66 @@ _PMI_ORACLE = """
 """
 
 
+def _margin_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based kNN pair mining (similarity.margin_knn_pairs, the
+    LASER/CCMatrix ratio-margin recipe) over the stored IVF cell
+    assignment, sides split by vec_id parity: best side-1 match per
+    side-0 vector. Cell blocking, pairwise cosines, the k-best
+    neighborhood averages, and the margin ranking are all recomputed by
+    DuckDB from the same ivf_cells parquet."""
+    from slowspark.similarity import margin_knn_pairs
+
+    cells = spark.read.parquet(_ivf_index_parquet(spark, sf_dir))
+    assigned = cells.withColumn("side", (F.col("vec_id") % 2).cast("int"))
+    return margin_knn_pairs(assigned, k=4, topm=1)
+
+
+def _margin_mined_pairs_oracle(sf_dir_base: str = "sf0.01") -> str:
+    cells = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/ivf_cells"
+    return f"""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, ivf_cell,
+                   vec_id % 2 AS side
+            FROM read_parquet('{cells}/*.parquet')
+        ), pairs AS (
+            SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                   CAST(list_cosine_similarity(s.emb, t.emb) AS DOUBLE)
+                       AS cosine
+            FROM c s JOIN c t ON s.ivf_cell = t.ivf_cell
+            WHERE s.side = 0 AND t.side = 1
+        ), ax AS (
+            SELECT src_id,
+                   list_aggregate(list(cosine ORDER BY cosine, tgt_id),
+                                  'sum') / count(*) AS ax
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY src_id
+                      ORDER BY cosine DESC, tgt_id) AS rk
+                  FROM pairs)
+            WHERE rk <= 4 GROUP BY src_id
+        ), ay AS (
+            SELECT tgt_id,
+                   list_aggregate(list(cosine ORDER BY cosine, src_id),
+                                  'sum') / count(*) AS ay
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY tgt_id
+                      ORDER BY cosine DESC, src_id) AS rk
+                  FROM pairs)
+            WHERE rk <= 4 GROUP BY tgt_id
+        ), scored AS (
+            SELECT p.src_id, p.tgt_id, p.cosine,
+                   p.cosine / ((ax.ax + ay.ay) / 2.0) AS margin
+            FROM pairs p JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+        )
+        SELECT src_id, tgt_id, round(cosine, 4) AS cosine,
+               round(margin, 4) AS margin, rk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY src_id
+                  ORDER BY margin DESC, tgt_id) AS rk
+              FROM scored)
+        WHERE rk <= 1
+    """
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -4675,6 +4735,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     # new this round (strided RAG chunking + PMI collocations):
     "chunk_passages",
     "pmi_pairs",
+    # new this round (margin-based kNN pair mining, LASER/CCMatrix):
+    "margin_mined_pairs",
 ]
 
 
@@ -4758,6 +4820,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _bpe_fertility,
         "chunk_passages": _chunk_passages,
         "pmi_pairs": _pmi_pairs,
+        "margin_mined_pairs": _margin_mined_pairs,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -5422,6 +5485,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": _bpe_fertility_oracle(),
         "chunk_passages": _CHUNK_ORACLE,
         "pmi_pairs": _PMI_ORACLE,
+        "margin_mined_pairs": _margin_mined_pairs_oracle(),
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),

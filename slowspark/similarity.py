@@ -1622,3 +1622,100 @@ def sq_topk_rerank(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def margin_knn_pairs(
+    assigned: DataFrame,
+    k: int = 4,
+    topm: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    side_col: str = "side",
+) -> DataFrame:
+    """Margin-based kNN bitext/pair mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix recipe): for candidate pairs (x from side 0, y from
+    side 1), score margin(x, y) = cos(x, y) / ((avg_k(x) + avg_k(y)) / 2)
+    where avg_k is the mean cosine of the row's k best candidates — the
+    ratio margin that suppresses hub vectors whose raw cosine is high
+    against EVERYTHING. Returns the top-`topm` matches per side-0 row:
+    (src_id, tgt_id, cosine, margin, rk).
+
+    Scale shape: candidates come from the provided blocking column
+    (`cell_col` — an IVF cell, LSH bucket, or any coarse quantizer), so
+    pair fan-out is sum of per-cell cross sizes, never |src| x |tgt|;
+    the kNN averages are windows over the SAME candidate table (no
+    second scan); both margins and the final per-src top-m are
+    per-group windows. The neighbor averages fold in array_sort order
+    (the _combine_lloyd_partials discipline), so the float sum is
+    reproducible regardless of shuffle arrival — and verifiable by a
+    second engine folding the same order.
+
+    Cell-local kNN averages are the standard mining approximation (the
+    production pipelines compute them from the same ANN candidate set);
+    a row whose cell holds no opposite-side vector simply yields no
+    pair, exactly like an ANN miss."""
+    if k < 1:
+        raise ValueError(f"margin_knn_pairs: k must be >= 1, got {k}")
+    if topm < 1:
+        raise ValueError(f"margin_knn_pairs: topm must be >= 1, got {topm}")
+    src = assigned.filter(F.col(side_col) == 0).select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("__sv"),
+        F.col(cell_col).alias("__cell"),
+    )
+    tgt = assigned.filter(F.col(side_col) == 1).select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("__tv"),
+        F.col(cell_col).alias("__cell"),
+    )
+    pairs = src.join(tgt, "__cell").select(
+        "src_id",
+        "tgt_id",
+        (
+            _dot("__sv", "__tv")
+            / F.greatest(_norm("__sv") * _norm("__tv"), F.lit(1e-12))
+        ).alias("cosine"),
+    )
+    pairs = pairs.persist()
+
+    def _avg_topk(df: DataFrame, key: str, other: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.desc("cosine"), F.asc(other))
+        top = df.withColumn("__rk", F.row_number().over(w)).filter(
+            F.col("__rk") <= k
+        )
+        return top.groupBy(key).agg(
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("cosine", other))),
+                        lambda s: s["cosine"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / F.count("*")
+            ).alias(out)
+        )
+    ax = _avg_topk(pairs, "src_id", "tgt_id", "__ax")
+    ay = _avg_topk(pairs, "tgt_id", "src_id", "__ay")
+    scored = (
+        pairs.join(ax, "src_id")
+        .join(ay, "tgt_id")
+        .withColumn(
+            "margin",
+            F.col("cosine") / ((F.col("__ax") + F.col("__ay")) / F.lit(2.0)),
+        )
+    )
+    wm = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") <= topm)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.round("margin", 4).alias("margin"),
+            "rk",
+        )
+    )

@@ -844,3 +844,63 @@ def test_sq8_topk_plan_is_take_ordered(emb, query_vec):
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_margin_knn_pairs_matches_python(spark):
+    import numpy as np
+
+    from slowspark.similarity import margin_knn_pairs
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8)
+    rows = [
+        (i, [float(x) for x in vecs[i]], 0, i % 2) for i in range(20)
+    ]  # one cell, sides by parity
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, ivf_cell int, side int"
+    )
+    k = 3
+    got = {
+        r["src_id"]: (r["tgt_id"], r["cosine"], r["margin"])
+        for r in margin_knn_pairs(df, k=k, topm=1).collect()
+    }
+
+    def cos(a, b):
+        return float(np.dot(a, b) / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12))
+
+    srcs = [i for i in range(20) if i % 2 == 0]
+    tgts = [i for i in range(20) if i % 2 == 1]
+    pc = {(s, t): cos(vecs[s], vecs[t]) for s in srcs for t in tgts}
+    ax = {
+        s: np.mean(sorted((pc[(s, t)] for t in tgts), reverse=True)[:k])
+        for s in srcs
+    }
+    ay = {
+        t: np.mean(sorted((pc[(s, t)] for s in srcs), reverse=True)[:k])
+        for t in tgts
+    }
+    for s in srcs:
+        best = max(
+            ((pc[(s, t)] / ((ax[s] + ay[t]) / 2), t) for t in tgts),
+            key=lambda p: (p[0], -p[1]),
+        )
+        margin, t = best
+        assert got[s][0] == t
+        # outputs are rounded to 4 decimals
+        assert abs(got[s][2] - margin) < 5.1e-5
+        assert abs(got[s][1] - pc[(s, t)]) < 5.1e-5
+
+
+def test_margin_knn_respects_cells_and_misses(spark):
+    from slowspark.similarity import margin_knn_pairs
+
+    rows = [
+        (1, [1.0, 0.0], 0, 0),
+        (2, [0.9, 0.1], 0, 1),
+        (3, [0.0, 1.0], 1, 0),  # cell 1 has no side-1 row -> no pair
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, ivf_cell int, side int"
+    )
+    got = margin_knn_pairs(df, k=2).collect()
+    assert [(r["src_id"], r["tgt_id"], r["rk"]) for r in got] == [(1, 2, 1)]
