@@ -2207,6 +2207,100 @@ def _margin_mined_pairs_oracle(sf_dir_base: str = "sf0.01") -> str:
     """
 
 
+def _domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality gating (corpus.domain_quality_filter): the
+    full per-doc heuristic quality formula, the domain rollup, and the
+    keep rule are all recomputed relationally by DuckDB."""
+    from slowspark.corpus import domain_quality_filter
+
+    d = _read(spark, sf_dir, "documents")
+    return domain_quality_filter(d, min_docs=2, min_mean_quality=0.5)
+
+
+_DOMAIN_QUALITY_ORACLE = """
+    WITH q AS (
+        SELECT source,
+               least(length(list_filter(
+                   regexp_split_to_array(trim(text),
+                                         '[ \\t\\n\\x0B\\f\\r]+'),
+                   x -> x != '')) / 100.0, 1.0) * 0.4
+               + least(length(list_intersect(
+                     list_distinct(regexp_split_to_array(lower(text),
+                                                         '[^\\p{L}]+')),
+                     ['the','and','of','to','in','is','that','it','for',
+                      'was'])) / 5.0, 1.0) * 0.4
+               + (1.0 - least(length(regexp_replace(text, '[^.!?,;:]',
+                                                    '', 'g'))
+                              / greatest(length(text), 1) * 5, 1.0)) * 0.2
+                   AS quality
+        FROM documents
+    )
+    SELECT source AS domain, count(*) AS n_docs,
+           round(sum(quality) / count(*), 4) AS mean_quality,
+           count(*) >= 2 AND sum(quality) / count(*) >= 0.5 AS domain_keep
+    FROM q GROUP BY source
+"""
+
+
+def _ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-balance health stats (similarity.ivf_balance) over the
+    stored cell assignment — the hot-list factor that predicts probe
+    latency variance."""
+    from slowspark.similarity import ivf_balance
+
+    cells = spark.read.parquet(_ivf_index_parquet(spark, sf_dir))
+    return ivf_balance(cells)
+
+
+def _ivf_balance_oracle(sf_dir_base: str = "sf0.01") -> str:
+    cells = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/ivf_cells"
+    return f"""
+        WITH per AS (
+            SELECT ivf_cell, count(*) AS n
+            FROM read_parquet('{cells}/*.parquet') GROUP BY ivf_cell
+        )
+        SELECT count(*) AS n_cells_used, sum(n) AS n_vecs,
+               max(n) AS max_cell, min(n) AS min_cell,
+               round(max(n) * CAST(count(*) AS DOUBLE)
+                     / CAST(sum(n) AS DOUBLE), 4) AS imbalance
+        FROM per
+    """
+
+
+def _crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-bucketed crawl scheduling (weburl.crawl_schedule):
+    URL priority = observed entry count, one fetch per host per wave;
+    the per-host ranking is the value hash."""
+    from slowspark.weburl import crawl_schedule
+
+    e = spark.read.parquet(_entries_parquet(spark, sf_dir)).select(
+        "entry_id", "url"
+    )
+    pr = e.groupBy("url").agg(
+        F.count("*").cast("double").alias("priority")
+    )
+    return crawl_schedule(pr)
+
+
+def _crawl_schedule_oracle(sf_dir_base: str = "sf0.01") -> str:
+    ent = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/entries"
+    return f"""
+        WITH pr AS (
+            SELECT url, CAST(count(*) AS DOUBLE) AS priority
+            FROM read_parquet('{ent}/*.parquet') GROUP BY url
+        )
+        SELECT url,
+               lower(regexp_extract(url,
+                   '^[a-z][a-z0-9+.-]*://([^/]+)', 1)) AS host,
+               priority,
+               row_number() OVER (
+                   PARTITION BY lower(regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/]+)', 1))
+                   ORDER BY priority DESC, url) AS fetch_wave
+        FROM pr
+    """
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -4737,6 +4831,10 @@ _PRIORITY_QUERIES: "list[str]" = [
     "pmi_pairs",
     # new this round (margin-based kNN pair mining, LASER/CCMatrix):
     "margin_mined_pairs",
+    # new this round (domain gating, IVF balance, crawl scheduling):
+    "domain_quality",
+    "ivf_balance",
+    "crawl_schedule",
 ]
 
 
@@ -4821,6 +4919,9 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_passages": _chunk_passages,
         "pmi_pairs": _pmi_pairs,
         "margin_mined_pairs": _margin_mined_pairs,
+        "domain_quality": _domain_quality,
+        "ivf_balance": _ivf_balance,
+        "crawl_schedule": _crawl_schedule,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -5486,6 +5587,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_passages": _CHUNK_ORACLE,
         "pmi_pairs": _PMI_ORACLE,
         "margin_mined_pairs": _margin_mined_pairs_oracle(),
+        "domain_quality": _DOMAIN_QUALITY_ORACLE,
+        "ivf_balance": _ivf_balance_oracle(),
+        "crawl_schedule": _crawl_schedule_oracle(),
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),

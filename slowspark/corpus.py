@@ -1896,3 +1896,40 @@ def chunk_passages(
             ).alias("chunk_text"),
         )
     )
+
+
+def domain_quality_filter(
+    df: DataFrame,
+    domain_col: str = "source",
+    min_docs: int = 1,
+    min_mean_quality: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-level quality gating (the RefinedWeb/C4 move from per-doc
+    to per-SITE filtering): aggregate the heuristic quality score per
+    domain and keep/drop WHOLE domains — a spam site's occasional
+    fluent page survives per-doc filters; its domain-mean does not.
+    Returns one row per domain: (domain, n_docs, mean_quality,
+    domain_keep).
+
+    Scale shape: per-doc scoring is row-local codegen
+    (textops.quality_score), the rollup is one map-side-combined
+    groupBy on the domain key; hot domains are a SUM/COUNT pair, never
+    a collected list. Join `domain_keep` back to the corpus with a
+    broadcast (domains number ~10^7 max — small side) to apply."""
+    from slowspark.textops import quality_score
+
+    scored = quality_score(df, text_col=text_col)
+    agg = scored.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("quality") / F.count("*")).alias("mean_quality"),
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        F.round("mean_quality", 4).alias("mean_quality"),
+        (
+            (F.col("n_docs") >= min_docs)
+            & (F.col("mean_quality") >= min_mean_quality)
+        ).alias("domain_keep"),
+    )

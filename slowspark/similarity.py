@@ -1719,3 +1719,36 @@ def margin_knn_pairs(
             "rk",
         )
     )
+
+
+def ivf_balance(
+    assigned: DataFrame, cell_col: str = "ivf_cell"
+) -> DataFrame:
+    """IVF index health: one row of list-balance statistics —
+    (n_cells_used, n_vecs, max_cell, min_cell, imbalance) where
+    imbalance = max_cell / (n_vecs / n_cells_used), the hot-list factor
+    that predicts probe latency variance (a cell holding 10x the mean
+    makes every query probing it 10x slower — the signal to retrain
+    with more centroids or split hot cells).
+
+    Two tiny aggregations (per-cell counts, then a 1-row reduce) — the
+    cell-count table is at most n_centroids rows regardless of corpus
+    size."""
+    per = assigned.groupBy(cell_col).agg(F.count("*").alias("n"))
+    return per.agg(
+        F.count("*").alias("n_cells_used"),
+        F.sum("n").alias("n_vecs"),
+        F.max("n").alias("max_cell"),
+        F.min("n").alias("min_cell"),
+    ).select(
+        "n_cells_used",
+        "n_vecs",
+        "max_cell",
+        "min_cell",
+        F.round(
+            F.col("max_cell")
+            * F.col("n_cells_used").cast("double")
+            / F.col("n_vecs").cast("double"),
+            4,
+        ).alias("imbalance"),
+    )

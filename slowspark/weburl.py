@@ -656,3 +656,35 @@ def robots_filter(
         *df.columns,
         F.coalesce("__allowed", F.lit(True)).alias("robots_allowed"),
     )
+
+
+def crawl_schedule(
+    df: DataFrame,
+    url_col: str = "url",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Politeness-bucketed crawl scheduling: order each host's URLs by
+    descending priority and assign fetch_wave = that rank — wave w is
+    "the w-th request this host will see", so issuing wave-by-wave
+    enforces one-fetch-per-host-per-round politeness while still
+    fetching globally by priority inside a wave. Returns (url, host,
+    priority, fetch_wave).
+
+    Scale shape: one window partitioned by host (parallel across hosts
+    — the frontier's natural parallelism; no global sort). A pathological
+    mega-host serializes only its own wave numbering, and that host is
+    rate-limited to one fetch per wave anyway — the skew is the
+    POLICY."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc(priority_col), F.asc(url_col)
+    )
+    return (
+        df.select(
+            F.col(url_col).alias("url"),
+            host_expr(url_col).alias("host"),
+            F.col(priority_col).alias("priority"),
+        )
+        .withColumn("fetch_wave", F.row_number().over(w))
+    )

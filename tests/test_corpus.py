@@ -1188,3 +1188,20 @@ def test_chunk_passages_no_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_domain_quality_filter_gates_whole_domains(spark):
+    from slowspark.corpus import domain_quality_filter
+
+    good = "the quick brown fox jumps over a lazy dog and then some " * 10
+    bad = "!!! ??? ,,, ;;; ::: ... !!!"
+    rows = [("gooddom", good)] * 3 + [("baddom", bad)] * 3 + [("mixdom", good),
+                                                              ("mixdom", bad)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["domain"]: (r["n_docs"], r["mean_quality"], r["domain_keep"])
+        for r in domain_quality_filter(df, min_mean_quality=0.5).collect()
+    }
+    assert got["gooddom"][0] == 3 and got["gooddom"][2] is True
+    assert got["baddom"][0] == 3 and got["baddom"][2] is False
+    assert got["baddom"][1] < got["mixdom"][1] < got["gooddom"][1]

@@ -904,3 +904,15 @@ def test_margin_knn_respects_cells_and_misses(spark):
     )
     got = margin_knn_pairs(df, k=2).collect()
     assert [(r["src_id"], r["tgt_id"], r["rk"]) for r in got] == [(1, 2, 1)]
+
+
+def test_ivf_balance_stats(spark):
+    from slowspark.similarity import ivf_balance
+
+    rows = [(i, i % 3 if i < 9 else 0) for i in range(12)]  # cell0 hot: 6
+    df = spark.createDataFrame(rows, "vec_id long, ivf_cell int")
+    r = ivf_balance(df).collect()[0]
+    assert (r["n_cells_used"], r["n_vecs"], r["max_cell"], r["min_cell"]) == (
+        3, 12, 6, 3
+    )
+    assert r["imbalance"] == round(6 * 3 / 12.0, 4)  # 1.5

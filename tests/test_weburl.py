@@ -487,3 +487,22 @@ def test_robots_filter_plan_is_broadcast(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_crawl_schedule_waves_per_host(spark):
+    from slowspark.weburl import crawl_schedule
+
+    rows = [
+        ("https://a.com/1", 10.0),
+        ("https://a.com/2", 30.0),
+        ("https://a.com/3", 20.0),
+        ("https://b.com/x", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "url string, priority double")
+    got = {r["url"]: (r["host"], r["fetch_wave"]) for r in crawl_schedule(df).collect()}
+    assert got == {
+        "https://a.com/2": ("a.com", 1),
+        "https://a.com/3": ("a.com", 2),
+        "https://a.com/1": ("a.com", 3),
+        "https://b.com/x": ("b.com", 1),
+    }
