@@ -2301,6 +2301,49 @@ def _crawl_schedule_oracle(sf_dir_base: str = "sf0.01") -> str:
     """
 
 
+def _latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-fingerprint latency quantiles
+    (aggregate.group_quantiles): p50/p95/p99 of query_time by positional
+    rank — the distributed-rank arithmetic and the quantile positions
+    are the value hash (positional quantiles are exact, unlike
+    approx_percentile sketches, so DuckDB reproduces them row for
+    row)."""
+    from slowspark.aggregate import group_quantiles
+
+    e = (
+        spark.read.parquet(_entries_parquet(spark, sf_dir))
+        .filter(F.col("fingerprint").isNotNull())
+        .select("fingerprint", "entry_id", "query_time")
+    )
+    return group_quantiles(e, "query_time")
+
+
+def _latency_quantiles_oracle(sf_dir_base: str = "sf0.01") -> str:
+    ent = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/entries"
+    return f"""
+        WITH r AS (
+            SELECT fingerprint, query_time,
+                   row_number() OVER (PARTITION BY fingerprint
+                                      ORDER BY query_time, entry_id) AS pos,
+                   count(*) OVER (PARTITION BY fingerprint) AS n
+            FROM read_parquet('{ent}/*.parquet')
+            WHERE fingerprint IS NOT NULL
+        )
+        SELECT fingerprint, max(n) AS n,
+               max(CASE WHEN pos = CAST(ceil(0.5 * n) AS BIGINT)
+                   THEN query_time END) AS q50,
+               max(CASE WHEN pos = CAST(ceil(0.95 * n) AS BIGINT)
+                   THEN query_time END) AS q95,
+               max(CASE WHEN pos = CAST(ceil(0.99 * n) AS BIGINT)
+                   THEN query_time END) AS q99
+        FROM r
+        WHERE pos = CAST(ceil(0.5 * n) AS BIGINT)
+           OR pos = CAST(ceil(0.95 * n) AS BIGINT)
+           OR pos = CAST(ceil(0.99 * n) AS BIGINT)
+        GROUP BY fingerprint
+    """
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -4835,6 +4878,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "domain_quality",
     "ivf_balance",
     "crawl_schedule",
+    # new this round (exact positional latency quantiles):
+    "latency_quantiles",
 ]
 
 
@@ -4922,6 +4967,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": _domain_quality,
         "ivf_balance": _ivf_balance,
         "crawl_schedule": _crawl_schedule,
+        "latency_quantiles": _latency_quantiles,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -5590,6 +5636,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quality": _DOMAIN_QUALITY_ORACLE,
         "ivf_balance": _ivf_balance_oracle(),
         "crawl_schedule": _crawl_schedule_oracle(),
+        "latency_quantiles": _latency_quantiles_oracle(),
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),

@@ -178,3 +178,65 @@ def hourly_rollup(entries: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("hour_start"), "entry_kind", "n")
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = ("fingerprint",),
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+    id_col: str = "entry_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT per-group quantiles — (group..., n, q50, q95, q99 ...) with
+    q_p = the value at 1-based sorted position ceil(p * n) (the type-1 /
+    lower empirical quantile). The latency question every slow-log
+    rollup actually asks ("p95 query_time per fingerprint") — and, being
+    positional rather than interpolated, EXACT and engine-reproducible
+    where approx_percentile sketches are not (they hash differently per
+    engine and can't be value-hash verified).
+
+    Scale shape: ranks come from corpus._distributed_rank — a range
+    exchange plus broadcast offsets, parallel across AND within groups,
+    never the single-task `row_number() OVER (PARTITION BY group)`
+    window (one hot fingerprint at log scale = one task = the job);
+    the pivot to quantile columns is one map-side-combined groupBy of
+    ONLY the rows sitting at a quantile position (<= len(ps) rows per
+    group reach the shuffle). Ties order by (value, id) so equal values
+    rank deterministically."""
+    if not ps or any(not 0.0 < p <= 1.0 for p in ps):
+        raise ValueError(f"group_quantiles: ps must be in (0, 1], got {ps}")
+    from slowspark.corpus import _distributed_rank
+
+    gcols = list(group_cols)
+    ranked = _distributed_rank(
+        df.select(*gcols, value_col, id_col),
+        order_cols=[value_col, id_col],
+        group_cols=gcols,
+        n_partitions=n_partitions,
+    )
+    # 1-based position of this row; position of quantile p is ceil(p*n)
+    pos = F.col("__rank") + 1
+    hits = ranked.filter(
+        # a row survives iff it IS some quantile position — at most
+        # len(ps) rows per group reach the final shuffle
+        F.array_contains(
+            F.array(
+                *[
+                    F.ceil(F.lit(float(p)) * F.col("__n")).cast("long")
+                    for p in ps
+                ]
+            ),
+            pos.cast("long"),
+        )
+    )
+    aggs = [F.max("__n").alias("n")]
+    for p in ps:
+        name = f"q{int(round(p * 100))}"
+        target = F.ceil(F.lit(float(p)) * F.col("__n")).cast("long")
+        aggs.append(
+            F.max(
+                F.when(pos.cast("long") == target, F.col(value_col))
+            ).alias(name)
+        )
+    return hits.groupBy(*gcols).agg(*aggs)

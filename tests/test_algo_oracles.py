@@ -87,3 +87,42 @@ def test_session_windows_random_timestamps(spark):
     }
     want = set(_py_sessionize(rows, 60))
     assert got == want
+
+
+def test_group_quantiles_matches_python(spark):
+    import math
+
+    from slowspark.aggregate import group_quantiles
+
+    vals = {"fp_a": [5.0, 1.0, 3.0, 2.0, 4.0, 9.0, 7.0],
+            "fp_b": [10.0, 20.0],
+            "fp_c": [42.0]}
+    rows = [
+        (g, i * 100 + j, v)
+        for i, (g, vs) in enumerate(sorted(vals.items()))
+        for j, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "fingerprint string, entry_id long, query_time double")
+    got = {
+        r["fingerprint"]: (r["n"], r["q50"], r["q95"], r["q99"])
+        for r in group_quantiles(df, "query_time").collect()
+    }
+    for g, vs in vals.items():
+        s = sorted(vs)
+        n = len(s)
+        want = tuple(s[math.ceil(p * n) - 1] for p in (0.5, 0.95, 0.99))
+        assert got[g] == (n,) + want, g
+
+
+def test_group_quantiles_partition_invariant_and_validates(spark):
+    import pytest as _pytest
+
+    from slowspark.aggregate import group_quantiles
+
+    rows = [("g", i, float((i * 37) % 101)) for i in range(200)]
+    df = spark.createDataFrame(rows, "fingerprint string, entry_id long, query_time double")
+    a = group_quantiles(df.repartition(1), "query_time").collect()[0]
+    b = group_quantiles(df.repartition(13), "query_time").collect()[0]
+    assert a.asDict() == b.asDict()
+    with _pytest.raises(ValueError, match="ps must be in"):
+        group_quantiles(df, "query_time", ps=(0.0,))
