@@ -2344,6 +2344,81 @@ def _latency_quantiles_oracle(sf_dir_base: str = "sf0.01") -> str:
     """
 
 
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (textops.containment_pairs):
+    every 5th document's tokens 11..25 become a synthetic "quote" doc
+    (id + 100000) — the small-in-large shape symmetric Jaccard misses.
+    Gram generation, df pruning, the inverted-index candidate join, and
+    both containment directions are recomputed by DuckDB."""
+    from slowspark.textops import containment_pairs, ws_token_array
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(
+                F.slice(ws_token_array("text"), 11, 15), " "
+            ).alias("text"),
+        )
+    )
+    return containment_pairs(
+        d.unionByName(quotes), containment_threshold=0.9
+    )
+
+
+_CONTAINMENT_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            t -> t != '') AS tk
+        FROM documents
+    ), corpus AS (
+        SELECT doc_id, tk FROM base
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               list_filter(regexp_split_to_array(trim(lower(
+                   array_to_string(tk[11:25], ' '))),
+                   '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '') AS tk
+        FROM base WHERE doc_id % 5 = 0
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN length(tk) >= 3
+                    THEN list_distinct(list_transform(
+                        range(1, length(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+                    ELSE [array_to_string(tk, ' ')] END AS grams
+        FROM corpus
+    ), postings AS (
+        SELECT doc_id, unnest(grams) AS gram FROM grams
+    ), rare AS (
+        SELECT gram FROM postings GROUP BY gram HAVING count(*) <= 20
+    ), pruned AS (
+        SELECT p.doc_id, p.gram
+        FROM postings p SEMI JOIN rare r ON p.gram = r.gram
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pruned a JOIN pruned b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT c.id_a, c.id_b,
+               length(list_intersect(ga.grams, gb.grams)) AS n_common,
+               length(list_intersect(ga.grams, gb.grams))
+                   / greatest(length(ga.grams), 1) AS c_a_in_b,
+               length(list_intersect(ga.grams, gb.grams))
+                   / greatest(length(gb.grams), 1) AS c_b_in_a
+        FROM cand c
+        JOIN grams ga ON ga.doc_id = c.id_a
+        JOIN grams gb ON gb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, n_common,
+           round(c_a_in_b, 4) AS c_a_in_b,
+           round(c_b_in_a, 4) AS c_b_in_a
+    FROM scored
+    WHERE greatest(c_a_in_b, c_b_in_a) >= 0.9
+"""
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -4880,6 +4955,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "crawl_schedule",
     # new this round (exact positional latency quantiles):
     "latency_quantiles",
+    # new this round (asymmetric containment doc-in-doc detection):
+    "containment_pairs",
 ]
 
 
@@ -4968,6 +5045,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_balance": _ivf_balance,
         "crawl_schedule": _crawl_schedule,
         "latency_quantiles": _latency_quantiles,
+        "containment_pairs": _containment_pairs,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -5637,6 +5715,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_balance": _ivf_balance_oracle(),
         "crawl_schedule": _crawl_schedule_oracle(),
         "latency_quantiles": _latency_quantiles_oracle(),
+        "containment_pairs": _CONTAINMENT_ORACLE,
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),

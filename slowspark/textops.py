@@ -2217,3 +2217,91 @@ def pmi_pairs(
         .select(*gcols, "term_a", "term_b", "n_pair",
                 F.round("pmi", 4).alias("pmi"), "rk")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    containment_threshold: float = 0.8,
+    ngram_n: int = 3,
+    max_gram_df: int = 20,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment detection — doc-inside-doc: for candidate
+    pairs, C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| (Broder 1997's
+    containment, the quantity Jaccard-based near-dup MISSES: a tweet
+    quoted inside a news article has Jaccard ~0.05 but containment ~1.0).
+    Returns unordered pairs with BOTH directions scored:
+    (id_a, id_b, n_common, c_a_in_b, c_b_in_a), keeping pairs where
+    either direction clears the threshold.
+
+    Scale shape: candidates come from an inverted-index self-join on
+    n-grams — NOT MinHash-LSH, which is tuned for symmetric resemblance
+    and under-generates exactly the small-in-large pairs this operator
+    exists for. Ubiquitous grams (doc freq > `max_gram_df` — boilerplate
+    phrases) are pruned BEFORE the self-join, bounding each gram's
+    pair fan-out at max_gram_df^2; `max_bucket_size` adds a hard capped
+    (logged, never silent) backstop via util.capped_by_bucket. The
+    verify stage joins full gram sets only for surviving candidate
+    pairs (fan-in = |candidates|, never |docs|^2); integer set sizes +
+    one division, so a second engine reproduces every score exactly."""
+    if not 0.0 < containment_threshold <= 1.0:
+        raise ValueError(
+            "containment_pairs: containment_threshold must be in (0, 1], "
+            f"got {containment_threshold}"
+        )
+    from slowspark.util import capped_by_bucket, materialize
+
+    g = materialize(
+        with_ngram_set(df, text_col, "grams", ngram_n).select(
+            F.col(id_col).alias("__id"), "grams"
+        )
+    )
+    postings = g.select("__id", F.explode("grams").alias("gram"))
+    rare = postings.groupBy("gram").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") <= max_gram_df
+    )
+    pruned = postings.join(rare.select("gram"), "gram", "left_semi")
+    if max_bucket_size is not None:
+        pruned = capped_by_bucket(
+            pruned, ["gram"], max_bucket_size, "containment_pairs"
+        )
+    cand = (
+        pruned.alias("a")
+        .join(
+            pruned.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("__id").alias("id_a"), F.col("grams").alias("__ga"))
+    gb = g.select(F.col("__id").alias("id_b"), F.col("grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    scored = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("n_common", inter)
+        .withColumn(
+            "c_a_in_b",
+            F.col("n_common") / F.greatest(F.size("__ga"), F.lit(1)),
+        )
+        .withColumn(
+            "c_b_in_a",
+            F.col("n_common") / F.greatest(F.size("__gb"), F.lit(1)),
+        )
+        .select("id_a", "id_b", "n_common", "c_a_in_b", "c_b_in_a")
+    )
+    return scored.filter(
+        F.greatest("c_a_in_b", "c_b_in_a") >= containment_threshold
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round("c_a_in_b", 4).alias("c_a_in_b"),
+        F.round("c_b_in_a", 4).alias("c_b_in_a"),
+    )

@@ -1227,3 +1227,56 @@ def test_pmi_pairs_grouped_and_min_count(spark):
     assert [(r["lang"], r["term_a"], r["term_b"], r["n_pair"]) for r in got] == [
         ("en", "a", "b", 3)
     ]
+
+
+# ----------------------------------------------------- containment_pairs
+
+
+def test_containment_small_doc_inside_large(spark):
+    from slowspark.textops import containment_pairs
+
+    quote = "to be or not to be that is the question"
+    article = (
+        "breaking news today " + quote + " said the famous actor during "
+        "an interview about the upcoming theatrical production downtown"
+    )
+    rows = [
+        (1, quote),
+        (2, article),
+        (3, "completely unrelated text about cooking pasta with sauce"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["c_a_in_b"], r["c_b_in_a"])
+        for r in containment_pairs(df, containment_threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2)}
+    n_common, c_ab, c_ba = got[(1, 2)]
+    assert c_ab == 1.0  # every quote trigram appears in the article
+    assert c_ba < 0.5   # but the article is NOT inside the quote
+    # exact values: quote has 8 distinct trigrams, all shared
+    assert n_common == 8
+
+
+def test_containment_gram_df_pruning_blocks_boilerplate(spark):
+    from slowspark.textops import containment_pairs
+
+    # the same boilerplate phrase in 30 docs: with max_gram_df below 30
+    # it generates no candidates at all
+    rows = [(i, f"unique{i} all rights reserved worldwide") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(df, containment_threshold=0.5, max_gram_df=10)
+    assert out.count() == 0
+
+
+def test_containment_plan_no_cartesian(spark):
+    from slowspark.textops import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    plan = (
+        containment_pairs(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
