@@ -2419,6 +2419,77 @@ _CONTAINMENT_ORACLE = """
 """
 
 
+def _dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-8-gram fraction (textops.
+    duplicated_ngram_fraction) — the Lee et al. dedup-effectiveness
+    number; gram generation, df counts, and the per-doc rollup are the
+    value hash."""
+    from slowspark.textops import duplicated_ngram_fraction
+
+    d = _read(spark, sf_dir, "documents")
+    return duplicated_ngram_fraction(d, n=8)
+
+
+_DUP_FRACTION_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            t -> t != '') AS tk
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(
+            CASE WHEN length(tk) >= 8
+                 THEN list_distinct(list_transform(
+                     range(1, length(tk) - 6),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                          || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]
+                          || ' ' || tk[i+6] || ' ' || tk[i+7]))
+                 ELSE [array_to_string(tk, ' ')] END) AS gram
+        FROM toks
+    ), dfreq AS (
+        SELECT gram, count(*) AS df FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id, count(*) AS n_grams,
+           sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS n_shared,
+           round(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END)
+                 / greatest(count(*), 1), 4) AS dup_fraction
+    FROM grams g JOIN dfreq d USING (gram)
+    GROUP BY g.doc_id
+"""
+
+
+def _token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (textops.token_entropy) — the
+    repetition-spam / word-salad scalar; the ordered-fold ln sum is
+    reproduced by DuckDB folding the same token order."""
+    from slowspark.textops import token_entropy
+
+    d = _read(spark, sf_dir, "documents")
+    return token_entropy(d)
+
+
+_TOKEN_ENTROPY_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            t -> t != '')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ), per AS (
+        SELECT doc_id, sum(c) AS n_tokens,
+               list_aggregate(
+                   list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                        ORDER BY tok), 'sum') AS sum_clnc
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(ln(CAST(n_tokens AS DOUBLE))
+                 - sum_clnc / CAST(n_tokens AS DOUBLE), 4) AS entropy
+    FROM per
+"""
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -4957,6 +5028,9 @@ _PRIORITY_QUERIES: "list[str]" = [
     "latency_quantiles",
     # new this round (asymmetric containment doc-in-doc detection):
     "containment_pairs",
+    # new this round (dup-fraction + entropy doc diagnostics):
+    "dup_fraction",
+    "token_entropy",
 ]
 
 
@@ -5046,6 +5120,8 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": _crawl_schedule,
         "latency_quantiles": _latency_quantiles,
         "containment_pairs": _containment_pairs,
+        "dup_fraction": _dup_fraction,
+        "token_entropy": _token_entropy,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -5716,6 +5792,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_schedule": _crawl_schedule_oracle(),
         "latency_quantiles": _latency_quantiles_oracle(),
         "containment_pairs": _CONTAINMENT_ORACLE,
+        "dup_fraction": _DUP_FRACTION_ORACLE,
+        "token_entropy": _TOKEN_ENTROPY_ORACLE,
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),

@@ -2305,3 +2305,86 @@ def containment_pairs(
         F.round("c_a_in_b", 4).alias("c_a_in_b"),
         F.round("c_b_in_a", 4).alias("c_b_in_a"),
     )
+
+
+def duplicated_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-text diagnostic (Lee et al. 2022's
+    reporting metric): the fraction of the doc's distinct word n-grams
+    that also appear in at least one OTHER document — the number dedup
+    papers report to show how much near-duplicate text a corpus carries
+    (and the before/after evidence that a dedup pass worked). Returns
+    (id, n_grams, n_shared, dup_fraction).
+
+    Scale shape: gram explode -> one map-side-combined groupBy(gram)
+    for document frequencies -> join back on gram -> one groupBy(id).
+    The df table is gram-keyed (bounded by distinct grams, not
+    occurrences); no pairs are ever materialized — this is the O(corpus)
+    sibling of the O(pairs) containment/jaccard operators."""
+    g = with_ngram_set(df, text_col, "grams", n).select(
+        F.col(id_col).alias("__id"), F.explode("grams").alias("gram")
+    )
+    dfreq = g.groupBy("gram").agg(F.count("*").alias("__df"))
+    per = (
+        g.join(dfreq, "gram")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("__df") > 1).cast("long")).alias("n_shared"),
+        )
+    )
+    return per.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "n_shared",
+        F.round(
+            F.col("n_shared") / F.greatest(F.col("n_grams"), F.lit(1)), 4
+        ).alias("dup_fraction"),
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats): H = ln(n) - 
+    (sum_t c_t * ln(c_t)) / n over the doc's token counts — low entropy
+    flags repetition spam ("buy now buy now"), near-maximal entropy
+    flags hash/UID word salad; the cheap single-doc complement to the
+    cross-doc Gopher repetition rules. Returns (id, n_tokens, entropy).
+
+    Row-local after one groupBy(id, token) count — the sum folds in
+    array_sort order so the float accumulation is deterministic under
+    shuffle (and reproducible by a second engine folding the same
+    order)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(ws_token_array(text_col)).alias("tok"),
+    )
+    counts = toks.groupBy("__id", "tok").agg(F.count("*").alias("c"))
+    per = counts.groupBy("__id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "tok",
+                        (F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("clnc"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["clnc"],
+        ).alias("__sum_clnc"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("__sum_clnc") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return per.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.round(h, 4).alias("entropy"),
+    )

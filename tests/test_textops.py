@@ -1280,3 +1280,53 @@ def test_containment_plan_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------- dup fraction / token entropy
+
+
+def test_duplicated_ngram_fraction(spark):
+    from slowspark.textops import duplicated_ngram_fraction
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (1, shared + " unique1a unique1b unique1c"),
+        (2, shared + " unique2a unique2b unique2c"),
+        (3, "totally different words here none shared with others ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["dup_fraction"])
+        for r in duplicated_ngram_fraction(df, n=8).collect()
+    }
+    # docs 1/2: 11 tokens -> 4 distinct 8-grams each; the first (the pure
+    # shared window) appears in both docs; the other 3 contain unique words
+    assert got[1] == (4, 1, 0.25)
+    assert got[2] == (4, 1, 0.25)
+    assert got[3][1] == 0 and got[3][2] == 0.0
+
+
+def test_token_entropy_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from slowspark.textops import token_entropy
+
+    rows = [
+        (1, "buy now buy now buy now buy now"),
+        (2, "all words here are fully distinct tokens okay"),
+        (3, "a a a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["entropy"])
+        for r in token_entropy(df).collect()
+    }
+    for did, text in rows:
+        c = Counter(text.split())
+        n = sum(c.values())
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        assert got[did][0] == n
+        assert abs(got[did][1] - h) < 5.1e-5, did
+    assert got[3][1] == 0.0                       # constant doc: zero entropy
+    assert got[2][1] > got[1][1] > got[3][1]      # distinct > repeated > constant
