@@ -2490,6 +2490,97 @@ _TOKEN_ENTROPY_ORACLE = """
 """
 
 
+def _hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HLL index (sketch.build_hll_index/append_to_hll_index/
+    hll_index_estimate): build on even docs' bigrams, append odd docs',
+    REPLAY the same append, estimate after each — (lang, hll_est,
+    hll_est_after_replay). By the merge law the estimates equal the
+    whole-corpus sketch, and by max-idempotence the replay column MUST
+    equal the first — both facts inside the value hash (the oracle emits
+    the whole-corpus estimate twice)."""
+    import os
+
+    from slowspark.sketch import (
+        append_to_hll_index,
+        build_hll_index,
+        hll_index_estimate,
+    )
+
+    _kmv_hashes_parquet(spark, sf_dir)  # for the DuckDB side
+    base = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"{_ORACLE_ENTRIES_BASE}/{base}/hll_index"
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    from slowspark.textops import ws_token_array
+
+    def bigrams_of(d):
+        return d.select(
+            "lang", ws_token_array("text").alias("tk")
+        ).select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                    " (t, i) -> concat(t, ' ', tk[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+
+    even = bigrams_of(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = bigrams_of(docs.filter(F.col("doc_id") % 2 == 1))
+    build_hll_index(even, idx, "bg", _HLL_P, group_cols=("lang",))
+    append_to_hll_index(odd, idx, "bg", _HLL_P, group_cols=("lang",))
+    # COLLECT the pre-replay estimate before mutating the index — a lazy
+    # plan would silently read the post-replay state for both columns
+    first = hll_index_estimate(spark, idx, _HLL_P, group_cols=("lang",)).select(
+        "lang", F.round("hll_est", 4).alias("hll_est")
+    )
+    first_rows = spark.createDataFrame(first.collect(), first.schema)
+    append_to_hll_index(odd, idx, "bg", _HLL_P, group_cols=("lang",))  # replay
+    replay = hll_index_estimate(spark, idx, _HLL_P, group_cols=("lang",)).select(
+        "lang", F.round("hll_est", 4).alias("hll_est_after_replay")
+    )
+    return first_rows.join(replay, "lang")
+
+
+def _hll_incremental_oracle(sf_dir_base: str = "sf0.01") -> str:
+    import math as _math
+
+    from slowspark.sketch import hll_alpha
+
+    h = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/kmv_hashes"
+    p = _HLL_P
+    m, w = 1 << p, 64 - p
+    q = w + 1
+    c = repr(hll_alpha(p) * m * m * float(1 << q))
+    lut = "[" + ", ".join(repr(m * _math.log(m / v)) for v in range(1, m + 1)) + "]"
+    return f"""
+        WITH regs AS (
+            SELECT lang, (h >> {w}) & {m - 1} AS reg,
+                   max(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {q}
+                       ELSE {q} - length(bin(h & {(1 << w) - 1})) END) AS rho
+            FROM read_parquet('{h}/*.parquet')
+            GROUP BY lang, reg
+        ), s AS (
+            SELECT lang, count(*) AS nt,
+                   sum(CAST(1::BIGINT << ({q} - rho) AS HUGEINT)) AS si
+            FROM regs GROUP BY lang
+        ), est AS (
+            SELECT lang,
+                   {c} / CAST(si + ({m} - nt) * (1::HUGEINT << {q}) AS DOUBLE)
+                       AS raw,
+                   {m} - nt AS vz
+            FROM s
+        ), final AS (
+            SELECT lang,
+                   round(CASE WHEN raw <= {2.5 * m!r} AND vz > 0
+                              THEN ({lut})[CAST(vz AS INT)]
+                              ELSE raw END, 4) AS e
+            FROM est
+        )
+        SELECT lang, e AS hll_est, e AS hll_est_after_replay FROM final
+    """
+
+
 _QCLF_BUCKETS = 1 << 15
 # "trusted corpus" stylistic marker — the word-salad documents share ONE
 # vocabulary across langs (lang is unlearnable from tokens by design), so
@@ -5031,6 +5122,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     # new this round (dup-fraction + entropy doc diagnostics):
     "dup_fraction",
     "token_entropy",
+    # new this round (incremental HLL index, replay inside the hash):
+    "hll_incremental_distinct",
 ]
 
 
@@ -5122,6 +5215,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _containment_pairs,
         "dup_fraction": _dup_fraction,
         "token_entropy": _token_entropy,
+        "hll_incremental_distinct": _hll_incremental_distinct,
         "stupid_backoff_scores": _stupid_backoff_scores,
         "kn_logprob": _kn_logprob,
         "bpe_byte_merges": _bpe_byte_merges,
@@ -5794,6 +5888,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _CONTAINMENT_ORACLE,
         "dup_fraction": _DUP_FRACTION_ORACLE,
         "token_entropy": _TOKEN_ENTROPY_ORACLE,
+        "hll_incremental_distinct": _hll_incremental_oracle(),
         "stupid_backoff_scores": _SB_ORACLE,
         "kn_logprob": _KN_ORACLE,
         "bpe_byte_merges": _bpe_byte_merges_oracle(),

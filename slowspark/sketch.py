@@ -315,3 +315,70 @@ def cms_heavy_hitters(
     )
     est = cms_query(candidates, cms, value_col, depth, width)
     return exact.join(est, value_col)
+
+
+def build_hll_index(
+    df: DataFrame,
+    index_path: str,
+    value_col: str,
+    p: int,
+    group_cols: tuple[str, ...] = (),
+) -> None:
+    """Persist an HLL register index for CONTINUOUS distinct tracking:
+    the ingest-side answer to "how many distinct urls/terms/users has
+    this stream carried, per group, so far" in O(m) storage per group.
+    The table is (group..., reg, rho) under {index_path}/regs."""
+    hll_sketch(df, value_col, p, group_cols=group_cols).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/regs")
+
+
+def append_to_hll_index(
+    batch: DataFrame,
+    index_path: str,
+    value_col: str,
+    p: int,
+    group_cols: tuple[str, ...] = (),
+) -> None:
+    """Grow a persisted HLL index with a batch: append the batch's own
+    register rows (O(m) rows per group touched — never a corpus
+    rescan). `p` must match the build.
+
+    Replay contract — strictly stronger than the minhash/simhash index
+    appends: estimates read max(rho) per register, and max over
+    DUPLICATED rows equals max, so replaying a crashed append (or
+    appending the same batch twice) changes NO estimate, ever. No
+    epoch-authoritative sink or DISTINCT downstream is needed; the
+    sketch is idempotent by algebra."""
+    hll_sketch(batch, value_col, p, group_cols=group_cols).write.mode(
+        "append"
+    ).parquet(f"{index_path}/regs")
+
+
+def hll_index_estimate(
+    spark, index_path: str, p: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(group..., hll_est) from a persisted register index: one
+    groupBy-max merge (the HLL merge law) + the estimator."""
+    regs = spark.read.parquet(f"{index_path}/regs")
+    return hll_estimate(
+        merge_hll(regs, group_cols=group_cols), p, group_cols=group_cols
+    )
+
+
+def compact_hll_index(
+    spark,
+    index_path: str,
+    compacted_path: str,
+    p: int,
+    group_cols: tuple[str, ...] = (),
+) -> None:
+    """Rewrite an append-grown register index into its merged form at a
+    NEW path (at most m rows per group): the file-count bound for a
+    long-lived stream. Writing to a fresh path keeps the swap atomic at
+    the metastore/manifest layer; the merged table is estimate-identical
+    to the original by the merge law."""
+    regs = spark.read.parquet(f"{index_path}/regs")
+    merge_hll(regs, group_cols=group_cols).write.mode("overwrite").parquet(
+        f"{compacted_path}/regs"
+    )

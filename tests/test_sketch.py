@@ -238,3 +238,34 @@ def test_hll_bad_p(spark):
     df = spark.createDataFrame([("a",)], "t string")
     with pytest.raises(ValueError, match="p must be in"):
         hll_sketch(df, "t", 3)
+
+
+def test_hll_index_roundtrip_replay_and_compaction(spark, tmp_path):
+    from slowspark.sketch import (
+        append_to_hll_index,
+        build_hll_index,
+        compact_hll_index,
+        hll_index_estimate,
+        hll_sketch,
+        hll_estimate,
+    )
+
+    p = 6
+    a = spark.createDataFrame([(f"v{i}",) for i in range(300)], "t string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(200, 600)], "t string")
+    both = a.unionByName(b)
+    idx = str(tmp_path / "hll")
+    build_hll_index(a, idx, "t", p)
+    append_to_hll_index(b, idx, "t", p)
+    est = hll_index_estimate(spark, idx, p).collect()[0]["hll_est"]
+    want = hll_estimate(hll_sketch(both, "t", p), p).collect()[0]["hll_est"]
+    assert est == want  # merge law through disk
+    # replaying the SAME append changes nothing (idempotent by algebra)
+    append_to_hll_index(b, idx, "t", p)
+    assert hll_index_estimate(spark, idx, p).collect()[0]["hll_est"] == want
+    # compaction: merged table, identical estimate, <= m rows
+    cidx = str(tmp_path / "hll_c")
+    compact_hll_index(spark, idx, cidx, p)
+    regs = spark.read.parquet(f"{cidx}/regs")
+    assert regs.count() <= (1 << p)
+    assert hll_index_estimate(spark, cidx, p).collect()[0]["hll_est"] == want
