@@ -2054,8 +2054,8 @@ def _bpe_fertility_oracle() -> str:
             FROM documents
         )
         SELECT lang, count(*) AS n_docs,
-               sum(n_words) AS n_words,
-               sum(n_tokens) AS n_subwords,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(n_tokens) AS BIGINT) AS n_subwords,
                round(CAST(sum(n_tokens) AS DOUBLE)
                      / nullif(CAST(sum(n_words) AS DOUBLE), 0.0),
                      4) AS fertility
@@ -2259,7 +2259,8 @@ def _ivf_balance_oracle(sf_dir_base: str = "sf0.01") -> str:
             SELECT ivf_cell, count(*) AS n
             FROM read_parquet('{cells}/*.parquet') GROUP BY ivf_cell
         )
-        SELECT count(*) AS n_cells_used, sum(n) AS n_vecs,
+        SELECT count(*) AS n_cells_used,
+               CAST(sum(n) AS BIGINT) AS n_vecs,
                max(n) AS max_cell, min(n) AS min_cell,
                round(max(n) * CAST(count(*) AS DOUBLE)
                      / CAST(sum(n) AS DOUBLE), 4) AS imbalance
@@ -2450,7 +2451,8 @@ _DUP_FRACTION_ORACLE = """
         SELECT gram, count(*) AS df FROM grams GROUP BY gram
     )
     SELECT g.doc_id, count(*) AS n_grams,
-           sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS n_shared,
+           CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
            round(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END)
                  / greatest(count(*), 1), 4) AS dup_fraction
     FROM grams g JOIN dfreq d USING (gram)
@@ -2477,7 +2479,7 @@ _TOKEN_ENTROPY_ORACLE = """
     ), counts AS (
         SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
     ), per AS (
-        SELECT doc_id, sum(c) AS n_tokens,
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
                list_aggregate(
                    list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
                         ORDER BY tok), 'sum') AS sum_clnc
