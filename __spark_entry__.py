@@ -1713,7 +1713,13 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("query_text"),
         )
     )
-    out = bm25_topk(build_postings(d), qs, topk=5, max_df=450)
+    # max_df scales with corpus size (0.9 * n_docs): an absolute cutoff
+    # tuned at sf0.01 prunes EVERY term once the corpus grows 10x (the
+    # whole vocabulary's df rises with doc count) — observed as a 0-row
+    # result at sf0.1. int(0.9 * n) truncates identically to the
+    # oracle's CAST(0.9 * count(*) AS BIGINT).
+    max_df = int(0.9 * d.count())
+    out = bm25_topk(build_postings(d), qs, topk=5, max_df=max_df)
     return out.select(
         F.col("query_id"), F.col("doc_id"), F.col("bm25"), F.col("rk")
     )
@@ -1734,7 +1740,8 @@ _BM25_ORACLE = """
         SELECT count(*) AS n_docs, avg(length(tk)) AS avgdl FROM toks
     ), dfreq AS (
         SELECT term, count(*) AS df_t FROM tf GROUP BY term
-        HAVING count(*) <= 450
+        HAVING count(*) <= CAST(0.9 * (SELECT count(*) FROM documents)
+                                AS BIGINT)
     ), qs AS (
         SELECT doc_id AS query_id, tk[1:5] AS qtk
         FROM (SELECT doc_id, tk,
