@@ -111,6 +111,8 @@ def run_curation(
     delta_old_df: DataFrame | None = None,
     pack_whole_docs: bool = False,
     quality_sample_k: int | None = None,
+    domain_quality_threshold: float | None = None,
+    domain_col: str = "source",
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -506,6 +508,8 @@ def run_curation(
         f":{holdout_group}"
         f"|lc={int(latest_capture)}|dold={delta_sig}"
         f"|pwd={int(pack_whole_docs)}|qsk={quality_sample_k or 0}"
+        f"|domq={domain_quality_threshold if domain_quality_threshold is not None else 'off'}"
+        f":{domain_col}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -608,6 +612,34 @@ def run_curation(
 
         filtered = run_stage(spark, cat, "gopher_filtered", sig, _gopher)
         out["gopher_filtered"] = filtered
+
+    if domain_quality_threshold is not None:
+        # RefinedWeb-style site-level gating: drop WHOLE domains whose
+        # mean heuristic quality falls below the threshold — spam sites'
+        # occasional fluent page survives per-doc rules; its domain mean
+        # does not. Runs after the per-doc filter so the mean is over
+        # rule-surviving docs.
+        if domain_col not in filtered.columns:
+            raise ValueError(
+                f"--domain-quality-threshold needs a '{domain_col}' column "
+                f"(have: {filtered.columns}); pass --domain-col"
+            )
+        from slowspark.corpus import domain_quality_filter
+
+        def _domq() -> DataFrame:
+            keep = domain_quality_filter(
+                filtered,
+                domain_col=domain_col,
+                min_mean_quality=domain_quality_threshold,
+            ).filter(F.col("domain_keep"))
+            return filtered.join(
+                F.broadcast(keep.select(F.col("domain").alias(domain_col))),
+                domain_col,
+                "left_semi",
+            )
+
+        filtered = run_stage(spark, cat, "domain_filtered", sig, _domq)
+        out["domain_filtered"] = filtered
 
     if line_dedup_min_df is not None:
         from slowspark.textops import line_boilerplate_dedup
@@ -1095,6 +1127,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--gopher-repetition", action="store_true",
                    help="apply the full Gopher Table A1 within-document "
                    "repetition rules after the quality filter")
+    p.add_argument("--domain-quality-threshold", type=float, default=None,
+                   help="drop WHOLE domains whose mean heuristic quality "
+                        "is below this (RefinedWeb site-level gating); "
+                        "needs the --domain-col column")
+    p.add_argument("--domain-col", default="source",
+                   help="domain/site column for --domain-quality-threshold "
+                        "(default: source)")
     p.add_argument("--line-dedup-min-df", type=int, default=None,
                    help="RefinedWeb line-wise boilerplate removal before "
                    "exact dedup: lines recurring across >= N docs are cut")
@@ -1355,6 +1394,8 @@ def main(argv: list[str] | None = None) -> int:
             badwords=args.badwords.split(",") if args.badwords else None,
             gopher_repetition=args.gopher_repetition,
             line_dedup_min_df=args.line_dedup_min_df,
+            domain_quality_threshold=args.domain_quality_threshold,
+            domain_col=args.domain_col,
             ppl_keep_buckets=(
                 [int(b) for b in args.ppl_keep_buckets.split(",")]
                 if args.ppl_keep_buckets else None
@@ -1432,6 +1473,7 @@ def main(argv: list[str] | None = None) -> int:
             for name in ("latest_captured", "delta_ingested",
                          "url_deduped", "lang_filtered", "filtered",
                          "badword_filtered", "gopher_filtered",
+                         "domain_filtered",
                          "line_deduped", "deduped_exact",
                          "deduped_near", "semantic_deduped",
                          "substring_deduped", "substring_char_deduped",

