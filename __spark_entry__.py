@@ -5062,6 +5062,420 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, seq_len=512)
 
 
+
+
+def _lpa_oracle(n_iter: int = 3) -> str:
+    """Unrolled synchronous label-propagation CTE chain mirroring
+    graph.label_propagation's integer argmax exactly: per round, count
+    neighbor labels, keep (max count, min label) via a QUALIFY
+    row_number with the identical tie order. Integer-exact — no float
+    contract needed. MATERIALIZED per the unrolled-iteration rule."""
+    iters = []
+    for k in range(n_iter):
+        iters.append(f"""
+            c{k} AS MATERIALIZED (
+                SELECT u.node, l.label, COUNT(*) AS c
+                FROM und u JOIN l{k} l ON l.node = u.nbr
+                GROUP BY u.node, l.label),
+            p{k} AS MATERIALIZED (
+                SELECT node, label FROM c{k}
+                QUALIFY row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label ASC) = 1),
+            l{k + 1} AS MATERIALIZED (
+                SELECT l.node, COALESCE(p.label, l.label) AS label
+                FROM l{k} l LEFT JOIN p{k} p USING (node))""")
+    return f"""
+        WITH {_LINK_EDGES_SQL},
+        und AS MATERIALIZED (
+            SELECT DISTINCT node, nbr FROM (
+                SELECT src AS node, dst AS nbr FROM e
+                UNION ALL SELECT dst AS node, src AS nbr FROM e)
+            WHERE node <> nbr),
+        v AS MATERIALIZED (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        l0 AS MATERIALIZED (SELECT node, node AS label FROM v),
+        {",".join(iters)}
+        SELECT node, label FROM l{n_iter}
+    """
+
+
+def _seed_bfs_oracle(max_hops: int = 3, seed_mod: int = 25) -> str:
+    """Unrolled frontier-BFS CTE chain mirroring graph.seed_distance:
+    per hop, expand the PREVIOUS frontier along edges, subtract the
+    visited set, stamp the hop number. Integer-exact."""
+    iters = []
+    for h in range(1, max_hops + 1):
+        iters.append(f"""
+            f{h} AS MATERIALIZED (
+                SELECT DISTINCT e.dst AS node
+                FROM f{h - 1} f JOIN e ON e.src = f.node
+                WHERE e.dst NOT IN (SELECT node FROM d{h - 1})),
+            d{h} AS MATERIALIZED (
+                SELECT node, hops FROM d{h - 1}
+                UNION ALL SELECT node, {h} AS hops FROM f{h})""")
+    return f"""
+        WITH {_LINK_EDGES_SQL},
+        v AS MATERIALIZED (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        d0 AS MATERIALIZED (
+            SELECT node, 0 AS hops FROM v WHERE node % {seed_mod} = 3),
+        f0 AS MATERIALIZED (SELECT node FROM d0),
+        {",".join(iters)}
+        SELECT node, hops FROM d{max_hops}
+    """
+
+
+def _spam_mass_oracle(n_iter: int = 3, seed_mod: int = 25) -> str:
+    """Both unrolled PageRank chains (uniform `u_` + seed-personalized
+    `s_`) over the SHARED edge/vertex/outdeg CTEs, exactly the IEEE
+    double ops of _pagerank_oracle's two variants, joined into
+    (node, pr, ppr, mass) with mass computed from the UNROUNDED ranks
+    (matching graph.spam_mass) and the 6dp float contract applied at
+    the end."""
+    d85 = "CAST(0.85 AS DOUBLE)"
+    nd = "(SELECT nd FROM nvd)"
+    iters = []
+    for k in range(n_iter):
+        iters.append(f"""
+            u_d{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank),
+                     CAST(0 AS DOUBLE)) AS dm
+                     FROM u_r{k} WHERE node NOT IN (SELECT src FROM e)),
+            u_c{k} AS MATERIALIZED (SELECT e.dst AS node,
+                     SUM(r.rank / od.c) AS c
+                     FROM e JOIN od ON e.src = od.node
+                            JOIN u_r{k} r ON r.node = e.src
+                     GROUP BY e.dst),
+            u_r{k + 1} AS MATERIALIZED (SELECT v.node,
+                     (CAST(1 AS DOUBLE) - {d85}) / {nd}
+                     + {d85} * (COALESCE(c.c, CAST(0 AS DOUBLE))
+                                + (SELECT dm FROM u_d{k}) / {nd}) AS rank
+                     FROM v LEFT JOIN u_c{k} c ON v.node = c.node),
+            s_d{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank),
+                     CAST(0 AS DOUBLE)) AS dm
+                     FROM s_r{k} WHERE node NOT IN (SELECT src FROM e)),
+            s_c{k} AS MATERIALIZED (SELECT e.dst AS node,
+                     SUM(r.rank / od.c) AS c
+                     FROM e JOIN od ON e.src = od.node
+                            JOIN s_r{k} r ON r.node = e.src
+                     GROUP BY e.dst),
+            s_r{k + 1} AS MATERIALIZED (SELECT v.node,
+                     (CAST(1 AS DOUBLE) - {d85}) * v.tele
+                     + {d85} * (COALESCE(c.c, CAST(0 AS DOUBLE))
+                                + (SELECT dm FROM s_d{k}) * v.tele) AS rank
+                     FROM v LEFT JOIN s_c{k} c ON v.node = c.node)""")
+    return f"""
+        WITH {_LINK_EDGES_SQL},
+        vb AS MATERIALIZED (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nvd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM vb),
+        nsd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM vb
+                WHERE node % {seed_mod} = 3),
+        v AS MATERIALIZED (SELECT node,
+               CASE WHEN node % {seed_mod} = 3
+                    THEN CAST(1 AS DOUBLE) / (SELECT ns FROM nsd)
+                    ELSE CAST(0 AS DOUBLE) END AS tele
+               FROM vb),
+        od AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c
+               FROM e GROUP BY src),
+        u_r0 AS MATERIALIZED (SELECT node,
+               CAST(1 AS DOUBLE) / {nd} AS rank FROM vb),
+        s_r0 AS MATERIALIZED (SELECT node,
+               CAST(1 AS DOUBLE) / {nd} AS rank FROM vb),
+        {",".join(iters)}
+        SELECT u.node, round(u.rank, 6) AS pr, round(s.rank, 6) AS ppr,
+               round((u.rank - s.rank) / u.rank, 6) AS mass
+        FROM u_r{n_iter} u JOIN s_r{n_iter} s ON u.node = s.node
+    """
+
+
+_URL_HISTORY_ORACLE = """
+    WITH base AS (
+        SELECT 'https://' || source || '.example.com/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               doc_id, md5(text) AS fp1, md5(text || 'v2') AS fp2
+        FROM documents
+    ), caps AS (
+        SELECT url, 1 AS warc_ts, fp1 AS fp FROM base
+        UNION ALL
+        SELECT url, 2, fp1 FROM base WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT url, 3, fp2 FROM base WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT url, 4, CASE WHEN doc_id % 15 = 0 THEN fp2 ELSE fp1 END
+        FROM base WHERE doc_id % 5 = 0
+    ), flag AS (
+        SELECT url, warc_ts, fp,
+               CASE WHEN lag(fp) OVER w IS NULL
+                      OR lag(fp) OVER w <> fp THEN 1 ELSE 0 END AS chg
+        FROM caps WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+    ), runs0 AS (
+        SELECT url, warc_ts, fp,
+               SUM(chg) OVER (PARTITION BY url ORDER BY warc_ts
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM flag
+    ), runs AS (
+        SELECT url, run, min(fp) AS fingerprint,
+               MIN(warc_ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_captures
+        FROM runs0 GROUP BY url, run
+    )
+    SELECT url, fingerprint, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           n_captures,
+           lead(valid_from) OVER w2 IS NULL AS is_current
+    FROM runs WINDOW w2 AS (PARTITION BY url ORDER BY run)
+"""
+
+
+_RAKE_STOPWORDS_SQL = ("'the','and','of','to','in','is','that','it',"
+                       "'for','was'")
+
+_RAKE_TOPK_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(
+                trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g')),
+                ' '),
+            t -> t != '') AS tk
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, tk[i] AS tok, i,
+               CASE WHEN tk[i] IN ({_RAKE_STOPWORDS_SQL})
+                    THEN 1 ELSE 0 END AS stop
+        FROM (SELECT doc_id, tk,
+                     unnest(range(1, length(tk) + 1)) AS i FROM toks)
+    ), pid AS (
+        SELECT doc_id, tok, i, stop,
+               SUM(stop) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS UNBOUNDED PRECEDING) AS pid
+        FROM pos
+    ), words AS (
+        SELECT doc_id, pid, tok, i FROM pid WHERE stop = 0
+    ), phr AS (
+        SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY i) AS phrase,
+               COUNT(*) AS plen
+        FROM words GROUP BY doc_id, pid
+    ), occ AS (
+        SELECT w.doc_id, w.pid, w.tok, p.plen
+        FROM words w JOIN phr p USING (doc_id, pid)
+    ), ws AS (
+        SELECT doc_id, tok,
+               CAST(SUM(plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS s
+        FROM occ GROUP BY doc_id, tok
+    ), ps AS (
+        SELECT o.doc_id, o.pid, SUM(w.s) AS score
+        FROM occ o JOIN ws w ON w.doc_id = o.doc_id AND w.tok = o.tok
+        GROUP BY o.doc_id, o.pid
+    ), dd AS (
+        SELECT p.doc_id, p.phrase,
+               CAST(MAX(p.plen) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               MAX(s.score) AS score
+        FROM phr p JOIN ps s USING (doc_id, pid)
+        GROUP BY p.doc_id, p.phrase
+    )
+    SELECT doc_id, phrase, n_words, n_occurrences,
+           round(score, 6) AS score
+    FROM dd
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY round(score, 6) DESC, phrase ASC) <= 3
+"""
+
+
+def _hll_windowed_distinct_oracle(sf_dir_base: str = "sf0.01") -> str:
+    import math as _math
+
+    from slowspark.sketch import hll_alpha
+
+    h = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/hll_window_hashes"
+    p = _HLL_P
+    m, w = 1 << p, 64 - p
+    q = w + 1
+    c = repr(hll_alpha(p) * m * m * float(1 << q))
+    lut = "[" + ", ".join(
+        repr(m * _math.log(m / v)) for v in range(1, m + 1)
+    ) + "]"
+    return f"""
+        WITH exact AS (
+            SELECT date_trunc('hour', ts) AS window_start,
+                   count(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY 1
+        ), regs AS (
+            SELECT window_start, (h >> {w}) & {m - 1} AS reg,
+                   max(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {q}
+                       ELSE {q} - length(bin(h & {(1 << w) - 1})) END) AS rho
+            FROM read_parquet('{h}/*.parquet')
+            GROUP BY window_start, reg
+        ), s AS (
+            SELECT window_start, count(*) AS nt,
+                   sum(CAST(1::BIGINT << ({q} - rho) AS HUGEINT)) AS si
+            FROM regs GROUP BY window_start
+        ), est AS (
+            SELECT window_start,
+                   {c} / CAST(si + ({m} - nt) * (1::HUGEINT << {q})
+                              AS DOUBLE) AS raw,
+                   {m} - nt AS vz
+            FROM s
+        )
+        SELECT e.window_start, e.exact_distinct,
+               round(CASE WHEN raw <= {2.5 * m!r} AND vz > 0
+                          THEN ({lut})[CAST(vz AS INT)]
+                          ELSE raw END, 4) AS hll_est
+        FROM exact e JOIN est USING (window_start)
+    """
+
+
+def _lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (graph.label_propagation): 3 synchronous
+    rounds of deterministic majority-label adoption (ties -> min label)
+    over the link graph. Integer-exact — the oracle unrolls the rounds
+    as CTEs with the identical argmax tie order."""
+    from slowspark.graph import label_propagation
+
+    return label_propagation(_link_edges(spark, sf_dir), n_iter=3)
+
+
+def _seed_graph_nodes(e: DataFrame) -> DataFrame:
+    # trusted seed set convention shared with personalized_pagerank:
+    # graph nodes with node % 25 == 3
+    return (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 25 == 3)
+    )
+
+
+def _seed_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trusted-seed BFS hop distance (graph.seed_distance): frontier
+    BFS to 3 hops from the node%25==3 seed set — the integer-exact
+    link-proximity spam feature (Gyongyi 2004). Unreachable nodes are
+    absent by contract; the oracle unrolls the frontier rounds."""
+    from slowspark.graph import seed_distance
+
+    e = _link_edges(spark, sf_dir)
+    return seed_distance(e, _seed_graph_nodes(e), max_hops=3)
+
+
+def _spam_mass_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam mass (graph.spam_mass, Gyongyi 2006): uniform PageRank vs
+    PageRank personalized to the node%25==3 trusted seeds, mass =
+    (pr - ppr)/pr — the link-farm detector as a pure composition of the
+    two rank chains. The oracle runs BOTH unrolled chains side by side
+    from the shared edge/outdeg CTEs; 6dp float contract."""
+    from slowspark.graph import spam_mass
+
+    e = _link_edges(spark, sf_dir)
+    out = spam_mass(e, _seed_graph_nodes(e), n_iter=3)
+    return out.select(
+        "node",
+        F.round("pr", 6).alias("pr"),
+        F.round("ppr", 6).alias("ppr"),
+        F.round("mass", 6).alias("mass"),
+    )
+
+
+def _capture_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic 4-snapshot capture table over documents (the
+    # url_history fixture; integer ts = snapshot number): ts1 everyone;
+    # ts2 doc_id%2==0 UNCHANGED (same-fp recapture); ts3 doc_id%3==0
+    # CHANGED (v2 content); ts4 doc_id%5==0 keeps v2 iff doc_id%15==0
+    # (i.e. it saw v2 at ts3) else REVERTS to the original content
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "doc_id",
+        F.md5("text").alias("fp1"),
+        F.md5(F.concat("text", F.lit("v2"))).alias("fp2"),
+    )
+    c1 = base.select("url", F.lit(1).alias("warc_ts"),
+                     F.col("fp1").alias("fingerprint"))
+    c2 = base.filter(F.col("doc_id") % 2 == 0).select(
+        "url", F.lit(2).alias("warc_ts"), F.col("fp1").alias("fingerprint"))
+    c3 = base.filter(F.col("doc_id") % 3 == 0).select(
+        "url", F.lit(3).alias("warc_ts"), F.col("fp2").alias("fingerprint"))
+    c4 = base.filter(F.col("doc_id") % 5 == 0).select(
+        "url", F.lit(4).alias("warc_ts"),
+        F.when(F.col("doc_id") % 15 == 0, F.col("fp2"))
+        .otherwise(F.col("fp1")).alias("fingerprint"))
+    return c1.unionByName(c2).unionByName(c3).unionByName(c4)
+
+
+def _url_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 URL content history (weburl.url_history): 4 deterministic
+    capture snapshots per URL collapse into validity intervals — runs
+    of equal fingerprints with half-open [valid_from, valid_to) bounds,
+    open current row, per-run capture counts. The oracle rebuilds the
+    capture table and replays the lag/run-id/lead windows."""
+    from slowspark.weburl import url_history
+
+    return url_history(_capture_history(spark, sf_dir))
+
+
+def _rake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keywords (textops.rake_keywords): per-doc top-3 candidate
+    phrases by deg/freq co-occurrence score (Rose 2010), stopword-run
+    phrase splitting, rounded-score-then-phrase rank order. The oracle
+    re-runs tokenization, phrase assembly, both stat rollups, and the
+    per-doc ranking relationally."""
+    from slowspark.textops import rake_keywords
+
+    d = _read(spark, sf_dir, "documents")
+    return rake_keywords(d, top_k=3)
+
+
+def _hll_window_hashes_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (window_start, h) — xxhash64 of each distinct
+    per-hour user — the one Spark primitive in the windowed-HLL query;
+    DuckDB recomputes registers + estimate from here and the exact side
+    from `events` directly."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_ORACLE_ENTRIES_BASE}/{base}/hll_window_hashes"
+    if path not in _ENTRIES_WRITTEN:
+        (
+            _read(spark, sf_dir, "events")
+            .select(
+                F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+            )
+            .distinct()
+            .select("window_start", F.xxhash64("user_id").alias("h"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _ENTRIES_WRITTEN.add(path)
+    return path
+
+
+def _hll_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour via HLL registers (sketch.hll_sketch /
+    hll_estimate grouped by the tumbling window) next to the exact
+    count — the BATCH twin of streaming.windowed_hll_registers (same
+    register law; the streaming side is pinned batch-vs-stream in
+    tests). Register shuffle <= m rows per partition per window
+    regardless of event volume."""
+    from slowspark.sketch import hll_estimate, hll_sketch
+
+    _hll_window_hashes_parquet(spark, sf_dir)  # for the DuckDB side
+    ev = _read(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+    )
+    sk = hll_sketch(ev, "user_id", _HLL_P, group_cols=("window_start",))
+    est = hll_estimate(sk, _HLL_P, group_cols=("window_start",))
+    exact = ev.groupBy("window_start").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(est, "window_start").select(
+        "window_start", "exact_distinct",
+        F.round("hll_est", 4).alias("hll_est"),
+    )
+
+
 # The driver verifies only the FIRST 50 queries() entries per round
 # (observed cap, r6 verdict). To guarantee every query gets a driver
 # correctness row at least every ~2 rounds, queries() emits a PRIORITY
@@ -5133,6 +5547,16 @@ _PRIORITY_QUERIES: "list[str]" = [
     "token_entropy",
     # new this round (incremental HLL index, replay inside the hash):
     "hll_incremental_distinct",
+    # new this round (LPA communities, seed BFS, spam mass):
+    "lpa_communities",
+    "seed_bfs",
+    "spam_mass",
+    # new this round (SCD2 url content history):
+    "url_history",
+    # new this round (RAKE per-doc keywords):
+    "rake_topk",
+    # new this round (windowed HLL distinct, batch twin of the stream):
+    "hll_windowed_distinct",
 ]
 
 
@@ -5249,6 +5673,12 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _connected_components,
         "dataset_card": _dataset_card,
         "hits_scores": _hits_scores,
+        "lpa_communities": _lpa_communities,
+        "seed_bfs": _seed_bfs,
+        "spam_mass": _spam_mass_scores,
+        "url_history": _url_history_q,
+        "rake_topk": _rake_topk,
+        "hll_windowed_distinct": _hll_windowed_distinct,
         "html_links": _html_links,
         "anchor_text_topk": _anchor_text_topk,
         "noindex_filter": _noindex_filter,
@@ -6201,6 +6631,12 @@ def oracle_sql() -> dict[str, str]:
             FROM rec
         """,
         "hits_scores": _hits_oracle(),
+        "lpa_communities": _lpa_oracle(),
+        "seed_bfs": _seed_bfs_oracle(),
+        "spam_mass": _spam_mass_oracle(),
+        "url_history": _URL_HISTORY_ORACLE,
+        "rake_topk": _RAKE_TOPK_ORACLE,
+        "hll_windowed_distinct": _hll_windowed_distinct_oracle(),
         "host_hits": _hits_oracle(edges_sql=_HOST_EDGES_SQL, weighted=True),
         # same synthesis; survivors = docs whose meta is absent/benign
         "noindex_filter": r"""

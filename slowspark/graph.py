@@ -488,3 +488,204 @@ def pagerank(
     edges_w.unpersist()
     dangling.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made deterministic: labels start as the node id; each
+    round every node adopts the most frequent label among its
+    (undirected) neighbors, ties broken by the SMALLEST label; an
+    isolated node keeps its own label. Returns (node, label) after
+    exactly n_iter rounds.
+
+    Communities are the mid-resolution grouping between connected
+    components (too coarse: the web is one giant component) and host
+    clustering (too literal): link farms, mirror clusters, and topic
+    neighborhoods surface as labels after a handful of rounds — the
+    standard cheap community pass over a crawl graph.
+
+    Determinism: the textbook algorithm is order-dependent
+    (asynchronous updates, random tie-breaks). This one is synchronous
+    (round k+1 reads only round k) with a total tie order
+    (max count, then min label), so output is independent of
+    partitioning and reproducible in a second engine — same contract as
+    the rest of this module.
+
+    Scale shape: the undirected neighbor list (both edge directions,
+    deduped) is built once and persisted; each round is one shuffle
+    pair — join labels on neighbor + groupBy(node, label) count — then
+    a max-struct keeper (no window: the per-node argmax folds inside
+    the same aggregation). Lineage is cut every checkpoint_every rounds
+    like pagerank's."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    src = F.col(src_col)
+    dst = F.col(dst_col)
+    und = (
+        edges.select(src.alias("node"), dst.alias("nbr"))
+        .union(edges.select(dst.alias("node"), src.alias("nbr")))
+        .filter(F.col("node") != F.col("nbr"))
+        .distinct()
+        .persist()
+    )
+    vertices = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+        .persist()
+    )
+    labels = vertices.withColumn("label", F.col("node"))
+    labels.persist().count()
+    for i in range(n_iter):
+        nbr_labels = und.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("label").alias("__nl")
+            ),
+            "nbr",
+        )
+        counted = nbr_labels.groupBy("node", "__nl").agg(
+            F.count("*").alias("__c")
+        )
+        # argmax(count, tie -> min label) as ONE max-struct fold:
+        # (count, -label) orders ties toward the smaller label without
+        # a per-node window
+        picked = counted.groupBy("node").agg(
+            (-F.max(F.struct(F.col("__c"), (-F.col("__nl")).alias("__m")))
+             ["__m"]).alias("__new")
+        )
+        new_labels = (
+            labels.join(picked, "node", "left")
+            .select(
+                "node",
+                F.coalesce("__new", "label").alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels.persist().count()
+        labels.unpersist()
+        labels = new_labels
+    und.unpersist()
+    vertices.unpersist()
+    return labels
+
+
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Directed BFS hop distance from a trusted seed set: (node, hops)
+    for every node reachable from any seed in <= max_hops link hops
+    (seeds themselves at 0). Unreachable nodes are ABSENT — the caller
+    decides the unreachable policy (TrustRank-style demotion keeps them
+    at +inf / drops them).
+
+    Link distance from a vetted seed list is the oldest whitebox spam
+    feature (Gyongyi et al. 2004 motivate TrustRank with it): spam
+    farms are many hops from any trusted page, while organically cited
+    content sits 1-3 hops out. Integer-exact (no float contract needed)
+    and cheaper than a full personalized PageRank when only the
+    frontier matters (crawl-frontier prioritization).
+
+    Scale shape: classic frontier BFS as DataFrame ops — per hop, join
+    the CURRENT frontier (not the whole visited set) to the edge list,
+    anti-join out already-visited nodes, union into visited. Each hop
+    is one shuffle pair over frontier-sized inputs; the edge table is
+    persisted once. max_hops bounds the rounds (web BFS saturates in
+    ~6; crawl features use 2-4). Frontier and visited are persisted
+    per round and the previous round unpersisted."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).distinct().persist()
+    vertices = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    # seeds outside the graph are ignored (same contract as pagerank's
+    # personalized teleport, minus the empty-set raise: an empty
+    # intersection just returns an empty frame)
+    frontier = (
+        seeds.select(F.col("node")).distinct()
+        .join(vertices, "node", "left_semi")
+        .withColumn("hops", F.lit(0))
+    )
+    visited = frontier
+    visited.persist().count()
+    frontier.persist()
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+        )
+        nxt.persist()
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        new_visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited.unpersist()
+        frontier.unpersist()
+        visited = new_visited
+        frontier = nxt
+    frontier.unpersist()
+    e.unpersist()
+    return visited.select("node", "hops")
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Spam mass (Gyongyi et al. 2006): the fraction of a page's
+    PageRank that does NOT come from trusted pages —
+
+        spam_mass(v) = (pr(v) - ppr(v)) / pr(v)
+
+    where pr is uniform PageRank and ppr is PageRank personalized to
+    the trusted seed set. Near 0: rank earned through the trusted web.
+    Near 1: rank manufactured by link structures unreachable from any
+    trusted page — the canonical link-farm detector. Returns
+    (node, pr, ppr, mass); mass can be slightly negative for pages
+    super-endorsed by seeds (standard; callers threshold on the high
+    end).
+
+    Pure composition of this module's pagerank (uniform + seeds=...)
+    — two independent rank computations over the SAME persisted
+    edges+outdeg table shape, one final join. Cost = 2x pagerank;
+    every scale property of pagerank's docstring applies unchanged."""
+    pr = pagerank(
+        edges, n_iter=n_iter, damping=damping,
+        src_col=src_col, dst_col=dst_col,
+    ).select("node", F.col("rank").alias("pr"))
+    ppr = pagerank(
+        edges, n_iter=n_iter, damping=damping,
+        src_col=src_col, dst_col=dst_col, seeds=seeds,
+    ).select("node", F.col("rank").alias("ppr"))
+    return (
+        pr.join(ppr, "node")
+        .select(
+            "node",
+            "pr",
+            "ppr",
+            ((F.col("pr") - F.col("ppr")) / F.col("pr")).alias("mass"),
+        )
+    )

@@ -448,3 +448,41 @@ def start_curate_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_hll_registers(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    value_col: str = "url",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 12,
+) -> DataFrame:
+    """Streaming distinct-cardinality per tumbling event-time window,
+    as HLL register rows: (window_start, reg, rho). Because the HLL
+    register update is a per-(window, reg) MAX — idempotent over
+    duplicates and associative across micro-batches — this is ONE
+    streaming aggregation, append-mode compatible: a window's registers
+    are emitted exactly once, when the watermark passes window end
+    (the sessionize_stream finality contract, for cardinality).
+    Estimate downstream with sketch.hll_estimate(...,
+    group_cols=("window_start",)) over the sink — estimation is
+    register-local arithmetic, deliberately OUTSIDE the stream (a
+    second stacked streaming agg would be a state-store chain; the
+    register table is the durable, mergeable artifact).
+
+    The streaming twin of the batch hll_windowed_distinct query:
+    distinct-users-per-hour / distinct-URLs-per-crawl-window dashboards
+    at <= m=2^p state rows per open window, regardless of event volume
+    — state is bounded by windows-in-flight x m, never by traffic.
+    Exactly-once replay safety is the HLL merge law (register max of a
+    re-delivered batch is a no-op), pinned batch-vs-stream in tests."""
+    from slowspark.sketch import hll_sketch
+
+    s = stream.withWatermark(ts_col, watermark).withColumn(
+        "__w", F.window(ts_col, window)
+    )
+    regs = hll_sketch(s, value_col, p, group_cols=("__w",))
+    return regs.select(
+        F.col("__w.start").alias("window_start"), "reg", "rho"
+    )

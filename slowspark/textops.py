@@ -2450,3 +2450,130 @@ def token_entropy(
         "n_tokens",
         F.round(h, 4).alias("entropy"),
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    top_k: int = 5,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are the maximal runs of non-stopword tokens; each word scores
+    deg(w)/freq(w) where, within one document, freq(w) = number of
+    occurrences of w in candidate phrases and deg(w) = sum of the
+    lengths of the phrases those occurrences sit in (co-occurrence
+    degree, self included); a phrase scores the sum of its member-word
+    scores (repeated words count per occurrence, per the paper). Output:
+    (id, phrase, n_words, n_occurrences, score) — the top_k DISTINCT
+    phrases per document by (score desc, phrase asc).
+
+    The cheap unsupervised labeler: no model, no corpus pass — per-doc
+    keyword tags for search-index enrichment, topic bucketing, and the
+    dataset-card "what is in this corpus" samples, at one narrow
+    shuffle per stage, all keyed by doc.
+
+    Determinism/oracle contract: tokenization is the repo convention
+    (lower, split on non-letters); phrase assembly sorts by token
+    position inside the aggregation (sort_array over (pos, tok)
+    structs — collect_list order is partition-dependent, the struct
+    sort is not); scores are IEEE doubles rounded to 6dp (the float
+    oracle contract — the sums are over a handful of deg/freq
+    rationals, whose order-dependent low bits sit far below 6dp).
+
+    Scale shape: every stage is keyed by doc id (token explode →
+    per-doc running-sum window over doc-sized partitions → two
+    doc-keyed groupBys → per-doc top-k window). Nothing is
+    corpus-wide; skew is bounded by the longest single document, the
+    same envelope as gopher_repetition's."""
+    from pyspark.sql import Window
+
+    if lang not in _STOPWORDS:
+        raise ValueError(
+            f"rake_keywords: no stopword list for lang={lang!r} "
+            f"(have: {sorted(_STOPWORDS)})"
+        )
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    sw = _STOPWORDS[lang]
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}]+", " ")
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(norm, " ")).alias("__pos", "__tok"),
+        )
+        .filter(F.col("__tok") != "")
+        .withColumn(
+            "__stop",
+            F.col("__tok").isin(sw).cast("int"),
+        )
+    )
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    phrased = toks.withColumn("__pid", F.sum("__stop").over(w)).filter(
+        F.col("__stop") == 0
+    )
+    phrases = (
+        phrased.groupBy("__id", "__pid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__pos", "__tok"))
+            ).alias("__s")
+        )
+        .select(
+            "__id",
+            "__pid",
+            F.expr("transform(__s, x -> x.__tok)").alias("__words"),
+            F.size("__s").alias("__plen"),
+        )
+    )
+    occurrences = phrases.select(
+        "__id", "__pid", "__plen", F.explode("__words").alias("__w")
+    )
+    word_scores = occurrences.groupBy("__id", "__w").agg(
+        (
+            F.sum("__plen").cast("double") / F.count("*").cast("double")
+        ).alias("__ws")
+    )
+    phrase_scores = (
+        occurrences.join(word_scores, ["__id", "__w"])
+        .groupBy("__id", "__pid")
+        .agg(F.sum("__ws").alias("__score"))
+        .join(
+            phrases.select(
+                "__id",
+                "__pid",
+                F.concat_ws(" ", "__words").alias("phrase"),
+                F.col("__plen"),
+            ),
+            ["__id", "__pid"],
+        )
+    )
+    dedup = phrase_scores.groupBy("__id", "phrase").agg(
+        F.max("__plen").alias("n_words"),
+        F.count("*").alias("n_occurrences"),
+        F.max("__score").alias("__score"),
+    )
+    # rank on the ROUNDED score: ties between mathematically-equal
+    # phrases must resolve by phrase order in BOTH engines, not by
+    # sub-6dp summation-order bits
+    rk = Window.partitionBy("__id").orderBy(
+        F.round("__score", 6).desc(), F.col("phrase").asc()
+    )
+    return (
+        dedup.withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") <= top_k)
+        .select(
+            F.col("__id").alias(id_col),
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.round("__score", 6).alias("score"),
+        )
+    )

@@ -688,3 +688,111 @@ def crawl_schedule(
         )
         .withColumn("fetch_wave", F.row_number().over(w))
     )
+
+
+def url_history(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """SCD2 content history per URL: collapse a multi-snapshot capture
+    table into validity intervals — one row per (url, run of consecutive
+    captures with the same fingerprint):
+
+        (url, fingerprint, valid_from, valid_to, n_captures, is_current)
+
+    valid_from = first capture ts of the run; valid_to = the ts of the
+    NEXT run's first capture (exclusive, the half-open SCD2 convention)
+    or NULL for the current version; is_current flags the newest run.
+    A URL whose content never changed yields exactly one open row. This
+    is the crawl-side dimension table recipe: crawl_delta answers "what
+    changed between snapshots A and B"; url_history answers "what were
+    the contents of this URL over all time" — the churn/volatility
+    signal (how often a page REALLY changes) that drives recrawl
+    scheduling and freshness-weighted sampling.
+
+    Duplicate (url, ts) captures must agree on fingerprint (a conflict
+    raises — same bad-input posture as crawl_delta's null guard); NULL
+    fingerprints raise.
+
+    Scale shape: everything is windowed BY URL — partitions are
+    per-url slices (bounded by captures-per-url, dozens at Common-Crawl
+    cadence, never corpus-sized), so the two window passes
+    (change-flag via lag, then a running sum assigning run ids) and the
+    final groupBy all shuffle on the url key once and stay narrow
+    after AQE coalescing. No corpus-wide window, no UDF, no collect."""
+    from pyspark.sql import Window
+
+    bad_null = F.raise_error(
+        F.concat(
+            F.lit(f"url_history: NULL {fp_col} for capture of "),
+            F.col("__url"),
+        )
+    ).cast("string")
+    rows = df.select(
+        F.col(url_col).alias("__url"),
+        F.col(ts_col).alias("__ts"),
+        F.when(F.col(fp_col).isNull(), bad_null)
+        .otherwise(F.col(fp_col))
+        .alias("__fp"),
+    )
+    # conflicting duplicate (url, ts) captures raise; agreeing ones
+    # collapse (countDistinct folds in the same pre-aggregation)
+    rows = (
+        rows.groupBy("__url", "__ts")
+        .agg(
+            F.first("__fp").alias("__fp"),
+            F.count_distinct("__fp").alias("__nfp"),
+            F.count("*").alias("__n"),
+        )
+        .select(
+            "__url",
+            "__ts",
+            F.when(
+                F.col("__nfp") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "url_history: conflicting fingerprints at one "
+                            "(url, ts) capture of "
+                        ),
+                        F.col("__url"),
+                    )
+                ).cast(rows.schema["__fp"].dataType),
+            )
+            .otherwise(F.col("__fp"))
+            .alias("__fp"),
+            F.col("__n"),
+        )
+    )
+    w = Window.partitionBy("__url").orderBy("__ts")
+    flagged = rows.select(
+        "__url",
+        "__ts",
+        "__fp",
+        "__n",
+        F.when(
+            F.lag("__fp").over(w).isNull()
+            | (F.lag("__fp").over(w) != F.col("__fp")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__chg"),
+    ).withColumn(
+        "__run", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = flagged.groupBy("__url", "__run").agg(
+        F.first("__fp").alias("fingerprint"),
+        F.min("__ts").alias("valid_from"),
+        F.sum("__n").alias("n_captures"),
+    )
+    w2 = Window.partitionBy("__url").orderBy("__run")
+    return runs.select(
+        F.col("__url").alias(url_col),
+        "fingerprint",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("n_captures").cast("long").alias("n_captures"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -436,3 +436,104 @@ def test_weighted_hits_hand_and_unit_weight_differential(spark):
     bad = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
     with pytest.raises(Exception, match="non-positive"):
         hits(bad, n_iter=1, weight_col="w")
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def test_label_propagation_two_cliques(spark):
+    from slowspark.graph import label_propagation
+
+    # two triangles bridged by one edge: each triangle converges to ONE
+    # label and the two labels differ (the bridge is never a majority
+    # for either endpoint's neighborhood). Labels are community MARKERS,
+    # not canonical members — the min tie-break can pull a cross-bridge
+    # id in as the marker, which is standard LPA behavior.
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    out = {r["node"]: r["label"] for r in
+           label_propagation(_edges(spark, tri1 + tri2 + bridge),
+                             n_iter=4).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]
+
+
+def test_label_propagation_hand_one_round(spark):
+    from slowspark.graph import label_propagation
+
+    # path 1-2-3: after ONE synchronous round every node takes the min
+    # neighbor label on ties: 1's nbrs {2} -> 2; 2's nbrs {1,3} tie
+    # count 1 each -> min = 1; 3's nbrs {2} -> 2
+    out = {r["node"]: r["label"] for r in
+           label_propagation(_edges(spark, [(1, 2), (2, 3)]),
+                             n_iter=1).collect()}
+    assert out == {1: 2, 2: 1, 3: 2}
+
+
+def test_label_propagation_partition_invariance(spark):
+    from slowspark.graph import label_propagation
+
+    pairs = [(i, (i * 7 + 1) % 40) for i in range(80)]
+    pairs = [(s, d) for s, d in pairs if s != d]
+    a = sorted((r["node"], r["label"]) for r in
+               label_propagation(_edges(spark, pairs, 1), n_iter=3).collect())
+    b = sorted((r["node"], r["label"]) for r in
+               label_propagation(_edges(spark, pairs, 13), n_iter=3).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="n_iter"):
+        label_propagation(_edges(spark, pairs), n_iter=0)
+
+
+# ------------------------------------------------------- seed distance
+
+
+def test_seed_distance_hand(spark):
+    from slowspark.graph import seed_distance
+
+    # 1->2->3->4, 5 isolated-from-seeds; seed {1}
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (5, 4)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hops"] for r in
+           seed_distance(e, seeds, max_hops=3).collect()}
+    # 5 unreachable -> absent; 4 at 3 hops via the chain
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+    # max_hops truncates
+    out2 = {r["node"]: r["hops"] for r in
+            seed_distance(e, seeds, max_hops=1).collect()}
+    assert out2 == {1: 0, 2: 1}
+    # seed outside the graph ignored; empty intersection -> empty
+    ghost = spark.createDataFrame([(99,)], "node long")
+    assert seed_distance(e, ghost, max_hops=2).count() == 0
+
+
+def test_seed_distance_shortest_not_first(spark):
+    from slowspark.graph import seed_distance
+
+    # two paths to 4: 1->4 direct and 1->2->4; BFS keeps hops=1
+    e = _edges(spark, [(1, 4), (1, 2), (2, 4)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hops"] for r in
+           seed_distance(e, seeds, max_hops=3).collect()}
+    assert out[4] == 1
+
+
+# ----------------------------------------------------------- spam mass
+
+
+def test_spam_mass_farm_vs_trusted(spark):
+    from slowspark.graph import spam_mass
+
+    # trusted core 1<->2; spam farm 10<->11 isolated from the core.
+    # The farm's rank is entirely unearned: ppr ~= 0 -> mass ~= 1.
+    e = _edges(spark, [(1, 2), (2, 1), (10, 11), (11, 10)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    # farm rank decays as 0.85^k toward 0 (teleport never lands
+    # there): 20 rounds puts its spam mass > 0.95
+    out = {r["node"]: r for r in spam_mass(e, seeds, n_iter=20).collect()}
+    assert out[10]["mass"] > 0.9 and out[11]["mass"] > 0.9
+    assert out[1]["mass"] < 0.5
+    # pr and ppr columns are genuine pageranks: both sum to ~1
+    assert sum(r["pr"] for r in out.values()) == pytest.approx(1.0)
+    assert sum(r["ppr"] for r in out.values()) == pytest.approx(1.0)

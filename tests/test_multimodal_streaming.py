@@ -501,3 +501,76 @@ def test_sessionize_stream_out_of_order_within_watermark(spark, tmp_path):
     t = lambda s: base + timedelta(seconds=s)
     assert got == {(t(0), t(0), 1), (t(3), t(3), 1), (t(8.5), t(9), 2),
                    (t(20), t(20), 1)}
+
+
+def test_streaming_windowed_hll_registers(spark, tmp_path):
+    """Streaming HLL: append-mode finality (closed windows emit exactly
+    the batch register table; the still-open window emits nothing) and
+    the estimate over the sink matches the batch estimate."""
+    from datetime import datetime
+
+    from slowspark.sketch import hll_estimate, hll_sketch
+    from slowspark.streaming import windowed_hll_registers
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    rows = (
+        # hour-0 window: 30 urls, each twice (duplicates must not move
+        # registers)
+        [(f"http://h{i}.com/a", t(0, i % 60)) for i in range(30)] * 2
+        # hour-1 window: 10 urls
+        + [(f"http://k{i}.com/b", t(1, i % 60)) for i in range(10)]
+    )
+    # sentinel far ahead: advances the watermark past hours 0-1 — it
+    # must arrive in a LATER file than the data (otherwise the data is
+    # correctly dropped as late), so it is a second, later write
+    sentinel = [("http://sentinel.com/", t(5, 0))]
+    src = str(tmp_path / "hll_src")
+    main = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    main.repartition(3).write.parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtime: file-source ordering is by mtime
+    spark.createDataFrame(sentinel, main.schema).write.mode(
+        "append"
+    ).parquet(src)
+    df = main.unionByName(
+        spark.createDataFrame(sentinel, main.schema)
+    )
+
+    stream = (
+        spark.readStream.format("parquet").schema(df.schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    regs = windowed_hll_registers(
+        stream, # the 2h delay covers the cross-file disorder of the main
+        # rows (repartitioned arbitrarily): a tighter watermark would
+        # (correctly) late-drop hour-0 rows read after an hour-1 file
+        window="1 hour", watermark="2 hours", p=8
+    )
+    q = (
+        regs.writeStream.outputMode("append")
+        .format("memory").queryName("hll_regs")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hll_regs")
+
+    batch = hll_sketch(
+        df.filter(F.col("warc_ts") < t(2, 0)).withColumn(
+            "window_start", F.date_trunc("hour", "warc_ts")
+        ),
+        "url", 8, group_cols=("window_start",),
+    )
+    key = lambda r: (str(r["window_start"]), r["reg"], r["rho"])
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, batch.collect())
+    )
+    # the sentinel's open window emitted nothing
+    assert got.filter(F.col("window_start") >= t(5, 0)).count() == 0
+    # estimates over the sink: close to exact per closed window
+    est = {
+        str(r["window_start"]): r["hll_est"]
+        for r in hll_estimate(got, 8, group_cols=("window_start",)).collect()
+    }
+    assert abs(est["2024-01-01 00:00:00"] - 30) / 30 < 0.2
+    assert abs(est["2024-01-01 01:00:00"] - 10) / 10 < 0.2

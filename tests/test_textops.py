@@ -1330,3 +1330,63 @@ def test_token_entropy_matches_python(spark):
         assert abs(got[did][1] - h) < 5.1e-5, did
     assert got[3][1] == 0.0                       # constant doc: zero entropy
     assert got[2][1] > got[1][1] > got[3][1]      # distinct > repeated > constant
+
+
+# ------------------------------------------------------- RAKE keywords
+
+
+def test_rake_keywords_hand(spark):
+    from slowspark.textops import rake_keywords
+
+    # stopwords (en list): the, and. Phrases: "quick fox" (len 2),
+    # "quick fox runs" (len 3). deg/freq: quick 5/2, fox 5/2, runs 3/1.
+    # Scores: "quick fox" = 5.0, "quick fox runs" = 2.5+2.5+3 = 8.0.
+    df = spark.createDataFrame(
+        [(1, "the quick fox and quick fox runs")],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(df, top_k=5).collect()
+    got = {r["phrase"]: (r["n_words"], r["n_occurrences"], r["score"])
+           for r in out}
+    assert got == {
+        "quick fox runs": (3, 1, 8.0),
+        "quick fox": (2, 1, 5.0),
+    }
+
+
+def test_rake_keywords_dedup_and_topk(spark):
+    from slowspark.textops import rake_keywords
+
+    # repeated phrase collapses to one row with n_occurrences=2;
+    # top_k=1 keeps the highest score only
+    df = spark.createDataFrame(
+        [(1, "the cat and cat"), (2, "big dog runs. the big dog")],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(df, top_k=1).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert by_doc[1]["phrase"] == "cat"
+    assert by_doc[1]["n_occurrences"] == 2
+    assert by_doc[1]["score"] == 1.0
+    # doc 2: "big dog runs" (len 3) beats "big dog" (len 2):
+    # big 5/2, dog 5/2, runs 3/1 -> 8.0
+    assert by_doc[2]["phrase"] == "big dog runs"
+    assert by_doc[2]["score"] == 8.0
+    with pytest.raises(ValueError, match="stopword list"):
+        rake_keywords(df, lang="xx")
+    with pytest.raises(ValueError, match="top_k"):
+        rake_keywords(df, top_k=0)
+
+
+def test_rake_keywords_partition_invariance(spark):
+    from slowspark.textops import rake_keywords
+
+    rows = [
+        (i, f"alpha beta the gamma delta w{i % 5} and epsilon w{i % 3}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda r: (r["doc_id"], r["phrase"], r["score"])
+    a = sorted(map(key, rake_keywords(df.repartition(1), top_k=3).collect()))
+    b = sorted(map(key, rake_keywords(df.repartition(11), top_k=3).collect()))
+    assert a == b

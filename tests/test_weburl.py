@@ -506,3 +506,92 @@ def test_crawl_schedule_waves_per_host(spark):
         "https://a.com/1": ("a.com", 3),
         "https://b.com/x": ("b.com", 1),
     }
+
+
+# ---------------------------------------------------------- url_history
+
+
+def test_url_history_scd2_intervals(spark):
+    from datetime import datetime
+
+    from slowspark.weburl import url_history
+
+    t = lambda d: datetime(2024, 1, d)
+    rows = [
+        # /a: fp1 (d1,d2), fp2 (d3), fp1 again (d5) -> THREE runs (a
+        # reverted page reopens a new interval, not the old one)
+        ("http://x.com/a", t(1), "fp1"),
+        ("http://x.com/a", t(2), "fp1"),
+        ("http://x.com/a", t(3), "fp2"),
+        ("http://x.com/a", t(5), "fp1"),
+        # /b: never changed -> one open row
+        ("http://x.com/b", t(2), "fpb"),
+        ("http://x.com/b", t(4), "fpb"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, fingerprint string"
+    )
+    out = sorted(
+        url_history(df).collect(),
+        key=lambda r: (r["url"], r["valid_from"]),
+    )
+    a = [r for r in out if r["url"].endswith("/a")]
+    b = [r for r in out if r["url"].endswith("/b")]
+    assert [(r["fingerprint"], r["valid_from"].day,
+             r["valid_to"].day if r["valid_to"] else None,
+             r["n_captures"], r["is_current"]) for r in a] == [
+        ("fp1", 1, 3, 2, False),
+        ("fp2", 3, 5, 1, False),
+        ("fp1", 5, None, 1, True),
+    ]
+    assert [(r["fingerprint"], r["valid_from"].day, r["valid_to"],
+             r["n_captures"], r["is_current"]) for r in b] == [
+        ("fpb", 2, None, 2, True),
+    ]
+
+
+def test_url_history_guards(spark):
+    from datetime import datetime
+
+    from slowspark.weburl import url_history
+
+    t = datetime(2024, 1, 1)
+    null_fp = spark.createDataFrame(
+        [("u", t, None)], "url string, warc_ts timestamp, fingerprint string"
+    )
+    with pytest.raises(Exception, match="NULL fingerprint"):
+        url_history(null_fp).collect()
+    conflict = spark.createDataFrame(
+        [("u", t, "f1"), ("u", t, "f2")],
+        "url string, warc_ts timestamp, fingerprint string",
+    )
+    with pytest.raises(Exception, match="conflicting"):
+        url_history(conflict).collect()
+    # agreeing duplicate (url, ts) captures collapse, not raise
+    agree = spark.createDataFrame(
+        [("u", t, "f1"), ("u", t, "f1")],
+        "url string, warc_ts timestamp, fingerprint string",
+    )
+    got = url_history(agree).collect()
+    assert len(got) == 1 and got[0]["n_captures"] == 2
+
+
+def test_url_history_partition_invariance(spark):
+    from datetime import datetime, timedelta
+
+    from slowspark.weburl import url_history
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (f"http://h{i % 7}.com/p{i % 13}", base + timedelta(days=i),
+         f"fp{(i * i) % 5}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, fingerprint string"
+    )
+    key = lambda r: (r["url"], str(r["valid_from"]), str(r["valid_to"]),
+                     r["fingerprint"], r["n_captures"], r["is_current"])
+    a = sorted(map(key, url_history(df.repartition(1)).collect()))
+    b = sorted(map(key, url_history(df.repartition(17)).collect()))
+    assert a == b
