@@ -5476,6 +5476,108 @@ def _hll_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap detection (textops.winnow_fingerprints,
+    Schleimer 2003 / MOSS): per-doc selected char-8-gram fingerprints
+    (window w=4, rightmost-min rule), boilerplate fps with df > 20
+    pruned (the containment_pairs discipline), then doc pairs sharing
+    >= 2 selected fingerprints: (id_a, id_b, n_shared). The window
+    argmin, tie rule, dedup, df prune, and pair rollup are all inside
+    the value hash."""
+    from slowspark.textops import winnow_fingerprints
+
+    d = _read(spark, sf_dir, "documents")
+    # distinct fp per doc: n_shared counts DISTINCT shared fingerprints
+    # (the same fp selected at two positions is one piece of evidence,
+    # and the join must not cross-product repeated selections)
+    fp = winnow_fingerprints(d, k=8, w=4).select("doc_id", "fp").distinct()
+    rare = fp.groupBy("fp").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") <= 20
+    )
+    pruned = fp.join(rare.select("fp"), "fp", "left_semi")
+    return (
+        pruned.alias("a")
+        .join(
+            pruned.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+_WINNOW_OVERLAPS_ORACLE = """
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^\\p{L}]+', '', 'g') AS s
+        FROM documents
+    ), hs AS (
+        SELECT doc_id,
+               list_transform(range(1, length(s) - 8 + 2),
+                              i -> md5(s[i : i + 7])) AS h
+        FROM norm WHERE length(s) >= 8
+    ), sel AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(length(h) - 4 + 1, 1) + 1),
+            j -> list_min(h[j : j + 3]))) AS sels
+        FROM hs
+    ), fp AS (
+        SELECT doc_id, unnest(sels) AS fp FROM sel
+    ), rare AS (
+        SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+        WHERE df <= 20
+    ), pruned AS (
+        SELECT f.doc_id, f.fp FROM fp f
+        WHERE f.fp IN (SELECT fp FROM rare)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM pruned a JOIN pruned b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+"""
+
+
+def _soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup reweighting (corpus.soft_dedup_weights): deterministic
+    multiplicities injected over documents (an extra copy for
+    doc_id%4==0, two extra for doc_id%8==0), then weight =
+    1/n_copies — every duplicated content's weights sum to ~1
+    effective copy. Multiplicity, cluster sizing, and the power-law
+    weight are the value hash (duplicate rows carry duplicate output
+    rows, so row_count pins the injection too)."""
+    from slowspark.corpus import soft_dedup_weights
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.unionByName(d.filter(F.col("doc_id") % 4 == 0)).unionByName(
+        d.filter(F.col("doc_id") % 8 == 0)
+    )
+    return soft_dedup_weights(dup).select(
+        "doc_id", "n_copies", F.round("weight", 6).alias("weight")
+    )
+
+
+_SOFT_DEDUP_ORACLE = """
+    WITH dup AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+        UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0
+    ), sizes AS (
+        SELECT text, CAST(count(*) AS BIGINT) AS n_copies
+        FROM dup GROUP BY text
+    )
+    SELECT d.doc_id, s.n_copies,
+           round(1.0 / CAST(s.n_copies AS DOUBLE), 6) AS weight
+    FROM dup d JOIN sizes s ON d.text = s.text
+"""
+
+
 # The driver verifies only the FIRST 50 queries() entries per round
 # (observed cap, r6 verdict). To guarantee every query gets a driver
 # correctness row at least every ~2 rounds, queries() emits a PRIORITY
@@ -5557,6 +5659,9 @@ _PRIORITY_QUERIES: "list[str]" = [
     "rake_topk",
     # new this round (windowed HLL distinct, batch twin of the stream):
     "hll_windowed_distinct",
+    # new this round (MOSS winnowing overlap + SoftDeDup reweighting):
+    "winnow_overlaps",
+    "soft_dedup",
 ]
 
 
@@ -5679,6 +5784,8 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_history": _url_history_q,
         "rake_topk": _rake_topk,
         "hll_windowed_distinct": _hll_windowed_distinct,
+        "winnow_overlaps": _winnow_overlaps,
+        "soft_dedup": _soft_dedup,
         "html_links": _html_links,
         "anchor_text_topk": _anchor_text_topk,
         "noindex_filter": _noindex_filter,
@@ -6637,6 +6744,8 @@ def oracle_sql() -> dict[str, str]:
         "url_history": _URL_HISTORY_ORACLE,
         "rake_topk": _RAKE_TOPK_ORACLE,
         "hll_windowed_distinct": _hll_windowed_distinct_oracle(),
+        "winnow_overlaps": _WINNOW_OVERLAPS_ORACLE,
+        "soft_dedup": _SOFT_DEDUP_ORACLE,
         "host_hits": _hits_oracle(edges_sql=_HOST_EDGES_SQL, weighted=True),
         # same synthesis; survivors = docs whose meta is absent/benign
         "noindex_filter": r"""

@@ -1933,3 +1933,53 @@ def domain_quality_filter(
             & (F.col("mean_quality") >= min_mean_quality)
         ).alias("domain_keep"),
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """SoftDeDup: instead of DROPPING duplicates, weight every document
+    by its duplication multiplicity — weight = 1 / n_copies^alpha
+    (exact-hash cluster size; alpha=1 makes each CONTENT contribute
+    exactly one document's worth of expected tokens, alpha<1
+    interpolates toward keeping duplicates, alpha>1 punishes them
+    harder). Returns the input plus (n_copies, weight).
+
+    The reweight-don't-delete dedup regime (SoftDeDup, She et al.
+    2024): hard dedup throws away the duplication SIGNAL (a page
+    mirrored 10^4 times is usually boilerplate, but popular quotations
+    and licenses are legitimately frequent); down-weighting preserves
+    one effective copy while letting the trainer see natural
+    distribution. Compose with weighted_sample_k (the weights column is
+    exactly its input contract) or carry `weight` into the packed
+    manifest as a per-sequence loss weight.
+
+    Scale shape: one map-side-combined groupBy on the 256-bit content
+    hash (the exact_dedup shuffle), one broadcast-free join back on the
+    same hash key — cluster sizes are output-bounded; no windows, no
+    skew beyond the duplicate families themselves (a 10^6-copy cluster
+    is ONE count row)."""
+    if alpha <= 0:
+        raise ValueError(f"soft_dedup_weights: alpha must be > 0, "
+                         f"got {alpha}")
+    h = F.sha2(F.col(text_col), 256)
+    sizes = (
+        df.select(h.alias("__th"))
+        .groupBy("__th")
+        .agg(F.count("*").alias("n_copies"))
+    )
+    return (
+        df.withColumn("__th", h)
+        .join(sizes, "__th")
+        .drop("__th")
+        .withColumn(
+            "weight",
+            F.pow(
+                F.lit(1.0) / F.col("n_copies").cast("double"),
+                F.lit(float(alpha)),
+            ),
+        )
+    )

@@ -2577,3 +2577,70 @@ def rake_keywords(
             F.round("__score", 6).alias("score"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): normalize to a letters-only stream,
+    take all character k-grams, hash each, slide a window of w
+    consecutive hashes and record the minimum of each window (RIGHTMOST
+    position on ties, per the paper), dedup the selections. Output one
+    row per selected fingerprint: (id, pos, fp) with pos the 1-based
+    k-gram position in the normalized stream.
+
+    The winnowing guarantee: any shared substring of length >= k+w-1
+    between two documents yields at least one IDENTICAL selected
+    fingerprint in both — local, position-robust overlap detection with
+    density 2/(w+1), the copy-detection primitive between exact-hash
+    dedup (whole doc) and MinHash (global resemblance): joining
+    selected fps finds which REGIONS overlap.
+
+    Hash = md5 hex of the gram, compared lexicographically — not a
+    rolling integer hash: md5 is the one hash both engines share
+    bit-for-bit (the repo's cross-engine contract), ASCII-ordered
+    identically everywhere, and collision-free at any corpus size.
+
+    Scale shape: ZERO shuffles before the output explode — normalize,
+    gram, hash, window-argmin, and dedup are all array-local codegen
+    inside one projection (the chunk_passages discipline); cost is
+    O(len * w) string/array ops per doc, bounded by the longest doc.
+    The fingerprint table then joins/aggregates downstream on fp with
+    ordinary equi-join shapes."""
+    if k < 1 or w < 1:
+        raise ValueError(f"winnow_fingerprints: k and w must be >= 1, "
+                         f"got k={k}, w={w}")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}]+", "")
+    base = df.select(
+        F.col(id_col).alias("__id"), norm.alias("__s")
+    ).filter(F.length("__s") >= k)
+    hashes = F.expr(
+        f"transform(sequence(1, length(__s) - {k} + 1), "
+        f"i -> md5(substring(__s, i, {k})))"
+    )
+    hd = base.select("__id", hashes.alias("__h"))
+    # per window j: min hash of slice(h, j, w); rightmost tie via the
+    # reversed-slice first-position trick. Windows than run off the end
+    # never form (nwin = len-w+1, floored at 1 so short docs emit their
+    # global min, per the paper's boundary convention).
+    sel = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(__h) - {w} + 1, 1)), "
+        f"j -> struct("
+        f"  j + size(slice(__h, j, {w})) "
+        f"    - array_position(reverse(slice(__h, j, {w})), "
+        f"                     array_min(slice(__h, j, {w}))) AS pos, "
+        f"  array_min(slice(__h, j, {w})) AS fp)))"
+    )
+    return (
+        hd.select("__id", F.explode(sel).alias("__f"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__f.pos").cast("long").alias("pos"),
+            F.col("__f.fp").alias("fp"),
+        )
+    )

@@ -1205,3 +1205,28 @@ def test_domain_quality_filter_gates_whole_domains(spark):
     assert got["gooddom"][0] == 3 and got["gooddom"][2] is True
     assert got["baddom"][0] == 3 and got["baddom"][2] is False
     assert got["baddom"][1] < got["mixdom"][1] < got["gooddom"][1]
+
+
+# ----------------------------------------------------------- softdedup
+
+
+def test_soft_dedup_weights(spark):
+    from slowspark.corpus import soft_dedup_weights
+
+    rows = (
+        [(i, "copy me") for i in range(4)]
+        + [(10, "unique one"), (11, "unique two")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_copies"], r["weight"])
+           for r in soft_dedup_weights(df).collect()}
+    assert all(out[i] == (4, 0.25) for i in range(4))
+    assert out[10] == (1, 1.0) and out[11] == (1, 1.0)
+    # expected effective copies per CONTENT = 1 at alpha=1
+    assert sum(w for _, w in out.values()) == pytest.approx(3.0)
+    # alpha sharpens: 4 copies at alpha=2 -> 1/16
+    out2 = {r["doc_id"]: r["weight"]
+            for r in soft_dedup_weights(df, alpha=2.0).collect()}
+    assert out2[0] == pytest.approx(1 / 16)
+    with pytest.raises(ValueError, match="alpha"):
+        soft_dedup_weights(df, alpha=0)

@@ -1390,3 +1390,71 @@ def test_rake_keywords_partition_invariance(spark):
     a = sorted(map(key, rake_keywords(df.repartition(1), top_k=3).collect()))
     b = sorted(map(key, rake_keywords(df.repartition(11), top_k=3).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------ winnowing
+
+
+def test_winnow_fingerprints_hand(spark):
+    from slowspark.textops import winnow_fingerprints
+
+    # k=2, w=2 over 'abcab' -> grams ab bc ca ab; windows of 2 hashes:
+    # each selection is the min md5 of the pair, rightmost on ties.
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    grams = ["ab", "bc", "ca", "ab"]
+    hs = [md5(g) for g in grams]
+    want = set()
+    for j in range(len(hs) - 1):
+        wnd = hs[j:j + 2]
+        m = min(wnd)
+        # rightmost occurrence within the window
+        pos = j + (2 - wnd[::-1].index(m))
+        want.add((pos, m))
+    df = spark.createDataFrame([(1, "a b--c?aB")], "doc_id long, text string")
+    got = {(r["pos"], r["fp"]) for r in
+           winnow_fingerprints(df, k=2, w=2).collect()}
+    assert got == want
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from slowspark.textops import winnow_fingerprints
+
+    # the paper's guarantee: a shared substring of length >= k+w-1
+    # yields at least one identical fingerprint in both docs
+    k, w = 5, 4
+    shared = "xqzvbnmlkjhgf"  # length 13 >= k+w-1 = 8
+    df = spark.createDataFrame(
+        [(1, f"aaaaaaaPREFIX {shared} SUFFIXbbbbbbb"),
+         (2, f"cccccccOTHER {shared} TAILddddddd")],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, k=k, w=w)
+    common = (
+        out.filter(F.col("doc_id") == 1).select("fp")
+        .intersect(out.filter(F.col("doc_id") == 2).select("fp"))
+    )
+    assert common.count() >= 1
+
+
+def test_winnow_edges_and_invariance(spark):
+    from slowspark.textops import winnow_fingerprints
+
+    # too-short doc emits nothing; short-hash-sequence doc emits its
+    # global min exactly once
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "abcde")], "doc_id long, text string"
+    )
+    out = winnow_fingerprints(df, k=5, w=8).collect()
+    assert {r["doc_id"] for r in out} == {2}
+    assert len(out) == 1
+    rows = [(i, f"text number {i} with words repeated {i % 3}")
+            for i in range(50)]
+    big = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda r: (r["doc_id"], r["pos"], r["fp"])
+    a = sorted(map(key, winnow_fingerprints(big.repartition(1)).collect()))
+    b = sorted(map(key, winnow_fingerprints(big.repartition(7)).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="k and w"):
+        winnow_fingerprints(big, k=0)
