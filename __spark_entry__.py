@@ -5485,12 +5485,20 @@ def _winnow_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin, tie rule, dedup, df prune, and pair rollup are all inside
     the value hash."""
     from slowspark.textops import winnow_fingerprints
+    from slowspark.util import materialize
 
-    d = _read(spark, sf_dir, "documents")
-    # distinct fp per doc: n_shared counts DISTINCT shared fingerprints
-    # (the same fp selected at two positions is one piece of evidence,
-    # and the join must not cross-product repeated selections)
-    fp = winnow_fingerprints(d, k=8, w=4).select("doc_id", "fp").distinct()
+    # repartition before the CPU-heavy array projection: the test
+    # parquet is ONE file -> one task; per-row winnowing work must not
+    # serialize on input-split count (at production scale the scan
+    # already has thousands of splits and this reshuffle is a no-op
+    # cost relative to the projection it parallelizes)
+    d = _read(spark, sf_dir, "documents").repartition(32)
+    # positions=False: distinct fp per doc comes out of the projection
+    # ARRAY-LOCALLY (no corpus-wide distinct shuffle) — n_shared counts
+    # DISTINCT shared fingerprints, and the join must not cross-product
+    # repeated selections. materialized: the df-prune branch and BOTH
+    # sides of the pair self-join read this subtree
+    fp = materialize(winnow_fingerprints(d, k=8, w=4, positions=False))
     rare = fp.groupBy("fp").agg(F.count("*").alias("__df")).filter(
         F.col("__df") <= 20
     )

@@ -2585,6 +2585,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 4,
+    positions: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
     2003 — the MOSS algorithm): normalize to a letters-only stream,
@@ -2592,7 +2593,14 @@ def winnow_fingerprints(
     consecutive hashes and record the minimum of each window (RIGHTMOST
     position on ties, per the paper), dedup the selections. Output one
     row per selected fingerprint: (id, pos, fp) with pos the 1-based
-    k-gram position in the normalized stream.
+    k-gram position in the normalized stream. With positions=False the
+    output is the DISTINCT (id, fp) set only — the tie rule and window
+    arithmetic drop out (ties only affect which POSITION is reported,
+    never which hash), the per-window work is a plain string slice+min
+    with no struct allocation, and the per-doc fp set is deduped
+    array-locally, so a corpus-wide DISTINCT shuffle downstream is
+    unnecessary — the right call when fingerprints feed a join rather
+    than a region report.
 
     The winnowing guarantee: any shared substring of length >= k+w-1
     between two documents yields at least one IDENTICAL selected
@@ -2619,28 +2627,43 @@ def winnow_fingerprints(
     base = df.select(
         F.col(id_col).alias("__id"), norm.alias("__s")
     ).filter(F.length("__s") >= k)
+    if not positions:
+        hashes = F.expr(
+            f"transform(sequence(1, length(__s) - {k} + 1), "
+            f"i -> md5(substring(__s, i, {k})))"
+        )
+        hd = base.select("__id", hashes.alias("__h"))
+        sel = F.expr(
+            f"array_distinct(transform("
+            f"sequence(1, greatest(size(__h) - {w} + 1, 1)), "
+            f"j -> array_min(slice(__h, j, {w}))))"
+        )
+        return hd.select(
+            F.col("__id").alias(id_col), F.explode(sel).alias("fp")
+        )
+    # (fp, -pos) structs: array_min over a slice yields the window's
+    # min hash with the RIGHTMOST position on ties in ONE pass — the
+    # negated position makes struct order encode the paper's tie rule,
+    # so each window costs one slice + one min instead of three slices
+    # + two mins + a reverse scan (3x fewer array ops, measured)
     hashes = F.expr(
         f"transform(sequence(1, length(__s) - {k} + 1), "
-        f"i -> md5(substring(__s, i, {k})))"
+        f"i -> struct(md5(substring(__s, i, {k})) AS fp, -i AS np))"
     )
     hd = base.select("__id", hashes.alias("__h"))
-    # per window j: min hash of slice(h, j, w); rightmost tie via the
-    # reversed-slice first-position trick. Windows than run off the end
-    # never form (nwin = len-w+1, floored at 1 so short docs emit their
-    # global min, per the paper's boundary convention).
+    # windows that run off the end never form (nwin = len-w+1, floored
+    # at 1 so short docs emit their global min, per the paper's
+    # boundary convention; slice truncates at the end)
     sel = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(__h) - {w} + 1, 1)), "
-        f"j -> struct("
-        f"  j + size(slice(__h, j, {w})) "
-        f"    - array_position(reverse(slice(__h, j, {w})), "
-        f"                     array_min(slice(__h, j, {w}))) AS pos, "
-        f"  array_min(slice(__h, j, {w})) AS fp)))"
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(__h) - {w} + 1, 1)), "
+        f"j -> array_min(slice(__h, j, {w}))))"
     )
     return (
         hd.select("__id", F.explode(sel).alias("__f"))
         .select(
             F.col("__id").alias(id_col),
-            F.col("__f.pos").cast("long").alias("pos"),
+            (-F.col("__f.np")).cast("long").alias("pos"),
             F.col("__f.fp").alias("fp"),
         )
     )
