@@ -5586,6 +5586,108 @@ _SOFT_DEDUP_ORACLE = """
 """
 
 
+def _unigram_model_parquet(spark: SparkSession, sf_dir: str,
+                           model: DataFrame) -> str:
+    """Materialize the trained (piece, logp) unigram model — float64
+    log-probs computed ONCE on the driver (the no-engine-ln contract);
+    DuckDB replays the Viterbi DP from these exact doubles."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_ORACLE_ENTRIES_BASE}/{base}/unigram_model"
+    model.select("piece", "logp").write.mode("overwrite").parquet(path)
+    _ENTRIES_WRITTEN.add(path)
+    return path
+
+
+def _unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (unigramlm.unigram_train /
+    unigram_segment_counts, Kudo 2018 as deterministic Viterbi
+    hard-EM): train a 300-piece vocabulary in 2 EM rounds over the
+    distinct-word table, then report corpus-wide per-piece segmentation
+    counts. The ORACLE replays the full Viterbi DP (candidate spans,
+    ascending-start strict-max tie rule, UNK single-char fallback,
+    backtrace) as a DuckDB recursive CTE from the materialized float64
+    model — the segmenter is inside the value hash; the trainer is
+    pinned by the pure-Python mirror differential in
+    tests/test_unigramlm.py."""
+    from slowspark.unigramlm import unigram_segment_counts, unigram_train
+
+    d = _read(spark, sf_dir, "documents")
+    # vocab smaller than the corpus vocabulary: words MUST fragment, so
+    # the multi-piece DP (not the trivial whole-word path) is what the
+    # hash pins
+    model = unigram_train(
+        d, vocab_size=12, n_rounds=2, max_piece_len=4, seed_size=800
+    )
+    _unigram_model_parquet(spark, sf_dir, model)
+    return unigram_segment_counts(d, model, max_piece_len=4)
+
+
+def _unigram_tokens_oracle(sf_dir_base: str = "sf0.01") -> str:
+    mp = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/unigram_model"
+    L = 4
+    return f"""
+        WITH RECURSIVE words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+                SELECT unnest(list_filter(regexp_split_to_array(
+                    trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+                    x -> x != '')) AS word
+                FROM documents) GROUP BY word
+        ), model AS (
+            SELECT piece, logp FROM read_parquet('{mp}/*.parquet')
+        ), spans AS (
+            SELECT word, wc,
+                   unnest(flatten(list_transform(
+                       range(1, length(word) + 1),
+                       s -> list_transform(range(s,
+                                least(s + {L} - 1, length(word)) + 1),
+                            e -> {{'s': s, 'e': e}})))) AS se
+            FROM words
+        ), cands AS (
+            SELECT w.word, w.wc, w.se.s AS s, w.se.e AS e,
+                   COALESCE(m.logp,
+                            CASE WHEN w.se.e = w.se.s THEN -100.0 END)
+                       AS lp
+            FROM spans w
+            LEFT JOIN model m ON m.piece = w.word[w.se.s : w.se.e]
+            WHERE COALESCE(m.logp,
+                  CASE WHEN w.se.e = w.se.s THEN -100.0 END) IS NOT NULL
+        ), percand AS (
+            SELECT word, wc, length(word) AS len,
+                   list({{'s': s, 'e': e, 'lp': lp}} ORDER BY e, s) AS cl
+            FROM cands GROUP BY word, wc
+        ), it AS (
+            SELECT word, wc, len, cl, 1 AS pos,
+                   [CAST(0 AS DOUBLE)] AS bests, [0] AS bps
+            FROM percand
+            UNION ALL
+            SELECT word, wc, len, cl, pos + 1,
+                   list_append(bests, list_max(scores)),
+                   list_append(bps,
+                       ca[list_position(scores, list_max(scores))].s - 1)
+            FROM (
+              SELECT *, list_transform(ca, c -> bests[c.s] + c.lp)
+                         AS scores
+              FROM (
+                SELECT *, list_filter(cl, c -> c.e = pos) AS ca
+                FROM it WHERE pos <= len
+              )
+            )
+        ), fin AS (
+            SELECT word, wc, bps, len AS cur FROM it WHERE pos = len + 1
+        ), bt AS (
+            SELECT word, wc, bps, cur FROM fin WHERE cur > 0
+            UNION ALL
+            SELECT word, wc, bps, bps[cur + 1] FROM bt
+            WHERE bps[cur + 1] > 0
+        )
+        SELECT word[bps[cur + 1] + 1 : cur] AS piece,
+               CAST(SUM(wc) AS BIGINT) AS n
+        FROM bt GROUP BY piece
+    """
+
+
 # The driver verifies only the FIRST 50 queries() entries per round
 # (observed cap, r6 verdict). To guarantee every query gets a driver
 # correctness row at least every ~2 rounds, queries() emits a PRIORITY
@@ -5670,6 +5772,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     # new this round (MOSS winnowing overlap + SoftDeDup reweighting):
     "winnow_overlaps",
     "soft_dedup",
+    # new this round (Unigram-LM tokenizer, Viterbi hard-EM):
+    "unigram_tokens",
 ]
 
 
@@ -5794,6 +5898,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_windowed_distinct": _hll_windowed_distinct,
         "winnow_overlaps": _winnow_overlaps,
         "soft_dedup": _soft_dedup,
+        "unigram_tokens": _unigram_tokens,
         "html_links": _html_links,
         "anchor_text_topk": _anchor_text_topk,
         "noindex_filter": _noindex_filter,
@@ -6754,6 +6859,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_windowed_distinct": _hll_windowed_distinct_oracle(),
         "winnow_overlaps": _WINNOW_OVERLAPS_ORACLE,
         "soft_dedup": _SOFT_DEDUP_ORACLE,
+        "unigram_tokens": _unigram_tokens_oracle(),
         "host_hits": _hits_oracle(edges_sql=_HOST_EDGES_SQL, weighted=True),
         # same synthesis; survivors = docs whose meta is absent/benign
         "noindex_filter": r"""
