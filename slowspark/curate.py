@@ -97,6 +97,7 @@ def run_curation(
     quality_n_buckets: int = 1 << 15,
     bpe_merges_n: int | None = None,
     bpe_byte_level: bool = False,
+    unigram_vocab: int | None = None,
     dsir_target_df: DataFrame | None = None,
     dsir_k: int | None = None,
     dsir_buckets: int = 10_000,
@@ -501,7 +502,8 @@ def run_curation(
         f"|ppl={','.join(map(str, sorted(ppl_keep_buckets))) if ppl_keep_buckets else 'off'}"
         f":{ppl_n_buckets}:{ppl_scorer}:{ppl_model_sig}"
         f"|qc={qc_sig}|bpe={bpe_merges_n or 0}"
-        f"|bbl={int(bpe_byte_level)}|dsir={dsir_sig}"
+        f"|bbl={int(bpe_byte_level)}|uni={unigram_vocab or 0}"
+        f"|dsir={dsir_sig}"
         f"|mtemp={mixture_temperature if mixture_temperature is not None else 'off'}"
         f"|umax={unimax_budget or 0}:{unimax_epochs}"
         f"|ho={holdout_frac if holdout_frac is not None else 'off'}"
@@ -977,6 +979,29 @@ def run_curation(
         raise ValueError(
             "run_curation: bpe_byte_level requires bpe_merges_n"
         )
+    if unigram_vocab is not None and bpe_merges_n is not None:
+        raise ValueError(
+            "run_curation: unigram_vocab and bpe_merges_n are mutually "
+            "exclusive — one tokenizer decides the packing budget"
+        )
+    if unigram_vocab is not None:
+        from slowspark.unigramlm import unigram_segment, unigram_train
+
+        def _uni_vocab() -> DataFrame:
+            return unigram_train(sampled, vocab_size=unigram_vocab)
+
+        uni_model = run_stage(spark, cat, "unigram_vocab", sig, _uni_vocab)
+        out["unigram_vocab"] = uni_model
+
+        def _uni_counts() -> DataFrame:
+            return unigram_segment(
+                sampled.select("doc_id", "text").dropDuplicates(["doc_id"]),
+                uni_model,
+            ).select("doc_id", F.col("n_tokens").alias("unigram_n_tokens"))
+
+        ucounts = run_stage(spark, cat, "unigram_counts", sig, _uni_counts)
+        sampled = sampled.join(ucounts, "doc_id")
+        pack_tokens_col = "unigram_n_tokens"
     if bpe_merges_n is not None:
         from slowspark.bpe import bpe_learn, bpe_segment
 
@@ -1160,6 +1185,11 @@ def main(argv: list[str] | None = None) -> int:
                    "corpus (persisted as the bpe_vocab stage) and pack "
                    "in tokenizer subword counts instead of whitespace "
                    "tokens")
+    p.add_argument("--unigram-vocab", type=int, default=None,
+                   help="train a Unigram-LM tokenizer of this vocab size "
+                        "on the sampled corpus (unigram_vocab stage) and "
+                        "pack in its subword counts; mutually exclusive "
+                        "with --bpe-merges")
     p.add_argument("--bpe-byte-level", action="store_true",
                    help="with --bpe-merges: train/segment BYTE-level "
                    "BPE over GPT-2 pre-tokens (case/space-preserving, "
@@ -1410,6 +1440,7 @@ def main(argv: list[str] | None = None) -> int:
             quality_n_buckets=args.quality_classifier_buckets,
             bpe_merges_n=args.bpe_merges,
             bpe_byte_level=args.bpe_byte_level,
+            unigram_vocab=args.unigram_vocab,
             dsir_target_df=(
                 spark.read.parquet(args.dsir_target)
                 if args.dsir_target else None

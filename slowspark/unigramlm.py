@@ -246,3 +246,57 @@ def load_model(spark, path: str) -> DataFrame:
     if missing:
         raise ValueError(f"unigram load_model: {path} lacks {missing}")
     return m
+
+
+def unigram_segment(
+    df: DataFrame,
+    model: DataFrame,
+    max_piece_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token counts under a trained model: (id, n_tokens)
+    — the packing input (pack_sequences n_tokens_col contract, same
+    shape as bpe_segment's). The Viterbi UDF runs over DISTINCT words
+    only; occurrences join back by word — O(distinct) Python, one
+    occurrence-side shuffle."""
+    import pandas as pd
+
+    from slowspark.textops import ws_token_array
+
+    logp = {
+        r["piece"]: r["logp"] for r in model.select("piece", "logp").collect()
+    }
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((logp, max_piece_len))
+
+    def seg_fn(batches):
+        lp, mpl = bc.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_pieces": [len(viterbi_pieces(w, lp, mpl))
+                                 for w in pdf["word"]],
+                }
+            )
+
+    occurrences = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_token_array(text_col)).alias("word"),
+    )
+    per_word = occurrences.select("word").distinct().mapInPandas(
+        seg_fn,
+        T.StructType(
+            [
+                T.StructField("word", T.StringType()),
+                T.StructField("n_pieces", T.LongType()),
+            ]
+        ),
+    )
+    return (
+        occurrences.join(per_word, "word")
+        .groupBy("id")
+        .agg(F.sum("n_pieces").alias("n_tokens"))
+        .select(F.col("id").alias(id_col), "n_tokens")
+    )

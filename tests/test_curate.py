@@ -1713,3 +1713,43 @@ def test_curation_domain_quality_stage(spark, tmp_path):
             spark, nodom, str(tmp_path / "wh2"), "test:domq2",
             min_words=5, seq_len=32, domain_quality_threshold=0.5,
         )
+
+
+def test_curation_unigram_packing_stage(spark, tmp_path):
+    """--unigram-vocab trains a Unigram-LM tokenizer on the sampled
+    corpus (unigram_vocab stage) and packs in its subword counts."""
+    from slowspark.unigramlm import unigram_segment
+
+    rows = [(i, _salad_doc(f"d{i}", 30), "en") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1", min_words=10,
+        seq_len=64, unigram_vocab=16,
+    )
+    model = tables["unigram_vocab"]
+    pieces = {r["piece"] for r in model.collect()}
+    assert len(pieces) >= 16  # vocab + single-char coverage floor
+    seg = {
+        r["doc_id"]: r["n_tokens"]
+        for r in unigram_segment(docs, model).collect()
+    }
+    packed = {r["doc_id"]: r for r in tables["packed"].collect()}
+    ws_counts = {i: len(t.split()) for i, t, _ in rows}
+    for i in packed:
+        assert packed[i]["n_tokens"] == seg[i]
+        assert packed[i]["n_tokens"] != ws_counts[i]  # subwords, not words
+    # resume: identical stage tables come back from the manifests
+    tables2 = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:v1", min_words=10,
+        seq_len=64, unigram_vocab=16,
+    )
+    assert sorted(map(tuple, tables2["unigram_vocab"].collect())) == \
+        sorted(map(tuple, model.collect()))
+    # both tokenizers at once is a config error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        run_curation(
+            spark, docs, str(tmp_path / "wh2"), "test:v2", min_words=10,
+            seq_len=64, unigram_vocab=16, bpe_merges_n=4,
+        )
