@@ -5688,6 +5688,63 @@ def _unigram_tokens_oracle(sf_dir_base: str = "sf0.01") -> str:
     """
 
 
+def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier z-scores (similarity.embedding_outliers):
+    per-vector L2 distance to the stored IVF centroid, standardized
+    against the CELL's distance distribution, flag decided on the
+    ROUNDED z. Runs over the same ivf_cells/ivf_centroids artifacts the
+    ANN oracles read — distance fold, per-cell moments, z, and the
+    boundary decision are all inside the value hash."""
+    from slowspark.similarity import embedding_outliers
+
+    _ivf_index_parquet(spark, sf_dir)
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    assigned = spark.read.parquet(
+        f"{_ORACLE_ENTRIES_BASE}/{base}/ivf_cells"
+    )
+    cents = spark.read.parquet(
+        f"{_ORACLE_ENTRIES_BASE}/{base}/ivf_centroids"
+    )
+    return embedding_outliers(assigned, cents)
+
+
+def _embedding_outliers_oracle(sf_dir_base: str = "sf0.01") -> str:
+    cells = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/ivf_cells"
+    cents = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/ivf_centroids"
+    return f"""
+        WITH a AS (
+            SELECT vec_id, ivf_cell, embedding
+            FROM read_parquet('{cells}/*.parquet')
+        ), c AS (
+            SELECT cell, centroid FROM read_parquet('{cents}/*.parquet')
+        ), d AS (
+            SELECT a.vec_id, a.ivf_cell,
+                   sqrt(list_sum(list_transform(
+                       range(1, length(a.embedding) + 1),
+                       i -> (a.embedding[i] - c.centroid[i])
+                            * (a.embedding[i] - c.centroid[i])))) AS dd
+            FROM a JOIN c ON c.cell = a.ivf_cell
+        ), st AS (
+            SELECT ivf_cell, count(*) AS n, sum(dd) AS s,
+                   sum(dd * dd) AS s2
+            FROM d GROUP BY ivf_cell
+        ), m AS (
+            SELECT ivf_cell, s / n AS mean,
+                   sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) AS sd
+            FROM st
+        )
+        SELECT d.vec_id, d.ivf_cell, round(d.dd, 6) AS dist,
+               round(CASE WHEN m.sd <= 1e-6 THEN 0.0
+                          ELSE (d.dd - m.mean) / m.sd END, 4) AS z,
+               round(CASE WHEN m.sd <= 1e-6 THEN 0.0
+                          ELSE (d.dd - m.mean) / m.sd END, 4) >= 2.0
+                   AS is_outlier
+        FROM d JOIN m USING (ivf_cell)
+    """
+
+
 # The driver verifies only the FIRST 50 queries() entries per round
 # (observed cap, r6 verdict). To guarantee every query gets a driver
 # correctness row at least every ~2 rounds, queries() emits a PRIORITY
@@ -5774,6 +5831,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     "soft_dedup",
     # new this round (Unigram-LM tokenizer, Viterbi hard-EM):
     "unigram_tokens",
+    # new this round (embedding-space outlier z-scores):
+    "embedding_outliers",
 ]
 
 
@@ -5899,6 +5958,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlaps": _winnow_overlaps,
         "soft_dedup": _soft_dedup,
         "unigram_tokens": _unigram_tokens,
+        "embedding_outliers": _embedding_outliers,
         "html_links": _html_links,
         "anchor_text_topk": _anchor_text_topk,
         "noindex_filter": _noindex_filter,
@@ -6860,6 +6920,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlaps": _WINNOW_OVERLAPS_ORACLE,
         "soft_dedup": _SOFT_DEDUP_ORACLE,
         "unigram_tokens": _unigram_tokens_oracle(),
+        "embedding_outliers": _embedding_outliers_oracle(),
         "host_hits": _hits_oracle(edges_sql=_HOST_EDGES_SQL, weighted=True),
         # same synthesis; survivors = docs whose meta is absent/benign
         "noindex_filter": r"""

@@ -1752,3 +1752,77 @@ def ivf_balance(
             4,
         ).alias("imbalance"),
     )
+
+
+def embedding_outliers(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Embedding-space outlier detection: per-vector L2 distance to its
+    IVF cell centroid, z-scored against the CELL's distance
+    distribution — the embedding-side quality filter (mislabeled,
+    corrupted, or off-distribution vectors sit far from every local
+    centroid; a global distance threshold can't see this because cell
+    radii vary, which is exactly what ivf_balance measures). Returns
+    every vector with (cell, dist, z, is_outlier) — callers drop or
+    down-weight flagged rows (compose with soft_dedup_weights-style
+    reweighting or SemDeDup's keeper choice).
+
+    `centroids` is a (cell, centroid array<double>) table — the stored
+    quantizer, same contract as the ivf_centroids artifact. Flagging is
+    computed on the ROUNDED z (4dp) so the boundary decision is
+    identical in any engine; cells whose distance spread is below 1e-6
+    (degenerate: all members equidistant) get z=0 — a spread that small
+    is below any meaningful outlier signal and sits inside cross-engine
+    float-sum noise amplification territory.
+
+    Scale shape: one broadcast join (n_centroids rows) + one in-array
+    fold per vector (deterministic left-to-right, the Lloyd-combine
+    float discipline) + one map-side-combined per-cell moment agg
+    (n/sum/sum2 — at most n_centroids rows shuffle) + one broadcast
+    join back. No windows, no UDF, no pairwise anything."""
+    cent = centroids.select(
+        F.col("cell").alias(cell_col), F.col("centroid").alias("__c")
+    )
+    d_expr = F.sqrt(
+        F.expr(
+            f"aggregate(zip_with({vec_col}, __c, (a, b) -> (a - b) * (a - b)), "
+            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    )
+    with_d = (
+        assigned.join(F.broadcast(cent), cell_col)
+        .select(id_col, cell_col, d_expr.alias("__d"))
+    )
+    stats = with_d.groupBy(cell_col).agg(
+        F.count("*").alias("__n"),
+        F.sum("__d").alias("__s"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__s2"),
+    ).select(
+        cell_col,
+        (F.col("__s") / F.col("__n")).alias("__mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("__s2") / F.col("__n")
+                - (F.col("__s") / F.col("__n")) ** 2,
+                F.lit(0.0),
+            )
+        ).alias("__std"),
+    )
+    z = F.when(
+        F.col("__std") <= 1e-6, F.lit(0.0)
+    ).otherwise((F.col("__d") - F.col("__mean")) / F.col("__std"))
+    return (
+        with_d.join(F.broadcast(stats), cell_col)
+        .select(
+            id_col,
+            cell_col,
+            F.round("__d", 6).alias("dist"),
+            F.round(z, 4).alias("z"),
+            (F.round(z, 4) >= F.lit(float(z_threshold))).alias("is_outlier"),
+        )
+    )

@@ -916,3 +916,62 @@ def test_ivf_balance_stats(spark):
         3, 12, 6, 3
     )
     assert r["imbalance"] == round(6 * 3 / 12.0, 4)  # 1.5
+
+
+# ---------------------------------------------------------- outliers
+
+
+def test_embedding_outliers_flags_planted_outlier(spark):
+    import numpy as np
+
+    from slowspark.similarity import embedding_outliers
+
+    rng = np.random.RandomState(7)
+    # two tight clusters + one planted far point per cluster
+    rows = []
+    for cell, center in ((0, 0.0), (1, 10.0)):
+        for i in range(30):
+            v = (center + rng.normal(0, 0.05, 8)).tolist()
+            rows.append((cell * 100 + i, v, cell))
+        rows.append((cell * 100 + 99, [center + 5.0] * 8, cell))
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, ivf_cell int"
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [10.0] * 8)], "cell int, centroid array<double>"
+    )
+    out = {r["vec_id"]: r for r in
+           embedding_outliers(assigned, cents).collect()}
+    assert out[99]["is_outlier"] and out[199]["is_outlier"]
+    flagged = [v for v in out.values() if v["is_outlier"]]
+    assert len(flagged) == 2  # only the planted points
+    # z is standardized per cell: inliers near 0
+    assert abs(out[0]["z"]) < 2.0
+
+
+def test_embedding_outliers_degenerate_cell_and_invariance(spark):
+    from slowspark.similarity import embedding_outliers
+
+    # all members equidistant -> std ~ 0 -> z = 0, no flags
+    assigned = spark.createDataFrame(
+        [(i, [1.0, 0.0], 0) for i in range(5)],
+        "vec_id long, embedding array<double>, ivf_cell int",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "cell int, centroid array<double>"
+    )
+    out = embedding_outliers(assigned, cents).collect()
+    assert all(r["z"] == 0.0 and not r["is_outlier"] for r in out)
+    assert all(r["dist"] == 1.0 for r in out)
+    # partition invariance
+    big = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)], i % 2) for i in range(60)],
+        "vec_id long, embedding array<double>, ivf_cell int",
+    )
+    cents2 = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [3.0, 1.0])], "cell int, centroid array<double>"
+    )
+    key = lambda r: (r["vec_id"], r["dist"], r["z"], r["is_outlier"])
+    a = sorted(map(key, embedding_outliers(big.repartition(1), cents2).collect()))
+    b = sorted(map(key, embedding_outliers(big.repartition(13), cents2).collect()))
+    assert a == b
