@@ -574,3 +574,84 @@ def test_streaming_windowed_hll_registers(spark, tmp_path):
     }
     assert abs(est["2024-01-01 00:00:00"] - 30) / 30 < 0.2
     assert abs(est["2024-01-01 01:00:00"] - 10) / 10 < 0.2
+
+
+def _mirror_schedule(rows, interval_s, final_before):
+    """Pure-Python politeness schedule over finalized rows (ts < final_before)."""
+    out = {}
+    by_host = {}
+    for h, u, t in rows:
+        by_host.setdefault(h, []).append((t, u))
+    for h, rs in by_host.items():
+        last = None
+        for t, u in sorted(rs):
+            if t >= final_before:
+                continue
+            us = int(t.timestamp() * 1e6)
+            sched = us if last is None else max(us, last + int(interval_s * 1e6))
+            out[(h, u)] = (us, sched)
+            last = sched
+    return out
+
+
+def test_streaming_fetch_scheduler(spark, tmp_path):
+    """Per-host token-interval scheduling: the emitted (finalized)
+    schedule equals the pure-Python fold, independent of micro-batch
+    boundaries; the sentinel's own request stays buffered."""
+    from datetime import datetime
+
+    from datetime import timedelta
+
+    from slowspark.streaming import schedule_fetches_stream
+
+    t = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)
+    rows = (
+        # host a: 4 requests inside 2s -> must spread at 1s intervals
+        [("a.com", f"http://a.com/{i}", t(i // 2)) for i in range(4)]
+        # host b: sparse, no delays
+        + [("b.com", "http://b.com/x", t(0)),
+           ("b.com", "http://b.com/y", t(30))]
+    )
+    sentinel = [("zzz.com", "http://zzz.com/", t(300))]
+    src = str(tmp_path / "req")
+    main = spark.createDataFrame(
+        rows, "host string, url string, warc_ts timestamp"
+    )
+    main.repartition(2).write.parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)
+    spark.createDataFrame(sentinel, main.schema).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema(main.schema)
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    q = (
+        schedule_fetches_stream(
+            stream, min_interval_s=1.0, watermark="40 seconds"
+        )
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sched")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["host"], r["url"]): (
+            int(r["ts"].timestamp() * 1e6),
+            int(r["scheduled_ts"].timestamp() * 1e6),
+        )
+        for r in spark.sql("SELECT * FROM sched").collect()
+    }
+    # finalized = ts < max_event - 40s = 05:00 - 40s
+    want = _mirror_schedule(rows + sentinel, 1.0, t(300 - 40))
+    assert got == want
+    # host a requests at equal ts got consecutive slots in url order
+    a = sorted((u, s) for (h, u), (_, s) in got.items() if h == "a.com")
+    scheds = [s for _, s in a]
+    assert scheds == sorted(scheds)
+    assert all(b - x >= 1_000_000 for x, b in zip(scheds, scheds[1:]))
+    # the sentinel itself is not final
+    assert not any(h == "zzz.com" for h, _ in got)
