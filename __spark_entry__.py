@@ -2360,7 +2360,9 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both containment directions are recomputed by DuckDB."""
     from slowspark.textops import containment_pairs, ws_token_array
 
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # repartition: keep the gram projection off a single input split
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text") \
+        .repartition(32)
     quotes = (
         d.filter(F.col("doc_id") % 5 == 0)
         .select(
@@ -3470,7 +3472,9 @@ def _gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gaps-and-islands) relationally in DuckDB."""
     from slowspark.gopherrep import _STAT_COLS, gopher_repetition_flags
 
-    d = _read(spark, sf_dir, "documents")
+    # repartition: the single Python stage must not serialize on the
+    # one-file test input
+    d = _read(spark, sf_dir, "documents").repartition(32)
     decorated = d.withColumn(
         "text",
         F.when(
@@ -4325,7 +4329,10 @@ def _substring_dedup_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     all inside the value hash."""
     from slowspark.textops import exact_substring_dedup_chars
 
-    d = _read(spark, sf_dir, "documents")
+    # repartition: the one-file test parquet must not serialize the
+    # O(len*L) window projection on a single input split (the
+    # winnow_overlaps lesson; a production scan already has the splits)
+    d = _read(spark, sf_dir, "documents").repartition(32)
     return exact_substring_dedup_chars(d, min_len=40).select(
         "doc_id",
         F.col("n_chars").cast("int").alias("n_chars"),
