@@ -142,7 +142,12 @@ def _ensure_oracle_artifacts(spark: SparkSession, sf_dir: str) -> None:
     with ThreadPoolExecutor(8) as ex:
         sig_fut = ex.submit(
             lambda: materialize(
-                minhash_signatures(_read(spark, sf_dir, "documents"))
+                # repartition: the signature UDF must not serialize on
+                # the one-file test input (content is per-row
+                # deterministic, so the artifact is layout-invariant)
+                minhash_signatures(
+                    _read(spark, sf_dir, "documents").repartition(32)
+                )
             )
         )
         # ivf and pq train in parallel; the composed ivfpq build waits on
@@ -1047,7 +1052,7 @@ def _simhash_sigs_parquet(spark: SparkSession, sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     path = f"{_ORACLE_ENTRIES_BASE}/{base}/simhash_sigs"
     if path not in _ENTRIES_WRITTEN:
-        d = _read(spark, sf_dir, "documents")
+        d = _read(spark, sf_dir, "documents").repartition(32)
         simhash_signatures(d).write.mode("overwrite").parquet(path)
         _ENTRIES_WRITTEN.add(path)
     return path
@@ -2940,7 +2945,7 @@ def _ivf_index_parquet(spark: SparkSession, sf_dir: str) -> str:
     path = f"{_ORACLE_ENTRIES_BASE}/{base}/ivf_cells"
     cpath = f"{_ORACLE_ENTRIES_BASE}/{base}/ivf_centroids"
     if path not in _ENTRIES_WRITTEN:
-        emb = _read(spark, sf_dir, "embeddings")
+        emb = _read(spark, sf_dir, "embeddings").repartition(32)
         centroids = ivf_train(emb, n_centroids=_IVF_N_CENTROIDS)
         (
             ivf_assign(emb, centroids=centroids)
@@ -2972,7 +2977,7 @@ def _pq_index_parquet(spark: SparkSession, sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     path = f"{_ORACLE_ENTRIES_BASE}/{base}/pq_index"
     if path not in _ENTRIES_WRITTEN:
-        emb = _read(spark, sf_dir, "embeddings")
+        emb = _read(spark, sf_dir, "embeddings").repartition(32)
         books = pq_train(emb, m=_PQ_M, k=_PQ_K)
         pq_encode(emb, books).write.mode("overwrite").parquet(f"{path}/codes")
         rows = [
@@ -3003,7 +3008,7 @@ def _ivfpq_index_parquet(spark: SparkSession, sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     path = f"{_ORACLE_ENTRIES_BASE}/{base}/ivfpq_index"
     if path not in _ENTRIES_WRITTEN:
-        emb = _read(spark, sf_dir, "embeddings")
+        emb = _read(spark, sf_dir, "embeddings").repartition(32)
         # reuse the standalone artifacts' trained quantizers when present
         # (same parameters, deterministic trainers -> identical output;
         # _ensure_oracle_artifacts sequences this after both builders)
@@ -3051,7 +3056,7 @@ def _ivfpq_res_index_parquet(spark: SparkSession, sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     path = f"{_ORACLE_ENTRIES_BASE}/{base}/ivfpq_res_index"
     if path not in _ENTRIES_WRITTEN:
-        emb = _read(spark, sf_dir, "embeddings")
+        emb = _read(spark, sf_dir, "embeddings").repartition(32)
         pre_c = None
         try:
             cent = spark.read.parquet(
