@@ -668,24 +668,118 @@ def spam_mass(
     super-endorsed by seeds (standard; callers threshold on the high
     end).
 
-    Pure composition of this module's pagerank (uniform + seeds=...)
-    — two independent rank computations over the SAME persisted
-    edges+outdeg table shape, one final join. Cost = 2x pagerank;
-    every scale property of pagerank's docstring applies unchanged."""
-    pr = pagerank(
-        edges, n_iter=n_iter, damping=damping,
-        src_col=src_col, dst_col=dst_col,
-    ).select("node", F.col("rank").alias("pr"))
-    ppr = pagerank(
-        edges, n_iter=n_iter, damping=damping,
-        src_col=src_col, dst_col=dst_col, seeds=seeds,
-    ).select("node", F.col("rank").alias("ppr"))
-    return (
-        pr.join(ppr, "node")
-        .select(
-            "node",
-            "pr",
-            "ppr",
-            ((F.col("pr") - F.col("ppr")) / F.col("pr")).alias("mass"),
+    FUSED iteration: both rank vectors ride ONE (node, pr, ppr) table —
+    per round there is ONE edges⋈ranks join with a two-column
+    contribution aggregate, one dangling-mass collect carrying both
+    sums, one vertex join-back. Cost = 1x pagerank's shuffles/scans per
+    iteration for BOTH chains (the naive composition pays 2x), with
+    per-vector arithmetic identical to pagerank's (same IEEE update
+    expressions — the two chains never mix, pinned by a differential
+    against two separate pagerank runs). Every scale property of
+    pagerank's docstring applies unchanged."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    src = F.col(src_col)
+    dst = F.col(dst_col)
+    vertices = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = vertices.count()
+    seed_set = seeds.select(F.col("node")).distinct()
+    tele_v = vertices.join(seed_set, "node", "left_semi").persist()
+    ns = tele_v.count()
+    if ns == 0:
+        raise ValueError(
+            "spam_mass: no seed appears in the graph — personalized "
+            "teleport has nowhere to land"
         )
+    vertices_t = vertices.join(
+        tele_v.withColumn("__is_seed", F.lit(True)), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("__is_seed"), F.lit(1.0 / ns))
+        .otherwise(F.lit(0.0)).alias("__tele"),
+    ).persist()
+    vertices_t.count()
+    tele_v.unpersist()
+    out_deg = edges.groupBy(src_col).agg(F.count("*").alias("__od"))
+    edges_w = edges.select(src_col, dst_col).join(out_deg, src_col).persist()
+    dangling = vertices.join(
+        edges.select(src.alias("node")).distinct(), "node", "left_anti"
+    ).persist()
+    d = F.lit(damping)
+    base = (F.lit(1.0) - d) / F.lit(float(n))
+    ranks = vertices_t.select(
+        "node",
+        "__tele",
+        (F.lit(1.0) / F.lit(float(n))).alias("pr"),
+        (F.lit(1.0) / F.lit(float(n))).alias("ppr"),
+    )
+    ranks.persist().count()
+    for i in range(n_iter):
+        dm = (
+            ranks.join(dangling, "node", "left_semi")
+            .agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm_pr"),
+                F.coalesce(F.sum("ppr"), F.lit(0.0)).alias("dm_ppr"),
+            )
+            .collect()[0]
+        )
+        contrib = (
+            edges_w.join(ranks, edges_w[src_col] == ranks["node"])
+            .groupBy(dst_col)
+            .agg(
+                F.sum(F.col("pr") / F.col("__od")).alias("__c_pr"),
+                F.sum(F.col("ppr") / F.col("__od")).alias("__c_ppr"),
+            )
+        )
+        # join the STATIC vertex table, never `ranks` itself: contrib
+        # already contains ranks' lineage, and ranks⋈contrib would put
+        # it in the plan twice per round — exponential growth by the
+        # first checkpoint (observed as an analysis-time heap OOM)
+        new_ranks = (
+            vertices_t.join(
+                contrib, vertices_t["node"] == contrib[dst_col], "left"
+            )
+            .select(
+                "node",
+                "__tele",
+                (
+                    base
+                    + d
+                    * (
+                        F.coalesce(F.col("__c_pr"), F.lit(0.0))
+                        + F.lit(float(dm["dm_pr"])) / F.lit(float(n))
+                    )
+                ).alias("pr"),
+                (
+                    (F.lit(1.0) - d) * F.col("__tele")
+                    + d
+                    * (
+                        F.coalesce(F.col("__c_ppr"), F.lit(0.0))
+                        + F.lit(float(dm["dm_ppr"])) * F.col("__tele")
+                    )
+                ).alias("ppr"),
+            )
+        )
+        if (i + 1) % 8 == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks.persist().count()
+        ranks.unpersist()
+        ranks = new_ranks
+    vertices.unpersist()
+    vertices_t.unpersist()
+    edges_w.unpersist()
+    dangling.unpersist()
+    return ranks.select(
+        "node",
+        "pr",
+        "ppr",
+        ((F.col("pr") - F.col("ppr")) / F.col("pr")).alias("mass"),
     )

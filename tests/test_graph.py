@@ -537,3 +537,27 @@ def test_spam_mass_farm_vs_trusted(spark):
     # pr and ppr columns are genuine pageranks: both sum to ~1
     assert sum(r["pr"] for r in out.values()) == pytest.approx(1.0)
     assert sum(r["ppr"] for r in out.values()) == pytest.approx(1.0)
+
+
+def test_spam_mass_fused_matches_two_pagerank_runs(spark):
+    """The fused (node, pr, ppr) loop must reproduce two separate
+    pagerank runs to float tolerance — the chains share shuffles, never
+    arithmetic."""
+    from slowspark.graph import pagerank, spam_mass
+
+    pairs = [(s, d) for s, d in
+             [(i, (i * 7 + 1) % 30) for i in range(30)]
+             + [(i, (i * 13 + 5) % 30) for i in range(30)] if s != d]
+    e = _edges(spark, pairs)
+    seeds = spark.createDataFrame([(3,), (7,)], "node long")
+    fused = {r["node"]: (r["pr"], r["ppr"])
+             for r in spam_mass(e, seeds, n_iter=3).collect()}
+    pr = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    ppr = {r["node"]: r["rank"]
+           for r in pagerank(e, n_iter=3, seeds=seeds).collect()}
+    assert set(fused) == set(pr)
+    for v in fused:
+        assert fused[v][0] == pytest.approx(pr[v], rel=1e-12)
+        assert fused[v][1] == pytest.approx(ppr[v], rel=1e-12)
+    with pytest.raises(ValueError, match="no seed"):
+        spam_mass(e, spark.createDataFrame([(999,)], "node long"), n_iter=1)
