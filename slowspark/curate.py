@@ -1251,6 +1251,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--holdout-group", default="source",
                    help="group column for the holdout assignment — all "
                    "docs of a group land on one side (default: source)")
+    p.add_argument("--main-content", action="store_true",
+                   help="with --input-format warc: extract the MAIN "
+                        "content of each page (textops."
+                        "main_content_blocks block-level link-density "
+                        "heuristic) instead of all visible text — nav "
+                        "bars, footers, and link boxes never become "
+                        "document text")
     p.add_argument("--export-warc", type=int, default=None, metavar="N_FILES",
                    help="after packing, export the sampled corpus as N "
                    "deterministic WARC files under <warehouse>/warc_export "
@@ -1294,6 +1301,9 @@ def main(argv: list[str] | None = None) -> int:
                 "exclusive (one sampling policy per run)")
     if args.quality_sample_k and not args.quality_classifier_coeffs:
         p.error("--quality-sample-k requires --quality-classifier-coeffs")
+    if args.main_content and args.input_format != "warc":
+        p.error("--main-content applies to --input-format warc only "
+                "(other formats carry text, not page HTML)")
     if args.respect_noindex and args.input_format != "warc":
         p.error("--respect-noindex applies to --input-format warc only "
                 "(parquet/jsonl corpora carry no html)")
@@ -1335,6 +1345,13 @@ def main(argv: list[str] | None = None) -> int:
                         F.lit(False),
                     )
                 )
+            if args.main_content:
+                from slowspark.textops import main_content_blocks
+
+                recs = main_content_blocks(recs, html_col="payload")
+                text_expr = F.col("main_text")
+            else:
+                text_expr = F.decode("payload", "UTF-8")
             docs = language_id(
                 recs.select(
                     # doc_id is per CAPTURE, not per URL: multi-snapshot
@@ -1346,7 +1363,7 @@ def main(argv: list[str] | None = None) -> int:
                     .alias("doc_id"),
                     "url",
                     F.col("warc_ts"),
-                    F.decode("payload", "UTF-8").alias("text"),
+                    text_expr.alias("text"),
                 )
             ).withColumnRenamed("lang_pred", "lang").drop("lang_score")
             if not args.latest_capture:
@@ -1393,7 +1410,8 @@ def main(argv: list[str] | None = None) -> int:
         tables = run_curation(
             spark, docs, args.warehouse,
             f"path:{args.input}:{args.input_format}"
-            f":ni={int(args.respect_noindex)}",
+            f":ni={int(args.respect_noindex)}"
+            f":mc={int(args.main_content)}",
             min_words=args.min_words,
             passage_words=args.passage_words,
             max_docs_per_passage=args.max_docs_per_passage,

@@ -2667,3 +2667,108 @@ def winnow_fingerprints(
             F.col("__f.fp").alias("fp"),
         )
     )
+
+
+BLOCK_SPLIT_RE = (
+    r"(?is)</?(?:p|div|td|th|h[1-6]|li|ul|ol|table|tr|section|article|"
+    r"header|footer|nav|aside|blockquote|br)[^>]*>"
+)
+
+# per-block visible text as one SQL expression over the lambda var `b`:
+# strip remaining (inline) tags, decode the _HTML_ENTITIES chain in the
+# same order html_to_text applies it, collapse whitespace
+_BLOCK_TEXT_SQL = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    "regexp_replace(b, '(?s)</?[A-Za-z!][^>]*>', ' '),"
+    "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),"
+    "'&quot;', '\\\"'), '&#39;', \"'\"), '&amp;', '&'),"
+    "'\\\\s+', ' '))"
+)
+
+
+def main_content_blocks(
+    df: DataFrame,
+    html_col: str = "html",
+    min_words: int = 10,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """Main-content extraction by block-level link density — the
+    boilerpipe/jusText heuristic (Kohlschütter 2010, Pomikálek 2011)
+    reduced to its load-bearing core: split the page at block-level tag
+    boundaries, score each block by word count and link density
+    (anchor-markup chars / visible chars), keep long low-link blocks.
+    Navigation bars, footers, related-links boxes are short and
+    link-dense; article bodies are long and link-sparse — this split is
+    what html_to_text (which keeps EVERYTHING visible) cannot make, and
+    it is the single highest-leverage cleaning step between raw crawl
+    HTML and the quality filters.
+
+    Returns the input plus (main_text, n_blocks, n_kept,
+    boiler_frac): main_text = kept blocks joined with newlines in page
+    order; boiler_frac = dropped visible chars / total visible chars
+    (rounded 4dp — a per-doc cleaning diagnostic for dataset cards).
+
+    Link density here is ANCHOR MARKUP length over visible length (the
+    <a ...>inner</a> spans' inner HTML, tags included) — deliberately
+    coarser than boilerpipe's anchor-token count but exactly
+    reproducible in one pass on any RE2-family engine; nav/footer
+    blocks score far above any threshold under either definition.
+
+    Scale shape: the whole computation is ONE array-local projection
+    (split -> transform(struct text, words, density) -> filter ->
+    array_join) — zero shuffles, no explode, no UDF; like html_to_text
+    this is the only scan of the html column, so run it once per
+    snapshot and persist main_text."""
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    if not 0.0 <= max_link_density <= 1.0:
+        raise ValueError(
+            f"max_link_density must be in [0, 1], got {max_link_density}"
+        )
+    s = F.decode(F.col(html_col), "UTF-8")
+    s = F.regexp_replace(s, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    blocks = F.split(s, BLOCK_SPLIT_RE)
+    anchor_len = (
+        "aggregate(regexp_extract_all(b, '(?is)<a\\\\s[^>]*>(.*?)</a>', 1), "
+        "0, (acc, x) -> acc + length(x))"
+    )
+    scored = F.expr(
+        f"transform(__blocks, b -> struct("
+        f"{_BLOCK_TEXT_SQL} AS txt, "
+        f"size(array_remove(split({_BLOCK_TEXT_SQL}, '\\\\s+'), '')) AS nw, "
+        f"{anchor_len} AS al))"
+    )
+    kept = F.expr(
+        f"filter(__scored, x -> x.nw >= {min_words} AND "
+        f"x.al <= {float(max_link_density)} * greatest(length(x.txt), 1))"
+    )
+    total_chars = F.expr(
+        "aggregate(__scored, 0L, (acc, x) -> acc + length(x.txt))"
+    )
+    kept_chars = F.expr(
+        "aggregate(__kept, 0L, (acc, x) -> acc + length(x.txt))"
+    )
+    return (
+        df.withColumn("__blocks", blocks)
+        .withColumn("__scored", scored)
+        .withColumn("__kept", kept)
+        .withColumn(
+            "main_text",
+            F.expr("array_join(transform(__kept, x -> x.txt), '\n')"),
+        )
+        .withColumn("n_blocks", F.expr("size(filter(__scored, x -> x.nw > 0))").cast("long"))
+        .withColumn("n_kept", F.size("__kept").cast("long"))
+        .withColumn(
+            "boiler_frac",
+            F.round(
+                F.when(total_chars <= 0, F.lit(0.0)).otherwise(
+                    (total_chars - kept_chars)
+                    / total_chars.cast("double")
+                ),
+                4,
+            ),
+        )
+        .drop("__blocks", "__scored", "__kept")
+    )

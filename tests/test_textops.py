@@ -1458,3 +1458,75 @@ def test_winnow_edges_and_invariance(spark):
     assert a == b
     with pytest.raises(ValueError, match="k and w"):
         winnow_fingerprints(big, k=0)
+
+
+# ------------------------------------------------------- main content
+
+
+def _page(body_words=40):
+    body = " ".join(f"word{i}" for i in range(body_words))
+    return (
+        "<html><head><script>var nav = 1;</script>"
+        "<style>.x{}</style></head><body>"
+        '<div><a href="/">Home</a> <a href="/a">News</a> '
+        '<a href="/b">Sports</a> <a href="/c">More</a></div>'
+        f"<p>{body}</p>"
+        "<p>Second real paragraph with enough plain words to pass the "
+        "minimum word count threshold easily here.</p>"
+        '<div><a href="/x">Privacy</a> | <a href="/y">Terms</a> | '
+        '<a href="/z">Contact us</a></div>'
+        "</body></html>"
+    )
+
+
+def test_main_content_drops_nav_and_footer(spark):
+    from slowspark.textops import main_content_blocks
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_page().encode()))], "doc_id long, html binary"
+    )
+    out = main_content_blocks(df).collect()[0]
+    assert "word0" in out["main_text"] and "word39" in out["main_text"]
+    assert "Second real paragraph" in out["main_text"]
+    assert "Home" not in out["main_text"]       # nav dropped
+    assert "Privacy" not in out["main_text"]    # footer dropped
+    assert out["n_kept"] == 2
+    assert 0.0 < out["boiler_frac"] < 0.5
+
+
+def test_main_content_entities_and_degenerate(spark):
+    from slowspark.textops import main_content_blocks
+
+    html = ("<body><p>T&amp;C say 1 &lt; 2 plus many plain filler words "
+            "to clear the minimum count threshold for keeping</p></body>")
+    df = spark.createDataFrame(
+        [(1, bytearray(html.encode())), (2, bytearray(b"<body></body>"))],
+        "doc_id long, html binary",
+    )
+    out = {r["doc_id"]: r for r in main_content_blocks(df).collect()}
+    assert "T&C say 1 < 2" in out[1]["main_text"]
+    assert out[2]["main_text"] == "" and out[2]["boiler_frac"] == 0.0
+    import pytest as _p
+
+    with _p.raises(ValueError, match="min_words"):
+        main_content_blocks(df, min_words=0)
+
+
+def test_main_content_link_density_boundary(spark):
+    from slowspark.textops import main_content_blocks
+
+    # a long block that is mostly links must drop even though it has
+    # enough words; the same words without anchors survive
+    words = " ".join(f"w{i}" for i in range(15))
+    linky = "<p>" + " ".join(
+        f'<a href="/{i}">w{i}</a>' for i in range(15)
+    ) + "</p>"
+    plain = f"<p>{words}</p>"
+    df = spark.createDataFrame(
+        [(1, bytearray(f"<body>{linky}</body>".encode())),
+         (2, bytearray(f"<body>{plain}</body>".encode()))],
+        "doc_id long, html binary",
+    )
+    out = {r["doc_id"]: r for r in main_content_blocks(df).collect()}
+    assert out[1]["n_kept"] == 0 and out[1]["boiler_frac"] == 1.0
+    assert out[2]["n_kept"] == 1 and out[2]["main_text"] == words

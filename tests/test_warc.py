@@ -409,3 +409,50 @@ def test_warc_selective_stale_index_raises(spark, tmp_path):
     write_warc(docs3, out, n_files=2)
     with pytest.raises(Exception, match="stale index|short read"):
         read_warc_selective(spark, stale_df).collect()
+
+
+def test_curate_cli_warc_main_content(spark, tmp_path):
+    """--main-content: WARC ingest extracts the article block only.
+    The differential vs raw-decode ingest is stark on real HTML: raw
+    markup fails the symbol-ratio quality rule (0 docs survive), while
+    main-content extraction yields clean article text (all survive,
+    nav/footer links never becoming document text)."""
+    def page(i):
+        li = "abcd"[i]
+        body = (f"the quick brown fox jumps over a lazy dog near mill {li} "
+                + " ".join(f"w{li}{'abcdefghijklmnopqrst'[j]}"
+                           for j in range(20)))
+        return (
+            '<html><body><div><a href="/">Home</a> <a href="/n">News</a> '
+            '<a href="/s">Sports</a> <a href="/m">More links</a></div>'
+            f"<p>{body}</p>"
+            '<div><a href="/p">Privacy</a> | <a href="/t">Terms</a></div>'
+            "</body></html>"
+        )
+    rows = [(f"https://example.org/d/{i}", page(i).encode())
+            for i in range(4)]
+    docs = spark.createDataFrame(rows, "url string, payload binary")
+    src = str(tmp_path / "in")
+    write_warc(docs, src, n_files=1)
+    base = ["--input", src + "/*.warc.gz", "--input-format", "warc",
+            "--min-words", "10", "--seq-len", "32"]
+    plain = _run_curate_cli(base + ["--warehouse", str(tmp_path / "wh_p")])
+    mc = _run_curate_cli(base + ["--main-content",
+                                 "--warehouse", str(tmp_path / "wh_m")])
+    # raw-decode ingest keeps the MARKUP as text: the symbol-ratio
+    # quality rule kills every page (angle brackets/slashes) — exactly
+    # the failure mode --main-content exists to fix
+    assert plain["stage_rows"]["packed"] == 0
+    assert plain["filter_audit"]["dropped_by_rule_symbol_ratio"] == 4
+    # main-content ingest yields clean article text that passes
+    assert mc["stage_rows"]["packed"] == 4
+    assert mc["n_sequences"] >= 1
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "slowspark.curate", "--input", "x.parquet",
+         "--warehouse", str(tmp_path / "wh_e"), "--main-content"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0 and "warc only" in r.stderr
