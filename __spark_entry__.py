@@ -5868,6 +5868,197 @@ _MAIN_CONTENT_ORACLE = r"""
 """
 
 
+def _sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (weburl.parse_sitemaps): one synthetic sitemap
+    per source (entries in doc_id order; lastmod/changefreq/priority
+    cycle deterministically, every 4th entry bare-loc, every 7th
+    loc-less and therefore DROPPED) — entry regex, field extraction,
+    whitespace trims, the 0.5 priority default, and the invalid-entry
+    drop are all inside the value hash."""
+    from slowspark.weburl import parse_sitemaps
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    entry = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("<url><lastmod>2024-01-01</lastmod></url>")),
+    ).when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit("<url><loc>https://"), F.col("source"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit("</loc></url>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<url><loc> https://"), F.col("source"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit(" </loc><lastmod>2024-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod><changefreq>"),
+            F.element_at(
+                F.array(F.lit("DAILY"), F.lit("weekly"), F.lit("Monthly")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.lit("</changefreq><priority>0."),
+            (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit("</priority></url>"),
+        )
+    )
+    sm = (
+        d.select("source", F.struct("doc_id", entry.alias("e")).alias("s"))
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("s")).alias("es"))
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/sitemap.xml"),
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.expr("array_join(transform(es, x -> x.e), '')"),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    return parse_sitemaps(sm)
+
+
+_SITEMAP_URLS_ORACLE = r"""
+    WITH ent AS (
+        SELECT source, doc_id,
+               CASE
+                 WHEN doc_id % 7 = 0 THEN
+                   '<url><lastmod>2024-01-01</lastmod></url>'
+                 WHEN doc_id % 4 = 0 THEN
+                   '<url><loc>https://' || source || '.example.com/p/'
+                   || CAST(doc_id AS VARCHAR) || '</loc></url>'
+                 ELSE
+                   '<url><loc> https://' || source || '.example.com/p/'
+                   || CAST(doc_id AS VARCHAR) || ' </loc><lastmod>2024-01-'
+                   || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                   || '</lastmod><changefreq>'
+                   || (['DAILY', 'weekly', 'Monthly'])[
+                          CAST(doc_id % 3 + 1 AS INT)]
+                   || '</changefreq><priority>0.'
+                   || CAST(doc_id % 9 + 1 AS VARCHAR)
+                   || '</priority></url>'
+               END AS e
+        FROM documents
+    ), sm AS (
+        SELECT 'https://' || source || '.example.com/sitemap.xml'
+                   AS sitemap_url,
+               '<?xml version="1.0"?><urlset>'
+               || string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml
+        FROM ent GROUP BY source
+    ), ex AS (
+        SELECT sitemap_url,
+               unnest(regexp_extract_all(xml,
+                   '(?is)<url\s*>(.*?)</url\s*>', 1)) AS b
+        FROM sm
+    ), f AS (
+        SELECT sitemap_url,
+               regexp_extract(b, '(?is)<loc\s*>\s*(.*?)\s*</loc\s*>', 1)
+                   AS url,
+               regexp_extract(b,
+                   '(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>', 1)
+                   AS lastmod,
+               lower(regexp_extract(b,
+                   '(?is)<changefreq\s*>\s*(.*?)\s*</changefreq\s*>', 1))
+                   AS changefreq,
+               regexp_extract(b,
+                   '(?is)<priority\s*>\s*(.*?)\s*</priority\s*>', 1)
+                   AS priority
+        FROM ex
+    )
+    SELECT sitemap_url, url,
+           CASE WHEN lastmod = '' THEN NULL ELSE lastmod END AS lastmod,
+           CASE WHEN changefreq = '' THEN NULL ELSE changefreq END
+               AS changefreq,
+           coalesce(CASE WHEN priority = '' THEN NULL
+                    ELSE CAST(priority AS DOUBLE) END, 0.5) AS priority
+    FROM f WHERE url != ''
+"""
+
+
+def _frontier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl frontier scores (weburl.url_history -> frontier_scores):
+    the capture-history fixture's per-URL churn and staleness combine
+    with a deterministic rank prior into the scheduler ordering —
+    history rollup, churn/staleness arithmetic, and the exact-IEEE
+    score product are inside the value hash."""
+    from slowspark.weburl import frontier_scores, url_history
+
+    hist = url_history(_capture_history(spark, sf_dir))
+    d = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    ranks = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.lit(0.1) + (F.col("doc_id") % 7).cast("double") / 10).alias(
+            "rank"
+        ),
+    )
+    return frontier_scores(hist, ranks, now_ts=10)
+
+
+_FRONTIER_RANKING_ORACLE = """
+    WITH base AS (
+        SELECT 'https://' || source || '.example.com/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               doc_id, md5(text) AS fp1, md5(text || 'v2') AS fp2
+        FROM documents
+    ), caps AS (
+        SELECT url, 1 AS warc_ts, fp1 AS fp FROM base
+        UNION ALL
+        SELECT url, 2, fp1 FROM base WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT url, 3, fp2 FROM base WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT url, 4, CASE WHEN doc_id % 15 = 0 THEN fp2 ELSE fp1 END
+        FROM base WHERE doc_id % 5 = 0
+    ), flag AS (
+        SELECT url, warc_ts, fp,
+               CASE WHEN lag(fp) OVER w IS NULL
+                      OR lag(fp) OVER w <> fp THEN 1 ELSE 0 END AS chg
+        FROM caps WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+    ), runs0 AS (
+        SELECT url, warc_ts,
+               SUM(chg) OVER (PARTITION BY url ORDER BY warc_ts
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM flag
+    ), per_url AS (
+        SELECT url,
+               CAST(COUNT(*) AS BIGINT) AS n_captures,
+               CAST(COUNT(DISTINCT run) AS BIGINT) AS n_versions,
+               (SELECT MIN(warc_ts) FROM runs0 r2
+                WHERE r2.url = runs0.url
+                  AND r2.run = (SELECT MAX(run) FROM runs0 r3
+                                WHERE r3.url = runs0.url)) AS last_from
+        FROM runs0 GROUP BY url
+    ), ranks AS (
+        SELECT 'https://' || source || '.example.com/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               0.1 + CAST(doc_id % 7 AS DOUBLE) / 10 AS rank
+        FROM documents
+    ), sc AS (
+        SELECT p.url, p.n_captures, p.n_versions,
+               CASE WHEN p.n_captures > 1
+                    THEN CAST(p.n_versions - 1 AS DOUBLE)
+                         / CAST(p.n_captures - 1 AS DOUBLE)
+                    ELSE 0.0 END AS churn_raw,
+               CAST(10 - p.last_from AS BIGINT) AS staleness,
+               r.rank
+        FROM per_url p JOIN ranks r ON r.url = p.url
+    )
+    SELECT url, n_captures, n_versions,
+           round(churn_raw, 4) AS churn, staleness,
+           round(rank * (churn_raw + 0.1) * CAST(staleness AS DOUBLE), 4)
+               AS score
+    FROM sc
+"""
+
+
 # The driver verifies only the FIRST 50 queries() entries per round
 # (observed cap, r6 verdict). To guarantee every query gets a driver
 # correctness row at least every ~2 rounds, queries() emits a PRIORITY
@@ -5958,6 +6149,9 @@ _PRIORITY_QUERIES: "list[str]" = [
     "embedding_outliers",
     # new this round (boilerpipe-style main-content extraction):
     "main_content",
+    # new this round (sitemap hints + recrawl frontier scoring):
+    "sitemap_urls",
+    "frontier_ranking",
 ]
 
 
@@ -6085,6 +6279,8 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokens": _unigram_tokens,
         "embedding_outliers": _embedding_outliers,
         "main_content": _main_content,
+        "sitemap_urls": _sitemap_urls,
+        "frontier_ranking": _frontier_ranking,
         "html_links": _html_links,
         "anchor_text_topk": _anchor_text_topk,
         "noindex_filter": _noindex_filter,
@@ -7048,6 +7244,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_tokens": _unigram_tokens_oracle(),
         "embedding_outliers": _embedding_outliers_oracle(),
         "main_content": _MAIN_CONTENT_ORACLE,
+        "sitemap_urls": _SITEMAP_URLS_ORACLE,
+        "frontier_ranking": _FRONTIER_RANKING_ORACLE,
         "host_hits": _hits_oracle(edges_sql=_HOST_EDGES_SQL, weighted=True),
         # same synthesis; survivors = docs whose meta is absent/benign
         "noindex_filter": r"""

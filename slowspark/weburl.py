@@ -796,3 +796,130 @@ def url_history(
         F.col("n_captures").cast("long").alias("n_captures"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+SITEMAP_ENTRY_RE = r"(?is)<url\s*>(.*?)</url\s*>"
+
+
+def parse_sitemaps(
+    df: DataFrame,
+    xml_col: str = "xml",
+    sitemap_url_col: str = "sitemap_url",
+) -> DataFrame:
+    """Sitemap XML parsing (sitemaps.org protocol, the <urlset> form):
+    one output row per <url> entry — (sitemap_url, url, lastmod,
+    changefreq, priority). `lastmod` is kept as the raw W3C datetime
+    STRING (date or full timestamp — the protocol allows both; casting
+    is the caller's policy), `priority` as double (protocol default 0.5
+    when absent), `changefreq` lowercased or NULL. Entries without a
+    <loc> are dropped (spec-invalid).
+
+    Sitemaps are the publisher's own crawl hints — the third
+    publisher-signal operator beside robots.txt (may I fetch?) and
+    meta-noindex (may I keep?): lastmod/changefreq feed recrawl
+    scheduling (compose with url_history's measured churn — trust the
+    publisher hint only where history agrees) and loc entries seed the
+    frontier.
+
+    Scale shape: pure codegen — regexp_extract_all for the <url>
+    blocks, one explode, per-entry field extraction; no UDF, no
+    shuffle. RE2-safe patterns (lazy quantifiers, no backrefs), so the
+    DuckDB oracle runs the same expressions."""
+    entries = F.expr(
+        f"regexp_extract_all({xml_col}, '{SITEMAP_ENTRY_RE}', 1)"
+    )
+    e = df.select(
+        F.col(sitemap_url_col), F.explode(entries).alias("__e")
+    )
+    loc = F.regexp_extract("__e", r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>", 1)
+    lastmod = F.regexp_extract(
+        "__e", r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>", 1
+    )
+    changefreq = F.lower(
+        F.regexp_extract(
+            "__e", r"(?is)<changefreq\s*>\s*(.*?)\s*</changefreq\s*>", 1
+        )
+    )
+    priority = F.regexp_extract(
+        "__e", r"(?is)<priority\s*>\s*(.*?)\s*</priority\s*>", 1
+    )
+    return (
+        e.select(
+            sitemap_url_col,
+            loc.alias("url"),
+            F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+            F.when(changefreq == "", None)
+            .otherwise(changefreq)
+            .alias("changefreq"),
+            F.coalesce(
+                F.when(priority == "", None)
+                .otherwise(priority)
+                .cast("double"),
+                F.lit(0.5),
+            ).alias("priority"),
+        )
+        .filter(F.col("url") != "")
+    )
+
+
+def frontier_scores(
+    history: DataFrame,
+    ranks: DataFrame,
+    now_ts: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Recrawl frontier prioritization: per URL, combine the three
+    signals every production scheduler uses —
+
+        score = rank(host value) * (churn + 0.1) * staleness
+
+    where churn = fraction of recaptures that changed the content
+    ((n_versions - 1) / (n_captures - 1), 0 for single-capture URLs:
+    measured change propensity from url_history, the signal publisher
+    changefreq hints only estimate), staleness = now_ts - last
+    valid_from (time units are the caller's capture clock), and rank
+    rides a (url, rank) table (pagerank projected to URLs, a host
+    rank broadcast to its pages, or any quality prior). High-value
+    pages that demonstrably change and haven't been fetched lately
+    come first. Staleness enters LINEARLY — a production scheduler
+    would damp it (log or cap), but ln is an engine transcendental and
+    this module's cross-engine contract allows only exact IEEE ops
+    (multiply/divide of exact inputs); cap or bucket staleness upstream
+    if damping matters.
+
+    Input `history` is url_history's output (one row per version run).
+    Returns (url, n_captures, n_versions, churn, staleness, score),
+    score/churn rounded (4dp float contract — products/quotients of
+    exact inputs are single IEEE ops, identical in any engine).
+
+    Scale shape: one groupBy(url) over the history table (map-side
+    combined, output = one row per url), one join with ranks on url —
+    co-partitioned equi-joins on the unique key, no windows, no
+    skew."""
+    per_url = history.groupBy("url").agg(
+        F.sum("n_captures").cast("long").alias("n_captures"),
+        F.count("*").cast("long").alias("n_versions"),
+        F.max("valid_from").alias("__last_from"),
+    )
+    churn = F.when(
+        F.col("n_captures") > 1,
+        (F.col("n_versions") - 1).cast("double")
+        / (F.col("n_captures") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    staleness = (F.lit(now_ts) - F.col("__last_from")).cast("long")
+    return (
+        per_url.join(ranks.select("url", rank_col), "url")
+        .select(
+            "url",
+            "n_captures",
+            "n_versions",
+            F.round(churn, 4).alias("churn"),
+            staleness.alias("staleness"),
+            F.round(
+                F.col(rank_col)
+                * (churn + F.lit(0.1))
+                * staleness.cast("double"),
+                4,
+            ).alias("score"),
+        )
+    )

@@ -595,3 +595,66 @@ def test_url_history_partition_invariance(spark):
     a = sorted(map(key, url_history(df.repartition(1)).collect()))
     b = sorted(map(key, url_history(df.repartition(17)).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------ sitemaps
+
+
+def test_parse_sitemaps(spark):
+    from slowspark.weburl import parse_sitemaps
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://x.com/a </loc>"
+        "<lastmod>2024-01-05</lastmod>"
+        "<changefreq>DAILY</changefreq><priority>0.9</priority></url>"
+        "<url><loc>https://x.com/b</loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # no loc -> dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("https://x.com/sitemap.xml", xml)], "sitemap_url string, xml string"
+    )
+    out = {r["url"]: r for r in parse_sitemaps(df).collect()}
+    assert set(out) == {"https://x.com/a", "https://x.com/b"}
+    a = out["https://x.com/a"]
+    assert (a["lastmod"], a["changefreq"], a["priority"]) == (
+        "2024-01-05", "daily", 0.9)
+    b = out["https://x.com/b"]
+    assert b["lastmod"] is None and b["changefreq"] is None
+    assert b["priority"] == 0.5  # protocol default
+
+
+def test_frontier_scores(spark):
+    from datetime import datetime
+
+    from slowspark.weburl import frontier_scores, url_history
+
+    t = lambda d: d  # integer capture clock
+    rows = [
+        # /hot: 3 captures, changes every time -> churn 1.0
+        ("u/hot", 1, "f1"), ("u/hot", 2, "f2"), ("u/hot", 3, "f3"),
+        # /cold: 3 captures, never changes -> churn 0.0
+        ("u/cold", 1, "g1"), ("u/cold", 2, "g1"), ("u/cold", 3, "g1"),
+        # /single: one capture -> churn 0 by definition
+        ("u/single", 3, "h1"),
+    ]
+    caps = spark.createDataFrame(
+        rows, "url string, warc_ts int, fingerprint string"
+    )
+    hist = url_history(caps)
+    ranks = spark.createDataFrame(
+        [("u/hot", 0.5), ("u/cold", 0.5), ("u/single", 0.5)],
+        "url string, rank double",
+    )
+    out = {r["url"]: r for r in
+           frontier_scores(hist, ranks, now_ts=10).collect()}
+    assert out["u/hot"]["churn"] == 1.0
+    assert out["u/cold"]["churn"] == 0.0
+    assert out["u/single"]["churn"] == 0.0
+    # hot changed at ts3 -> staleness 7; score = 0.5 * 1.1 * 7
+    assert out["u/hot"]["staleness"] == 7
+    assert out["u/hot"]["score"] == pytest.approx(0.5 * 1.1 * 7)
+    # cold last version STARTED at ts1 (never changed) -> staleness 9
+    assert out["u/cold"]["staleness"] == 9
+    assert out["u/hot"]["score"] > out["u/cold"]["score"]
