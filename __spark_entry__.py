@@ -6059,6 +6059,42 @@ _FRONTIER_RANKING_ORACLE = """
 """
 
 
+_SCAN_PATTERNS = (
+    "table", "scan", "fast ta", "a a", "value part", "qu", "row sc",
+    "windo", "t t",
+)
+
+
+def _multi_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho-Corasick multi-pattern scan (textops.multi_pattern_counts):
+    a 9-pattern lexicon with shared affixes, embedded spaces, and
+    self-overlap-prone entries over the lowered corpus — occurrence
+    counts at ALL match ends. The ORACLE brute-forces every
+    (position, pattern) pair relationally (O(len*n_patterns)); the
+    automaton is the O(len) scale path and must agree exactly."""
+    from slowspark.textops import multi_pattern_counts
+
+    d = _read(spark, sf_dir, "documents").repartition(32)
+    return multi_pattern_counts(d, list(_SCAN_PATTERNS))
+
+
+def _multi_pattern_scan_oracle() -> str:
+    vals = ", ".join(f"('{p}')" for p in _SCAN_PATTERNS)
+    return f"""
+        WITH pats(pattern) AS (VALUES {vals}),
+        d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        c AS (
+            SELECT d.doc_id, p.pattern,
+                   CAST(length(list_filter(
+                       range(1, length(d.t) - length(p.pattern) + 2),
+                       i -> d.t[i : i + length(p.pattern) - 1]
+                            = p.pattern)) AS BIGINT) AS n_matches
+            FROM d CROSS JOIN pats p
+        )
+        SELECT doc_id, pattern, n_matches FROM c WHERE n_matches >= 1
+    """
+
+
 # The driver verifies only the FIRST 50 queries() entries per round
 # (observed cap, r6 verdict). To guarantee every query gets a driver
 # correctness row at least every ~2 rounds, queries() emits a PRIORITY
@@ -6152,6 +6188,8 @@ _PRIORITY_QUERIES: "list[str]" = [
     # new this round (sitemap hints + recrawl frontier scoring):
     "sitemap_urls",
     "frontier_ranking",
+    # new this round (Aho-Corasick multi-pattern lexicon scan):
+    "multi_pattern_scan",
 ]
 
 
@@ -6281,6 +6319,7 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": _main_content,
         "sitemap_urls": _sitemap_urls,
         "frontier_ranking": _frontier_ranking,
+        "multi_pattern_scan": _multi_pattern_scan,
         "html_links": _html_links,
         "anchor_text_topk": _anchor_text_topk,
         "noindex_filter": _noindex_filter,
@@ -7246,6 +7285,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": _MAIN_CONTENT_ORACLE,
         "sitemap_urls": _SITEMAP_URLS_ORACLE,
         "frontier_ranking": _FRONTIER_RANKING_ORACLE,
+        "multi_pattern_scan": _multi_pattern_scan_oracle(),
         "host_hits": _hits_oracle(edges_sql=_HOST_EDGES_SQL, weighted=True),
         # same synthesis; survivors = docs whose meta is absent/benign
         "noindex_filter": r"""

@@ -2772,3 +2772,130 @@ def main_content_blocks(
         )
         .drop("__blocks", "__scored", "__kept")
     )
+
+
+def _aho_corasick_build(patterns: list) -> tuple:
+    """Build the Aho-Corasick automaton (goto/fail/output) as plain
+    tuples — picklable for a Spark broadcast. States are ints; goto is
+    a list of {char: state} dicts; output[s] = tuple of pattern indexes
+    whose match ENDS at state s (suffix links folded in, so one state
+    visit reports every pattern ending there)."""
+    from collections import deque
+
+    goto: list = [{}]
+    out: list = [()]
+    for ix, p in enumerate(patterns):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(())
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s] = out[s] + (ix,)
+    fail = [0] * len(goto)
+    q = deque()
+    for ch, s in goto[0].items():
+        q.append(s)
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, tuple(out)
+
+
+def multi_pattern_counts(
+    df: DataFrame,
+    patterns: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Multi-pattern substring scan via Aho-Corasick (Aho & Corasick
+    1975): per document, the number of occurrences of EVERY pattern in
+    one O(len) pass, counting all match ends (self-overlapping
+    occurrences count — 'aa' occurs twice in 'aaa'). Output one row per
+    (doc, pattern) with count >= 1: (id, pattern, n_matches).
+
+    This is the scan a 10^4-entry blocklist needs: a regex union of
+    10^4 alternatives blows the regex compiler and scans per
+    alternative (O(len * n_patterns)); badword_filter's whole-token
+    matching can't see multi-word or substring patterns at all. The
+    automaton makes the per-char cost independent of pattern count —
+    the standard content-moderation / PII-lexicon / licence-string
+    scan at corpus scale.
+
+    Scale shape: the automaton builds ONCE on the driver (O(sum of
+    pattern lengths)) and travels as a broadcast; the scan is an
+    Arrow-batched mapInPandas over documents — O(len) Python per doc,
+    the sanctioned UDF shape for logic no built-in expresses. Output
+    is corpus-sparse (only matched pairs emit). The DuckDB oracle
+    brute-forces every (position, pattern) pair — O(len * n_patterns)
+    — and must agree exactly: the automaton IS the optimization, the
+    semantics are position arithmetic."""
+    if not patterns:
+        raise ValueError("multi_pattern_counts: patterns must be non-empty")
+    if len(set(patterns)) != len(patterns):
+        raise ValueError("multi_pattern_counts: duplicate patterns")
+    if any(not p for p in patterns):
+        raise ValueError("multi_pattern_counts: empty pattern")
+    import pandas as pd
+
+    pats = [p.lower() for p in patterns] if lowercase else list(patterns)
+    if len(set(pats)) != len(pats):
+        raise ValueError(
+            "multi_pattern_counts: patterns collide after lowercasing"
+        )
+    automaton = _aho_corasick_build(pats)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((automaton, pats, lowercase))
+
+    def scan_fn(batches):
+        (goto, fail, out), ps, lower = bc.value
+        for pdf in batches:
+            ids, pat_ix, counts = [], [], []
+            for rid, text in zip(pdf["__id"], pdf["__t"]):
+                if text is None:
+                    continue
+                t = text.lower() if lower else text
+                hits: dict = {}
+                s = 0
+                for ch in t:
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    for ix in out[s]:
+                        hits[ix] = hits.get(ix, 0) + 1
+                for ix, n in hits.items():
+                    ids.append(rid)
+                    pat_ix.append(ix)
+                    counts.append(n)
+            yield pd.DataFrame(
+                {"__id": ids, "__ix": pat_ix, "n_matches": counts}
+            )
+
+    scanned = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).mapInPandas(
+        scan_fn,
+        T.StructType(
+            [
+                T.StructField("__id", df.schema[id_col].dataType),
+                T.StructField("__ix", T.IntegerType()),
+                T.StructField("n_matches", T.LongType()),
+            ]
+        ),
+    )
+    pat_df = df.sparkSession.createDataFrame(
+        [(i, p) for i, p in enumerate(pats)], "__ix int, pattern string"
+    )
+    return scanned.join(F.broadcast(pat_df), "__ix").select(
+        F.col("__id").alias(id_col), "pattern", "n_matches"
+    )

@@ -1530,3 +1530,67 @@ def test_main_content_link_density_boundary(spark):
     out = {r["doc_id"]: r for r in main_content_blocks(df).collect()}
     assert out[1]["n_kept"] == 0 and out[1]["boiler_frac"] == 1.0
     assert out[2]["n_kept"] == 1 and out[2]["main_text"] == words
+
+
+# -------------------------------------------------------- aho-corasick
+
+
+def test_multi_pattern_counts_classic(spark):
+    from slowspark.textops import multi_pattern_counts
+
+    # the textbook AC fixture: overlapping patterns sharing affixes
+    pats = ["he", "she", "his", "hers"]
+    df = spark.createDataFrame(
+        [(1, "ushers"), (2, "his history"), (3, "nothing")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["pattern"]): r["n_matches"]
+           for r in multi_pattern_counts(df, pats).collect()}
+    assert out == {
+        (1, "she"): 1, (1, "he"): 1, (1, "hers"): 1,
+        (2, "his"): 2,  # 'his' and inside 'history'
+    }
+
+
+def test_multi_pattern_counts_overlap_and_brute_force(spark):
+    import re
+
+    from slowspark.textops import multi_pattern_counts
+
+    # self-overlapping counts all match ends: 'aa' twice in 'aaa'
+    df1 = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    out = {r["pattern"]: r["n_matches"]
+           for r in multi_pattern_counts(df1, ["aa"]).collect()}
+    assert out == {"aa": 2}
+    # brute-force differential on pseudo-random text
+    rng_text = [
+        (i, "".join("abcd efg"[(i * 13 + j * 7) % 8] for j in range(80)))
+        for i in range(20)
+    ]
+    pats = ["ab", "cd e", "fga", "dd", "a"]
+    df = spark.createDataFrame(rng_text, "doc_id long, text string")
+    got = {(r["doc_id"], r["pattern"]): r["n_matches"]
+           for r in multi_pattern_counts(df, pats).collect()}
+    want = {}
+    for i, t in rng_text:
+        for p in pats:
+            n = len(re.findall(f"(?={re.escape(p)})", t))
+            if n:
+                want[(i, p)] = n
+    assert got == want
+
+
+def test_multi_pattern_counts_guards(spark):
+    from slowspark.textops import multi_pattern_counts
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        multi_pattern_counts(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        multi_pattern_counts(df, ["a", "a"])
+    with pytest.raises(ValueError, match="collide after lowercasing"):
+        multi_pattern_counts(df, ["AB", "ab"])
+    # lowercase matching on by default
+    out = multi_pattern_counts(df.selectExpr("doc_id", "'XyX' AS text"),
+                               ["xyx"]).collect()
+    assert out[0]["n_matches"] == 1
