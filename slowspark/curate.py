@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from slowspark.catalog import Catalog
 from slowspark.checkpoint import run_stage
+from slowspark.util import logger
 from slowspark.corpus import (
     hash_sample,
     pack_sequences,
@@ -114,6 +115,7 @@ def run_curation(
     quality_sample_k: int | None = None,
     domain_quality_threshold: float | None = None,
     domain_col: str = "source",
+    max_docs_per_domain: int | None = None,
 ) -> dict[str, DataFrame]:
     """Full curation chain. Returns the materialized stage DataFrames;
     `filter_audit` carries the per-rule drop counts (the no-silent-drops
@@ -511,7 +513,7 @@ def run_curation(
         f"|lc={int(latest_capture)}|dold={delta_sig}"
         f"|pwd={int(pack_whole_docs)}|qsk={quality_sample_k or 0}"
         f"|domq={domain_quality_threshold if domain_quality_threshold is not None else 'off'}"
-        f":{domain_col}"
+        f":{domain_col}|domcap={max_docs_per_domain or 0}"
     )
     out: dict[str, DataFrame] = {}
 
@@ -642,6 +644,47 @@ def run_curation(
 
         filtered = run_stage(spark, cat, "domain_filtered", sig, _domq)
         out["domain_filtered"] = filtered
+
+    if max_docs_per_domain is not None:
+        # C4-style per-host cap: a single spam domain must not dominate
+        # the corpus however many pages it serves. Deterministic
+        # md5-rank keeper (exact_k_sample) — same rows win in every
+        # run/engine; domains under the cap are untouched. Runs after
+        # the per-doc/domain quality gates, before dedup (the cap is an
+        # ingest-side volume guard, not a dedup policy).
+        if domain_col not in filtered.columns:
+            raise ValueError(
+                f"--max-docs-per-domain needs a '{domain_col}' column "
+                f"(have: {filtered.columns}); pass --domain-col"
+            )
+        from slowspark.corpus import exact_k_sample
+
+        def _domcap() -> DataFrame:
+            over = (
+                filtered.groupBy(domain_col)
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") > max_docs_per_domain)
+                .agg(
+                    F.count("*").alias("nd"),
+                    F.coalesce(
+                        F.sum(F.col("__n") - max_docs_per_domain), F.lit(0)
+                    ).alias("nr"),
+                )
+                .first()
+            )
+            if over["nd"]:
+                logger.warning(
+                    "max_docs_per_domain=%d capped %d domain(s), "
+                    "dropping %d row(s) (no-silent-drops rule)",
+                    max_docs_per_domain, over["nd"], over["nr"],
+                )
+            return exact_k_sample(
+                filtered, max_docs_per_domain,
+                stratum_col=domain_col, salt="domcap",
+            )
+
+        filtered = run_stage(spark, cat, "domain_capped", sig, _domcap)
+        out["domain_capped"] = filtered
 
     if line_dedup_min_df is not None:
         from slowspark.textops import line_boilerplate_dedup
@@ -1159,6 +1202,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--domain-col", default="source",
                    help="domain/site column for --domain-quality-threshold "
                         "(default: source)")
+    p.add_argument("--max-docs-per-domain", type=int, default=None,
+                   help="C4-style per-domain volume cap: keep at most N "
+                        "docs per --domain-col value (deterministic "
+                        "md5-rank keeper; capped domains are logged)")
     p.add_argument("--line-dedup-min-df", type=int, default=None,
                    help="RefinedWeb line-wise boilerplate removal before "
                    "exact dedup: lines recurring across >= N docs are cut")
@@ -1444,6 +1491,7 @@ def main(argv: list[str] | None = None) -> int:
             line_dedup_min_df=args.line_dedup_min_df,
             domain_quality_threshold=args.domain_quality_threshold,
             domain_col=args.domain_col,
+            max_docs_per_domain=args.max_docs_per_domain,
             ppl_keep_buckets=(
                 [int(b) for b in args.ppl_keep_buckets.split(",")]
                 if args.ppl_keep_buckets else None
@@ -1522,7 +1570,7 @@ def main(argv: list[str] | None = None) -> int:
             for name in ("latest_captured", "delta_ingested",
                          "url_deduped", "lang_filtered", "filtered",
                          "badword_filtered", "gopher_filtered",
-                         "domain_filtered",
+                         "domain_filtered", "domain_capped",
                          "line_deduped", "deduped_exact",
                          "deduped_near", "semantic_deduped",
                          "substring_deduped", "substring_char_deduped",

@@ -1753,3 +1753,45 @@ def test_curation_unigram_packing_stage(spark, tmp_path):
             spark, docs, str(tmp_path / "wh2"), "test:v2", min_words=10,
             seq_len=64, unigram_vocab=16, bpe_merges_n=4,
         )
+
+
+def test_curation_domain_cap_stage(spark, tmp_path):
+    """--max-docs-per-domain: C4-style per-host volume cap — the spam
+    domain shrinks to exactly N (deterministic md5-rank keeper), small
+    domains are untouched, and reruns keep the SAME rows."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was a fine "
+        "day for that kind of thing in the old town square " * 3
+    ).strip()
+    rows = (
+        [(i, good + f" uniq{chr(97 + i % 26)}{chr(97 + i // 26)}", "en",
+          "spamfarm") for i in range(12)]
+        + [(100 + i, good + f" other{chr(97 + i)}", "en", "smallsite")
+           for i in range(3)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    tables = run_curation(
+        spark, docs, str(tmp_path / "wh"), "test:domcap",
+        min_words=5, seq_len=32, max_docs_per_domain=4,
+    )
+    capped = tables["domain_capped"]
+    by_dom = {r["source"]: r["count"]
+              for r in capped.groupBy("source").count().collect()}
+    assert by_dom == {"spamfarm": 4, "smallsite": 3}
+    kept_ids = sorted(r["doc_id"] for r in capped.collect())
+    # deterministic: a rerun (fresh warehouse) keeps the same rows
+    tables2 = run_curation(
+        spark, docs, str(tmp_path / "wh2"), "test:domcap2",
+        min_words=5, seq_len=32, max_docs_per_domain=4,
+    )
+    assert sorted(r["doc_id"] for r in tables2["domain_capped"].collect()) \
+        == kept_ids
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="--domain-col"):
+        run_curation(
+            spark, docs.drop("source"), str(tmp_path / "wh3"),
+            "test:domcap3", min_words=5, seq_len=32, max_docs_per_domain=4,
+        )
