@@ -6095,6 +6095,92 @@ def _multi_pattern_scan_oracle() -> str:
     """
 
 
+def _fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (corpus.fim_split, Bavarian 2022):
+    hash-selected half of the corpus splits at two md5-derived cut
+    points; span reassembly (prefix+middle+suffix == text) and the
+    pass-through rows are inside the hash via span md5s/lengths."""
+    from slowspark.corpus import fim_split
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = fim_split(d, fim_rate=0.5)
+    return out.select(
+        "doc_id",
+        "is_fim",
+        F.length("fim_prefix").cast("long").alias("n_prefix"),
+        F.length("fim_middle").cast("long").alias("n_middle"),
+        F.length("fim_suffix").cast("long").alias("n_suffix"),
+        F.md5(F.coalesce("fim_prefix", F.lit(""))).alias("prefix_md5"),
+        F.md5(F.coalesce("fim_middle", F.lit(""))).alias("middle_md5"),
+        F.md5(F.coalesce("fim_suffix", F.lit(""))).alias("suffix_md5"),
+    )
+
+
+_FIM_TRANSFORM_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(doc_id AS VARCHAR) AS sid,
+               length(text) AS n
+        FROM documents
+    ), sel AS (
+        SELECT *,
+               (CAST(('0x' || substr(md5(sid), 1, 4)) AS BIGINT) < 32768
+                AND n >= 20) AS is_fim,
+               (CAST(('0x' || substr(md5(sid || 'c1'), 1, 8)) AS BIGINT)
+                    % (n - 1)) + 1 AS r1,
+               (CAST(('0x' || substr(md5(sid || 'c2'), 1, 8)) AS BIGINT)
+                    % (n - 1)) + 1 AS r2
+        FROM d
+    ), cut AS (
+        SELECT doc_id, text, n, is_fim,
+               least(r1, r2) AS c1, greatest(r1, r2) AS c2
+        FROM sel
+    )
+    SELECT doc_id, is_fim,
+           CASE WHEN is_fim THEN CAST(c1 AS BIGINT) END AS n_prefix,
+           CASE WHEN is_fim THEN CAST(c2 - c1 AS BIGINT) END AS n_middle,
+           CASE WHEN is_fim THEN CAST(n - c2 AS BIGINT) END AS n_suffix,
+           md5(CASE WHEN is_fim THEN text[1 : c1] ELSE '' END)
+               AS prefix_md5,
+           md5(CASE WHEN is_fim THEN text[c1 + 1 : c2] ELSE '' END)
+               AS middle_md5,
+           md5(CASE WHEN is_fim THEN text[c2 + 1 : n] ELSE '' END)
+               AS suffix_md5
+    FROM cut
+"""
+
+
+def _diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (similarity.diversity_sample):
+    at most 3 vectors per IVF cell by the md5-rank keeper, over the
+    stored cell assignments — the per-cell rank order is the hash."""
+    import os
+
+    from slowspark.similarity import diversity_sample
+
+    _ivf_index_parquet(spark, sf_dir)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    assigned = spark.read.parquet(
+        f"{_ORACLE_ENTRIES_BASE}/{base}/ivf_cells"
+    ).select("vec_id", "ivf_cell")
+    return diversity_sample(assigned, k_per_cell=3)
+
+
+def _diversity_sample_oracle(sf_dir_base: str = "sf0.01") -> str:
+    cells = f"{_ORACLE_ENTRIES_BASE}/{sf_dir_base}/ivf_cells"
+    return f"""
+        SELECT vec_id, ivf_cell
+        FROM (
+            SELECT vec_id, ivf_cell,
+                   row_number() OVER (
+                       PARTITION BY ivf_cell
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) AS rk
+            FROM read_parquet('{cells}/*.parquet')
+        ) WHERE rk <= 3
+    """
+
+
 # The driver verifies only the FIRST 50 queries() entries per round
 # (observed cap, r6 verdict). To guarantee every query gets a driver
 # correctness row at least every ~2 rounds, queries() emits a PRIORITY
@@ -6190,6 +6276,9 @@ _PRIORITY_QUERIES: "list[str]" = [
     "frontier_ranking",
     # new this round (Aho-Corasick multi-pattern lexicon scan):
     "multi_pattern_scan",
+    # new this round (FIM transform + cluster-balanced sampling):
+    "fim_transform",
+    "diversity_sample",
 ]
 
 
@@ -6320,6 +6409,8 @@ def _stable_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": _sitemap_urls,
         "frontier_ranking": _frontier_ranking,
         "multi_pattern_scan": _multi_pattern_scan,
+        "fim_transform": _fim_transform,
+        "diversity_sample": _diversity_sample,
         "html_links": _html_links,
         "anchor_text_topk": _anchor_text_topk,
         "noindex_filter": _noindex_filter,
@@ -7286,6 +7377,8 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_urls": _SITEMAP_URLS_ORACLE,
         "frontier_ranking": _FRONTIER_RANKING_ORACLE,
         "multi_pattern_scan": _multi_pattern_scan_oracle(),
+        "fim_transform": _FIM_TRANSFORM_ORACLE,
+        "diversity_sample": _diversity_sample_oracle(),
         "host_hits": _hits_oracle(edges_sql=_HOST_EDGES_SQL, weighted=True),
         # same synthesis; survivors = docs whose meta is absent/benign
         "noindex_filter": r"""

@@ -1983,3 +1983,66 @@ def soft_dedup_weights(
             ),
         )
     )
+
+
+def fim_split(
+    df: DataFrame,
+    fim_rate: float = 0.5,
+    min_chars: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022): a
+    deterministic fim_rate fraction of documents is split into
+    (prefix, middle, suffix) at two pseudo-random cut points; the rest
+    pass through unsplit. Returns the input plus
+    (is_fim, fim_prefix, fim_middle, fim_suffix) — splits carry the
+    three spans (prefix + middle + suffix == text, pinned), pass-through
+    rows carry NULLs. Downstream assembles PSM/SPM token order at
+    tokenization time (an ordering choice, not a data transform).
+
+    Selection and cut points are HASH-derived, not random: a doc is FIM
+    iff its md5(id||salt) bucket falls under fim_rate (hash_sample's
+    convention — same docs in every run and engine), and the two cuts
+    are md5-of-id digits mapped into [1, len-1] — so the oracle
+    recomputes the exact same spans. Documents shorter than min_chars
+    never split (degenerate middles teach nothing).
+
+    Scale shape: one narrow projection — no shuffle, no UDF; the two
+    cut points are integer arithmetic on two md5 prefixes."""
+    if not 0.0 <= fim_rate <= 1.0:
+        raise ValueError(f"fim_rate must be in [0, 1], got {fim_rate}")
+    if min_chars < 3:
+        raise ValueError(f"min_chars must be >= 3, got {min_chars}")
+    sid = F.col(id_col).cast("string")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(sid, F.lit(salt))), 1, 4), 16, 10
+    ).cast("long")
+    selected = (
+        (bucket < F.lit(int(fim_rate * 65536)))
+        & (F.length(text_col) >= min_chars)
+    )
+    n = F.length(text_col)
+    # two independent md5-prefix draws in [1, n-1]; sorted -> c1 <= c2.
+    # Spans: prefix [1, c1], middle (c1, c2], suffix (c2, n] — middle
+    # may be empty when the draws collide (kept: FIM trains on empty
+    # middles too, and dropping them would bias the cut distribution)
+    d1 = F.conv(F.substring(F.md5(F.concat(sid, F.lit("c1"))), 1, 8),
+                16, 10).cast("long")
+    d2 = F.conv(F.substring(F.md5(F.concat(sid, F.lit("c2"))), 1, 8),
+                16, 10).cast("long")
+    r1 = (d1 % (n - 1).cast("long")) + 1
+    r2 = (d2 % (n - 1).cast("long")) + 1
+    c1 = F.least(r1, r2)
+    c2 = F.greatest(r1, r2)
+    return df.select(
+        "*",
+        selected.alias("is_fim"),
+        F.when(selected, F.col(text_col).substr(F.lit(1), c1))
+        .alias("fim_prefix"),
+        F.when(selected, F.col(text_col).substr(c1 + 1, c2 - c1))
+        .alias("fim_middle"),
+        F.when(selected, F.col(text_col).substr(c2 + 1, n - c2))
+        .alias("fim_suffix"),
+    )

@@ -1826,3 +1826,31 @@ def embedding_outliers(
             (F.round(z, 4) >= F.lit(float(z_threshold))).alias("is_outlier"),
         )
     )
+
+
+def diversity_sample(
+    assigned: DataFrame,
+    k_per_cell: int,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling: keep at most k vectors per
+    IVF cell, chosen by the deterministic md5-rank keeper
+    (corpus.exact_k_sample over the cell strata). The embedding-space
+    complement of the per-domain volume cap: where SemDeDup removes
+    near-DUPLICATES within a cell, this caps a cell's total REPRESENTATION
+    — a corpus that is 40% one topic cluster stops being 40% one topic,
+    which is the cluster-balanced downsampling recipe for pretraining
+    diversity (and the standard eval-set builder: k examples per
+    semantic cluster).
+
+    Same scale shape as exact_k_sample: one shuffle on the cell key +
+    a per-cell rank; cells are the strata (n_centroids of them, large
+    groups), AQE handles hot cells."""
+    from slowspark.corpus import exact_k_sample
+
+    return exact_k_sample(
+        assigned, k_per_cell, id_col=id_col, stratum_col=cell_col,
+        salt=salt,
+    )

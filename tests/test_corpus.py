@@ -1230,3 +1230,48 @@ def test_soft_dedup_weights(spark):
     assert out2[0] == pytest.approx(1 / 16)
     with pytest.raises(ValueError, match="alpha"):
         soft_dedup_weights(df, alpha=0)
+
+
+# ----------------------------------------------------------------- fim
+
+
+def test_fim_split_reassembles_and_is_deterministic(spark):
+    from slowspark.corpus import fim_split
+
+    rows = [(i, f"doc number {chr(97 + i % 26)} with some content "
+                f"of reasonable length for splitting purposes")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fim_split(df, fim_rate=0.5).collect()
+    n_fim = sum(1 for r in out if r["is_fim"])
+    assert 0 < n_fim < 60  # rate selects a strict subset
+    for r in out:
+        if r["is_fim"]:
+            assert (r["fim_prefix"] + r["fim_middle"] + r["fim_suffix"]
+                    == r["text"])
+            assert len(r["fim_prefix"]) >= 1
+            assert len(r["fim_suffix"]) >= 1
+        else:
+            assert r["fim_prefix"] is None and r["fim_middle"] is None
+    # determinism incl. partitioning
+    out2 = fim_split(df.repartition(7), fim_rate=0.5).collect()
+    key = lambda r: (r["doc_id"], r["is_fim"], r["fim_prefix"],
+                     r["fim_middle"], r["fim_suffix"])
+    assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_fim_split_short_docs_and_rates(spark):
+    from slowspark.corpus import fim_split
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "x" * 50)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in fim_split(df, fim_rate=1.0).collect()}
+    assert not out[1]["is_fim"]       # under min_chars never splits
+    assert out[2]["is_fim"]
+    none = fim_split(df, fim_rate=0.0).collect()
+    assert all(not r["is_fim"] for r in none)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="fim_rate"):
+        fim_split(df, fim_rate=1.5)

@@ -975,3 +975,19 @@ def test_embedding_outliers_degenerate_cell_and_invariance(spark):
     a = sorted(map(key, embedding_outliers(big.repartition(1), cents2).collect()))
     b = sorted(map(key, embedding_outliers(big.repartition(13), cents2).collect()))
     assert a == b
+
+
+def test_diversity_sample_caps_cells(spark):
+    from slowspark.similarity import diversity_sample
+
+    rows = [(i, i % 3) for i in range(40)]  # cells 0/1/2, ~13 each
+    df = spark.createDataFrame(rows, "vec_id long, ivf_cell int")
+    out = diversity_sample(df, k_per_cell=4)
+    sizes = {r["ivf_cell"]: r["count"]
+             for r in out.groupBy("ivf_cell").count().collect()}
+    assert sizes == {0: 4, 1: 4, 2: 4}
+    # deterministic keeper: same rows on rerun
+    a = sorted(r["vec_id"] for r in out.collect())
+    b = sorted(r["vec_id"] for r in
+               diversity_sample(df.repartition(9), k_per_cell=4).collect())
+    assert a == b
