@@ -468,3 +468,94 @@ def test_extract_links_matches_python_re(spark, anchors):
         else:
             want.append((h, None))
     assert sorted(got, key=str) == sorted(want, key=str)
+
+
+# --------------------------------------------------- unigram viterbi
+
+
+def _enumerate_best(word, logp, max_piece_len):
+    """Brute-force optimal segmentation score by enumerating EVERY
+    segmentation (exponential — fine at len <= 8)."""
+    from slowspark.unigramlm import UNK_LOGP
+
+    best = [None] * (len(word) + 1)
+    best[0] = 0.0
+    for pos in range(1, len(word) + 1):
+        for j in range(max(0, pos - max_piece_len), pos):
+            if best[j] is None:
+                continue
+            p = word[j:pos]
+            lp = logp.get(p)
+            if lp is None:
+                if pos - j != 1:
+                    continue
+                lp = UNK_LOGP
+            s = best[j] + lp
+            if best[pos] is None or s > best[pos]:
+                best[pos] = s
+    return best[len(word)]
+
+
+@given(
+    st.text(alphabet=list("abc"), min_size=1, max_size=8),
+    st.dictionaries(
+        st.text(alphabet=list("abc"), min_size=1, max_size=3),
+        st.floats(min_value=-10.0, max_value=-0.1),
+        max_size=12,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_viterbi_pieces_is_optimal_and_reassembles(word, model):
+    from slowspark.unigramlm import UNK_LOGP, viterbi_pieces
+
+    L = 3
+    pieces = viterbi_pieces(word, model, L)
+    # segmentation is a partition of the word
+    assert "".join(pieces) == word
+    assert all(1 <= len(p) <= L for p in pieces)
+    # its score equals the brute-force optimum
+    score = sum(model.get(p, UNK_LOGP) for p in pieces)
+    assert score == _enumerate_best(word, model, L)
+    # every out-of-vocab piece is a single char (the UNK contract)
+    for p in pieces:
+        assert p in model or len(p) == 1
+
+
+# ---------------------------------------------------- aho-corasick
+
+
+def _ac_scan_counts(text, patterns):
+    """Pure-python replica of the UDF scan loop over the built
+    automaton (tests the automaton itself, not Spark plumbing)."""
+    from slowspark.textops import _aho_corasick_build
+
+    goto, fail, out = _aho_corasick_build(patterns)
+    hits = {}
+    s = 0
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        for ix in out[s]:
+            hits[ix] = hits.get(ix, 0) + 1
+    return {patterns[ix]: n for ix, n in hits.items()}
+
+
+@given(
+    st.text(alphabet=list("ab c"), max_size=120),
+    st.lists(
+        st.text(alphabet=list("ab c"), min_size=1, max_size=4),
+        min_size=1, max_size=6, unique=True,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_aho_corasick_counts_match_regex(text, patterns):
+    import re
+
+    got = _ac_scan_counts(text, patterns)
+    want = {}
+    for p in patterns:
+        n = len(re.findall(f"(?={re.escape(p)})", text))
+        if n:
+            want[p] = n
+    assert got == want
