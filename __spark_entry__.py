@@ -6186,99 +6186,32 @@ def _diversity_sample_oracle(sf_dir_base: str = "sf0.01") -> str:
 # correctness row at least every ~2 rounds, queries() emits a PRIORITY
 # block first (never-driver-checked + changed-this-round entries), then
 # the stable registry rotated by a per-round offset. Bump _ROUND each
-# round; the offset advances 25 slots/round, so a 69-entry stable tail
-# fully cycles through the ~45-slot window in 3 rounds.
-_ROUND = 8
+# round; the offset advances 25 slots/round. The r8 lesson (VERDICT
+# "What's wrong" #1): a priority block that fills the 50-slot window
+# starves BOTH the rotation and the tail of the block itself —
+# tests/test_plans.py now asserts len(_PRIORITY_QUERIES) + 20 <= 50 so
+# at least 20 rotation slots always survive.
+_ROUND = 9
 
 _PRIORITY_QUERIES: "list[str]" = [
-    # new this round (r7 verdict #2: comment/context/masking census):
-    "comment_context_census",
-    # code changed this round (distributed Lloyd combine in the ANN
-    # trainers — re-check every query that trains through them):
-    "ivf_ann_topk",
-    "pq_ann_topk",
-    "ivfpq_ann_topk",
-    "ivfpq_batch_ann_topk",
-    "semdedup_pairs",
-    # ADVICE r7 fixes (case-insensitive href regex + uppercase-anchor
-    # fixture; crawl_delta presence markers):
-    "html_links",
-    "crawl_delta",
-    # new this round (r7 verdict #6: incremental-recrawl warm start):
-    "warm_pagerank",
-    # new this round (r7 verdict #3: suffix-array-grade char dedup):
-    "substring_dedup_chars",
-    # new this round (r7 verdict #4: interpolated Kneser-Ney bigram LM):
-    "kn_logprob",
-    # new this round (r7 verdict #5: byte-level BPE, GPT-2 pretokenizer):
-    "bpe_byte_merges",
-    "bpe_byte_segment_counts",
-    # new this round (r7 verdict #7: multilingual langid classifier):
-    "langid_scores",
-    # new this round (r7 verdict #8: CC-index selective WARC fetch):
-    "warc_selective_fetch",
-    # new this round (anchor-text extraction + consensus aggregation):
-    "anchor_text_topk",
-    # new this round (SQ8 scalar-quantized ANN):
-    "sq_ann_topk",
-    # new this round (quality-aware dedup keeper):
-    "quality_keeper_dedup",
-    # new this round (deterministic HyperLogLog distinct sketch):
-    "hll_distinct",
-    # new this round (BM25 inverted-index retrieval):
+    # r8 slot-overflow casualty (VERDICT r8 #1): the one registry query
+    # with no driver row ever — FIRST this round, unconditionally
+    "diversity_sample",
+    # optimization round: every query whose implementation changed gets
+    # a priority re-check (results are contract-identical; the driver
+    # row proves it)
     "bm25_topk",
-    # new this round (RFC 9309 robots.txt parse + longest-match filter):
-    "robots_filter",
-    # new this round (Zipf OLS + Heaps vocabulary-growth diagnostics):
-    "zipf_fit",
-    "heaps_growth",
-    # new this round (per-lang BPE tokenizer fertility):
-    "bpe_fertility",
-    # new this round (strided RAG chunking + PMI collocations):
-    "chunk_passages",
-    "pmi_pairs",
-    # new this round (margin-based kNN pair mining, LASER/CCMatrix):
-    "margin_mined_pairs",
-    # new this round (domain gating, IVF balance, crawl scheduling):
-    "domain_quality",
-    "ivf_balance",
-    "crawl_schedule",
-    # new this round (exact positional latency quantiles):
-    "latency_quantiles",
-    # new this round (asymmetric containment doc-in-doc detection):
-    "containment_pairs",
-    # new this round (dup-fraction + entropy doc diagnostics):
-    "dup_fraction",
-    "token_entropy",
-    # new this round (incremental HLL index, replay inside the hash):
-    "hll_incremental_distinct",
-    # new this round (LPA communities, seed BFS, spam mass):
+    "multi_pattern_scan",
+    "hits_scores",
+    "host_hits",
+    "pagerank",
+    "warm_pagerank",
+    "personalized_pagerank",
+    "host_pagerank",
+    "spam_mass",
     "lpa_communities",
     "seed_bfs",
-    "spam_mass",
-    # new this round (SCD2 url content history):
-    "url_history",
-    # new this round (RAKE per-doc keywords):
-    "rake_topk",
-    # new this round (windowed HLL distinct, batch twin of the stream):
-    "hll_windowed_distinct",
-    # new this round (MOSS winnowing overlap + SoftDeDup reweighting):
-    "winnow_overlaps",
-    "soft_dedup",
-    # new this round (Unigram-LM tokenizer, Viterbi hard-EM):
-    "unigram_tokens",
-    # new this round (embedding-space outlier z-scores):
     "embedding_outliers",
-    # new this round (boilerpipe-style main-content extraction):
-    "main_content",
-    # new this round (sitemap hints + recrawl frontier scoring):
-    "sitemap_urls",
-    "frontier_ranking",
-    # new this round (Aho-Corasick multi-pattern lexicon scan):
-    "multi_pattern_scan",
-    # new this round (FIM transform + cluster-balanced sampling):
-    "fim_transform",
-    "diversity_sample",
 ]
 
 

@@ -138,31 +138,43 @@ def hits(
         )
     else:
         base_e = edges.select(src.alias("__s"), dst.alias("__d"))
+    # the upstream edge subtree (often an expensive extraction/collapse,
+    # e.g. host_graph over a page-edge self-join) is computed ONCE into
+    # this cache; the two per-direction repartitioned copies and the
+    # vertex table all derive from it instead of each re-running the
+    # upstream (r9: that recompute was 2-3x the whole query cost for
+    # host_hits). Dropped after round 0, when every derived cache holds
+    # blocks.
+    base_e0 = base_e.persist()
     # one partitioned cached copy per join direction: the per-iteration
     # joins then reuse the cache's hash partitioning instead of
     # re-shuffling the edge table every round (plan-pinned)
-    e = base_e.repartition("__s").persist()
-    e_by_d = base_e.repartition("__d").persist()
+    e = base_e0.repartition("__s").persist()
+    e_by_d = base_e0.repartition("__d").persist()
     vertices = (
-        e.select(F.col("__s").alias("node"))
-        .union(e.select(F.col("__d").alias("node")))
+        base_e0.select(F.col("__s").alias("node"))
+        .union(base_e0.select(F.col("__d").alias("node")))
         .distinct()
         .persist()
     )
     vertices.count()
-    e_by_d.count()
+    # round-0 scores are a constant projection over the cached vertex
+    # table — nothing to persist (rounds >= 1 return checkpointed data)
     scores = vertices.select(
         "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
     )
-    scores.persist().count()
 
     def _norm(df: DataFrame, col: str) -> float:
+        # doubles as the cache-materializing action for a freshly
+        # persisted score table: one job both fills the cache and
+        # returns the scalar (r9: persist().count() + a separate
+        # collect was two jobs per half-step)
         v = df.agg(
             F.sqrt(F.sum(F.col(col) * F.col(col))).alias("n")
         ).collect()[0]["n"]
         return float(v) if v else 1.0
 
-    for _ in range(n_iter):
+    for it in range(n_iter):
         prev = scores
         # authorities from current hubs
         a_expr = (
@@ -183,7 +195,7 @@ def hits(
                 F.coalesce(F.col("__a"), F.lit(0.0)).alias("authority"),
             )
         )
-        mid.persist().count()
+        mid.persist()
         an = _norm(mid, "authority")
         mid_n = mid.select(
             "node", "hub",
@@ -212,15 +224,21 @@ def hits(
                 "authority",
             )
         )
-        nxt.persist().count()
+        nxt.persist()
         hn = _norm(nxt, "hub")
         scores = nxt.select(
             "node", (F.col("hub") / F.lit(hn)).alias("hub"), "authority"
         ).localCheckpoint(eager=True)
         # checkpoint cut the lineage: the round's caches can go
-        prev.unpersist()
+        if it > 0:
+            prev.unpersist()
         mid.unpersist()
         nxt.unpersist()
+        if it == 0:
+            # every derived cache (e during the mid action, e_by_d
+            # during the nxt action, vertices at setup) now holds
+            # blocks — the upstream cache has served its purpose
+            base_e0.unpersist()
 
     e.unpersist()
     e_by_d.unpersist()
@@ -325,14 +343,11 @@ def pagerank(
 
     src = F.col(src_col)
     dst = F.col(dst_col)
-    vertices = (
-        edges.select(src.alias("node"))
-        .union(edges.select(dst.alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = vertices.count()  # bounded: one scalar
-
+    # ONE pass over the (possibly expensive) upstream edge subtree:
+    # vertices, out-degrees, the annotated edge table and the dangling
+    # set all derive from this cache (r9: each previously recomputed
+    # the upstream — 4-5x the edge-build cost for the host_* queries).
+    # Dropped after round 0, when every derived cache holds blocks.
     if weight_col is not None:
         w = F.when(
             F.col(weight_col) <= 0,
@@ -341,25 +356,28 @@ def pagerank(
                 f"must carry positive endorsement"
             )),
         ).otherwise(F.col(weight_col))
-        out_deg = edges.groupBy(src_col).agg(F.sum(w).alias("__od"))
-        edges_w = (
-            edges.select(src_col, dst_col, w.alias("__w"))
-            .join(out_deg, src_col)
-            .persist()
-        )
+        e0 = edges.select(src_col, dst_col, w.alias("__w")).persist()
     else:
-        out_deg = edges.groupBy(src_col).agg(F.count("*").alias("__od"))
-        # static across iterations: every edge annotated with its
-        # source's out-degree (or out-weight); the per-iteration join
-        # touches only this + ranks
-        edges_w = (
-            edges.select(src_col, dst_col)
-            .join(out_deg, src_col)
-            .persist()
-        )
+        e0 = edges.select(src_col, dst_col).persist()
+    vertices = (
+        e0.select(src.alias("node"))
+        .union(e0.select(dst.alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = vertices.count()  # bounded: one scalar (also fills e0's cache)
+
+    if weight_col is not None:
+        out_deg = e0.groupBy(src_col).agg(F.sum("__w").alias("__od"))
+    else:
+        out_deg = e0.groupBy(src_col).agg(F.count("*").alias("__od"))
+    # static across iterations: every edge annotated with its
+    # source's out-degree (or out-weight); the per-iteration join
+    # touches only this + ranks
+    edges_w = e0.join(out_deg, src_col).persist()
     # dangling node set is static too (no out-edges at all)
     dangling = vertices.join(
-        edges.select(src.alias("node")).distinct(), "node", "left_anti"
+        e0.select(src.alias("node")).distinct(), "node", "left_anti"
     ).persist()
 
     d = F.lit(damping)
@@ -419,18 +437,25 @@ def pagerank(
         ranks = r0.select(
             "node", (F.col("rank") / F.lit(float(tot))).alias("rank")
         )
-        ranks.persist().count()
-        r0.unpersist()
+        ranks.persist()
     else:
         ranks = vertices.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
-        ranks.persist().count()
+        ranks.persist()
 
-    for i in range(n_iter):
-        dm = (
-            ranks.join(dangling, "node", "left_semi")
+    def _dangling_mass(r: DataFrame) -> float:
+        # the one scalar per round; doubles as the cache-materializing
+        # action for a freshly persisted rank table (r9: a separate
+        # persist().count() + this collect was two jobs per round)
+        return (
+            r.join(dangling, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
             .collect()[0]["dm"]
         )
+
+    dm = _dangling_mass(ranks)
+    if init_ranks is not None:
+        r0.unpersist()
+    for i in range(n_iter):
         contrib_expr = (
             F.col("rank") * F.col("__w") / F.col("__od")
             if weight_col is not None
@@ -477,10 +502,22 @@ def pagerank(
             )
         if (i + 1) % checkpoint_every == 0:
             new_ranks = new_ranks.localCheckpoint(eager=True)
+            if i + 1 < n_iter:
+                dm = _dangling_mass(new_ranks)
         else:
-            new_ranks.persist().count()
+            # persist + next round's dangling-mass collect in ONE job
+            # (the agg materializes the fresh cache); the final round
+            # still needs the action so the returned table is backed by
+            # blocks before its parents are unpersisted
+            new_ranks.persist()
+            dm = _dangling_mass(new_ranks)
         ranks.unpersist()
         ranks = new_ranks
+        if i == 0:
+            # edges_w (during contrib), dangling (during the dm agg)
+            # and vertices (at setup) all hold blocks now — drop the
+            # upstream edge cache
+            e0.unpersist()
 
     vertices.unpersist()
     if vertices_t is not None:
@@ -527,18 +564,23 @@ def label_propagation(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     src = F.col(src_col)
     dst = F.col(dst_col)
+    # one pass over the upstream edge subtree (see pagerank): the
+    # undirected neighbor list and the vertex table both derive from
+    # this cache instead of each recomputing the upstream
+    e0 = edges.select(src.alias("node"), dst.alias("nbr")).persist()
     und = (
-        edges.select(src.alias("node"), dst.alias("nbr"))
-        .union(edges.select(dst.alias("node"), src.alias("nbr")))
+        e0.union(e0.select(F.col("nbr").alias("node"),
+                           F.col("node").alias("nbr")))
         .filter(F.col("node") != F.col("nbr"))
         .distinct()
         .persist()
     )
+    # vertices only seeds the label table (which is itself persisted) —
+    # no cache of its own needed
     vertices = (
-        edges.select(src.alias("node"))
-        .union(edges.select(dst.alias("node")))
+        e0.select("node")
+        .union(e0.select(F.col("nbr").alias("node")))
         .distinct()
-        .persist()
     )
     labels = vertices.withColumn("label", F.col("node"))
     labels.persist().count()
@@ -572,8 +614,11 @@ def label_propagation(
             new_labels.persist().count()
         labels.unpersist()
         labels = new_labels
+        if i == 0:
+            # und materialized during this round's join — the upstream
+            # edge cache has served its purpose
+            e0.unpersist()
     und.unpersist()
-    vertices.unpersist()
     return labels
 
 
@@ -599,11 +644,14 @@ def seed_distance(
 
     Scale shape: classic frontier BFS as DataFrame ops — per hop, join
     the CURRENT frontier (not the whole visited set) to the edge list,
-    anti-join out already-visited nodes, union into visited. Each hop
-    is one shuffle pair over frontier-sized inputs; the edge table is
-    persisted once. max_hops bounds the rounds (web BFS saturates in
-    ~6; crawl features use 2-4). Frontier and visited are persisted
-    per round and the previous round unpersisted."""
+    anti-join out already-visited nodes. Each hop is one shuffle pair
+    over frontier-sized inputs and ONE driver action (the emptiness
+    count, which doubles as the frontier's cache materialization — r9:
+    isEmpty + a per-hop checkpoint of the whole visited set was three).
+    The visited set is a lazy union over the per-hop frontier caches,
+    checkpointed once at the end (and every 8 hops, bounding lineage
+    growth for deep traversals). max_hops bounds the rounds (web BFS
+    saturates in ~6; crawl features use 2-4)."""
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
     e = edges.select(
@@ -622,9 +670,13 @@ def seed_distance(
         .join(vertices, "node", "left_semi")
         .withColumn("hops", F.lit(0))
     )
+    # bootstrap materialization: ONE cheap checkpoint fills the edge
+    # cache and cuts the hop-0 frontier's lineage before the hop loop
+    # references them several times apiece (without it, hop 1 becomes
+    # one deep job that recomputes the un-materialized edge subtree per
+    # reference)
+    frontier = frontier.localCheckpoint(eager=True)
     visited = frontier
-    visited.persist().count()
-    frontier.persist()
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["__s"])
@@ -633,16 +685,20 @@ def seed_distance(
             .join(visited, "node", "left_anti")
             .withColumn("hops", F.lit(h))
         )
-        nxt.persist()
-        if nxt.isEmpty():
-            nxt.unpersist()
+        # checkpoint the NEW FRONTIER ONLY (one action computing this
+        # hop's shuffle pair): its lineage — which references both the
+        # previous frontier and the whole visited union, i.e. doubles
+        # per hop if left uncut — is truncated here, so `visited` stays
+        # a lazy union of FLAT checkpointed frontiers and the per-hop
+        # plan size stays linear in h. (r8 checkpointed the whole
+        # visited union every hop instead: correct, but it recopied all
+        # previously-visited rows per hop and still needed a separate
+        # emptiness action on the un-materialized frontier.)
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():  # flat scan of the checkpoint: ~free
             break
-        new_visited = visited.union(nxt).localCheckpoint(eager=True)
-        visited.unpersist()
-        frontier.unpersist()
-        visited = new_visited
+        visited = visited.union(nxt)
         frontier = nxt
-    frontier.unpersist()
     e.unpersist()
     return visited.select("node", "hops")
 
@@ -683,9 +739,13 @@ def spam_mass(
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     src = F.col(src_col)
     dst = F.col(dst_col)
+    # ONE pass over the upstream edge subtree (see pagerank): vertices,
+    # out-degrees, the annotated edge table and the dangling set all
+    # derive from this cache; dropped after round 0
+    e0 = edges.select(src_col, dst_col).persist()
     vertices = (
-        edges.select(src.alias("node"))
-        .union(edges.select(dst.alias("node")))
+        e0.select(src.alias("node"))
+        .union(e0.select(dst.alias("node")))
         .distinct()
         .persist()
     )
@@ -707,10 +767,10 @@ def spam_mass(
     ).persist()
     vertices_t.count()
     tele_v.unpersist()
-    out_deg = edges.groupBy(src_col).agg(F.count("*").alias("__od"))
-    edges_w = edges.select(src_col, dst_col).join(out_deg, src_col).persist()
+    out_deg = e0.groupBy(src_col).agg(F.count("*").alias("__od"))
+    edges_w = e0.join(out_deg, src_col).persist()
     dangling = vertices.join(
-        edges.select(src.alias("node")).distinct(), "node", "left_anti"
+        e0.select(src.alias("node")).distinct(), "node", "left_anti"
     ).persist()
     d = F.lit(damping)
     base = (F.lit(1.0) - d) / F.lit(float(n))
@@ -720,16 +780,22 @@ def spam_mass(
         (F.lit(1.0) / F.lit(float(n))).alias("pr"),
         (F.lit(1.0) / F.lit(float(n))).alias("ppr"),
     )
-    ranks.persist().count()
-    for i in range(n_iter):
-        dm = (
-            ranks.join(dangling, "node", "left_semi")
+    ranks.persist()
+
+    def _dangling_mass(r: DataFrame):
+        # the two scalars per round in one collect; doubles as the
+        # cache-materializing action for a freshly persisted rank table
+        return (
+            r.join(dangling, "node", "left_semi")
             .agg(
                 F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm_pr"),
                 F.coalesce(F.sum("ppr"), F.lit(0.0)).alias("dm_ppr"),
             )
             .collect()[0]
         )
+
+    dm = _dangling_mass(ranks)
+    for i in range(n_iter):
         contrib = (
             edges_w.join(ranks, edges_w[src_col] == ranks["node"])
             .groupBy(dst_col)
@@ -769,10 +835,16 @@ def spam_mass(
         )
         if (i + 1) % 8 == 0:
             new_ranks = new_ranks.localCheckpoint(eager=True)
+            if i + 1 < n_iter:
+                dm = _dangling_mass(new_ranks)
         else:
-            new_ranks.persist().count()
+            # persist + next round's dangling-mass collect in ONE job
+            new_ranks.persist()
+            dm = _dangling_mass(new_ranks)
         ranks.unpersist()
         ranks = new_ranks
+        if i == 0:
+            e0.unpersist()
     vertices.unpersist()
     vertices_t.unpersist()
     edges_w.unpersist()

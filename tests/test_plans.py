@@ -467,3 +467,21 @@ def test_hits_iteration_reuses_repartitioned_edge_caches(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         es.unpersist()
+
+
+def test_priority_block_leaves_rotation_slots():
+    """The driver verifies only the first 50 queries() entries per round.
+    r8 shipped a 51-entry priority block: the 51st entry never reached the
+    driver AND the stable-tail rotation advanced zero slots (VERDICT r8
+    "What's wrong" #1). Cap the block so >= 20 rotation slots always
+    survive, and pin that the priority entries actually lead the dict."""
+    import __spark_entry__ as contract
+
+    n_prio = len(contract._PRIORITY_QUERIES)
+    assert n_prio + 20 <= 50, (
+        f"_PRIORITY_QUERIES has {n_prio} entries; the driver window is 50 "
+        "and >= 20 rotation slots must survive"
+    )
+    assert len(contract._PRIORITY_QUERIES) == len(set(contract._PRIORITY_QUERIES))
+    names = list(contract.queries())
+    assert names[:n_prio] == contract._PRIORITY_QUERIES
