@@ -114,3 +114,73 @@ def test_bm25_probe_is_broadcast_no_postings_shuffle(spark, corpus):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_build_index_matches_adhoc_and_probe_has_no_postings_aggregate(
+    spark, corpus
+):
+    """build_index side tables make the probe aggregate-free over
+    postings (r8 VERDICT #2): same results as the ad-hoc path, and the
+    probe's plan contains NO aggregate whose child scans the postings
+    table — the only aggregate left is the (query, doc) score groupBy
+    above the join."""
+    from slowspark.retrieval import build_index
+
+    q = spark.createDataFrame(
+        [("q1", "spark query"), ("q2", "big data shuffles")],
+        "query_id string, query_text string",
+    )
+    adhoc = bm25_topk(build_postings(corpus), q, topk=10)
+    postings, term_stats, corpus_stats = build_index(corpus)
+    indexed = bm25_topk(
+        postings, q, topk=10, term_stats=term_stats,
+        corpus_stats=corpus_stats,
+    )
+    assert sorted(map(tuple, adhoc.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+    # plan pin: the postings side reaches the probe join as a FLAT scan
+    # of the materialized table — the only Generate(explode) left is the
+    # tiny query-text tokenizer, there is no doclens distinct-exchange
+    # (Exchange hashpartitioning(doc_id, dl)), and no per-probe
+    # re-tokenize of the corpus. The ad-hoc path shows three explodes
+    # (postings + dfreq + corpus each re-tokenize).
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") == 1, final
+    assert "hashpartitioning(doc_id, dl" not in final, final
+    adhoc_final = (
+        bm25_topk(build_postings(corpus), q, topk=10)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # ad-hoc: query tokenize + THREE corpus re-tokenizes (postings,
+    # dfreq, doclens/corpus)
+    assert adhoc_final.count("Generate explode") == 4
+
+
+def test_write_postings_store_probe_prunes_partitions(spark, corpus, tmp_path):
+    """The persisted store is term-bucket partitioned; a probe reads
+    only the buckets its query terms hash into (partition pruning in
+    the scan) and returns the same rows as the in-memory path."""
+    from slowspark.retrieval import (
+        bm25_topk_from_store, build_index, write_postings,
+    )
+
+    q = spark.createDataFrame(
+        [("q1", "spark query")], "query_id string, query_text string"
+    )
+    postings, term_stats, corpus_stats = build_index(corpus)
+    path = str(tmp_path / "bm25_store")
+    write_postings(postings, term_stats, corpus_stats, path, n_buckets=16)
+    got = bm25_topk_from_store(spark, path, q, n_buckets=16, topk=10)
+    want = bm25_topk(
+        postings, q, topk=10, term_stats=term_stats,
+        corpus_stats=corpus_stats,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the scan's partition filter must name term_bucket (pruned probe)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan.split("PartitionFilters")[1].split("]")[0]
