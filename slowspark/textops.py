@@ -2811,6 +2811,136 @@ def _aho_corasick_build(patterns: list) -> tuple:
     return goto, fail, tuple(out)
 
 
+def _aho_corasick_dense(patterns: list) -> tuple:
+    """Flatten the goto/fail/output automaton into dense numpy arrays
+    (r8 VERDICT #4): the classic AC-to-DFA construction — fail links
+    folded into a full (state, char-class) transition table in BFS
+    order, so stepping is one table gather per char with NO per-char
+    fail-chain walk. Returns
+      (alpha_cps, delta, out_n, out_off, out_flat):
+    - alpha_cps: sorted uint32 codepoints appearing in any pattern;
+      class(c) = index in alpha_cps, or A (out-of-alphabet) otherwise
+    - delta: (S, A+1) int32 DFA; column A (any non-pattern char) is 0
+      (root) for every state — exactly the fail-to-root semantics
+    - out_n/out_off/out_flat: ragged per-state pattern-index output
+      lists (suffix links already folded by _aho_corasick_build)
+    Size: S x (A+1) x 4 bytes — a 10^3-pattern lexicon is a few MB,
+    broadcast once."""
+    import numpy as np
+
+    goto, fail, out = _aho_corasick_build(patterns)
+    alphabet = sorted({ch for g in goto for ch in g})
+    cls = {c: i for i, c in enumerate(alphabet)}
+    alpha_cps = np.array([ord(c) for c in alphabet], dtype=np.uint32)
+    n_states, n_cls = len(goto), len(alphabet)
+    delta = np.zeros((n_states, n_cls + 1), dtype=np.int32)
+    for c, s in goto[0].items():
+        delta[0, cls[c]] = s
+    from collections import deque
+
+    q = deque(goto[0].values())
+    while q:
+        r = q.popleft()
+        # BFS order: fail[r] is shallower, so its row is final — start
+        # from it (this IS the folded fail-chain) and overwrite the
+        # explicit goto edges
+        delta[r, :] = delta[fail[r], :]
+        for c, s in goto[r].items():
+            delta[r, cls[c]] = s
+            q.append(s)
+    out_n = np.array([len(o) for o in out], dtype=np.int64)
+    out_off = np.concatenate(([0], np.cumsum(out_n)))
+    out_flat = np.array(
+        [ix for o in out for ix in o], dtype=np.int64
+    )
+    return alpha_cps, delta, out_n, out_off, out_flat
+
+
+# padded-matrix budget for the batch-vectorized AC scan: bounds the
+# (chunk docs x max len) int32 work matrices to ~32 MB apiece
+_AC_CHUNK_ELEMS = 8 * 1024 * 1024
+
+
+def _ac_scan_chunk(cls_all, starts, lens, delta_flat, width, has_out,
+                   out_n, out_off, out_flat, n_pat):
+    """Run the dense DFA over a chunk of docs SIMULTANEOUSLY: one
+    numpy gather per char position advances every doc's state at once
+    (the per-char Python cost is amortized across the chunk — the
+    vectorization axis is documents, since a DFA run is inherently
+    sequential along one string). `cls_all` is the whole batch's
+    char-class array; `starts`/`lens` select this chunk's docs. The
+    padded (L, B) work matrix is filled with ONE vectorized scatter,
+    the step is three preallocated C calls (multiply, add, take) per
+    position, and match-end states are expanded into per-(doc,
+    pattern) counts with a bincount (dense hits) or sort-unique
+    (sparse hits). Returns (doc_pos, pat_ix, counts)."""
+    import numpy as np
+
+    n_docs = starts.size
+    max_len = int(lens.max()) if n_docs else 0
+    a_cls = width - 1
+    # (L, B) layout: row j (one char position across every doc) is
+    # contiguous; padding is the out-of-alphabet class, which drives
+    # any state to root and emits nothing — shorter docs idle at 0
+    mat = np.full((max_len, n_docs), a_cls, dtype=np.int32)
+    for i in range(n_docs):
+        mat[: lens[i], i] = cls_all[starts[i]: starts[i] + lens[i]]
+    states = np.zeros(n_docs, dtype=np.int32)
+    smat = np.empty((max_len, n_docs), dtype=np.int32)
+    idx = np.empty(n_docs, dtype=np.int32)
+    for j in range(max_len):
+        np.multiply(states, width, out=idx)
+        np.add(idx, mat[j], out=idx)
+        states = smat[j]
+        np.take(delta_flat, idx, out=states)
+    flat = np.nonzero(has_out.take(smat.ravel()))[0]
+    if flat.size == 0:
+        return (np.empty(0, np.int64),) * 3
+    ss = smat.ravel()[flat]
+    hit_doc = flat % n_docs  # (L, B) row-major: column == doc
+    # pre-aggregate match ENDS into (doc, state) counts first: the
+    # distinct (doc, state) pairs are typically far fewer than the raw
+    # ends, so the ragged output expansion below runs over the compact
+    # table; the per-(doc, pattern) count is then a weighted bincount
+    ds_span = n_docs * int(has_out.size)
+    if ds_span <= (1 << 24):
+        ds_counts = np.bincount(hit_doc * has_out.size + ss,
+                                minlength=ds_span)
+        ds_keys = np.nonzero(ds_counts)[0]
+        ds_cnt = ds_counts[ds_keys]
+        hit_doc = ds_keys // has_out.size
+        ss = ds_keys % has_out.size
+    else:
+        ds_keys, ds_cnt = np.unique(
+            hit_doc * np.int64(has_out.size) + ss, return_counts=True
+        )
+        hit_doc = ds_keys // has_out.size
+        ss = ds_keys % has_out.size
+    reps = out_n[ss]
+    total = int(reps.sum())
+    # ragged gather of each hit state's output list
+    csum = np.cumsum(reps)
+    local = np.arange(total, dtype=np.int64) - np.repeat(csum - reps, reps)
+    pats = out_flat[np.repeat(out_off[ss], reps) + local]
+    key = np.repeat(hit_doc * np.int64(n_pat), reps) + pats
+    wts = np.repeat(ds_cnt, reps)
+    span = n_docs * n_pat
+    if (total << 4) >= span or span <= (1 << 22):
+        counts_all = np.bincount(key, weights=wts, minlength=span)
+        uk = np.nonzero(counts_all)[0]
+        counts = counts_all[uk].astype(np.int64)
+    else:
+        order = np.argsort(key, kind="stable")
+        k_s, w_s = key[order], wts[order]
+        bounds = np.nonzero(np.diff(k_s))[0] + 1
+        grp_start = np.concatenate(([0], bounds))
+        uk = k_s[grp_start]
+        csw = np.concatenate(([0], np.cumsum(w_s)))
+        grp_end = np.concatenate((bounds, [k_s.size]))
+        counts = (csw[grp_end] - csw[grp_start]).astype(np.int64)
+    return uk // n_pat, uk % n_pat, counts
+
+
 def multi_pattern_counts(
     df: DataFrame,
     patterns: list,
@@ -2853,32 +2983,92 @@ def multi_pattern_counts(
         raise ValueError(
             "multi_pattern_counts: patterns collide after lowercasing"
         )
-    automaton = _aho_corasick_build(pats)
+    automaton = _aho_corasick_dense(pats)
+    n_pat = len(pats)
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast((automaton, pats, lowercase))
+    bc = sc.broadcast((automaton, lowercase))
 
     def scan_fn(batches):
-        (goto, fail, out), ps, lower = bc.value
+        import numpy as np
+
+        (alpha_cps, delta, out_n, out_off, out_flat), lower = bc.value
+        a_cls = delta.shape[1] - 1
+        # once per task: flat transition table, emit mask, and a direct
+        # codepoint -> char-class lookup table (O(1) per char; at most
+        # 4 MB for an astral-plane alphabet, usually a few hundred B)
+        delta_flat = np.ascontiguousarray(delta.ravel())
+        width = delta.shape[1]
+        has_out = (out_n > 0)
+        lut_size = int(alpha_cps.max()) + 2
+        lut = np.full(lut_size, a_cls, dtype=np.int32)
+        lut[alpha_cps] = np.arange(alpha_cps.size, dtype=np.int32)
         for pdf in batches:
-            ids, pat_ix, counts = [], [], []
+            # text -> char classes for the WHOLE batch in four C calls:
+            # one join+lower+utf-32 encode of the concatenated texts,
+            # one searchsorted over the pattern alphabet, one compare,
+            # one select (per-doc numpy-call overhead dominated the
+            # kernel before this)
+            ids, parts = [], []
             for rid, text in zip(pdf["__id"], pdf["__t"]):
                 if text is None:
                     continue
-                t = text.lower() if lower else text
-                hits: dict = {}
-                s = 0
-                for ch in t:
-                    while s and ch not in goto[s]:
-                        s = fail[s]
-                    s = goto[s].get(ch, 0)
-                    for ix in out[s]:
-                        hits[ix] = hits.get(ix, 0) + 1
-                for ix, n in hits.items():
-                    ids.append(rid)
-                    pat_ix.append(ix)
-                    counts.append(n)
+                ids.append(rid)
+                parts.append(text)
+            out_ids, out_pat, out_cnt = [], [], []
+            if ids:
+                if lower:
+                    # per doc, not on the concatenation: str.lower can
+                    # change a string's length (e.g. İ), which would
+                    # shift every later doc's offsets
+                    parts = [p.lower() for p in parts]
+                big = "".join(parts)
+                lens = np.array([len(p) for p in parts], dtype=np.int64)
+                starts = np.concatenate(
+                    ([0], np.cumsum(lens)[:-1])
+                ).astype(np.int64)
+                cps = np.minimum(
+                    np.frombuffer(big.encode("utf-32-le"), dtype="<u4"),
+                    np.uint32(lut_size - 1),
+                )
+                cls_all = lut[cps]
+                # chunk by length (sorted, so padding waste is bounded)
+                # to keep the padded work matrices ~32 MB; within a
+                # chunk every doc's DFA advances in one gather per
+                # char position (_ac_scan_chunk)
+                order = np.argsort(lens, kind="stable")
+                start = 0
+                while start < len(order):
+                    end = start + 1
+                    hi = int(lens[order[start]])
+                    while end < len(order):
+                        hi = max(hi, int(lens[order[end]]))
+                        if hi * (end + 1 - start) > _AC_CHUNK_ELEMS:
+                            break
+                        end += 1
+                    sel = order[start:end]
+                    d_ix, p_ix, cnt = _ac_scan_chunk(
+                        cls_all, starts[sel], lens[sel],
+                        delta_flat, width, has_out,
+                        out_n, out_off, out_flat, n_pat,
+                    )
+                    out_ids.extend(ids[sel[i]] for i in d_ix)
+                    out_pat.append(p_ix)
+                    out_cnt.append(cnt)
+                    start = end
+            pat_arr = (
+                np.concatenate(out_pat) if out_pat
+                else np.empty(0, np.int64)
+            )
+            cnt_arr = (
+                np.concatenate(out_cnt) if out_cnt
+                else np.empty(0, np.int64)
+            )
             yield pd.DataFrame(
-                {"__id": ids, "__ix": pat_ix, "n_matches": counts}
+                {
+                    "__id": pd.Series(out_ids, dtype=pdf["__id"].dtype),
+                    "__ix": pat_arr.astype(np.int32),
+                    "n_matches": cnt_arr.astype(np.int64),
+                }
             )
 
     scanned = df.select(
