@@ -1043,7 +1043,13 @@ def run_curation(
             ).select("doc_id", F.col("n_tokens").alias("unigram_n_tokens"))
 
         ucounts = run_stage(spark, cat, "unigram_counts", sig, _uni_counts)
-        sampled = sampled.join(ucounts, "doc_id")
+        # LEFT join + zero-fill (ADVICE r8): a doc whose text yields no
+        # whitespace tokens gets no segmenter row; an inner join would
+        # silently drop it before packing (no-silent-drops rule)
+        sampled = sampled.join(ucounts, "doc_id", "left").withColumn(
+            "unigram_n_tokens",
+            F.coalesce("unigram_n_tokens", F.lit(0)),
+        )
         pack_tokens_col = "unigram_n_tokens"
     if bpe_merges_n is not None:
         from slowspark.bpe import bpe_learn, bpe_segment
@@ -1077,7 +1083,11 @@ def run_curation(
             ).select("doc_id", F.col("n_tokens").alias("bpe_n_tokens"))
 
         counts = run_stage(spark, cat, "bpe_counts", sig, _counts)
-        sampled = sampled.join(counts, "doc_id")
+        # LEFT join + zero-fill (ADVICE r8, same latent gap as the
+        # unigram branch): zero-token docs must survive to packing
+        sampled = sampled.join(counts, "doc_id", "left").withColumn(
+            "bpe_n_tokens", F.coalesce("bpe_n_tokens", F.lit(0))
+        )
         pack_tokens_col = "bpe_n_tokens"
 
     if mixture_upsample or unimax_budget is not None:

@@ -120,10 +120,27 @@ def bucket_log_ratio(
     so nothing here touches the driver."""
     if alpha <= 0.0:
         raise ValueError(f"bucket_log_ratio: alpha must be > 0, got {alpha}")
-    raw_counts = (
-        hashed_ngram_rows(raw_df, text_col, id_col, n_buckets, salt)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("c_raw"))
+    return _bucket_log_ratio_from_grams(
+        hashed_ngram_rows(raw_df, text_col, id_col, n_buckets, salt),
+        target_df, text_col, id_col, n_buckets, alpha, salt,
+    )
+
+
+def _bucket_log_ratio_from_grams(
+    raw_grams: DataFrame,
+    target_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    alpha: float,
+    salt: str,
+) -> DataFrame:
+    """bucket_log_ratio over an already-featurized raw gram table —
+    lets dsir_log_weights share ONE (materialized) gram pass between
+    the raw model fit and the scoring join (r9: the md5-per-gram
+    explode over the whole raw corpus ran twice per selection)."""
+    raw_counts = raw_grams.groupBy("bucket").agg(
+        F.count("*").alias("c_raw")
     )
     tgt_counts = (
         hashed_ngram_rows(target_df, text_col, id_col, n_buckets, salt)
@@ -189,11 +206,15 @@ def dsir_log_weights(
     Scale shape: gram rows join a BROADCAST <= n_buckets-row ratio table,
     then one map-side-combined groupBy(id) sum — a single shuffle keyed
     on the id."""
-    if ratio_df is None:
-        ratio_df = bucket_log_ratio(
-            raw_df, target_df, text_col, id_col, n_buckets, alpha, salt
-        )
     grams = hashed_ngram_rows(raw_df, text_col, id_col, n_buckets, salt)
+    if ratio_df is None:
+        # ONE featurize pass: the raw model fit and the scoring join
+        # both read the materialized (id, bucket) rows instead of each
+        # re-running the tokenize + md5-per-gram explode
+        grams = _materialize(grams)
+        ratio_df = _bucket_log_ratio_from_grams(
+            grams, target_df, text_col, id_col, n_buckets, alpha, salt
+        )
     sums = (
         grams.join(F.broadcast(ratio_df), "bucket")
         .groupBy(id_col)

@@ -594,12 +594,15 @@ def label_propagation(
         counted = nbr_labels.groupBy("node", "__nl").agg(
             F.count("*").alias("__c")
         )
-        # argmax(count, tie -> min label) as ONE max-struct fold:
-        # (count, -label) orders ties toward the smaller label without
-        # a per-node window
+        # argmax(count, tie -> min label) as ONE min-struct fold:
+        # (-count, label) orders ties toward the smaller label without
+        # a per-node window. The count is negated, NOT the label
+        # (ADVICE r8): negating the label only works for numeric node
+        # ids — string/host graphs (which pagerank/hits accept) fail
+        # with CAST_INVALID_INPUT under ANSI mode.
         picked = counted.groupBy("node").agg(
-            (-F.max(F.struct(F.col("__c"), (-F.col("__nl")).alias("__m")))
-             ["__m"]).alias("__new")
+            F.min(F.struct((-F.col("__c")).alias("__m"), F.col("__nl")))
+            ["__nl"].alias("__new")
         )
         new_labels = (
             labels.join(picked, "node", "left")

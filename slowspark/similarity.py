@@ -1785,6 +1785,8 @@ def embedding_outliers(
     float discipline) + one map-side-combined per-cell moment agg
     (n/sum/sum2 — at most n_centroids rows shuffle) + one broadcast
     join back. No windows, no UDF, no pairwise anything."""
+    from slowspark.util import materialize
+
     cent = centroids.select(
         F.col("cell").alias(cell_col), F.col("centroid").alias("__c")
     )
@@ -1794,7 +1796,7 @@ def embedding_outliers(
             f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         )
     )
-    with_d = (
+    with_d = materialize(
         assigned.join(F.broadcast(cent), cell_col)
         .select(id_col, cell_col, d_expr.alias("__d"))
     )

@@ -906,7 +906,19 @@ def frontier_scores(
         (F.col("n_versions") - 1).cast("double")
         / (F.col("n_captures") - 1).cast("double"),
     ).otherwise(F.lit(0.0))
-    staleness = (F.lit(now_ts) - F.col("__last_from")).cast("long")
+    # a now_ts older than the newest capture is clock skew in the
+    # caller's snapshot bookkeeping — surface it (ADVICE r8: unguarded,
+    # the negative staleness silently INVERTED the frontier ranking),
+    # matching the module's bad-input posture (crawl_delta/url_history
+    # raise on inconsistent input). Fused raise_error CASE: no extra
+    # scan.
+    staleness = F.when(
+        F.col("__last_from") > F.lit(now_ts),
+        F.raise_error(F.lit(
+            "frontier_scores: now_ts predates a capture's valid_from — "
+            "negative staleness would invert the ranking"
+        )).cast("long"),
+    ).otherwise((F.lit(now_ts) - F.col("__last_from")).cast("long"))
     return (
         per_url.join(ranks.select("url", rank_col), "url")
         .select(

@@ -561,3 +561,24 @@ def test_spam_mass_fused_matches_two_pagerank_runs(spark):
         assert fused[v][1] == pytest.approx(ppr[v], rel=1e-12)
     with pytest.raises(ValueError, match="no seed"):
         spam_mass(e, spark.createDataFrame([(999,)], "node long"), n_iter=1)
+
+
+def test_label_propagation_string_node_ids(spark):
+    """ADVICE r8: the tie-break used to negate the LABEL (numeric-only);
+    string/host graphs failed with CAST_INVALID_INPUT under ANSI mode.
+    Now the count is negated instead — same (max count, min label)
+    order, any orderable label type."""
+    from slowspark.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "c.com"),
+         ("d.com", "e.com")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["label"]
+           for r in label_propagation(e, n_iter=2).collect()}
+    # triangle converges to its min label; the 2-node pair oscillates
+    # synchronously (textbook bipartite behavior) — after an even round
+    # count each keeps its own label
+    assert got["a.com"] == "a.com" == got["b.com"] == got["c.com"]
+    assert got["d.com"] == "d.com" and got["e.com"] == "e.com"

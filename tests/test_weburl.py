@@ -658,3 +658,21 @@ def test_frontier_scores(spark):
     # cold last version STARTED at ts1 (never changed) -> staleness 9
     assert out["u/cold"]["staleness"] == 9
     assert out["u/hot"]["score"] > out["u/cold"]["score"]
+
+
+def test_frontier_scores_raises_on_clock_skew(spark):
+    """ADVICE r8: a now_ts older than the newest capture used to yield
+    negative staleness, silently inverting the ranking; it now raises."""
+    import pytest
+    from pyspark.sql import functions as F
+    from slowspark.weburl import frontier_scores
+
+    hist = spark.createDataFrame(
+        [("u1", 3, 2, 10)],
+        "url string, n_captures long, version int, valid_from long",
+    )
+    ranks = spark.createDataFrame([("u1", 0.5)], "url string, rank double")
+    with pytest.raises(Exception, match="now_ts predates"):
+        frontier_scores(hist, ranks, now_ts=5).collect()
+    ok = frontier_scores(hist, ranks, now_ts=20).collect()
+    assert ok[0]["staleness"] == 10
