@@ -2807,7 +2807,14 @@ def _incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from slowspark.textops import incremental_near_dup_pairs
 
     idx = _incremental_index_parquet(spark, sf_dir)
-    new = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    # repartition: the signature UDF over the batch must not serialize
+    # on the one-file test parquet's single split (a production batch
+    # scan already has the splits)
+    new = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .repartition(32)
+    )
     return incremental_near_dup_pairs(new, idx).select(
         "new_id", "corpus_id", F.round("est_jaccard", 4).alias("est_jaccard")
     )

@@ -31,6 +31,8 @@ def main() -> None:
     p.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--cpus", type=int, default=8,
+                   help="local[N] width (use 32 for driver-comparable runs)")
     p.add_argument("--explain", default=None,
                    help="write .explain('formatted') of each query here "
                         "(single name) or to <dir>/<name>.txt (multiple)")
@@ -39,8 +41,8 @@ def main() -> None:
     import __spark_entry__ as contract
     from slowspark.session import get_spark
 
-    spark = get_spark("slowspark-bench-extra", master="local[8]",
-                      shuffle_partitions=8)
+    spark = get_spark("slowspark-bench-extra", master=f"local[{args.cpus}]",
+                      shuffle_partitions=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.perf_counter()

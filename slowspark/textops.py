@@ -1999,9 +1999,13 @@ def fuzzy_contamination_report(
             minhash_signatures(corpus, text_col, id_col, n_perm, shingle_k)
         )
     eval_ids = eval_df.select(F.col(id_col).alias(eval_id_col), text_col)
-    eval_sigs = minhash_signatures(
+    # benchmark-sized: materialize so the signature UDF runs ONCE — the
+    # band-key explode and both broadcasts below otherwise each re-run
+    # the whole eval Python stage (r9: 8 ArrowEvalPython nodes in the
+    # plan for one logical signature pass)
+    eval_sigs = _materialize(minhash_signatures(
         eval_ids, text_col, eval_id_col, n_perm, shingle_k
-    )
+    ))
     rows_per_band = n_perm // bands
     cb = band_keys(corpus_sigs, id_col, bands, rows_per_band)
     eb = band_keys(eval_sigs, eval_id_col, bands, rows_per_band)
@@ -2030,6 +2034,10 @@ def fuzzy_contamination_report(
         )
         .select(id_col, eval_id_col)
     )
+    # |contaminated-ish| id pairs only — materialize so the exact-verify
+    # stage below (which reads est twice: the gram semi-join and the
+    # final join) doesn't re-run the candidate join + estimate filter
+    est = _materialize(est)
     gc = (
         with_ngram_set(
             corpus.join(est.select(id_col).distinct(), id_col, "left_semi"),
@@ -2519,7 +2527,12 @@ def rake_keywords(
     phrased = toks.withColumn("__pid", F.sum("__stop").over(w)).filter(
         F.col("__stop") == 0
     )
-    phrases = (
+    # materialized: three consumers (occurrences twice via word_scores +
+    # the phrase_scores join-back) otherwise each re-run the whole
+    # tokenize -> running-sum window -> phrase-assembly subtree — the
+    # r9 before-plan scanned the corpus and exchanged the exploded token
+    # table THREE times for one logical pass
+    phrases = _materialize(
         phrased.groupBy("__id", "__pid")
         .agg(
             F.sort_array(

@@ -604,11 +604,10 @@ def parse_robots(
     )
 
 
-def _robots_like_expr(path: Column, pattern: Column) -> Column:
-    """True iff `path` matches a robots `pattern` (literal prefix with
-    `*` wildcards; trailing `$` anchors the end) — translated to one
-    SQL LIKE: escape LIKE metachars, `*` -> `%`, then append `%` unless
-    `$`-anchored."""
+def _robots_like_pattern(pattern: Column) -> Column:
+    """Translate a robots `pattern` (literal prefix with `*` wildcards;
+    trailing `$` anchors the end) to one SQL LIKE pattern: escape LIKE
+    metachars, `*` -> `%`, then append `%` unless `$`-anchored."""
     anchored = pattern.endswith("$")
     core = F.when(
         anchored, F.substr(pattern, F.lit(1), F.length(pattern) - 1)
@@ -617,8 +616,13 @@ def _robots_like_expr(path: Column, pattern: Column) -> Column:
     esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
     esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
     like_pat = F.replace(esc, F.lit("*"), F.lit("%"))
-    like_pat = F.when(anchored, like_pat).otherwise(F.concat(like_pat, F.lit("%")))
-    return F.like(path, like_pat)
+    return F.when(anchored, like_pat).otherwise(F.concat(like_pat, F.lit("%")))
+
+
+def _robots_like_expr(path: Column, pattern: Column) -> Column:
+    """True iff `path` matches a robots `pattern` (see
+    _robots_like_pattern)."""
+    return F.like(path, _robots_like_pattern(pattern))
 
 
 def robots_filter(
@@ -632,29 +636,58 @@ def robots_filter(
     host has no matching rule — or no robots at all — is allowed, the
     RFC default).
 
-    Scale shape: rules join the corpus on HOST (an equi-join; the rules
-    side is small — one digest per crawled host — and broadcastable),
-    each URL keeps only its MATCHING rules via the LIKE predicate, and
-    one max-struct aggregation per URL picks the winning rule. The
-    corpus never shuffles: broadcast join + a groupBy keyed on the
-    corpus's own id."""
+    Scale shape: rules are pre-grouped into ONE array row per host (the
+    LIKE translation of every pattern is computed here too — once per
+    rule, not once per URL x rule) and broadcast; each URL then picks
+    its winner with array higher-order functions in a single projection.
+    The corpus genuinely never shuffles — no per-URL aggregation, no
+    join-back (r9: the previous groupBy(__id) + left-join-back shape
+    exchanged the corpus twice and sort-merge-joined it against itself;
+    this shape has ZERO corpus-side exchanges)."""
     path = F.coalesce(
         F.nullif(F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1), F.lit("")),
         F.lit("/"),
     )
-    matched = (
-        df.select(F.col(id_col).alias("__id"), host_expr(url_col).alias("host"), path.alias("__path"))
-        .join(F.broadcast(rules), "host")
-        .filter(_robots_like_expr(F.col("__path"), F.col("pattern")))
-        .groupBy("__id")
-        .agg(F.max(F.struct("spec", "allow")).alias("__win"))
-        .select("__id", F.col("__win.allow").alias("__allowed"))
+    # tiny side: (host, [struct(spec, allow, like_pat)]) — struct field
+    # order (spec, allow) preserves the longest-match-then-Allow-wins
+    # ordering under array_max, identical to the previous
+    # max(struct(spec, allow)) semantics
+    host_rules = (
+        rules.select(
+            F.col("host").alias("__rhost"),
+            F.struct(
+                F.col("spec"),
+                F.col("allow"),
+                _robots_like_pattern(F.col("pattern")).alias("lp"),
+            ).alias("__r"),
+        )
+        .groupBy("__rhost")
+        .agg(F.collect_list("__r").alias("__rules"))
     )
-    return df.join(
-        matched, df[id_col] == matched["__id"], "left"
-    ).select(
-        *df.columns,
-        F.coalesce("__allowed", F.lit(True)).alias("robots_allowed"),
+    win = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("__rules"),
+                lambda r: F.like(F.col("__path"), r["lp"]),
+            ),
+            lambda r: F.struct(r["spec"], r["allow"]),
+        )
+    )
+    return (
+        df.withColumn("__path", path)
+        .withColumn("__h", host_expr(url_col))
+        .join(
+            F.broadcast(host_rules),
+            F.col("__h") == F.col("__rhost"),
+            "left",
+        )
+        .select(
+            *df.columns,
+            # no rules for the host (NULL array) or no matching rule
+            # (empty array) -> array_max yields NULL -> allowed, the
+            # RFC default
+            F.coalesce(win["allow"], F.lit(True)).alias("robots_allowed"),
+        )
     )
 
 
