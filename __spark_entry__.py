@@ -530,8 +530,12 @@ def _url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     split/filter/sort/rejoin — in SQL."""
     from slowspark.weburl import url_dedup
 
+    # keeper_only: the query projects exactly the keeper table, so the
+    # join of the keeper back to the input (a second scan +
+    # canonicalization of every URL) is dead work (r9)
     return url_dedup(
-        _messy_urls(spark, sf_dir), url_col="url", id_col="entry_id"
+        _messy_urls(spark, sf_dir), url_col="url", id_col="entry_id",
+        keeper_only=True,
     ).select("canonical_url", "entry_id", "n_url_dups")
 
 
@@ -2548,8 +2552,13 @@ def _hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
 
+    from slowspark.util import materialize
+
     even = bigrams_of(docs.filter(F.col("doc_id") % 2 == 0))
-    odd = bigrams_of(docs.filter(F.col("doc_id") % 2 == 1))
+    # materialized: the append AND its replay both consume the odd-doc
+    # bigram stream — the tokenize + explode otherwise runs twice (r9);
+    # replay semantics are unchanged (the same rows are appended again)
+    odd = materialize(bigrams_of(docs.filter(F.col("doc_id") % 2 == 1)))
     build_hll_index(even, idx, "bg", _HLL_P, group_cols=("lang",))
     append_to_hll_index(odd, idx, "bg", _HLL_P, group_cols=("lang",))
     # COLLECT the pre-replay estimate before mutating the index — a lazy
@@ -5643,11 +5652,20 @@ def _unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab smaller than the corpus vocabulary: words MUST fragment, so
     # the multi-piece DP (not the trivial whole-word path) is what the
     # hash pins
+    from slowspark.bpe import word_frequencies
+    from slowspark.util import materialize
+
+    # ONE tokenize + distinct-word pass shared by the trainer's two EM
+    # rounds AND the final segmentation (r9: train and segment_counts
+    # each built their own); repartitioned so the Viterbi UDF passes
+    # don't serialize on the AQE-coalesced single partition
+    words = materialize(word_frequencies(d).repartition(32))
     model = unigram_train(
-        d, vocab_size=12, n_rounds=2, max_piece_len=4, seed_size=800
+        d, vocab_size=12, n_rounds=2, max_piece_len=4, seed_size=800,
+        words=words,
     )
     _unigram_model_parquet(spark, sf_dir, model)
-    return unigram_segment_counts(d, model, max_piece_len=4)
+    return unigram_segment_counts(d, model, max_piece_len=4, words=words)
 
 
 def _unigram_tokens_oracle(sf_dir_base: str = "sf0.01") -> str:

@@ -1490,7 +1490,9 @@ def tfidf_similar_pairs(
         .select(F.col(id_col), F.explode("__t").alias("term"))
         .filter(F.col("term") != "")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # materialized: three consumers (dfreq + the weighted branch's two
+    # reads) otherwise each re-run the tokenize + tf groupBy (r9)
+    tf = materialize(toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     n_docs = df.select(id_col).distinct().count()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     if max_df is not None:
@@ -1509,14 +1511,20 @@ def tfidf_similar_pairs(
         F.col("tf")
         * (F.log((F.lit(float(n_docs + 1))) / (F.col("df_t") + 1)) + 1.0),
     )
-    norms = weighted.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__norm")
-    )
+    # L2 norm as a whole-partition window over the SAME pass instead of
+    # a groupBy(id) + join-back (r9: that shape exchanged `weighted`
+    # twice and re-ran the idf join for each side); one exchange on the
+    # doc id, one pass
+    from pyspark.sql import Window
+
+    wid = Window.partitionBy(id_col)
     # materialized: the inverted-index self-join would otherwise recompute
     # the tokenize/tf/idf subtree for both sides (the signature-self-join
     # trap, util.py)
     vec = materialize(
-        weighted.join(norms, id_col).select(
+        weighted.withColumn(
+            "__norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(wid))
+        ).select(
             F.col(id_col), "term", (F.col("w") / F.col("__norm")).alias("wn")
         )
     )

@@ -1385,11 +1385,14 @@ def exact_substring_dedup(
             F.struct(F.col(id_col), F.col("pos")).alias("__key"),
         )
     )
-    keeper = occ.groupBy("gram").agg(
-        F.min("__key").alias("__keep_key"), F.count("*").alias("__cnt")
-    )
+    # ONE pass over occ (see exact_substring_dedup_chars): count +
+    # global-first per gram as whole-partition window aggregates —
+    # the groupBy + join-back shape ran the gram projection twice and
+    # shuffled the keeper table on top of occ (r9)
+    wf = Window.partitionBy("gram")
     flagged = (
-        occ.join(keeper, "gram")
+        occ.withColumn("__cnt", F.count("*").over(wf))
+        .withColumn("__keep_key", F.min("__key").over(wf))
         .filter((F.col("__cnt") > 1) & (F.col("__key") != F.col("__keep_key")))
         .select(id_col, "pos")
     )
@@ -1520,11 +1523,16 @@ def exact_substring_dedup_chars(
             F.struct(F.col(id_col), F.col("o.pos").alias("pos")).alias("__key"),
         )
     )
-    keeper = occ.groupBy("h1", "h2").agg(
-        F.min("__key").alias("__keep_key"), F.count("*").alias("__cnt")
-    )
+    # ONE pass: count + global-first per fingerprint as whole-partition
+    # window aggregates over a single exchange of occ — the previous
+    # groupBy(keeper) + join-back shape computed the O(len*L)
+    # fingerprint projection TWICE (once per consumer) and at scale
+    # shuffled both occ and the keeper table; this shuffles occ once
+    # and nothing else (r9)
+    wf = Window.partitionBy("h1", "h2")
     flagged = (
-        occ.join(keeper, ["h1", "h2"])
+        occ.withColumn("__cnt", F.count("*").over(wf))
+        .withColumn("__keep_key", F.min("__key").over(wf))
         .filter((F.col("__cnt") > 1) & (F.col("__key") != F.col("__keep_key")))
         .select(id_col, "pos")
     )

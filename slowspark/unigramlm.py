@@ -162,6 +162,7 @@ def unigram_train(
     max_piece_len: int = 8,
     seed_size: int = 2000,
     text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Train a unigram-LM vocabulary: seed from substring frequencies,
     n_rounds of Viterbi hard-EM over the distinct-word table, then
@@ -179,7 +180,14 @@ def unigram_train(
     from slowspark.bpe import word_frequencies
     from slowspark.util import materialize
 
-    words = materialize(word_frequencies(df, text_col))
+    if words is None:
+        # repartition before the checkpoint: the word table comes out of
+        # an AQE-coalesced groupBy (~1 partition at test scale), and the
+        # three Viterbi mapInPandas passes below would otherwise run on
+        # that single partition (r9; a production word table spans many
+        # partitions naturally). An already-materialized `words` (the
+        # shared-pass path) is used as-is.
+        words = materialize(word_frequencies(df, text_col).repartition(32))
     pieces = seed_pieces(words, max_piece_len, seed_size)
     # bounded collect: <= seed_size + |alphabet| rows per round
     pairs = [(r["piece"], r["count"]) for r in pieces.collect()]
@@ -216,19 +224,23 @@ def unigram_segment_counts(
     model: DataFrame,
     max_piece_len: int = 8,
     text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide per-piece segmentation counts under a trained model:
     (piece, n) — the fertility/budget statistic and the driver-oracle
     surface (a DuckDB recursive CTE replays the Viterbi DP from the
     materialized (piece, logp) table and must reproduce every count).
-    Same distinct-word bound as training's E-step."""
+    Same distinct-word bound as training's E-step. Pass the trainer's
+    `words` table to share ONE tokenize + distinct pass between
+    training and segmentation (r9: each built its own)."""
     from slowspark.bpe import word_frequencies
     from slowspark.util import materialize
 
     logp = {
         r["piece"]: r["logp"] for r in model.select("piece", "logp").collect()
     }
-    words = materialize(word_frequencies(df, text_col))
+    if words is None:
+        words = materialize(word_frequencies(df, text_col).repartition(32))
     return _viterbi_counts(words, logp, max_piece_len).select(
         "piece", F.col("count").alias("n")
     )

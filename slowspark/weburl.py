@@ -98,6 +98,7 @@ def url_dedup(
     url_col: str = "url",
     id_col: str = "doc_id",
     ts_col: str | None = None,
+    keeper_only: bool = False,
 ) -> DataFrame:
     """One row per canonical URL: the keeper is the EARLIEST fetch
     (min ts_col) with min id_col as the deterministic tie-break — the
@@ -105,24 +106,39 @@ def url_dedup(
     With ts_col=None the keeper is min id alone.
 
     Returns the input columns plus `canonical_url` and `n_url_dups`
-    (class size, >= 1) on the surviving rows.
+    (class size, >= 1) on the surviving rows. With keeper_only=True,
+    returns just (canonical_url, id_col, n_url_dups) — the same rows,
+    WITHOUT the join of the keeper table back to the input, so the
+    corpus is scanned (and canonicalized) once instead of twice (r9;
+    use it when the caller doesn't need the other input columns).
 
-    Scale shape: one shuffle on canonical_url into min(struct(...)) +
-    count (map-side combined — a hot URL fetched 10^6 times contributes
-    one partial row per partition), then a broadcast-eligible join of the
-    keeper table back to the input; no window over the full corpus, no
-    driver state. min(struct) is exact for any id/ts domain (negative
-    xxhash64 longs included) — the substring-dedup keeper lesson."""
+    Scale shape: one shuffle on canonical_url into a map-side-combined
+    min + count (a hot URL fetched 10^6 times contributes one partial
+    row per partition), then — only when the input columns are needed —
+    a broadcast-eligible join of the keeper table back to the input; no
+    window over the full corpus, no driver state. The keeper min is
+    exact for any id/ts domain (negative xxhash64 longs included) — the
+    substring-dedup keeper lesson; with a single key column it is a
+    plain min (hash-aggregable) rather than min(struct) (r9: the
+    one-field struct forced a per-partition SortAggregate over the
+    canonical-url strings)."""
     keyed = with_canonical_url(df, url_col)
-    key_cols = ([ts_col] if ts_col else []) + [id_col]
+    if ts_col:
+        keeper_min = F.min(F.struct(ts_col, id_col)).alias("__k")
+        keeper_id = F.col(f"__k.{id_col}")
+    else:
+        keeper_min = F.min(id_col).alias("__k")
+        keeper_id = F.col("__k")
     keeper = keyed.groupBy("canonical_url").agg(
-        F.min(F.struct(*key_cols)).alias("__k"),
+        keeper_min,
         F.count("*").alias("n_url_dups"),
     ).select(
         "canonical_url",
-        F.col(f"__k.{id_col}").alias(id_col),
+        keeper_id.alias(id_col),
         "n_url_dups",
     )
+    if keeper_only:
+        return keeper
     return keyed.join(keeper, ["canonical_url", id_col], "inner")
 
 
