@@ -2044,7 +2044,8 @@ def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _read(spark, sf_dir, "documents")
     merges = _bpe_learned(spark, sf_dir)
-    seg = bpe_segment(d, merges).select("doc_id", "n_tokens")
+    # counts_only: no token-array assembly shuffle (r9)
+    seg = bpe_segment(d, merges, counts_only=True)
     words = d.select(
         "doc_id", "lang", F.size(ws_token_array("text")).alias("n_words")
     )
@@ -3838,8 +3839,10 @@ def _bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from slowspark.bpe import bpe_segment
 
     merges = _bpe_learned(spark, sf_dir)
-    return bpe_segment(_read(spark, sf_dir, "documents"), merges).select(
-        "doc_id", "n_tokens"
+    # counts_only: identical (doc_id, n_tokens), map-side-combined sum
+    # instead of the collect_list token-array shuffle (r9)
+    return bpe_segment(
+        _read(spark, sf_dir, "documents"), merges, counts_only=True
     )
 
 
@@ -3992,8 +3995,10 @@ def _bpe_byte_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from slowspark.bpe import bpe_segment_udf
 
     merges = _bpe_byte_learned(spark, sf_dir)
+    # counts_only: map-side-combined sum, no token-array shuffle (r9)
     return bpe_segment_udf(
-        _read(spark, sf_dir, "documents"), merges, byte_level=True
+        _read(spark, sf_dir, "documents"), merges, byte_level=True,
+        counts_only=True,
     ).select("doc_id", "n_tokens")
 
 
@@ -4124,7 +4129,8 @@ def _bpe_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _read(spark, sf_dir, "documents")
     merges = _bpe_learned(spark, sf_dir)
-    seg = bpe_segment(d, merges).select("doc_id", "n_tokens")
+    # counts_only: no token-array assembly shuffle (r9)
+    seg = bpe_segment(d, merges, counts_only=True)
     return pack_sequences(
         d.select("doc_id").join(seg, "doc_id"),
         seq_len=512,

@@ -323,6 +323,20 @@ def _reassemble(toks: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _count_tokens(toks: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, sym array) word rows -> (id, n_tokens) docs. The
+    counts-only sibling of _reassemble: a plain map-side-combined sum —
+    one partial long per doc per partition crosses the shuffle instead
+    of every token riding a collect_list ObjectHashAggregate (r9; the
+    packing/fertility/count callers never read the token array)."""
+    return (
+        toks.groupBy("id")
+        # cast: schema-identical to _reassemble's size(tokens) (int)
+        .agg(F.sum(F.size("sym")).cast("int").alias("n_tokens"))
+        .select(F.col("id").alias(id_col), "n_tokens")
+    )
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[dict],
@@ -330,12 +344,16 @@ def bpe_segment(
     id_col: str = "doc_id",
     max_expr_merges: int = 256,
     byte_level: bool = False,
+    counts_only: bool = False,
 ) -> DataFrame:
     """Apply a learned merge table: (id, tokens array<string>, n_tokens)
     where each word is segmented by replaying the merges IN ORDER — the
     exact BPE inference rule. Pure string ops: the per-word symbol state
     goes through the same sentinel replace() chain the trainer used, so
     segment(learn(corpus)) is internally consistent by construction.
+    With counts_only=True, returns just (id, n_tokens) via a map-side-
+    combined sum — identical counts, no token-array assembly shuffle
+    (use for packing/fertility callers that never read the tokens).
 
     Scale: one explode to words, |merges| chained replace() expressions
     (a single codegen'd projection — no per-merge pass), one groupBy(id)
@@ -380,7 +398,7 @@ def bpe_segment(
         toks = occurrences.join(
             segmented, occurrences["pt"] == segmented["rawpt"]
         ).select("id", "pos", "sym")
-        return _reassemble(toks, id_col)
+        return (_count_tokens if counts_only else _reassemble)(toks, id_col)
     toks = (
         df.select(
             F.col(id_col).alias("id"),
@@ -389,7 +407,7 @@ def bpe_segment(
         .select("id", "pos", state.alias("s"))
         .select("id", "pos", _symbols("s").alias("sym"))
     )
-    return _reassemble(toks, id_col)
+    return (_count_tokens if counts_only else _reassemble)(toks, id_col)
 
 
 _MERGES_SCHEMA = (
@@ -481,9 +499,10 @@ def bpe_segment_udf(
     text_col: str = "text",
     id_col: str = "doc_id",
     byte_level: bool = False,
+    counts_only: bool = False,
 ) -> DataFrame:
     """Production-vocabulary segmentation: same contract and output as
-    bpe_segment, any number of merges. The merge table travels ONCE per
+    bpe_segment, any number of merges (counts_only likewise). The merge table travels ONCE per
     executor as a Spark broadcast of the {(left, right): rank} dict; an
     Arrow-batched pandas UDF segments each DISTINCT word once with the
     greedy lowest-rank loop (see _merge_word for the equivalence
@@ -549,4 +568,4 @@ def bpe_segment_udf(
         .mapInPandas(seg_fn, schema=seg_schema)
     )
     toks = occurrences.join(segmented, "word").select("id", "pos", "sym")
-    return _reassemble(toks, id_col)
+    return (_count_tokens if counts_only else _reassemble)(toks, id_col)

@@ -1079,7 +1079,7 @@ def run_curation(
             # one count per distinct doc; upsample repeats join by doc_id
             return bpe_segment(
                 sampled.select("doc_id", "text").dropDuplicates(["doc_id"]),
-                merges, byte_level=bpe_byte_level,
+                merges, byte_level=bpe_byte_level, counts_only=True,
             ).select("doc_id", F.col("n_tokens").alias("bpe_n_tokens"))
 
         counts = run_stage(spark, cat, "bpe_counts", sig, _counts)
