@@ -190,7 +190,11 @@ def passage_dedup(
     The boilerplate set is what CCNet materializes per crawl snapshot; at
     10^12 docs it stays broadcastable because passages repeated across
     >k docs are by construction a tiny fraction of distinct passages."""
-    p = passage_table(df, text_col, id_col, passage_words)
+    from slowspark.util import materialize as _materialize
+
+    # two consumers (the boilerplate groupBy and the flag join) — the
+    # explode + per-passage md5 otherwise runs twice (r9)
+    p = _materialize(passage_table(df, text_col, id_col, passage_words))
     boiler = (
         p.groupBy("passage_md5")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -303,7 +307,12 @@ def stupid_backoff_logprob(
             ).alias("tk")
         )
     )
-    uni = (
+    from slowspark.util import materialize as _materialize
+
+    # vocabulary-sized; materialized because THREE consumers (the total
+    # scalar + the cu1/cu2 scoring joins) otherwise each re-run the
+    # model tokenize + explode + groupBy (r9)
+    uni = _materialize(
         mtoks.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
@@ -461,6 +470,12 @@ def kneser_ney_logprob(
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("cb"))
     )
+    # bigram-TYPE-sized (the model itself); materialized because FOUR
+    # consumers (fw, bw, the (B, n1, n2) scalar, and the scoring join)
+    # otherwise each re-run the model tokenize + bigram groupBy — this
+    # makes the docstring's "computed once and reused" literally true
+    # in the physical plan (r9)
+    big = _materialize(big)
     fw = big.groupBy("w1").agg(
         F.count("*").alias("nf"), F.sum("cb").alias("cfw")
     )
@@ -535,7 +550,11 @@ def unigram_logprob(
         .select(id_col, F.explode("__t").alias("term"))
         .filter(F.col("term") != "")
     )
-    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    from slowspark.util import materialize as _materialize
+
+    # vocabulary-sized; two consumers (the total scalar + the scoring
+    # join) otherwise each re-run the tokenize + groupBy (r9)
+    tf = _materialize(toks.groupBy("term").agg(F.count("*").alias("tf")))
     total = tf.agg(F.sum("tf").alias("total"))
     per_doc = (
         toks.join(tf, "term")
