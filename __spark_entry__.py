@@ -4238,15 +4238,15 @@ def _sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the raw embeddings table: the whole quantizer is inside the
     value hash."""
     from slowspark.similarity import (
-        sq_encode, sq_query_code, sq_topk_rerank, sq_train,
+        sq_encode, sq_query_and_code, sq_topk_rerank, sq_train,
     )
 
     emb = _read(spark, sf_dir, "embeddings")
     mins, maxs = sq_train(emb)
     codes = sq_encode(emb, mins, maxs).select("vec_id", "sq_code")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    query = [float(x) for x in qrow["embedding"]]
-    qcode = sq_query_code(spark, query, mins, maxs)
+    # one job fetches the query vector AND its code through the same
+    # engine expression (r9: was a first() + a separate range(1) job)
+    query, qcode = sq_query_and_code(emb, 0, mins, maxs)
     return sq_topk_rerank(emb, codes, query, qcode, k=10, rerank=50).select(
         "vec_id", "sq_dist", F.round("cosine", 4).alias("cosine")
     )

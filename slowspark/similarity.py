@@ -1550,6 +1550,31 @@ def sq_encode(
     return corpus.withColumn(out_col, _sq_code_expr(vec_col, mins, maxs))
 
 
+def sq_query_and_code(
+    corpus: DataFrame,
+    query_id,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[int]]:
+    """Fetch ONE row's raw vector AND its SQ code in a single job (r9:
+    the fetch-then-sq_query_code shape was two driver actions). The
+    code comes from the same Spark expression the corpus codes use, so
+    the bit-identity contract of sq_query_code holds."""
+    row = (
+        corpus.filter(F.col(id_col) == query_id)
+        .select(
+            F.col(vec_col).alias("__v"),
+            _sq_code_expr(vec_col, mins, maxs).alias("__c"),
+        )
+        .first()
+    )
+    if row is None:
+        raise ValueError(f"sq_query_and_code: no row with {id_col} == {query_id}")
+    return [float(x) for x in row["__v"]], list(row["__c"])
+
+
 def sq_query_code(
     spark, query: list[float], mins: np.ndarray, maxs: np.ndarray
 ) -> list[int]:
