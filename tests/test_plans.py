@@ -485,3 +485,19 @@ def test_priority_block_leaves_rotation_slots():
     assert len(contract._PRIORITY_QUERIES) == len(set(contract._PRIORITY_QUERIES))
     names = list(contract.queries())
     assert names[:n_prio] == contract._PRIORITY_QUERIES
+
+
+def test_coverage_index_names_every_query():
+    """COVERAGE.md's operator->oracle index rotted to 125 entries while the
+    registry grew to 132 (VERDICT r8 "What's missing" #2). Guard the doc:
+    every queries() name must appear backticked somewhere in COVERAGE.md,
+    so a new query cannot land without an index entry."""
+    import re
+
+    import __spark_entry__ as contract
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(here, "COVERAGE.md")).read()
+    documented = set(re.findall(r"`([A-Za-z0-9_.]+)`", text))
+    missing = sorted(set(contract.queries()) - documented)
+    assert not missing, f"queries absent from COVERAGE.md: {missing}"
