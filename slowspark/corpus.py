@@ -470,12 +470,10 @@ def kneser_ney_logprob(
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("cb"))
     )
-    # bigram-TYPE-sized (the model itself); materialized because FOUR
-    # consumers (fw, bw, the (B, n1, n2) scalar, and the scoring join)
-    # otherwise each re-run the model tokenize + bigram groupBy — this
-    # makes the docstring's "computed once and reused" literally true
-    # in the physical plan (r9)
-    big = _materialize(big)
+    # bigram-TYPE-sized (the model itself); materialized above because
+    # FOUR consumers (fw, bw, the (B, n1, n2) scalar, and the scoring
+    # join) would otherwise each re-run the model tokenize + bigram
+    # groupBy
     fw = big.groupBy("w1").agg(
         F.count("*").alias("nf"), F.sum("cb").alias("cfw")
     )
