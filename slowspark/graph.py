@@ -117,10 +117,17 @@ def hits(
     each join key (src for the authority step, dst for the hub step) —
     two shuffles paid once so that no iteration ever re-exchanges the
     10^12-edge table; per iteration only the (vertex-sized) score table
-    shuffles into each join, plus the two per-direction groupBys. Two
-    1-row L2-norm collects per round (the bounded-scalar idiom, like
-    pagerank's dangling mass); scores persisted per iteration, the
-    previous round's caches dropped after the lineage cut."""
+    shuffles into each join, plus the two per-direction groupBys. Both
+    half-steps run inside ONE norm action per round: normalization is
+    by a scalar, so it commutes with the weighted sums — hubs are
+    accumulated from UN-normalized authorities and both L2 norms are
+    collected in a single 1-row agg (hub/‖hub_u‖ equals the
+    normalize-each-half-step value in exact arithmetic; the 6dp query
+    contract absorbs the ulp-level reassociation). The unnormalized
+    mid table is persisted so the hub aggregate and the join-back read
+    one computation of the authority step; scores are checkpointed per
+    round (the lineage cut is load-bearing — see OPTIMIZATION_r09.md's
+    measured rejection) and the previous round's caches dropped."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     src = F.col(src_col)
@@ -164,19 +171,11 @@ def hits(
         "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
     )
 
-    def _norm(df: DataFrame, col: str) -> float:
-        # doubles as the cache-materializing action for a freshly
-        # persisted score table: one job both fills the cache and
-        # returns the scalar (r9: persist().count() + a separate
-        # collect was two jobs per half-step)
-        v = df.agg(
-            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("n")
-        ).collect()[0]["n"]
-        return float(v) if v else 1.0
-
     for it in range(n_iter):
         prev = scores
-        # authorities from current hubs
+        # authorities from current hubs (UN-normalized: the scalar L2
+        # division is deferred — it distributes over the hub sums, so
+        # hub_u / ||hub_u|| equals the normalize-then-sum value)
         a_expr = (
             F.col("__w") * F.col("hub")
             if weight_col is not None
@@ -187,21 +186,24 @@ def hits(
             .groupBy("__d")
             .agg(F.sum(a_expr).alias("__a"))
         )
-        mid = (
-            vertices.join(prev.select("node", "hub"), "node")
-            .join(a, vertices["node"] == a["__d"], "left")
+        # prev's node set IS the vertex set (round 0 is a projection of
+        # vertices; later rounds are join-backs over it), so the score
+        # carrier joins a/h directly — no vertices join-back needed
+        p = prev.select("node")
+        mid_u = (
+            p.join(a, p["node"] == a["__d"], "left")
             .select(
-                "node", "hub",
+                "node",
                 F.coalesce(F.col("__a"), F.lit(0.0)).alias("authority"),
             )
         )
-        mid.persist()
-        an = _norm(mid, "authority")
-        mid_n = mid.select(
-            "node", "hub",
-            (F.col("authority") / F.lit(an)).alias("authority"),
-        )
-        # hubs from the just-updated authorities (dst-partitioned copy)
+        # persisted WITHOUT an action: the hub aggregate below and the
+        # final join-back are its two consumers inside the round's one
+        # job — the cache bounds any scheduler-concurrency recompute of
+        # the authority step to the first-touch race window
+        mid_u.persist()
+        # hubs from the just-updated (unnormalized) authorities
+        # (dst-partitioned edge copy)
         h_expr = (
             F.col("__w") * F.col("authority")
             if weight_col is not None
@@ -209,35 +211,52 @@ def hits(
         )
         h = (
             e_by_d.join(
-                mid_n.select(F.col("node").alias("__d"), "authority"),
+                mid_u.select(F.col("node").alias("__d"), "authority"),
                 "__d",
             )
             .groupBy("__s")
             .agg(F.sum(h_expr).alias("__h"))
         )
-        nxt = (
-            vertices.join(mid_n.select("node", "authority"), "node")
-            .join(h, vertices["node"] == h["__s"], "left")
+        nxt_u = (
+            mid_u.join(h, mid_u["node"] == h["__s"], "left")
             .select(
-                "node",
+                mid_u["node"],
                 F.coalesce(F.col("__h"), F.lit(0.0)).alias("hub"),
                 "authority",
             )
         )
-        nxt.persist()
-        hn = _norm(nxt, "hub")
-        scores = nxt.select(
-            "node", (F.col("hub") / F.lit(hn)).alias("hub"), "authority"
+        nxt_u.persist()
+        # both L2 norms in a single 1-row collect (doubles as the
+        # cache-materializing action): with the eager checkpoint below
+        # the round costs 2 driver jobs where the normalize-each-half-
+        # step shape (auth-norm collect, hub-norm collect, checkpoint)
+        # paid 3
+        row = nxt_u.agg(
+            F.sqrt(F.sum(F.col("authority") * F.col("authority"))).alias(
+                "an"
+            ),
+            F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("hn"),
+        ).collect()[0]
+        an = float(row["an"]) if row["an"] else 1.0
+        # ||hub_u|| where hub_u = sum w*auth_u: dividing by it yields
+        # exactly hub_u/||hub_u||, the same value the per-half-step
+        # normalization produces (hn there = ||hub_u||/an and the hub
+        # entering it was hub_u/an)
+        hn = float(row["hn"]) if row["hn"] else 1.0
+        scores = nxt_u.select(
+            "node",
+            (F.col("hub") / F.lit(hn)).alias("hub"),
+            (F.col("authority") / F.lit(an)).alias("authority"),
         ).localCheckpoint(eager=True)
         # checkpoint cut the lineage: the round's caches can go
         if it > 0:
             prev.unpersist()
-        mid.unpersist()
-        nxt.unpersist()
+        mid_u.unpersist()
+        nxt_u.unpersist()
         if it == 0:
-            # every derived cache (e during the mid action, e_by_d
-            # during the nxt action, vertices at setup) now holds
-            # blocks — the upstream cache has served its purpose
+            # every derived cache (e and e_by_d during the round's
+            # action, vertices at setup) now holds blocks — the
+            # upstream cache has served its purpose
             base_e0.unpersist()
 
     e.unpersist()
