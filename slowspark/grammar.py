@@ -308,6 +308,9 @@ def mask_fingerprint(sql: str) -> str:
 
 
 def _fingerprint_from_tokens(tokens: list[tuple[str, str]]) -> str:
+    # tokens may be a raw tokenize_sql list or an already-_meaningful one:
+    # the first step filters ws/comment either way, so passing the
+    # meaningful list just skips a redundant pass
     parts: list[str] = []
     for kind, text in tokens:
         if kind in ("ws", "comment"):
@@ -388,7 +391,12 @@ def classify_sql_type(tokens: list[tuple[str, str]]) -> Optional[str]:
     ANALYZE/TRUNCATE/CALL parse under sqlparser but fall to the reference's
     catch-all Unknown arm (src/types.rs:175) whose Display is "NULL".
     """
-    toks = _meaningful(tokens)
+    return _classify_meaningful(_meaningful(tokens))
+
+
+def _classify_meaningful(toks: list[tuple[str, str]]) -> Optional[str]:
+    """classify_sql_type over an already-_meaningful token list (the
+    resolve_statement hot path computes that list once and shares it)."""
     if not toks:
         return None
     words = [t[1].upper() for t in toks if t[0] == "ident" or t[1] == ";"]
@@ -482,7 +490,10 @@ def _strip_ident(text: str) -> str:
     return text
 
 
-def extract_objects(tokens: list[tuple[str, str]]) -> list[dict[str, Optional[str]]]:
+def extract_objects(
+    tokens: list[tuple[str, str]],
+    _toks: Optional[list[tuple[str, str]]] = None,
+) -> list[dict[str, Optional[str]]]:
     """Referenced-object extraction, replacing the reference's AST walk
     (visit_relations + BTreeSet, src/types.rs:117-138). Token-scan over
     FROM/JOIN/INTO clauses plus statement-leading UPDATE and
@@ -495,8 +506,11 @@ def extract_objects(tokens: list[tuple[str, str]]) -> list[dict[str, Optional[st
 
     Golden: src/codec.rs:518-569 expects [category, film, film_category,
     other.film].
+
+    ``_toks``: private fast-path — an already-_meaningful list (the
+    resolve_statement hot path shares one computation of it).
     """
-    toks = _meaningful(tokens)
+    toks = _meaningful(tokens) if _toks is None else _toks
     found: set[tuple[Optional[str], str]] = set()
     n = len(toks)
 
@@ -597,7 +611,12 @@ def default_comment_context(kv: dict[str, str]) -> Optional[dict[str, Any]]:
 ContextMapper = Callable[[dict[str, str]], Optional[dict[str, Any]]]
 
 
-def resolve_statement(raw_sql: str) -> dict[str, Any]:
+def resolve_statement(
+    raw_sql: str,
+    want_statement: bool = True,
+    want_objects: bool = True,
+    want_fingerprint: bool = True,
+) -> dict[str, Any]:
     """Resolve the extracted statement text into
     {entry_kind, statement, sql_type, objects, fingerprint}.
 
@@ -605,17 +624,29 @@ def resolve_statement(raw_sql: str) -> dict[str, Any]:
     tokenizes cleanly, contains exactly one statement, and its leading
     keyword is recognized; otherwise InvalidStatement carrying the raw text.
     (Validity oracle divergence vs sqlparser is pinned by fixture tests.)
+
+    The ``want_*`` flags are column pruning THROUGH the parse (parse_pages
+    threads them from its ``columns`` arg): a derived field the caller's
+    plan discards is returned as None instead of computed — entry_kind /
+    sql_type classification always runs, and a requested field's value is
+    byte-identical to the unpruned parse.
     """
     try:
         tokens = tokenize_sql(raw_sql)
     except ValueError:
         return {
             "entry_kind": "InvalidStatement",
-            "statement": raw_sql,
+            "statement": raw_sql if want_statement else None,
             "sql_type": None,
             "objects": None,
-            "fingerprint": re.sub(r"\s+", " ", raw_sql).strip().rstrip(";").strip(),
+            "fingerprint": (
+                re.sub(r"\s+", " ", raw_sql).strip().rstrip(";").strip()
+                if want_fingerprint
+                else None
+            ),
         }
+    # ONE meaningful-token pass shared by the classifier, the object
+    # extractor and the fingerprint renderer (each used to recompute it)
     meaningful = _meaningful(tokens)
     # sql_lines guarantees exactly one unquoted ';' (the terminator), so a
     # multi-statement body is impossible here; zero meaningful tokens (all
@@ -623,21 +654,35 @@ def resolve_statement(raw_sql: str) -> dict[str, Any]:
     # reference's s.len()==1 check failing with 0 statements
     # (src/codec.rs:222-231; fixture: src/codec.rs:514-515).
     non_semi = [t for t in meaningful if t[1] != ";"]
-    sql_type = classify_sql_type(tokens) if non_semi else None
+    sql_type = _classify_meaningful(meaningful) if non_semi else None
     if not non_semi or sql_type is None:
         return {
             "entry_kind": "InvalidStatement",
-            "statement": raw_sql,
+            "statement": raw_sql if want_statement else None,
             "sql_type": None,
             "objects": None,
-            "fingerprint": _fingerprint_from_tokens(tokens),
+            "fingerprint": (
+                _fingerprint_from_tokens(meaningful)
+                if want_fingerprint
+                else None
+            ),
         }
     return {
         "entry_kind": "SqlStatement",
-        "statement": _canonical_from_tokens(raw_sql, tokens),
+        "statement": (
+            _canonical_from_tokens(raw_sql, tokens)
+            if want_statement
+            else None
+        ),
         "sql_type": sql_type,
-        "objects": extract_objects(tokens),
-        "fingerprint": _fingerprint_from_tokens(tokens),
+        "objects": (
+            extract_objects(tokens, _toks=meaningful)
+            if want_objects
+            else None
+        ),
+        "fingerprint": (
+            _fingerprint_from_tokens(meaningful) if want_fingerprint else None
+        ),
     }
 
 
@@ -668,8 +713,16 @@ def _error_entry(
 def parse_entries(
     text: str,
     context_mapper: Optional[ContextMapper] = default_comment_context,
+    fields: Optional[frozenset] = None,
 ) -> list[dict[str, Any]]:
     """Parse every complete slow-log entry in ``text``.
+
+    ``fields``: optional column-pruning set (parse_pages threads its
+    ``columns`` arg here). When given, the derived fields NOT in the set
+    (statement / objects / fingerprint / statement_raw / context) are
+    returned as None instead of computed — parsing, validity
+    classification and every requested field are byte-identical to the
+    unpruned parse; only dead work is skipped.
 
     Straight-line re-expression of the reference 7-state FSM
     (src/codec.rs:137-252). A page is a self-contained record (no entry spans
@@ -685,6 +738,11 @@ def parse_entries(
     pos = 0
     n = len(text)
     index = 0
+    want_stmt = fields is None or "statement" in fields
+    want_obj = fields is None or "objects" in fields
+    want_fp = fields is None or "fingerprint" in fields
+    want_raw = fields is None or "statement_raw" in fields
+    want_ctx = fields is None or "context" in fields
     # most recent file preamble seen in this page; the reference parses and
     # RETURNS these fields as HeaderLines (src/parser.rs:95-129) -- round 1
     # matched the block then threw the captures away (VERDICT r1 missing #1)
@@ -835,10 +893,16 @@ def parse_entries(
         raw_sql = text[pos:end]
         pos = end
 
-        resolved = resolve_statement(raw_sql)
+        resolved = resolve_statement(
+            raw_sql,
+            want_statement=want_stmt,
+            want_objects=want_obj,
+            want_fingerprint=want_fp,
+        )
         context = None
         if (
-            resolved["entry_kind"] == "SqlStatement"
+            want_ctx
+            and resolved["entry_kind"] == "SqlStatement"
             and comment_kv is not None
             and context_mapper is not None
         ):
@@ -849,7 +913,7 @@ def parse_entries(
             "admin_command": None,
             # byte-identity anchor: exact sql_lines bytes incl. ';'
             # (BASELINE.json per-row invariant; tests src/parser.rs:826-902)
-            "statement_raw": raw_sql.encode("utf-8"),
+            "statement_raw": raw_sql.encode("utf-8") if want_raw else None,
             "statement": resolved["statement"],
             "sql_type": resolved["sql_type"],
             "objects": resolved["objects"],

@@ -45,7 +45,9 @@ _INT_DTYPES = (
 )
 
 
-def _entries_for_batch(pdf: pd.DataFrame, context_mapper, out_cols) -> pd.DataFrame:
+def _entries_for_batch(
+    pdf: pd.DataFrame, context_mapper, out_cols, fields=None
+) -> pd.DataFrame:
     rows: list[dict] = []
     want_time = "log_time" in out_cols
     has_lang = "lang" in pdf.columns
@@ -57,7 +59,7 @@ def _entries_for_batch(pdf: pd.DataFrame, context_mapper, out_cols) -> pd.DataFr
     for url, text, lang, warc_ts in zip(urls, texts, langs, tss):
         if text is None:
             continue
-        for e in grammar.parse_entries(text, context_mapper):
+        for e in grammar.parse_entries(text, context_mapper, fields):
             us = e.pop("log_time_us")
             if want_time:
                 e["log_time"] = (
@@ -120,9 +122,15 @@ def parse_pages(
             need |= forced_cols
         out_cols = [c for c in _OUT_COLS if c in need]
 
+    # column pruning THROUGH the parse, not just through Arrow: a derived
+    # field the plan discards (objects / canonical statement / raw bytes /
+    # context) is never computed in the Python worker — with the default
+    # full column set this is a no-op (fields=None = compute everything)
+    prune = None if columns is None else frozenset(out_cols)
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _entries_for_batch(pdf, mapper, out_cols)
+            yield _entries_for_batch(pdf, mapper, out_cols, prune)
 
     by_name = {f.name: f for f in ENTRY_SCHEMA.fields}
     schema_no_id = ",".join(
