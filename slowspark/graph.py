@@ -35,6 +35,370 @@ Design notes for 10^12-edge scale:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+# Size gate for the driver fast path shared by the iterative operators
+# (pagerank / hits / label_propagation / seed_distance / spam_mass): a
+# graph whose FULL edge list comes back from a limit(cap+1) probe runs
+# its rounds as plain-Python IEEE-double loops on the driver instead of
+# paying ~2 scheduled jobs per round on a table that fits in one task.
+# The probe never counts the big table (CollectLimit short-circuits
+# after cap+1 rows, ~one split scan), so the 10^12-edge path is
+# unchanged; 200k edges of URL-sized strings collect to ~40 MB, well
+# inside default driver limits. Same scale-adaptive idiom as
+# textops.connected_min_labels' size-gated union-find finish; both
+# paths are pinned equal by differential tests.
+_DRIVER_FASTPATH_EDGES = 200_000
+
+
+def _probe_small(df: DataFrame, cap: int):
+    """limit(cap+1).collect() probe: the full row list when df has at
+    most cap rows, else None (at which point ~cap+1 rows were scanned,
+    not the whole table)."""
+    if cap <= 0:
+        return None
+    rows = df.limit(cap + 1).collect()
+    return rows if len(rows) <= cap else None
+
+
+def _union_node_type(e0: DataFrame, a: str, b: str):
+    """The node dtype the distributed path's vertex union would carry
+    (schema-only — no job)."""
+    return (
+        e0.select(F.col(a).alias("node"))
+        .union(e0.select(F.col(b).alias("node")))
+        .schema["node"]
+        .dataType
+    )
+
+
+def _pagerank_driver(
+    e0: DataFrame,
+    rows,
+    n_iter: int,
+    damping: float,
+    src_col: str,
+    dst_col: str,
+    weight_col,
+    seed_rows,
+    init_rows,
+) -> DataFrame:
+    """The pagerank rounds as a plain-Python IEEE-double loop over an
+    already-collected edge list — update expressions mirror the
+    distributed path's exactly (contrib = rank*w/out_w, uniform or
+    seeded teleport, dangling mass as one scalar per round); summation
+    order differs, which the 6dp query contract absorbs (differential-
+    pinned against the distributed path)."""
+    spark = e0.sparkSession
+    weighted = weight_col is not None
+    nodes: dict = {}
+    edges = []
+    for r in rows:
+        s, t = r[src_col], r[dst_col]
+        nodes.setdefault(s)
+        nodes.setdefault(t)
+        edges.append((s, t, float(r["__w"]) if weighted else 1))
+    n = len(nodes)
+    schema = StructType([
+        StructField("node", _union_node_type(e0, src_col, dst_col), True),
+        StructField("rank", DoubleType(), True),
+    ])
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    out_w: dict = {}
+    for s, t, w in edges:
+        if s is not None:
+            out_w[s] = out_w.get(s, 0.0 if weighted else 0) + w
+    dangling = [v for v in nodes if v not in out_w]
+    tele = None
+    if seed_rows is not None:
+        inter = {r["node"] for r in seed_rows if r["node"] is not None}
+        inter &= set(k for k in nodes if k is not None)
+        ns = len(inter)
+        if ns == 0:
+            raise ValueError(
+                "pagerank: no seed appears in the graph — personalized "
+                "teleport has nowhere to land"
+            )
+        tele = {v: (1.0 / ns if v in inter else 0.0) for v in nodes}
+    if init_rows is not None:
+        ir: dict = {}
+        for r in init_rows:
+            v = r["__r0"]
+            if v is not None:
+                ir[r["node"]] = ir.get(r["node"], 0.0) + v
+        fill = 1.0 / float(n)
+        r0 = {v: ir.get(v, fill) for v in nodes}
+        tot = sum(r0.values())
+        if not tot > 0:
+            raise ValueError(
+                "pagerank: init_ranks total mass must be positive"
+            )
+        ranks = {v: r0[v] / float(tot) for v in nodes}
+    else:
+        ranks = {v: 1.0 / float(n) for v in nodes}
+
+    def dmass(rk) -> float:
+        return sum(rk[v] for v in dangling) if dangling else 0.0
+
+    base = (1.0 - damping) / float(n)
+    dm = dmass(ranks)
+    for _ in range(n_iter):
+        contrib: dict = {}
+        for s, t, w in edges:
+            if s is None:
+                continue
+            c = ranks[s] * w / out_w[s] if weighted else ranks[s] / out_w[s]
+            contrib[t] = contrib.get(t, 0.0) + c
+        if tele is not None:
+            ranks = {
+                v: (1.0 - damping) * tele[v]
+                + damping
+                * (
+                    (contrib.get(v, 0.0) if v is not None else 0.0)
+                    + dm * tele[v]
+                )
+                for v in nodes
+            }
+        else:
+            ranks = {
+                v: base
+                + damping
+                * (
+                    (contrib.get(v, 0.0) if v is not None else 0.0)
+                    + dm / float(n)
+                )
+                for v in nodes
+            }
+        dm = dmass(ranks)
+    return spark.createDataFrame(
+        [(v, ranks[v]) for v in nodes], schema
+    )
+
+
+def _hits_driver(base_e: DataFrame, rows, n_iter: int, weighted: bool) -> DataFrame:
+    """The HITS rounds on the driver — same unnormalized-accumulate /
+    one-norm-pair-per-round math as the distributed loop."""
+    import math
+
+    spark = base_e.sparkSession
+    nodes: dict = {}
+    edges = []
+    for r in rows:
+        s, t = r["__s"], r["__d"]
+        nodes.setdefault(s)
+        nodes.setdefault(t)
+        edges.append((s, t, float(r["__w"]) if weighted else 1.0))
+    schema = StructType([
+        StructField("node", _union_node_type(base_e, "__s", "__d"), True),
+        StructField("hub", DoubleType(), True),
+        StructField("authority", DoubleType(), True),
+    ])
+    if not nodes:
+        return spark.createDataFrame([], schema)
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(n_iter):
+        a_u: dict = {}
+        for s, t, w in edges:
+            if s is None:
+                continue
+            a_u[t] = a_u.get(t, 0.0) + (w * hub[s] if weighted else hub[s])
+        auth_u = {
+            v: (a_u.get(v, 0.0) if v is not None else 0.0) for v in nodes
+        }
+        h_u: dict = {}
+        for s, t, w in edges:
+            if t is None:
+                continue
+            h_u[s] = h_u.get(s, 0.0) + (
+                w * auth_u[t] if weighted else auth_u[t]
+            )
+        hub_u = {
+            v: (h_u.get(v, 0.0) if v is not None else 0.0) for v in nodes
+        }
+        an = math.sqrt(sum(x * x for x in auth_u.values()))
+        hn = math.sqrt(sum(x * x for x in hub_u.values()))
+        an = an if an else 1.0
+        hn = hn if hn else 1.0
+        auth = {v: auth_u[v] / an for v in nodes}
+        hub = {v: hub_u[v] / hn for v in nodes}
+    return spark.createDataFrame(
+        [(v, hub[v], auth[v]) for v in nodes], schema
+    )
+
+
+def _lpa_driver(e0: DataFrame, rows, n_iter: int) -> DataFrame:
+    """The synchronous label-propagation rounds on the driver — integer
+    counts and the (max count, min label) tie order are exact, so both
+    paths are bit-identical."""
+    spark = e0.sparkSession
+    nodes: dict = {}
+    und = set()
+    for r in rows:
+        a, b = r["node"], r["nbr"]
+        nodes.setdefault(a)
+        nodes.setdefault(b)
+        if a is not None and b is not None and a != b:
+            und.add((a, b))
+            und.add((b, a))
+    node_t = _union_node_type(e0, "node", "nbr")
+    schema = StructType([
+        StructField("node", node_t, True),
+        StructField("label", node_t, True),
+    ])
+    if not nodes:
+        return spark.createDataFrame([], schema)
+    labels = {v: v for v in nodes}
+    for _ in range(n_iter):
+        cnt: dict = {}
+        for v, nb in und:
+            k = (v, labels[nb])
+            cnt[k] = cnt.get(k, 0) + 1
+        best: dict = {}
+        for (v, lab), c in cnt.items():
+            cand = (-c, lab)
+            cur = best.get(v)
+            if cur is None or cand < cur:
+                best[v] = cand
+        labels = {
+            v: (best[v][1] if v in best else labels[v]) for v in nodes
+        }
+    return spark.createDataFrame(
+        [(v, labels[v]) for v in nodes], schema
+    )
+
+
+def _bfs_driver(e: DataFrame, erows, seed_rows, max_hops: int) -> DataFrame:
+    """Frontier BFS on the driver — hop distances are integer-exact."""
+    spark = e.sparkSession
+    vertices = set()
+    adj: dict = {}
+    for r in erows:
+        s, t = r["__s"], r["__d"]
+        vertices.add(s)
+        vertices.add(t)
+        if s is not None and t is not None:
+            adj.setdefault(s, set()).add(t)
+    schema = StructType([
+        StructField("node", _union_node_type(e, "__s", "__d"), True),
+        StructField("hops", IntegerType(), True),
+    ])
+    visited: dict = {}
+    frontier = []
+    for r in seed_rows:
+        v = r["node"]
+        if v is not None and v in vertices and v not in visited:
+            visited[v] = 0
+            frontier.append(v)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        seen_this_hop = set()
+        for s in frontier:
+            for t in adj.get(s, ()):
+                if t not in visited and t not in seen_this_hop:
+                    seen_this_hop.add(t)
+                    nxt.append(t)
+        if not nxt:
+            break
+        for t in nxt:
+            visited[t] = h
+        frontier = nxt
+    return spark.createDataFrame(
+        [(v, h) for v, h in visited.items()], schema
+    )
+
+
+def _spam_mass_driver(
+    e0: DataFrame,
+    rows,
+    seed_rows,
+    n_iter: int,
+    damping: float,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """The fused (pr, ppr) rounds on the driver — per-vector arithmetic
+    identical to _pagerank_driver's uniform and seeded updates."""
+    spark = e0.sparkSession
+    nodes: dict = {}
+    edges = []
+    for r in rows:
+        s, t = r[src_col], r[dst_col]
+        nodes.setdefault(s)
+        nodes.setdefault(t)
+        edges.append((s, t))
+    n = len(nodes)
+    schema = StructType([
+        StructField("node", _union_node_type(e0, src_col, dst_col), True),
+        StructField("pr", DoubleType(), True),
+        StructField("ppr", DoubleType(), True),
+        StructField("mass", DoubleType(), True),
+    ])
+    inter = {r["node"] for r in seed_rows if r["node"] is not None}
+    inter &= set(k for k in nodes if k is not None)
+    ns = len(inter)
+    if ns == 0:
+        raise ValueError(
+            "spam_mass: no seed appears in the graph — personalized "
+            "teleport has nowhere to land"
+        )
+    out_w: dict = {}
+    for s, t in edges:
+        if s is not None:
+            out_w[s] = out_w.get(s, 0) + 1
+    dangling = [v for v in nodes if v not in out_w]
+    tele = {v: (1.0 / ns if v in inter else 0.0) for v in nodes}
+    pr = {v: 1.0 / float(n) for v in nodes}
+    ppr = {v: 1.0 / float(n) for v in nodes}
+
+    def dmass():
+        return (
+            sum(pr[v] for v in dangling) if dangling else 0.0,
+            sum(ppr[v] for v in dangling) if dangling else 0.0,
+        )
+
+    base = (1.0 - damping) / float(n)
+    dm_pr, dm_ppr = dmass()
+    for _ in range(n_iter):
+        c_pr: dict = {}
+        c_ppr: dict = {}
+        for s, t in edges:
+            if s is None:
+                continue
+            c_pr[t] = c_pr.get(t, 0.0) + pr[s] / out_w[s]
+            c_ppr[t] = c_ppr.get(t, 0.0) + ppr[s] / out_w[s]
+        pr = {
+            v: base
+            + damping
+            * (
+                (c_pr.get(v, 0.0) if v is not None else 0.0)
+                + dm_pr / float(n)
+            )
+            for v in nodes
+        }
+        ppr = {
+            v: (1.0 - damping) * tele[v]
+            + damping
+            * (
+                (c_ppr.get(v, 0.0) if v is not None else 0.0)
+                + dm_ppr * tele[v]
+            )
+            for v in nodes
+        }
+        dm_pr, dm_ppr = dmass()
+    return spark.createDataFrame(
+        [
+            (v, pr[v], ppr[v], (pr[v] - ppr[v]) / pr[v])
+            for v in nodes
+        ],
+        schema,
+    )
 
 
 def degrees(
@@ -92,6 +456,7 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    driver_fastpath_edges: int = _DRIVER_FASTPATH_EDGES,
 ) -> DataFrame:
     """HITS (Kleinberg 1999) hubs-and-authorities over an edge list, as
     n_iter rounds of DataFrame joins: per iteration
@@ -153,6 +518,17 @@ def hits(
     # host_hits). Dropped after round 0, when every derived cache holds
     # blocks.
     base_e0 = base_e.persist()
+    # scale-adaptive fast path (see _DRIVER_FASTPATH_EDGES): the weight
+    # guard rides the projection, so the probe collect raises on a
+    # non-positive weight exactly like the distributed actions would
+    rows = _probe_small(base_e0, driver_fastpath_edges)
+    if rows is not None:
+        try:
+            return _hits_driver(
+                base_e0, rows, n_iter, weight_col is not None
+            )
+        finally:
+            base_e0.unpersist()
     # one partitioned cached copy per join direction: the per-iteration
     # joins then reuse the cache's hash partitioning instead of
     # re-shuffling the edge table every round (plan-pinned)
@@ -297,6 +673,7 @@ def pagerank(
     seeds: DataFrame | None = None,
     weight_col: str | None = None,
     init_ranks: DataFrame | None = None,
+    driver_fastpath_edges: int = _DRIVER_FASTPATH_EDGES,
 ) -> DataFrame:
     """PageRank (Page et al. 1999) with uniform dangling-mass
     redistribution, as n_iter rounds of DataFrame joins:
@@ -354,6 +731,11 @@ def pagerank(
     rank lineage truncated by localCheckpoint every checkpoint_every
     iterations. The warm start adds ONE outer join + ONE scalar agg
     before round 0; every iteration after that is identical.
+
+    ``driver_fastpath_edges``: graphs whose full edge list (and seed /
+    init tables, when given) come back from a limit probe run the
+    rounds on the driver with identical update expressions — see
+    _DRIVER_FASTPATH_EDGES. 0 disables (always distributed).
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
@@ -378,6 +760,41 @@ def pagerank(
         e0 = edges.select(src_col, dst_col, w.alias("__w")).persist()
     else:
         e0 = edges.select(src_col, dst_col).persist()
+    # scale-adaptive fast path: if the whole graph (and the seed / init
+    # side tables) fits under the probe cap, iterate on the driver —
+    # same update expressions, no per-round jobs. The weight guard
+    # rides the e0 projection, so the probe collect raises on a
+    # non-positive weight exactly like the distributed actions would.
+    rows = _probe_small(e0, driver_fastpath_edges)
+    if rows is not None:
+        seed_rows = init_rows = None
+        small = True
+        if seeds is not None:
+            seed_rows = _probe_small(
+                seeds.select("node").distinct(), driver_fastpath_edges
+            )
+            small = seed_rows is not None
+        if small and init_ranks is not None:
+            checked0 = F.when(
+                F.col("rank") < 0,
+                F.raise_error(F.lit(
+                    "pagerank: negative rank in init_ranks — a warm "
+                    "start must begin from a valid rank vector"
+                )),
+            ).otherwise(F.col("rank").cast("double"))
+            init_rows = _probe_small(
+                init_ranks.select("node", checked0.alias("__r0")),
+                driver_fastpath_edges,
+            )
+            small = init_rows is not None
+        if small:
+            try:
+                return _pagerank_driver(
+                    e0, rows, n_iter, damping, src_col, dst_col,
+                    weight_col, seed_rows, init_rows,
+                )
+            finally:
+                e0.unpersist()
     vertices = (
         e0.select(src.alias("node"))
         .union(e0.select(dst.alias("node")))
@@ -552,6 +969,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 8,
+    driver_fastpath_edges: int = _DRIVER_FASTPATH_EDGES,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007), made deterministic: labels start as the node id; each
@@ -587,6 +1005,14 @@ def label_propagation(
     # undirected neighbor list and the vertex table both derive from
     # this cache instead of each recomputing the upstream
     e0 = edges.select(src.alias("node"), dst.alias("nbr")).persist()
+    # scale-adaptive fast path (see _DRIVER_FASTPATH_EDGES): integer
+    # counts + the deterministic tie order make both paths bit-identical
+    rows = _probe_small(e0, driver_fastpath_edges)
+    if rows is not None:
+        try:
+            return _lpa_driver(e0, rows, n_iter)
+        finally:
+            e0.unpersist()
     und = (
         e0.union(e0.select(F.col("nbr").alias("node"),
                            F.col("node").alias("nbr")))
@@ -650,6 +1076,7 @@ def seed_distance(
     max_hops: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    driver_fastpath_edges: int = _DRIVER_FASTPATH_EDGES,
 ) -> DataFrame:
     """Directed BFS hop distance from a trusted seed set: (node, hops)
     for every node reachable from any seed in <= max_hops link hops
@@ -679,6 +1106,18 @@ def seed_distance(
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     ).distinct().persist()
+    # scale-adaptive fast path (see _DRIVER_FASTPATH_EDGES): hop
+    # distances are integer-exact, so both paths are bit-identical
+    erows = _probe_small(e, driver_fastpath_edges)
+    if erows is not None:
+        seed_rows = _probe_small(
+            seeds.select("node").distinct(), driver_fastpath_edges
+        )
+        if seed_rows is not None:
+            try:
+                return _bfs_driver(e, erows, seed_rows, max_hops)
+            finally:
+                e.unpersist()
     vertices = (
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
@@ -732,6 +1171,7 @@ def spam_mass(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    driver_fastpath_edges: int = _DRIVER_FASTPATH_EDGES,
 ) -> DataFrame:
     """Spam mass (Gyongyi et al. 2006): the fraction of a page's
     PageRank that does NOT come from trusted pages —
@@ -765,6 +1205,19 @@ def spam_mass(
     # out-degrees, the annotated edge table and the dangling set all
     # derive from this cache; dropped after round 0
     e0 = edges.select(src_col, dst_col).persist()
+    # scale-adaptive fast path (see _DRIVER_FASTPATH_EDGES)
+    rows = _probe_small(e0, driver_fastpath_edges)
+    if rows is not None:
+        seed_rows = _probe_small(
+            seeds.select("node").distinct(), driver_fastpath_edges
+        )
+        if seed_rows is not None:
+            try:
+                return _spam_mass_driver(
+                    e0, rows, seed_rows, n_iter, damping, src_col, dst_col
+                )
+            finally:
+                e0.unpersist()
     vertices = (
         e0.select(src.alias("node"))
         .union(e0.select(dst.alias("node")))

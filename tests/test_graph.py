@@ -582,3 +582,73 @@ def test_label_propagation_string_node_ids(spark):
     # count each keeps its own label
     assert got["a.com"] == "a.com" == got["b.com"] == got["c.com"]
     assert got["d.com"] == "d.com" and got["e.com"] == "e.com"
+
+
+def test_driver_fastpath_matches_distributed(spark):
+    """The size-gated driver fast path and the distributed loop are the
+    same algorithm: exact equality for the integer/label operators,
+    <=1e-9 relative for the float ones (summation order differs; every
+    declared query rounds floats to 6dp)."""
+    from slowspark.graph import (
+        hits, label_propagation, pagerank, seed_distance, spam_mass,
+    )
+
+    pairs = [(s, d) for s, d in
+             [(i, (i * 7 + 1) % 40) for i in range(40)]
+             + [(i, (i * 13 + 5) % 40) for i in range(40) if i % 9 != 0]
+             if s != d]
+    e = _edges(spark, pairs)
+    seeds = spark.createDataFrame([(3,), (7,), (11,)], "node long")
+    init = spark.createDataFrame(
+        [(i, 0.01 + (i % 5) * 0.002) for i in range(0, 40, 2)],
+        "node long, rank double",
+    )
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    def close(fast, dist, nfloat):
+        f = {r[0]: r[1:] for r in fast.collect()}
+        g = {r[0]: r[1:] for r in dist.collect()}
+        assert set(f) == set(g)
+        for k in f:
+            for a, b in zip(f[k][:nfloat], g[k][:nfloat]):
+                assert a == pytest.approx(b, rel=1e-9, abs=1e-12)
+
+    close(pagerank(e, n_iter=3),
+          pagerank(e, n_iter=3, driver_fastpath_edges=0), 1)
+    close(pagerank(e, n_iter=3, seeds=seeds),
+          pagerank(e, n_iter=3, seeds=seeds, driver_fastpath_edges=0), 1)
+    close(pagerank(e, n_iter=3, init_ranks=init),
+          pagerank(e, n_iter=3, init_ranks=init,
+                   driver_fastpath_edges=0), 1)
+    close(hits(e, n_iter=3),
+          hits(e, n_iter=3, driver_fastpath_edges=0), 2)
+    close(spam_mass(e, seeds, n_iter=3),
+          spam_mass(e, seeds, n_iter=3, driver_fastpath_edges=0), 3)
+    # integer/label operators: bit-identical row sets
+    assert rows(label_propagation(e, n_iter=3)) == rows(
+        label_propagation(e, n_iter=3, driver_fastpath_edges=0))
+    assert rows(seed_distance(e, seeds, max_hops=3)) == rows(
+        seed_distance(e, seeds, max_hops=3, driver_fastpath_edges=0))
+
+
+def test_driver_fastpath_weighted_hits_and_hostlike_pagerank(spark):
+    """Weighted variants through both paths, string node ids."""
+    from slowspark.graph import hits, pagerank
+
+    we = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+         ("c", "a", 1.0), ("d", "a", 5.0)],
+        "src string, dst string, w double",
+    )
+    for fn, nfloat in ((lambda **kw: hits(we, n_iter=2, weight_col="w",
+                                          **kw), 2),
+                       (lambda **kw: pagerank(we, n_iter=2,
+                                              weight_col="w", **kw), 1)):
+        f = {r[0]: r[1:] for r in fn().collect()}
+        g = {r[0]: r[1:] for r in fn(driver_fastpath_edges=0).collect()}
+        assert set(f) == set(g)
+        for k in f:
+            for a, b in zip(f[k][:nfloat], g[k][:nfloat]):
+                assert a == pytest.approx(b, rel=1e-9, abs=1e-12)
