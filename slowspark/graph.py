@@ -1103,21 +1103,23 @@ def seed_distance(
     saturates in ~6; crawl features use 2-4)."""
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
-    e = edges.select(
+    raw = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    ).distinct().persist()
-    # scale-adaptive fast path (see _DRIVER_FASTPATH_EDGES): hop
-    # distances are integer-exact, so both paths are bit-identical
-    erows = _probe_small(e, driver_fastpath_edges)
+    )
+    # scale-adaptive fast path (see _DRIVER_FASTPATH_EDGES): probe the
+    # RAW projection — no distinct exchange paid before the gate; the
+    # driver adjacency sets dedup inherently, and hop distances are
+    # integer-exact, so both paths are bit-identical. (A raw list over
+    # the cap whose distinct would fit just falls through — the
+    # conservative direction.)
+    erows = _probe_small(raw, driver_fastpath_edges)
     if erows is not None:
         seed_rows = _probe_small(
             seeds.select("node").distinct(), driver_fastpath_edges
         )
         if seed_rows is not None:
-            try:
-                return _bfs_driver(e, erows, seed_rows, max_hops)
-            finally:
-                e.unpersist()
+            return _bfs_driver(raw, erows, seed_rows, max_hops)
+    e = raw.distinct().persist()
     vertices = (
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
